@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration.
+  *
+  * - `shuffle.partitions` sized to the core count, not the 200 default
+  *   (local mode; on a real cluster AQE coalesces anyway).
+  * - AQE on: runtime re-planning (skew-join split, partition coalescing)
+  *   is part of the 100 TB design.
+  * - `nanosAsLong`: the lakehouse `events` table carries TIMESTAMP(NANOS)
+  *   which Spark 4 otherwise refuses; [[graft.sources.Tables]] re-derives
+  *   a microsecond timestamp column from the long.
+  * - UTC session time zone for cross-engine (DuckDB oracle) parity.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int): SparkSession = {
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

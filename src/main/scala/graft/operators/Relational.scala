@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Determinism._
+import graft.sources.Tables
+
+/** Core relational operators, generalized from the reference's query
+  * surface (SURVEY §2) onto the lakehouse test schema.
+  *
+  * Each method is one declarative DataFrame plan — Catalyst supplies
+  * pushdown, pruning, partial aggregation and join strategy; broadcast
+  * hints are given where one side is a small dimension. Reference
+  * citations point at the behavior being generalized, e.g. the filtered
+  * sums of `dashboard/components/sidebar.py:22-35` or the latest-per-group
+  * join of `dashboard/components/sidebar.py:44-62`.
+  */
+object Relational {
+
+  /** Pricing summary — grouped SUM/COUNT over the fact table (reference
+    * A1/A2: `dashboard/components/sidebar.py:22-35`). Measures quantized to
+    * cents so partial-aggregation order cannot perturb the result.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_c"),
+        count(lit(1)).as("n_rows"))
+
+  /** Scan + filter + projection — Catalyst pushes the predicate and the
+    * 3-column ReadSchema into the Parquet scan (reference P5/P6/S2).
+    */
+  def scanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_c"))
+
+  /** Top-k with a total order (reference O3/O4 — `ORDER BY amount` +
+    * `LIMIT`). Catalyst plans TakeOrderedAndProject, i.e. a distributed
+    * top-k rather than a global sort.
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      .orderBy(col("price_c").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Star-schema rollup: fact ⋈ three broadcast dimensions (reference J2 —
+    * the free-form equi-join surface). Dimensions are tiny at any SF, so
+    * the whole join chain is broadcast: zero shuffle before the final
+    * aggregation.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(cents(col("o_totalprice"))).as("revenue_c"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Latest-per-group via MAX-join — the reference's canonical read of a
+    * non-additive measure (J1, `dashboard/components/sidebar.py:44-62`):
+    * join the table to `SELECT key, MAX(ord) GROUP BY key` on both columns.
+    * Keeps ties, exactly like the reference SQL.
+    */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val latest = orders.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("o_orderdate"))
+    orders.join(latest, Seq("o_custkey", "o_orderdate"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("od_epoch"),
+        cents(col("o_totalprice")).as("price_c"))
+  }
+
+  /** Latest-per-group via window row_number — the idiomatic Spark rewrite
+    * of J1 (SURVEY W2). Total order in the frame (`price_c`, `o_orderkey`
+    * tie-breaks) keeps the result deterministic.
+    */
+  def latestOrderPerCustomerWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("od_epoch"),
+        cents(col("o_totalprice")).as("price_c"))
+  }
+
+  /** Wide→long unpivot of the fact-table measures (R1 — the reference's
+    * central `stack` reshape, `jobs/finance_itsc_pipeline.py:95-113`),
+    * including its null/zero drop applied *after* stacking (P6).
+    */
+  def unpivotLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      cents(col("l_quantity")).as("quantity"),
+      cents(col("l_extendedprice")).as("extendedprice"),
+      cents(col("l_discount")).as("discount"),
+      cents(col("l_tax")).as("tax"))
+    li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "category", "amount_c")
+      .filter(col("amount_c").isNotNull && col("amount_c") =!= 0)
+  }
+
+  /** Dimension listing (A4/O2 — `SELECT DISTINCT year ... ORDER BY year
+    * DESC`, `dashboard/components/sidebar.py:12-13`).
+    */
+  def distinctOrderYears(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("order_year"))
+      .distinct()
+      .orderBy(col("order_year").desc)
+
+  /** Grouped MAX over a dimension (A3 — `MAX(date) GROUP BY category`). */
+  def groupedMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max(cents(col("value"))).as("max_value_c"), count(lit(1)).as("n"))
+
+  /** Monotonic-decrease screen (W1 — `jobs/data_quality.py:91-102`),
+    * rewritten from the reference's driver-side Python loop into a `lag`
+    * window so it distributes: for each user's event sequence, emit rows
+    * whose value rose versus the previous event.
+    */
+  def lagMonotonicViolations(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("prev_c", lag(col("value_c"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)))
+      .filter(col("prev_c").isNotNull && col("value_c") > col("prev_c"))
+      .select(col("user_id"), col("event_id"), col("value_c"), col("prev_c"))
+  }
+
+  /** Semi join — customers that have at least one order (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Anti join — customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+}

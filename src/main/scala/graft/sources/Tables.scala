@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the lakehouse tables the engine serves.
+  *
+  * The reference reads partitioned Parquet dirs registered as Hive tables
+  * (reference `jobs/finance_itsc_pipeline.py:73-75`); here the same role is
+  * played by a directory of Parquet tables addressed by name. Partition
+  * pruning / filter pushdown happen in Catalyst on top of these scans.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan (SURVEY S2). `dir` is an sf directory such as
+    * `/root/testdata/sf0.01`.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** Events table. The source Parquet stores `ts` as TIMESTAMP(NANOS),
+    * which Spark reads as a nanosecond long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (set by [[graft.GraftSession]]).
+    * Normalized here to `ts_ns: Long` plus a microsecond-precision `ts`
+    * timestamp so downstream operators get a real timestamp column.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    else
+      raw.withColumn("ts_ns", col("ts").cast("timestamp").cast("long") * 1000000000L)
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

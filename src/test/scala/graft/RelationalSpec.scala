@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns a non-degenerate result") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      // anti-join legitimately returns 0 rows; everything else must not
+      if (name != "q12_anti_join") assert(df.count() > 0, name)
+    }
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("topk is exactly k and sorted") {
+    val rows = operators.Relational.topkOrders(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getLong(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("latest-per-group window agrees with max-join on keys") {
+    val byJoin = operators.Relational.latestOrderPerCustomer(spark, sf)
+      .select("o_custkey", "od_epoch").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byWin = operators.Relational.latestOrderPerCustomerWindow(spark, sf)
+      .select("o_custkey", "od_epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byJoin == byWin)
+  }
+}
