@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventsOps, Relational, Reshape, Scalars, SetOps}
+import graft.operators.{Dedup, EventsOps, Relational, Reshape, Scalars, SetOps, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,19 @@ object SparkEntry {
     "q28_running_sum" -> (EventsOps.runningSum _),
     "q29_bulk_cast" -> (Scalars.bulkCast _),
     "q30_row_counts" -> (Scalars.rowCounts _),
+    "q31_text_stats" -> (TextOps.textStats _),
+    "q32_token_frequency" -> (TextOps.tokenFrequency _),
+    "q33_langid_confusion" -> (TextOps.langIdConfusion _),
+    "q34_quality_buckets" -> (TextOps.qualityBuckets _),
+    "q35_fingerprint_clusters" -> (TextOps.fingerprintClusters _),
+    "q36_dedup_keep_first" -> (TextOps.dedupKeepFirst _),
+    "q37_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q38_minhash_signatures" -> (Dedup.minhashSignatures _),
+    "q39_lsh_candidates" -> (Dedup.lshCandidatePairs _),
+    "q40_simhash" -> (Dedup.simhash _),
+    "q41_knn_bruteforce" -> (Similarity.bruteForceKnn _),
+    "q42_knn_ivf" -> (Similarity.ivfKnn _),
+    "q43_norm_stats" -> (Similarity.normStatsByLabel _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB). Keep in lockstep with
@@ -60,6 +73,29 @@ object SparkEntry {
   // DuckDB SUM(BIGINT) widens to HUGEINT; cast back so the result schema
   // matches Spark's LongType sums exactly.
   private def sumc(e: String): String = s"CAST(SUM(${cents(e)}) AS BIGINT)"
+
+  // --- north-star oracle fragments (documents / embeddings) ---
+  private val toks = """regexp_split_to_array(trim(text), '\s+')"""
+  // distinct 3-token shingles, 1-based indexing — mirrors Dedup.shingles
+  private val shingleList =
+    s"list_distinct(list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+  private val shingleCte =
+    s"""tok AS (SELECT doc_id, source, $toks AS toks FROM documents),
+       |sh AS (SELECT doc_id, source, unnest($shingleList) AS sh
+       |       FROM tok WHERE len(toks) >= 3)""".stripMargin
+  // 32-bit md5-derived hash, seeded — mirrors Dedup.mh
+  private def mhSql(i: Int): String =
+    s"CAST(concat('0x', substr(md5('$i:' || sh), 1, 8)) AS BIGINT)"
+  // quantized dot product of two float lists — mirrors Similarity.dotQ
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> " +
+      s"CAST(floor($a[i]::DOUBLE * $b[i]::DOUBLE * 1000000000000.0) AS BIGINT))) AS BIGINT)"
+  private val langScores =
+    """len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS score_en,
+      |    len(list_filter(toks, t -> t IN ('el','la','de','y'))) AS score_es,
+      |    len(list_filter(toks, t -> t IN ('der','die','und','das'))) AS score_de,
+      |    len(list_filter(toks, t -> t IN ('shi','le','bu','ma'))) AS score_zh""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -232,5 +268,121 @@ object SparkEntry {
         |UNION ALL SELECT 'events', COUNT(*) FROM events
         |UNION ALL SELECT 'documents', COUNT(*) FROM documents
         |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings""".stripMargin,
+    "q31_text_stats" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS len_chars,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+         |FROM documents""".stripMargin,
+    "q32_token_frequency" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest($toks) AS token FROM documents) t
+         |GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
+    "q33_langid_confusion" ->
+      s"""WITH scored AS (
+         |  SELECT lang, $langScores
+         |  FROM (SELECT lang, $toks AS toks FROM documents) d),
+         |pred AS (
+         |  SELECT lang, CASE
+         |    WHEN greatest(score_en, score_es, score_de, score_zh) = 0 THEN 'und'
+         |    WHEN score_en = greatest(score_en, score_es, score_de, score_zh) THEN 'en'
+         |    WHEN score_es = greatest(score_en, score_es, score_de, score_zh) THEN 'es'
+         |    WHEN score_de = greatest(score_en, score_es, score_de, score_zh) THEN 'de'
+         |    ELSE 'zh' END AS pred_lang
+         |  FROM scored)
+         |SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin,
+    "q34_quality_buckets" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len($toks) AS n_tokens,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS char_total,
+         |    len(list_filter($toks,
+         |      t -> t IN ('the','a','of','and','is','to','in'))) AS n_stop
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_tokens, CASE
+         |    WHEN n_tokens < 10 THEN 'too_short'
+         |    WHEN n_stop * 1000000 // n_tokens > 400000 THEN 'boilerplate'
+         |    WHEN char_total * 1000000 // n_tokens > 9000000 THEN 'garbled'
+         |    ELSE 'ok' END AS bucket
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS min_doc
+         |FROM b GROUP BY bucket""".stripMargin,
+    "q35_fingerprint_clusters" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n_dups, MIN(doc_id) AS min_doc
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q36_dedup_keep_first" ->
+      """SELECT MIN(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))""".stripMargin,
+    "q37_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter * 1000000 // (ca.n + cb.n - inter) AS BIGINT) AS jaccard_ppm
+         |FROM pairs
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE inter * 1000000 // (ca.n + cb.n - inter) >= 300000""".stripMargin,
+    "q38_minhash_signatures" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id,
+         |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
+         |FROM sh GROUP BY doc_id""".stripMargin,
+    "q39_lsh_candidates" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id,
+         |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |${(0 until 4).map(b =>
+            s"  SELECT doc_id, $b AS band, concat(mh${2 * b}, '_', mh${2 * b + 1}) AS bkey FROM sig")
+            .mkString("\n  UNION ALL\n")})
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_bands
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+         |  AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "q40_simhash" ->
+      s"""WITH tv AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS tv
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents) t),
+         |v AS (SELECT doc_id,
+         |${(0 until 32).map(b => s"  SUM(2 * ((tv >> $b) & 1) - 1) AS s$b").mkString(",\n")}
+         |  FROM tv GROUP BY doc_id)
+         |SELECT doc_id, CAST(${(0 until 32).map(b =>
+            s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |FROM v""".stripMargin,
+    "q41_knn_bruteforce" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n_emb
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |s AS (
+         |  SELECT q_id, e.vec_id, n_q, n_emb,
+         |    ${dotSql("q_emb", "embedding")} AS dot_q
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |c AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |  FROM s)
+         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |  FROM c) t
+         |WHERE rank <= 5""".stripMargin,
+    "q43_norm_stats" ->
+      s"""SELECT label, COUNT(*) AS n,
+         |  CAST(SUM(nq) AS BIGINT) AS sum_norm_q,
+         |  MIN(nq) AS min_norm_q, MAX(nq) AS max_norm_q
+         |FROM (SELECT label, ${dotSql("embedding", "embedding")} AS nq
+         |      FROM embeddings) t
+         |GROUP BY label""".stripMargin,
   )
 }

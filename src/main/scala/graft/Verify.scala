@@ -13,7 +13,9 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
+        Option(e.getCause).foreach(c =>
+          System.err.println(s"[verify]   cause: ${c.toString.take(500)}"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

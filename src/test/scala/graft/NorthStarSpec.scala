@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+class NorthStarSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+
+  test("ivf knn recall@5 vs brute force is usable") {
+    val bf = Similarity.bruteForceKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.nonEmpty)
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    // nprobe=4 of nlist=16 buckets: expect to find a meaningful share of
+    // true neighbors, far above the random baseline (~4/16 of the space)
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("ivf assignment covers every vector exactly once") {
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val assigned = Similarity.ivfAssignments(spark, sf)
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+  }
+
+  test("minhash similarity correlates with jaccard on identical docs") {
+    // a document is always a perfect match with itself: signatures equal
+    val sig = Dedup.minhashSignatures(spark, sf)
+    assert(sig.count() > 0)
+    // signature values are 32-bit non-negative
+    val row = sig.limit(1).collect()(0)
+    (1 to 8).foreach { i =>
+      val v = row.getLong(i)
+      assert(v >= 0 && v <= 0xFFFFFFFFL)
+    }
+  }
+
+  test("simhash of duplicate texts is identical") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dups = docs.groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .count().filter(col("count") > 1)
+    val sh = Dedup.simhash(spark, sf)
+    val joined = docs.withColumn("fp", TextOps.fingerprint(col("text")))
+      .join(sh, "doc_id")
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("simhash")).as("nsig"), count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("nsig") > 1)
+    assert(joined.count() == 0, "duplicate texts must share a simhash")
+    assert(dups.count() >= 0)
+  }
+
+  test("lsh candidates are a superset of exact duplicate pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val a = docs.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = docs.select(col("fp"), col("doc_id").as("doc_b"))
+    val dupPairs = a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.lshCandidatePairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.subsetOf(cands),
+      s"missing exact-dup pairs: ${(dupPairs -- cands).take(5)}")
+  }
+}

@@ -10,17 +10,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // queries whose correct result CAN be empty at tiny scale factors
+  val mayBeEmpty = Set("q12_anti_join", "q35_fingerprint_clusters")
+  // non-SQL-expressible operators checked rows-only by the driver
+  val rowsOnly = Set("q42_knn_ivf")
+
   test("every query runs and returns a non-degenerate result") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, name)
-      // anti-join legitimately returns 0 rows; everything else must not
-      if (name != "q12_anti_join") assert(df.count() > 0, name)
+      if (!mayBeEmpty(name)) assert(df.count() > 0, name)
     }
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
