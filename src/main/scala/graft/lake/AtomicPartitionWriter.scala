@@ -1,0 +1,87 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-atomic partition commit via the swap pattern (reference X2 —
+  * `jobs/utils/retry.py:63-165`, crash matrix `README.md:247-281`):
+  *
+  *  1. write the partition's data to `<table>/year=Y_tmp`
+  *  2. if `<table>/year=Y` exists, rename it to `year=Y_old` (backup)
+  *  3. rename `year=Y_tmp` → `year=Y` (the commit point; HDFS rename is
+  *     atomic)
+  *  4. sync the metastore partition if the table is registered
+  *  5. delete `year=Y_old`
+  *
+  * Failure handling matches the reference exactly: a failed step-3 rename
+  * rolls the backup back (`jobs/utils/retry.py:154-157`); any failure
+  * before the commit point deletes the `_tmp` dir; `repair()` reaps
+  * leftover `_tmp`/`_old` dirs from crashed runs. Other partitions are
+  * never touched. This is deliberately NOT Spark's dynamic partition
+  * overwrite: that is not crash-atomic across the metastore sync, and the
+  * explicit protocol is unit-testable against an injected filesystem.
+  */
+class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
+
+  def partitionPath(tableDir: String, year: Int, suffix: String = ""): String =
+    s"$tableDir/year=$year$suffix"
+
+  /** Write `df` as the new content of partition `year=Y` of `tableDir`.
+    * Returns the committed partition path.
+    */
+  def write(df: DataFrame, tableDir: String, year: Int,
+      table: Option[String] = None): String = {
+    val tmp = partitionPath(tableDir, year, "_tmp")
+    val fin = partitionPath(tableDir, year)
+    val old = partitionPath(tableDir, year, "_old")
+    try {
+      df.write.mode("overwrite").parquet(tmp)
+      swap(tmp, fin, old)
+      table.foreach(syncMetastore(_, tableDir, year))
+      if (fsOps.exists(old)) fsOps.delete(old)
+      fin
+    } catch {
+      case e: Throwable =>
+        if (fsOps.exists(tmp)) fsOps.delete(tmp)
+        throw e
+    }
+  }
+
+  /** The rename dance with rollback (reference `_hdfs_swap`,
+    * `jobs/utils/retry.py:130-165`).
+    */
+  private[lake] def swap(tmp: String, fin: String, old: String): Unit = {
+    val hadBackup = fsOps.exists(fin)
+    if (hadBackup) {
+      if (fsOps.exists(old)) fsOps.delete(old) // stale backup from a crash
+      if (!fsOps.rename(fin, old))
+        throw new IllegalStateException(s"backup rename failed: $fin -> $old")
+    }
+    if (!fsOps.rename(tmp, fin)) {
+      // rollback: restore the backup before surfacing the failure
+      if (hadBackup) fsOps.rename(old, fin)
+      throw new IllegalStateException(s"commit rename failed: $tmp -> $fin")
+    }
+  }
+
+  /** Metastore partition sync (reference `jobs/utils/retry.py:110-111`). */
+  private def syncMetastore(table: String, tableDir: String, year: Int): Unit = {
+    spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (year=$year)")
+    spark.sql(
+      s"ALTER TABLE $table ADD PARTITION (year=$year) LOCATION '$tableDir/year=$year'")
+  }
+
+  /** Reap `_tmp`/`_old` leftovers from crashed runs (reference
+    * `jobs/utils/retry.py:144-165`): `_tmp` is always garbage; `_old` is
+    * garbage only when the committed partition exists.
+    */
+  def repair(tableDir: String): Seq[String] = {
+    val status = fsOps.fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+    val reaped = status.map(_.getPath.toUri.getPath).filter { p =>
+      val name = p.split('/').last
+      name.endsWith("_tmp") ||
+        (name.endsWith("_old") && fsOps.exists(p.stripSuffix("_old")))
+    }
+    reaped.foreach(fsOps.delete)
+    reaped.toSeq
+  }
+}

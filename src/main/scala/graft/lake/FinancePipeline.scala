@@ -1,0 +1,134 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Reshape
+import graft.quality.DataQuality
+
+/** The incremental, marker-driven ingest pipeline (reference §3.1 —
+  * `jobs/finance_itsc_pipeline_test_quality.py`): one `run()` performs
+  * the reference's whole Airflow-triggered cycle.
+  *
+  * Per pending year, in order: read CSV (+ casts, + `year` column) → DQ
+  * gate → atomic wide-partition commit → `.done` markers → version
+  * snapshot + retention cleanup → month-filter + unpivot → atomic
+  * long-partition commit. A fatal DQ failure quarantines the year's
+  * files with `.failed` markers and fires an alert; the partition is not
+  * touched (reference `:102-110`).
+  *
+  * Late data (T4): any new file in an already-processed year makes the
+  * year pending again, and the partition is rebuilt from the pending
+  * files then overwritten atomically — faithfully replicating the
+  * reference's read-pending-only-then-overwrite behavior (a documented
+  * sharp edge of the original).
+  */
+class FinancePipeline(
+    spark: SparkSession,
+    fsOps: LakeFs,
+    config: FinancePipeline.Config,
+    alert: (String, String) => Unit = (s, b) => FinancePipeline.log.warn(s"ALERT $s: $b")) {
+
+  private val markers = new Markers(fsOps)
+  private val writer = new AtomicPartitionWriter(fsOps, spark)
+  private val versioning = new Versioning(fsOps, spark, config.versionsRoot,
+    config.keepVersions, config.clock)
+
+  import FinancePipeline._
+
+  /** One full incremental cycle. Returns per-year outcomes. */
+  def run(): Seq[YearResult] =
+    markers.pendingByYear(config.rawDir).map { case (year, files) =>
+      try runYear(year, files)
+      catch {
+        case e: Throwable =>
+          alert(s"pipeline year=$year failed", e.getMessage)
+          YearResult(year, files, committed = false, Some(e.getMessage))
+      }
+    }
+
+  private def runYear(year: Int, files: Seq[String]): YearResult = {
+    log.info(s"processing year=$year files=${files.size}")
+    val wide = Retry.withRetry(s"read-csv year=$year")(readWideCsv(files, year))
+    val amountCols = amountColumns(wide)
+    val report = DataQuality.run(wide,
+      idColumns ++ Seq(totalColumn, "year") ++ amountCols,
+      idColumns, totalColumn, amountCols)
+    log.info(s"DQ year=$year:\n${report.render}")
+    if (report.fatalFailed) {
+      files.foreach(markers.markFailed)
+      alert(s"DQ failed for year=$year", report.render)
+      return YearResult(year, files, committed = false, Some(report.render))
+    }
+    Retry.withRetry(s"commit-wide year=$year") {
+      writer.write(wide, config.stagingDir, year)
+    }
+    files.foreach(markers.markDone)
+    val version = versioning.create(wide, year, files.mkString(","))
+    versioning.cleanup(year)
+    val long = wideToLong(wide)
+    Retry.withRetry(s"commit-long year=$year") {
+      writer.write(long, config.curatedDir, year)
+    }
+    YearResult(year, files, committed = true, None, Some(version))
+  }
+
+  /** CSV read + cast discipline (reference S1/P1/P2 —
+    * `jobs/finance_itsc_pipeline.py:62-68`): header + inferSchema, then
+    * one select casting id columns to string and everything else to
+    * double, plus the path-derived `year` partition column.
+    */
+  def readWideCsv(paths: Seq[String], year: Int): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(paths: _*)
+    val cast = raw.columns.map { c =>
+      if (idColumns.contains(c)) col(c).cast("string").as(c)
+      else col(c).cast("double").as(c)
+    }
+    raw.select(cast.toIndexedSeq: _*).withColumn("year", lit(year).cast("int"))
+  }
+
+  /** The month filter + unpivot (reference R1/P5 —
+    * `jobs/finance_itsc_pipeline.py:95-113`): keep month rows and the
+    * all-year-budget sentinel, stack the amount columns, drop null
+    * amounts after stacking.
+    */
+  def wideToLong(wide: DataFrame): DataFrame =
+    Reshape.wideToLong(
+      wide.filter(col("date").rlike("^\\d{4}-\\d{2}$") ||
+        col("date") === "all-year-budget"),
+      idCols = idColumns :+ "year",
+      excluded = Seq(totalColumn),
+      valueCol = "amount")
+}
+
+object FinancePipeline {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[FinancePipeline])
+
+  val idColumns: Seq[String] = Seq("date", "details")
+  val totalColumn: String = "total_amount"
+
+  /** Amount columns = all − ids − total − partition (the reference's
+    * derivation rule, tested at `tests/test_etl.py:149-171`).
+    */
+  def amountColumns(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(c =>
+      idColumns.contains(c) || c == totalColumn || c == "year")
+
+  final case class Config(
+      rawDir: String,
+      stagingDir: String,
+      curatedDir: String,
+      versionsRoot: String,
+      keepVersions: Int = Versioning.DefaultKeep,
+      clock: () => Long = () => System.currentTimeMillis())
+
+  final case class YearResult(
+      year: Int,
+      files: Seq[String],
+      committed: Boolean,
+      error: Option[String] = None,
+      version: Option[String] = None)
+}

@@ -1,0 +1,134 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality gate (reference X4 — `jobs/data_quality.py:105-144`):
+  * five checks with fatal (❌ skip the load) vs warning (⚠️ load anyway)
+  * severity, mirroring the reference's matrix (`README.md:237-245`).
+  *
+  * Scale note: the reference `collect()`s whole columns to the driver for
+  * the date-format and monotonic checks (`jobs/data_quality.py:56,95`);
+  * here every check is a DataFrame expression with `limit`ed violation
+  * sampling, so the gate runs at any scale. Violation samples are capped
+  * at 3, matching the reference (`jobs/data_quality.py:83`).
+  */
+object DataQuality {
+
+  sealed trait Severity
+  case object Fatal extends Severity
+  case object Warning extends Severity
+
+  final case class CheckResult(
+      name: String,
+      severity: Severity,
+      passed: Boolean,
+      messages: Seq[String]) {
+    def blocking: Boolean = !passed && severity == Fatal
+  }
+
+  final case class Report(results: Seq[CheckResult]) {
+    def fatalFailed: Boolean = results.exists(_.blocking)
+    def warnings: Seq[CheckResult] =
+      results.filter(r => !r.passed && r.severity == Warning)
+    def render: String = results.map { r =>
+      val tag =
+        if (r.passed) "PASS"
+        else if (r.severity == Fatal) "FATAL"
+        else "WARN"
+      s"[$tag] ${r.name}" +
+        (if (r.messages.nonEmpty) r.messages.mkString(": ", "; ", "") else "")
+    }.mkString("\n")
+  }
+
+  val SampleLimit = 3
+  private val MonthRe = "^\\d{4}-\\d{2}$"
+  val DateSentinels = Seq("all-year-budget", "total spent", "remaining")
+
+  /** Missing columns fatal, extra columns warning (reference
+    * `jobs/data_quality.py:31-40`).
+    */
+  def checkSchema(df: DataFrame, expected: Seq[String]): Seq[CheckResult] = {
+    val actual = df.columns.toSet
+    val missing = expected.filterNot(actual)
+    val extra = (actual -- expected.toSet).toSeq.sorted
+    Seq(
+      CheckResult("schema/missing-columns", Fatal, missing.isEmpty,
+        if (missing.isEmpty) Nil else Seq(s"missing: ${missing.mkString(",")}")),
+      CheckResult("schema/extra-columns", Warning, extra.isEmpty,
+        if (extra.isEmpty) Nil else Seq(s"extra: ${extra.mkString(",")}")))
+  }
+
+  /** Null id columns are fatal (reference `jobs/data_quality.py:43-51`). */
+  def checkNotNull(df: DataFrame, cols: Seq[String]): CheckResult = {
+    val present = cols.filter(df.columns.contains)
+    val counts = present.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    if (counts.isEmpty) return CheckResult("nulls/id-columns", Fatal, true, Nil)
+    val row = df.agg(counts.head, counts.tail: _*).collect()(0)
+    val bad = present.zipWithIndex.collect {
+      case (c, i) if row.getLong(i) > 0 => s"$c has ${row.getLong(i)} nulls"
+    }
+    CheckResult("nulls/id-columns", Fatal, bad.isEmpty, bad)
+  }
+
+  /** Non-sentinel `date` values must match YYYY-MM (reference
+    * `jobs/data_quality.py:54-65`); distributed, sampled.
+    */
+  def checkDateFormat(df: DataFrame, dateCol: String = "date"): CheckResult = {
+    val bad = df
+      .filter(col(dateCol).isNotNull)
+      .filter(!col(dateCol).rlike(MonthRe) &&
+        !col(dateCol).isin(DateSentinels.map(lit(_)): _*))
+      .select(col(dateCol)).distinct().limit(SampleLimit)
+      .collect().map(_.getString(0))
+    CheckResult("format/date", Fatal, bad.isEmpty,
+      bad.map(v => s"bad date value: '$v'"))
+  }
+
+  /** Horizontal coalesce-sum vs declared total, ±1% tolerance (reference
+    * `jobs/data_quality.py:68-88`). Warning severity.
+    */
+  def checkTotalTolerance(
+      df: DataFrame, totalCol: String, amountCols: Seq[String]): CheckResult = {
+    val computed = amountCols.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
+    val bad = df
+      .withColumn("__computed", computed)
+      .filter(col(totalCol).isNotNull &&
+        abs(col(totalCol) - col("__computed")) > abs(col(totalCol)) * 0.01)
+      .select(col("date"), col(totalCol), col("__computed"))
+      .limit(SampleLimit).collect()
+      .map(r => s"${r.get(0)}: declared=${r.get(1)} computed=${r.get(2)}")
+    CheckResult("tolerance/total-amount", Warning, bad.isEmpty, bad.toSeq)
+  }
+
+  /** Monthly `remaining` must be non-increasing (reference
+    * `jobs/data_quality.py:91-102`), rewritten from the reference's
+    * driver-side loop into a lag window (SURVEY W1).
+    */
+  def checkRemainingMonotonic(
+      df: DataFrame, totalCol: String = "total_amount"): CheckResult = {
+    val w = Window.orderBy(col("date"))
+    val bad = df
+      .filter(col("details") === "remaining" && col("date").rlike(MonthRe))
+      .withColumn("__prev", lag(col(totalCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col(totalCol) > col("__prev"))
+      .select(col("date"), col(totalCol), col("__prev"))
+      .limit(SampleLimit).collect()
+      .map(r => s"${r.get(0)}: ${r.get(2)} -> ${r.get(1)} increased")
+    CheckResult("monotonic/remaining", Warning, bad.isEmpty, bad.toSeq)
+  }
+
+  /** The full gate, reference order (`jobs/data_quality.py:105-144`). */
+  def run(df: DataFrame, expectedCols: Seq[String], idCols: Seq[String],
+      totalCol: String, amountCols: Seq[String]): Report = {
+    val schema = checkSchema(df, expectedCols)
+    if (schema.exists(_.blocking)) return Report(schema)
+    Report(schema ++ Seq(
+      checkNotNull(df, idCols),
+      checkDateFormat(df),
+      checkTotalTolerance(df, totalCol, amountCols),
+      checkRemainingMonotonic(df, totalCol)))
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake._
+
+/** Protocol tests for the lake reliability layer, porting the reference's
+  * test intent (SURVEY §5): retry backoff law, year extraction first-match
+  * rule, pending-set algebra, swap success/first-write/rollback, version
+  * metadata + retention, repair reaping.
+  */
+class LakeSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  def fsOps = LakeFs.local()
+  def tmpDir(): String = Files.createTempDirectory("graft-lake").toString
+
+  // --- Retry (X1) ---
+
+  test("retry backoff follows delay * 2^(n-1) and succeeds after failures") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var calls = 0
+    val out = Retry.withRetry("t", maxRetries = 3, delaySeconds = 5.0,
+      sleep = sleeps += _) {
+      calls += 1
+      if (calls < 3) sys.error(s"boom$calls")
+      "ok"
+    }
+    assert(out == "ok")
+    assert(calls == 3)
+    assert(sleeps.toSeq == Seq(5.0, 10.0))
+  }
+
+  test("retry exhaustion throws with last error preserved") {
+    val e = intercept[Retry.RetriesExhausted] {
+      Retry.withRetry("t", maxRetries = 2, delaySeconds = 0.0, sleep = _ => ()) {
+        sys.error("always")
+      }
+    }
+    assert(e.attempts == 2)
+    assert(e.last.getMessage == "always")
+  }
+
+  // --- Year extraction (T3) ---
+
+  test("extractYearFromPath: first year= component wins") {
+    assert(LakeFs.extractYearFromPath("/raw/year=2023/x/year=2024/f.csv")
+      .contains(2023))
+    assert(LakeFs.extractYearFromPath("/raw/year=2024/finance_2024.csv")
+      .contains(2024))
+    assert(LakeFs.extractYearFromPath("/raw/nofyear/f.csv").isEmpty)
+    assert(LakeFs.extractYearFromPath("/raw/year=24/f.csv").isEmpty)
+  }
+
+  // --- Markers (T2) ---
+
+  test("pending = csv - done - failed") {
+    val dir = tmpDir()
+    val fs = fsOps
+    val m = new Markers(fs)
+    fs.touch(s"$dir/year=2023/a.csv")
+    fs.touch(s"$dir/year=2023/b.csv")
+    fs.touch(s"$dir/year=2023/b.csv.done")
+    fs.touch(s"$dir/year=2024/c.csv")
+    fs.touch(s"$dir/year=2024/c.csv.failed")
+    fs.touch(s"$dir/year=2024/d.csv")
+    val byYear = m.pendingByYear(dir).toMap
+    assert(byYear(2023).map(_.split('/').last) == Seq("a.csv"))
+    assert(byYear(2024).map(_.split('/').last) == Seq("d.csv"))
+  }
+
+  // --- Atomic swap (X2) ---
+
+  import spark.implicits._
+
+  def writeDf(n: Int) = Seq.tabulate(n)(i => (i, s"v$i")).toDF("id", "v")
+
+  test("atomic write: first-time commit then overwrite, other partitions untouched") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    w.write(writeDf(3), table, 2023)
+    w.write(writeDf(5), table, 2024)
+    assert(spark.read.parquet(s"$table/year=2023").count() == 3)
+    w.write(writeDf(7), table, 2024) // overwrite
+    assert(spark.read.parquet(s"$table/year=2024").count() == 7)
+    assert(spark.read.parquet(s"$table/year=2023").count() == 3)
+    assert(!fs.exists(s"$table/year=2024_tmp"))
+    assert(!fs.exists(s"$table/year=2024_old"))
+  }
+
+  test("swap failure rolls the backup partition back") {
+    val table = tmpDir()
+    val fs = fsOps
+    // a LakeFs whose commit rename fails once
+    val failing = new LakeFs(fs.fs) {
+      override def rename(src: String, dst: String): Boolean =
+        if (src.endsWith("_tmp")) false else super.rename(src, dst)
+    }
+    val w = new AtomicPartitionWriter(failing, spark)
+    new AtomicPartitionWriter(fs, spark).write(writeDf(3), table, 2023)
+    intercept[IllegalStateException] {
+      w.write(writeDf(9), table, 2023)
+    }
+    // original data still live, no litter
+    assert(spark.read.parquet(s"$table/year=2023").count() == 3)
+    assert(!fs.exists(s"$table/year=2023_old"))
+    assert(!fs.exists(s"$table/year=2023_tmp"))
+  }
+
+  test("repair reaps _tmp always and _old only when the live partition exists") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    w.write(writeDf(2), table, 2023)
+    fs.mkdirs(s"$table/year=2023_old")
+    fs.mkdirs(s"$table/year=2024_tmp")
+    fs.mkdirs(s"$table/year=2025_old") // no live year=2025: keep (recovery data)
+    val reaped = w.repair(table).map(_.split('/').last).sorted
+    assert(reaped == Seq("year=2023_old", "year=2024_tmp"))
+    assert(fs.exists(s"$table/year=2025_old"))
+  }
+
+  // --- Versioning (X3) ---
+
+  test("versioning: metadata, newest-first order, retention, restore") {
+    val root = tmpDir()
+    val table = tmpDir()
+    val fs = fsOps
+    var now = 1700000000000L
+    val v = new Versioning(fs, spark, root, keepVersions = 2,
+      clock = () => { now += 60000; now })
+    val w = new AtomicPartitionWriter(fs, spark)
+    val v1 = v.create(writeDf(3), 2023, "a.csv")
+    val v2 = v.create(writeDf(4), 2023, "b.csv")
+    val v3 = v.create(writeDf(5), 2023, "c.csv")
+    assert(v.list(2023) == Seq(v3, v2, v1))
+    val meta = v.metadataJson(2023, v3).get
+    assert(meta.contains("\"row_count\":5"))
+    assert(meta.contains("\"source_file\":\"c.csv\""))
+    assert(meta.contains("\"year\":2023"))
+    assert(v.cleanup(2023) == Seq(v1))
+    assert(v.list(2023) == Seq(v3, v2))
+    v.restore(2023, v2, table, w)
+    assert(spark.read.parquet(s"$table/year=2023").count() == 4)
+  }
+}

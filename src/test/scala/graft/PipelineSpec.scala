@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake._
+import graft.quality.DataQuality
+
+/** End-to-end pipeline scenarios, porting the reference's manual e2e
+  * script (`test_manual.sh` TEST 1–7) onto temp directories: normal flow,
+  * idempotent re-run, fatal DQ quarantine, late-file partition rebuild.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  def fsOps = LakeFs.local()
+
+  val goodCsv =
+    """date,details,total_amount,wifi,cloud,siem
+      |all-year-budget,budget,1000,400,350,250
+      |2024-10,spent,100,40,30,30
+      |2024-10,remaining,900,360,320,220
+      |2024-11,spent,150,60,50,40
+      |2024-11,remaining,750,300,270,180
+      |total spent,spent,250,100,80,70
+      |remaining,remaining,750,300,270,180""".stripMargin
+
+  val badCsv = // null date row → fatal DQ → quarantine
+    """date,details,total_amount,wifi,cloud,siem
+      |,budget,1000,400,350,250
+      |2024-10,spent,100,40,30,30""".stripMargin
+
+  def setup(): (FinancePipeline, FinancePipeline.Config, LakeFs) = {
+    val base = Files.createTempDirectory("graft-pipe").toString
+    val cfg = FinancePipeline.Config(
+      rawDir = s"$base/raw", stagingDir = s"$base/staging",
+      curatedDir = s"$base/curated", versionsRoot = s"$base/versions",
+      keepVersions = 2)
+    val fs = fsOps
+    fs.mkdirs(cfg.rawDir)
+    (new FinancePipeline(spark, fs, cfg), cfg, fs)
+  }
+
+  def putCsv(fs: LakeFs, cfg: FinancePipeline.Config, year: Int,
+      name: String, content: String): String = {
+    val p = s"${cfg.rawDir}/year=$year/$name"
+    fs.writeString(p, content)
+    p
+  }
+
+  test("normal flow: wide + long committed, markers + version written") {
+    val (pipe, cfg, fs) = setup()
+    val f = putCsv(fs, cfg, 2024, "finance_2024.csv", goodCsv)
+    val results = pipe.run()
+    assert(results.map(r => (r.year, r.committed)) == Seq((2024, true)))
+    assert(fs.exists(f + ".done"))
+    val wide = spark.read.parquet(s"${cfg.stagingDir}/year=2024")
+    assert(wide.count() == 7)
+    val long = spark.read.parquet(s"${cfg.curatedDir}/year=2024")
+    // 5 kept rows (4 months + sentinel) × 3 amount columns, all non-null
+    assert(long.count() == 15)
+    assert(long.columns.sorted.toSeq ==
+      Seq("amount", "category", "date", "details", "year"))
+    // golden quick-stats on the long table (reference §3.3)
+    import org.apache.spark.sql.functions._
+    val budget = long.filter(col("details") === "budget" &&
+      col("date") === "all-year-budget")
+      .agg(sum("amount")).collect()(0).getDouble(0)
+    assert(budget == 1000.0)
+    assert(pipe.run().isEmpty, "re-run must be a no-op (idempotence)")
+    val versions = new Versioning(fs, spark, cfg.versionsRoot).list(2024)
+    assert(versions.size == 1)
+  }
+
+  test("fatal DQ failure quarantines the file and loads nothing") {
+    val (pipe, cfg, fs) = setup()
+    val f = putCsv(fs, cfg, 2023, "finance_2023.csv", badCsv)
+    val results = pipe.run()
+    assert(results.map(r => (r.year, r.committed)) == Seq((2023, false)))
+    assert(fs.exists(f + ".failed"))
+    assert(!fs.exists(s"${cfg.stagingDir}/year=2023"))
+    assert(pipe.run().isEmpty, "failed file must never be retried")
+  }
+
+  test("late file re-triggers the year's partition rebuild") {
+    val (pipe, cfg, fs) = setup()
+    putCsv(fs, cfg, 2024, "finance_2024.csv", goodCsv)
+    assert(pipe.run().head.committed)
+    // new file lands later in the same year dir
+    putCsv(fs, cfg, 2024, "finance_2024_fix.csv", goodCsv)
+    val second = pipe.run()
+    assert(second.map(_.year) == Seq(2024))
+    // partition rebuilt from the pending file only (reference T4 semantics)
+    assert(spark.read.parquet(s"${cfg.stagingDir}/year=2024").count() == 7)
+  }
+
+  test("DQ gate severities match the reference matrix") {
+    import spark.implicits._
+    val good = Seq(
+      ("all-year-budget", "budget", 100.0, 60.0, 40.0),
+      ("2024-10", "remaining", 90.0, 50.0, 40.0),
+      ("2024-11", "remaining", 95.0, 55.0, 40.0) // increase → warning only
+    ).toDF("date", "details", "total_amount", "a", "b")
+    val report = DataQuality.run(good,
+      Seq("date", "details", "total_amount", "a", "b"),
+      Seq("date", "details"), "total_amount", Seq("a", "b"))
+    assert(!report.fatalFailed)
+    assert(report.warnings.map(_.name) == Seq("monotonic/remaining"))
+
+    val badDate = Seq(("13/2024", "spent", 10.0, 10.0, 0.0))
+      .toDF("date", "details", "total_amount", "a", "b")
+    assert(DataQuality.run(badDate,
+      Seq("date", "details", "total_amount", "a", "b"),
+      Seq("date", "details"), "total_amount", Seq("a", "b")).fatalFailed)
+
+    val offTotal = Seq(("2024-10", "spent", 200.0, 10.0, 10.0))
+      .toDF("date", "details", "total_amount", "a", "b")
+    val r3 = DataQuality.run(offTotal,
+      Seq("date", "details", "total_amount", "a", "b"),
+      Seq("date", "details"), "total_amount", Seq("a", "b"))
+    assert(!r3.fatalFailed)
+    assert(r3.warnings.map(_.name) == Seq("tolerance/total-amount"))
+  }
+}
