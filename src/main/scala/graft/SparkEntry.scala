@@ -63,6 +63,15 @@ object SparkEntry {
     "q41_knn_bruteforce" -> (Similarity.bruteForceKnn _),
     "q42_knn_ivf" -> (Similarity.ivfKnn _),
     "q43_norm_stats" -> (Similarity.normStatsByLabel _),
+    "q44_media_meta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Multimodal.mediaFromDocuments(s, d).select(
+        col("media_id"),
+        length(col("content")).cast("long").as("size_bytes"),
+        md5(col("content")).as("content_md5"),
+        col("meta.mime").as("mime"),
+        col("meta.duration_ms").as("duration_ms"))
+    }),
   )
 
   // Shared SQL fragments for the oracle (DuckDB). Keep in lockstep with
@@ -384,5 +393,14 @@ object SparkEntry {
          |FROM (SELECT label, ${dotSql("embedding", "embedding")} AS nq
          |      FROM embeddings) t
          |GROUP BY label""".stripMargin,
+    "q44_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        |  md5(text) AS content_md5,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(n_chars * 40 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
   )
 }

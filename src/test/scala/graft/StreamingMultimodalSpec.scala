@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.operators.EventsOps
+import graft.streaming.EventsStream
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg equals the batch tumbling-window agg") {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.runToMemory(
+      EventsStream.hourlyAgg(EventsStream.read(spark, dir.toString)),
+      "stream_hourly")
+    try {
+      val streamed = spark.table("stream_hourly").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = EventsOps.tumblingWindowAgg(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // append mode emits only windows the watermark has closed; the tail
+      // hour stays in state, so streamed ⊆ batch and covers most of it
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch))
+      assert(streamed.size >= batch.size - 10,
+        s"closed windows ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("sessionization produces bounded per-user sessions") {
+    val dir = Files.createTempDirectory("graft-sess")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.runToMemory(
+      EventsStream.sessionize(EventsStream.read(spark, dir.toString)),
+      "stream_sessions")
+    try {
+      val rows = spark.table("stream_sessions").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(1) >= r.getLong(0), "end >= start")
+        assert(r.getLong(3) > 0, "session has events")
+      }
+    } finally q.stop()
+  }
+
+  test("multimodal: binary payload + typed metadata, deterministic stub decode") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    assert(media.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.metadataType.fields
+      .map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.decodeStub(media)
+    assert(feats.count() == media.count())
+    val row = feats.filter(org.apache.spark.sql.functions.col("media_id") === 0)
+      .collect()(0)
+    // deterministic: md5 of the payload bytes, 8-dim feature in [0,1]
+    assert(row.getString(2).length == 32)
+    val feat = row.getSeq[Float](3)
+    assert(feat.length == 8)
+    assert(feat.forall(f => f >= 0f && f <= 1f))
+    // run twice → identical (no randomness in the stub)
+    val again = Multimodal.decodeStub(media)
+      .filter(org.apache.spark.sql.functions.col("media_id") === 0)
+      .collect()(0)
+    assert(again.getString(2) == row.getString(2))
+  }
+
+  test("frame sampling and resize planning are metadata-only") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val frames = Multimodal.sampleFrames(media)
+    import org.apache.spark.sql.functions._
+    val bad = frames.groupBy("media_id")
+      .agg(max("frame_ms").as("m"), first("duration_ms").as("d"))
+      .filter(col("m") >= col("d"))
+    assert(bad.count() == 0, "frames beyond duration")
+    val resize = Multimodal.planResize(media)
+    val tooBig = resize.filter(col("target_w") > 256 || col("target_h") > 256)
+    assert(tooBig.count() == 0)
+    val upscaled = resize.filter(
+      col("target_w") > col("w") || col("target_h") > col("h"))
+    assert(upscaled.count() == 0, "resize must never upscale")
+  }
+}
