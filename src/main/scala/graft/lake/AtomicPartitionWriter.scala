@@ -64,11 +64,8 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
   }
 
   /** Metastore partition sync (reference `jobs/utils/retry.py:110-111`). */
-  private def syncMetastore(table: String, tableDir: String, year: Int): Unit = {
-    spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (year=$year)")
-    spark.sql(
-      s"ALTER TABLE $table ADD PARTITION (year=$year) LOCATION '$tableDir/year=$year'")
-  }
+  private def syncMetastore(table: String, tableDir: String, year: Int): Unit =
+    Catalog.syncPartition(spark, table, tableDir, year)
 
   /** Reap `_tmp`/`_old` leftovers from crashed runs (reference
     * `jobs/utils/retry.py:144-165`): `_tmp` is always garbage; `_old` is

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sketch-based profiling for 100 TB tables (SURVEY §7.3 step 6): at
+  * scale, exact `COUNT(DISTINCT)` and exact percentiles shuffle every
+  * value; the sketch forms (HyperLogLog++ via `approx_count_distinct`,
+  * GK quantile summaries via `percentile_approx`) aggregate into
+  * constant-size state with map-side partial merge — one narrow shuffle
+  * of sketches, not data.
+  *
+  * Sketch outputs are approximate and engine-specific, so these are
+  * library operators with ScalaTest accuracy bounds rather than DuckDB
+  * hash-match oracles.
+  */
+object Profiler {
+
+  /** Per-column cardinality profile of a table: exact count, HLL distinct
+    * estimate per column.
+    */
+  def cardinalityProfile(spark: SparkSession, dir: String, table: String,
+      rsd: Double = 0.05): DataFrame = {
+    val df = Tables.table(spark, dir, table)
+    val aggs = count(lit(1)).as("n_rows") +:
+      df.columns.toSeq.map(c => approx_count_distinct(col(c), rsd).as(s"ndv_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Approximate quantiles of a numeric column. */
+  def quantiles(df: DataFrame, column: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99),
+      accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(col(column),
+      array(probs.map(lit(_)): _*), lit(accuracy)).as("quantiles"))
+
+  /** Frequent-items profile (approximate heavy hitters). */
+  def heavyHitters(df: DataFrame, column: String, support: Double = 0.01): DataFrame =
+    df.stat.freqItems(Array(column), support)
+
+  /** Join-key skew profile: per-key row counts' distribution — the
+    * pre-flight check before a big join. A key whose count dwarfs the
+    * p99 is a salting / AQE-skew-split candidate.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_n"),
+      percentile_approx(col("n"), lit(0.99), lit(10000)).as("p99_n"),
+      percentile_approx(col("n"), lit(0.5), lit(10000)).as("p50_n"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.HeaderFlatten
+import graft.ingest.HeaderFlatten.Merge
+import graft.operators.{Profiler, SkewJoin}
+
+class IngestProfilerSpec extends AnyFunSuite {
+
+  // --- HeaderFlatten (S4/P8/P9/P10/P11) ---
+
+  test("merged-cell fill propagates top-left value across the region") {
+    val grid = Vector(
+      Vector("A", "", "", "B"),
+      Vector("x", "y", "", ""))
+    val filled = HeaderFlatten.fillMerged(grid,
+      Seq(Merge(0, 0, 0, 2), Merge(1, 1, 1, 2)))
+    assert(filled(0) == Vector("A", "A", "A", "B"))
+    assert(filled(1) == Vector("x", "y", "y", ""))
+  }
+
+  test("multi-row header flattens with _ join and consecutive dedup") {
+    val grid = Vector(
+      Vector("fund", "fund", "admin"),
+      Vector("fund", "wifi", "admin"),
+      Vector("", "grant", "salary"),
+      Vector("", "", ""))
+    val names = HeaderFlatten.flattenHeader(grid, headerRows = 4)
+    assert(names == Vector("fund", "fund_wifi_grant", "admin_salary"))
+  }
+
+  test("duplicate column names get _N suffixes") {
+    assert(HeaderFlatten.dedupeNames(Vector("a", "b", "a", "a")) ==
+      Vector("a", "b", "a_2", "a_3"))
+  }
+
+  test("Thai month and type mapping with passthrough") {
+    assert(HeaderFlatten.mapThaiMonth("ตค66") == "2023-10")
+    assert(HeaderFlatten.mapThaiMonth("กย67") == "2024-09")
+    assert(HeaderFlatten.mapThaiMonth("มค67") == "2024-01")
+    assert(HeaderFlatten.mapThaiMonth("not-a-month") == "not-a-month")
+    assert(HeaderFlatten.mapType("ยอดงบประมาณ") == "budget")
+    assert(HeaderFlatten.mapType("ยอดใช้ไป") == "spent")
+    assert(HeaderFlatten.mapType("other") == "other")
+  }
+
+  test("forward fill and all-null column drop") {
+    assert(HeaderFlatten.forwardFill(Vector(None, Some("a"), None, Some("b"), None))
+      == Vector(None, Some("a"), Some("a"), Some("b"), Some("b")))
+    val (h, rows) = HeaderFlatten.dropAllNullColumns(
+      Vector("a", "empty", "b"),
+      Vector(Vector("1", "", "2"), Vector("3", " ", "4")))
+    assert(h == Vector("a", "b"))
+    assert(rows == Vector(Vector("1", "2"), Vector("3", "4")))
+  }
+
+  // --- Profiler / SkewJoin (100 TB tooling) ---
+
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+
+  test("cardinality profile: HLL estimates within rsd of exact") {
+    val row = Profiler.cardinalityProfile(spark, sf, "orders").collect()(0)
+    val nRows = row.getLong(0)
+    assert(nRows == 1500)
+    val ndvCust = row.getLong(row.fieldIndex("ndv_o_custkey"))
+    import org.apache.spark.sql.functions._
+    val exact = graft.sources.Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(ndvCust - exact).toDouble / exact < 0.15,
+      s"hll=$ndvCust exact=$exact")
+  }
+
+  test("key skew profile surfaces the hot key") {
+    import spark.implicits._
+    val skewed = (Seq.fill(1000)("hot") ++ (1 to 100).map(i => s"k$i"))
+      .toDF("k")
+    val prof = Profiler.keySkewProfile(skewed, "k").collect()(0)
+    assert(prof.getLong(prof.fieldIndex("max_n")) == 1000)
+    assert(prof.getLong(prof.fieldIndex("n_keys")) == 101)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    val fact = ((1 to 2000).map(i => ("hot", i)) ++
+      (1 to 200).map(i => (s"k${i % 20}", i))).toDF("k", "v")
+    val dim = (Seq("hot") ++ (0 until 20).map(i => s"k$i"))
+      .zipWithIndex.toDF("k", "attr")
+    val plain = fact.join(dim, "k").select("k", "v", "attr").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", saltBy = Seq("v"))
+      .select("k", "v", "attr").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(salted == plain)
+  }
+}
