@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EventsOps, Relational, Reshape, Scalars, SetOps, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, EventsOps, Relational, Reshape, Scalars, SetOps, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,9 @@ object SparkEntry {
     "q41_knn_bruteforce" -> (Similarity.bruteForceKnn _),
     "q42_knn_ivf" -> (Similarity.ivfKnn _),
     "q43_norm_stats" -> (Similarity.normStatsByLabel _),
+    "q45_asof_join" -> (AsOf.purchaseAsofSignup _),
+    "q46_sessionize" -> (AsOf.sessionizeEvents _),
+    "q47_rollup" -> (Relational.regionNationRollup _),
     "q44_media_meta" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.multimodal.Multimodal.mediaFromDocuments(s, d).select(
@@ -393,6 +396,44 @@ object SparkEntry {
          |FROM (SELECT label, ${dotSql("embedding", "embedding")} AS nq
          |      FROM embeddings) t
          |GROUP BY label""".stripMargin,
+    "q45_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS rv
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts), 0, NULL, event_id
+        |  FROM events WHERE event_type = 'signup'),
+        |w AS (
+        |  SELECT user_id, event_id, side,
+        |    last_value(rv IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ns ASC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_event
+        |  FROM tagged)
+        |SELECT user_id, event_id, asof_signup_event FROM w WHERE side = 1""".stripMargin,
+    "q46_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value FROM events),
+         |l AS (SELECT *, lag(ts_ns) OVER
+         |        (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ns FROM e),
+         |b AS (SELECT *, CASE WHEN prev_ns IS NULL
+         |        OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, CAST(SUM(brk) OVER (
+         |        PARTITION BY user_id ORDER BY ts_ns, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM b)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+         |  ${sumc("value")} AS value_c
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q47_rollup" ->
+      s"""SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+         |  ${sumc("o_totalprice")} AS revenue_c, COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     "q44_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,

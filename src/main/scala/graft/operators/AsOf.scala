@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Determinism._
+import graft.sources.Tables
+
+/** As-of (point-in-time) join — an operator Spark SQL lacks natively.
+  *
+  * Implemented Spark-first as the union-tag + running-window pattern
+  * rather than a per-key join: tag both sides, union, sort each key's
+  * timeline once, and carry the most recent right-side value forward with
+  * `last(ignoreNulls)`. One shuffle on the key, no range-condition join
+  * explosion — at 100 TB this is a single repartition + in-partition
+  * sort, where a naive `left JOIN right ON l.ts >= r.ts` would be a
+  * quadratic theta join.
+  *
+  * Concrete instance: for every purchase event, the user's most recent
+  * signup event at or before it.
+  */
+object AsOf {
+
+  /** Generic as-of join: left/right both keyed by `key` with event time
+    * `ts`; every left row gains `asof_<valueCol>` = the latest right
+    * `valueCol` with right.ts <= left.ts.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, valueCol: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+        col(key), col(ts),
+        lit(0).as("__side"), col(valueCol).as("__rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at the same timestamp, so an exact
+    // tie is visible to the left row (<=, not <)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(s"asof_$valueCol", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__rv")
+  }
+
+  /** q: each purchase joined to the user's latest signup at-or-before it
+    * (event ids kept integral for oracle exactness).
+    */
+  def purchaseAsofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("signup_event"))
+    asofJoin(purchases, signups, "user_id", "ts_ns", "signup_event")
+      .select(col("user_id"), col("event_id"), col("asof_signup_event"))
+  }
+
+  /** Batch sessionization: a session breaks after a 30-minute silence;
+    * session id = running count of gap-breaks per user. The classic
+    * two-window formulation — no state machine, no UDF.
+    */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val gapNs = 30L * 60 * 1000000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
+    val runningBreaks = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(runningBreaks))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        sum(cents(col("value"))).as("value_c"))
+  }
+}

@@ -147,6 +147,26 @@ object Relational {
       .select(col("user_id"), col("event_id"), col("value_c"), col("prev_c"))
   }
 
+  /** Hierarchical rollup with grouping id — region → nation subtotals and
+    * a grand total in one pass (partial aggregation handles all grouping
+    * sets in a single shuffle).
+    */
+  def regionNationRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(cents(col("o_totalprice"))).as("revenue_c"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Semi join — customers that have at least one order (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
