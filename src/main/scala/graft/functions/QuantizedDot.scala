@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native quantized dot product over two `ARRAY<FLOAT>` columns
+  * (SURVEY §7.4 preference order (b): a custom Catalyst `Expression`
+  * where the built-in formulation is interpreted).
+  *
+  * Semantics are EXACTLY the portable SQL form used by the oracle:
+  *   Σ_i CAST(floor(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE) * 1e12) AS BIGINT)
+  * so swapping it into the ANN operators changes no results — only the
+  * execution: `doGenCode` emits a tight primitive loop inside
+  * whole-stage codegen, where the equivalent `zip_with` + `aggregate`
+  * higher-order chain allocates a lambda frame per element per row.
+  *
+  * Null elements inside the arrays are not expected (the embeddings
+  * tables never contain them); a null array yields null via the standard
+  * BinaryExpression null contract.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1.0e12
+      acc += math.floor(p).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1.0E12;
+         |  $acc += (long) java.lang.Math.floor($p);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-scoped registration of the engine's native functions. */
+object GraftFunctions {
+  val DotName = "graft_quantized_dot"
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => QuantizedDot(exprs(0), exprs(1)), "scala_udf")
+}

@@ -21,15 +21,19 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Quantized dot product of two float arrays (1-based expr indexing via
-    * zip_with; exact integer sum).
+  /** Quantized dot product of two float arrays — the native codegen'd
+    * [[graft.functions.QuantizedDot]] expression (identical semantics to
+    * the portable zip_with+aggregate SQL the oracle runs, far faster: a
+    * primitive loop in whole-stage codegen instead of an interpreted
+    * lambda per element).
     */
   private def dotQ(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
-      "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000000.0) AS BIGINT)), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    expr(s"${graft.functions.GraftFunctions.DotName}($a, $b)")
 
   private def normQ(a: String): Column = dotQ(a, a)
+
+  private def withFns(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.ensureRegistered(spark)
 
   /** The deterministic query subset: every 100th vector. */
   private def queries(df: DataFrame): DataFrame =
@@ -41,6 +45,7 @@ object Similarity {
     * by quantized cosine with vec_id tie-break.
     */
   def bruteForceKnn(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), normQ("embedding").as("n_emb"))
     val q = queries(Tables.embeddings(spark, dir))
@@ -65,6 +70,7 @@ object Similarity {
     * max-dot-product centroid.
     */
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id") < IvfNlist)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -83,6 +89,7 @@ object Similarity {
     * brute-force baseline in the test suite.
     */
   def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
     val emb = Tables.embeddings(spark, dir)
     val assign = ivfAssignments(spark, dir)
     val cents = emb.filter(col("vec_id") < IvfNlist)
@@ -114,7 +121,8 @@ object Similarity {
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */
-  def normStatsByLabel(spark: SparkSession, dir: String): DataFrame =
+  def normStatsByLabel(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
     Tables.embeddings(spark, dir)
       .groupBy(col("label"))
       .agg(
@@ -122,4 +130,5 @@ object Similarity {
         sum(normQ("embedding")).as("sum_norm_q"),
         min(normQ("embedding")).as("min_norm_q"),
         max(normQ("embedding")).as("max_norm_q"))
+  }
 }
