@@ -78,12 +78,17 @@ object Dedup {
     */
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
-    val bands = (0 until MinhashK / 2).map { bandIdx =>
-      sig.select(
-        col("doc_id"),
+    // one pass over the signatures: explode band structs instead of a
+    // 4-way union (which would recompute the signature aggregation once
+    // per band)
+    val bandStructs = array((0 until MinhashK / 2).map { bandIdx =>
+      struct(
         lit(bandIdx).as("band"),
         concat_ws("_", col(s"mh${2 * bandIdx}"), col(s"mh${2 * bandIdx + 1}")).as("bkey"))
-    }.reduce(_ union _)
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
     val l = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val r = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "bkey"))
