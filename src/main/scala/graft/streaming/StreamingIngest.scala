@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.lake.{AtomicPartitionWriter, FinancePipeline, LakeFs}
+import graft.quality.DataQuality
+
+/** Structured-Streaming variant of the incremental ingest (SURVEY T2's
+  * idiomatic alternative): the file source + checkpoint replaces the
+  * `.done` half of the marker ledger (a file is never re-read once a
+  * batch commits), while the DQ gate + poison-pill quarantine — which
+  * checkpointing cannot express — runs inside `foreachBatch`, reusing the
+  * exact same gate and atomic writer as the batch pipeline.
+  *
+  * Per micro-batch: group rows by source year, gate each year, commit
+  * good years through the atomic swap, record quarantined years via the
+  * alert hook. `Trigger.AvailableNow` turns the same query into a
+  * run-to-completion batch — the streaming/batch unification the
+  * reference's 5-minute Airflow cron approximates.
+  */
+class StreamingIngest(
+    spark: SparkSession,
+    fsOps: LakeFs,
+    stagingDir: String,
+    checkpointDir: String,
+    alert: (String, String) => Unit = (_, _) => ()) {
+
+  private val writer = new AtomicPartitionWriter(fsOps, spark)
+
+  /** CSV file-source stream over `rawGlob` (schema must be declared for
+    * streams; pass the wide schema of the lake).
+    */
+  def read(rawDir: String, schemaDdl: String): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .csv(s"$rawDir/year=*/")
+      .withColumn("year",
+        regexp_extract(input_file_name(), "year=(\\d{4})", 1).cast("int"))
+
+  /** The DQ-gated sink. Returns the running query (AvailableNow: call
+    * `awaitTermination()` to drain everything currently in the raw zone).
+    */
+  def start(stream: DataFrame): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val years = batch.select(col("year")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach { y =>
+          val wide = batch.filter(col("year") === y)
+          val amountCols = FinancePipeline.amountColumns(wide)
+          val report = DataQuality.run(wide,
+            FinancePipeline.idColumns ++
+              Seq(FinancePipeline.totalColumn, "year") ++ amountCols,
+            FinancePipeline.idColumns, FinancePipeline.totalColumn, amountCols)
+          if (report.fatalFailed)
+            alert(s"streaming DQ failed year=$y", report.render)
+          else
+            writer.write(wide, stagingDir, y)
+        }
+      }
+      .start()
+}
