@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, EventsOps, Relational, Reshape, Scalars, SetOps, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, EventsOps, Relational, Reshape, Sampling, Scalars, SetOps, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,8 @@ object SparkEntry {
     "q41_knn_bruteforce" -> (Similarity.bruteForceKnn _),
     "q42_knn_ivf" -> (Similarity.ivfKnn _),
     "q43_norm_stats" -> (Similarity.normStatsByLabel _),
+    "q48_hash_sample" -> (Sampling.documentSample _),
+    "q49_split_distribution" -> (Sampling.splitDistribution _),
     "q45_asof_join" -> (AsOf.purchaseAsofSignup _),
     "q46_sessionize" -> (AsOf.sessionizeEvents _),
     "q47_rollup" -> (Relational.regionNationRollup _),
@@ -396,6 +398,21 @@ object SparkEntry {
          |FROM (SELECT label, ${dotSql("embedding", "embedding")} AS nq
          |      FROM embeddings) t
          |GROUP BY label""".stripMargin,
+    "q48_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 < 100000""".stripMargin,
+    "q49_split_distribution" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 800000 THEN 'train'
+        |            WHEN bucket < 900000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q45_asof_join" ->
       """WITH tagged AS (
         |  SELECT user_id, epoch_ns(ts) AS ts_ns, 1 AS side, event_id,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic, engine-portable sampling and splitting for training-data
+  * pipelines. `rand()`-based sampling is neither reproducible across runs
+  * nor portable across engines; instead every row gets a stable md5-derived
+  * bucket from its key, so a sample/split is a pure filter — reproducible,
+  * join-free, and identical on any engine or partitioning.
+  */
+object Sampling {
+
+  val Buckets = 1000000L
+
+  /** Stable per-key bucket in [0, 1e6): md5 of the key column's string
+    * form, first 8 hex chars, mod 1e6. `keyCol` must be a plain column
+    * name (it is spliced into a SQL expression).
+    */
+  def hashBucket(keyCol: String): Column =
+    expr(s"CAST(conv(substr(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) AS BIGINT)") % Buckets
+
+  /** Keep ~`rate` of rows, deterministically by key. */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(keyCol) < (rate * Buckets).toLong)
+
+  /** Stratified train/val/test assignment by key hash: 0=train 1=val
+    * 2=test with the given ppm-exact boundaries.
+    */
+  def split(df: DataFrame, keyCol: String,
+      trainRate: Double = 0.8, valRate: Double = 0.1): DataFrame = {
+    val b = hashBucket(keyCol)
+    val t1 = (trainRate * Buckets).toLong
+    val t2 = ((trainRate + valRate) * Buckets).toLong
+    df.withColumn("split",
+      when(b < t1, "train").when(b < t2, "val").otherwise("test"))
+  }
+
+  /** q48: deterministic 10% document sample (ids only — stable under any
+    * execution plan).
+    */
+  def documentSample(spark: SparkSession, dir: String): DataFrame =
+    sampleByHash(Tables.documents(spark, dir), "doc_id", 0.1)
+      .select(col("doc_id"), col("lang"))
+
+  /** q49: split distribution — counts per split per language. */
+  def splitDistribution(spark: SparkSession, dir: String): DataFrame =
+    split(Tables.documents(spark, dir), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RangeJoin, Sampling}
+
+class RangeSamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("binned range join equals the naive theta join") {
+    val points = (0L until 2000L by 7L).toDF("ts")
+    val intervals = Seq(
+      (0L, 100L, "a"), (50L, 60L, "b"), (500L, 1500L, "c"),
+      (1999L, 1999L, "d"), (1200L, 1201L, "e"))
+      .toDF("start", "end", "name")
+    val binned = RangeJoin.binnedPointInInterval(
+        points, "ts", intervals, "start", "end", binSize = 128L)
+      .select("ts", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = points.join(intervals,
+        points("ts") >= intervals("start") && points("ts") <= intervals("end"))
+      .select("ts", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("events-to-session range join reproduces session membership") {
+    // intervals = each user's sessions (from the sessionize operator's
+    // first/last event times); every event must land in exactly one
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts_ns")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val gapNs = 30L * 60 * 1000000000L
+    val sessions = ev
+      .withColumn("prev", lag($"ts_ns", 1).over(byUser))
+      .withColumn("brk", when($"prev".isNull || $"ts_ns" - $"prev" > gapNs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id".as("su"), $"sid")
+      .agg(min($"ts_ns").as("start"), max($"ts_ns").as("end"))
+    val joined = RangeJoin.binnedPointInInterval(
+        ev, "ts_ns", sessions, "start", "end", binSize = 3600L * 1000000000L)
+      .filter($"user_id" === $"su")
+    // each event falls into exactly one of its user's sessions
+    assert(joined.groupBy("event_id").count().filter($"count" =!= 1).count() == 0)
+  }
+
+  test("hash sampling is deterministic, key-stable, and near the target rate") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val s1 = Sampling.sampleByHash(docs, "doc_id", 0.1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleByHash(docs, "doc_id", 0.1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same keys every run")
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.1) < 0.06, s"rate=${s1.size / n}")
+    // monotone: a 20% sample contains the 10% sample
+    val s3 = Sampling.sampleByHash(docs, "doc_id", 0.2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("split covers every row exactly once with sane proportions") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sp = Sampling.split(docs, "doc_id")
+    assert(sp.count() == docs.count())
+    val byS = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+  }
+}
