@@ -63,6 +63,11 @@ object SparkEntry {
     "q41_knn_bruteforce" -> (Similarity.bruteForceKnn _),
     "q42_knn_ivf" -> (Similarity.ivfKnn _),
     "q43_norm_stats" -> (Similarity.normStatsByLabel _),
+    "q50_bpe_tokens" -> (TextOps.bpeTokenCounts _),
+    "q51_embed_neardup" -> (Dedup.embeddingNearDupExact _),
+    "q52_embed_neardup_bucketed" -> (Dedup.embeddingNearDupBucketed _),
+    "q53_shipping_priority" -> (Relational.shippingPriority _),
+    "q54_forecast_revenue" -> (Relational.forecastRevenue _),
     "q48_hash_sample" -> (Sampling.documentSample _),
     "q49_split_distribution" -> (Sampling.splitDistribution _),
     "q45_asof_join" -> (AsOf.purchaseAsofSignup _),
@@ -398,6 +403,41 @@ object SparkEntry {
          |FROM (SELECT label, ${dotSql("embedding", "embedding")} AS nq
          |      FROM embeddings) t
          |GROUP BY label""".stripMargin,
+    "q50_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len($toks) AS BIGINT) AS n_ws_tokens
+         |FROM documents""".stripMargin,
+    "q51_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nq
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.embedding", "b.embedding")} AS dq,
+         |    a.nq AS n_a, b.nq AS n_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  CAST(floor(CAST(dq AS DOUBLE) * 1000000.0 /
+         |    (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |FROM p
+         |WHERE CAST(floor(CAST(dq AS DOUBLE) * 1000000.0 /
+         |    (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) >= 400000""".stripMargin,
+    "q53_shipping_priority" ->
+      s"""SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch,
+         |  ${sumc("l_extendedprice * (1.0 - l_discount)")} AS revenue_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY 1, 2
+         |ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q54_forecast_revenue" ->
+      s"""SELECT ${sumc("l_extendedprice * l_discount")} AS revenue_c,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+         |  AND l_shipdate < TIMESTAMP '1995-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q48_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -97,6 +97,53 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Embedding-cosine near-duplicates, exact: all vector pairs with
+    * quantized cosine ≥ 0.40 (the semantic-dedup baseline). Quadratic in
+    * the table — correct reference for the bucketed variant below.
+    */
+  def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dot = graft.functions.GraftFunctions.DotName
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"$dot(embedding, embedding)").as("nq"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nq").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nq").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_ppm", expr(
+        s"CAST(floor(CAST($dot(emb_a, emb_b) AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
+      .filter(col("cos_ppm") >= 400000)
+      .select(col("id_a"), col("id_b"), col("cos_ppm"))
+  }
+
+  /** Embedding-cosine near-duplicates, bucketed (the scale path): pairs
+    * only form inside an IVF bucket, turning the quadratic compare into
+    * per-bucket work after one shuffle on the bucket id. Near-identical
+    * vectors share a nearest centroid, so recall on true near-dups is
+    * high; verified a superset of exact same-bucket dups in tests.
+    */
+  def embeddingNearDupBucketed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dot = graft.functions.GraftFunctions.DotName
+    val assign = Similarity.ivfAssignments(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .join(assign, "vec_id")
+      .select(col("bucket"), col("vec_id"), col("embedding"),
+        expr(s"$dot(embedding, embedding)").as("nq"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nq").as("n_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nq").as("n_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_ppm", expr(
+        s"CAST(floor(CAST($dot(emb_a, emb_b) AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
+      .filter(col("cos_ppm") >= 400000)
+      .select(col("id_a"), col("id_b"), col("cos_ppm"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash: every token occurrence votes ±1 on each bit of its

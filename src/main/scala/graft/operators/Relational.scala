@@ -167,6 +167,33 @@ object Relational {
         count(lit(1)).as("n_orders"))
   }
 
+  /** TPC-H Q3-shaped shipping priority: top revenue orders not yet
+    * shipped as of a cutoff — join + filtered agg + top-k, the classic
+    * mid-complexity OLAP plan.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp_ntz")
+    val orders = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("od_epoch"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: the pure scan-filter-aggregate
+    * plan — no join, no shuffle beyond the final partial-agg merge.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
+        count(lit(1)).as("n_rows"))
+
   /** Semi join — customers that have at least one order (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

@@ -37,6 +37,19 @@ object TextOps {
         length(col("text")).cast("long").as("len_chars"),
         length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long").as("n_punct"))
 
+  /** BPE-ish subword token counting: a GPT-style pre-tokenization regex
+    * (letter runs, digit runs, punctuation runs, each with optional
+    * leading space) counted per document — the cheap `len(text)/~4`
+    * upgrade that tracks real tokenizer counts closely without a vocab.
+    */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"))
+          .cast("long").as("n_bpe_tokens"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+
   /** Corpus token frequency — the classic explode→count rollup. Spark
     * does map-side partial aggregation automatically, so the shuffle
     * carries one row per (partition, token), not per occurrence.
