@@ -68,6 +68,12 @@ object SparkEntry {
     "q52_embed_neardup_bucketed" -> (Dedup.embeddingNearDupBucketed _),
     "q53_shipping_priority" -> (Relational.shippingPriority _),
     "q54_forecast_revenue" -> (Relational.forecastRevenue _),
+    // sketch outputs (HLL, GK quantiles) are engine-specific: rows-only
+    "q55_cardinality_profile" -> ((s, d) =>
+      graft.operators.Profiler.cardinalityProfile(s, d, "orders")),
+    "q56_key_skew_profile" -> ((s, d) =>
+      graft.operators.Profiler.keySkewProfile(
+        graft.sources.Tables.lineitem(s, d), "l_orderkey")),
     "q48_hash_sample" -> (Sampling.documentSample _),
     "q49_split_distribution" -> (Sampling.splitDistribution _),
     "q45_asof_join" -> (AsOf.purchaseAsofSignup _),

@@ -13,7 +13,8 @@ class RelationalSpec extends AnyFunSuite {
   // queries whose correct result CAN be empty at tiny scale factors
   val mayBeEmpty = Set("q12_anti_join", "q35_fingerprint_clusters")
   // non-SQL-expressible operators checked rows-only by the driver
-  val rowsOnly = Set("q42_knn_ivf", "q52_embed_neardup_bucketed")
+  val rowsOnly = Set("q42_knn_ivf", "q52_embed_neardup_bucketed",
+    "q55_cardinality_profile", "q56_key_skew_profile")
 
   test("every query runs and returns a non-degenerate result") {
     SparkEntry.queries.foreach { case (name, fn) =>
