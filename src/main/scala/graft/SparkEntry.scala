@@ -470,7 +470,7 @@ object SparkEntry {
         |w AS (
         |  SELECT user_id, event_id, side,
         |    last_value(rv IGNORE NULLS) OVER (
-        |      PARTITION BY user_id ORDER BY ts_ns ASC, side ASC
+        |      PARTITION BY user_id ORDER BY ts_ns ASC, side ASC, rv ASC NULLS LAST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_event
         |  FROM tagged)
         |SELECT user_id, event_id, asof_signup_event FROM w WHERE side = 1""".stripMargin,

@@ -28,9 +28,11 @@ object HeaderFlatten {
     * (reference `gpt_excel_fix_column.py:101-118`).
     */
   def flattenHeader(grid: Vector[Vector[String]], headerRows: Int = 4): Vector[String] = {
+    if (grid.isEmpty) return Vector.empty
     val width = grid.map(_.length).max
+    val rows = math.min(headerRows, grid.length)
     (0 until width).toVector.map { c =>
-      val parts = (0 until headerRows)
+      val parts = (0 until rows)
         .map(r => if (c < grid(r).length) grid(r)(c).trim else "")
         .filter(_.nonEmpty)
       // collapse consecutive repeats produced by merged-cell fill

@@ -63,13 +63,18 @@ class FinancePipeline(
     Retry.withRetry(s"commit-wide year=$year") {
       writer.write(wide, config.stagingDir, year)
     }
-    files.foreach(markers.markDone)
     val version = versioning.create(wide, year, files.mkString(","))
     versioning.cleanup(year)
     val long = wideToLong(wide)
     Retry.withRetry(s"commit-long year=$year") {
       writer.write(long, config.curatedDir, year)
     }
+    // .done only once EVERY durable effect (wide, snapshot, long) has
+    // committed: a failure anywhere above leaves the year pending, and the
+    // whole sequence is idempotent (atomic overwrites), so the next cycle
+    // safely redoes it. Marking earlier would strand a half-ingested year
+    // forever — the ledger would say done while curated is missing.
+    files.foreach(markers.markDone)
     YearResult(year, files, committed = true, None, Some(version))
   }
 

@@ -25,20 +25,23 @@ object Retry {
       delaySeconds: Double = DefaultDelaySeconds,
       sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong),
       onRetry: (Int, Throwable) => Unit = (_, _) => ())(f: => T): T = {
+    // misconfigured maxRetries <= 0 still attempts once (never a silent
+    // no-op or an exhausted error with no underlying cause)
+    val attempts = math.max(1, maxRetries)
     var attempt = 0
     var lastErr: Throwable = null
-    while (attempt < maxRetries) {
+    while (attempt < attempts) {
       attempt += 1
       try return f
       catch {
         case e: Throwable =>
           lastErr = e
-          if (attempt < maxRetries) {
+          if (attempt < attempts) {
             onRetry(attempt, e)
             sleep(delaySeconds * math.pow(2, attempt - 1))
           }
       }
     }
-    throw RetriesExhausted(label, maxRetries, lastErr)
+    throw RetriesExhausted(label, attempts, lastErr)
   }
 }

@@ -36,9 +36,12 @@ object AsOf {
         lit(0).as("__side"), col(valueCol).as("__rv"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at the same timestamp, so an exact
-    // tie is visible to the left row (<=, not <)
+    // tie is visible to the left row (<=, not <). The trailing __rv sort
+    // totally orders tied RIGHT rows (max value wins deterministically);
+    // tied left rows all carry null __rv, so their relative order — the
+    // one place engines differ on null placement — cannot affect results.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(s"asof_$valueCol", last(col("__rv"), ignoreNulls = true).over(w))

@@ -100,9 +100,11 @@ object TextOps {
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     val df = Tables.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
+      // long arithmetic: INT * 1000000 overflows ANSI mode at ~2148 chars
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
-      .withColumn("char_total", length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("char_total",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
       .withColumn("mean_tok_len_ppm", expr("char_total * 1000000 DIV n_tokens"))
       .withColumn("n_stop", markerCount(col("toks"), stop))
       .withColumn("stop_ratio_ppm", expr("n_stop * 1000000 DIV n_tokens"))

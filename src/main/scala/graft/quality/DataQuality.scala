@@ -109,7 +109,10 @@ object DataQuality {
     */
   def checkRemainingMonotonic(
       df: DataFrame, totalCol: String = "total_amount"): CheckResult = {
-    val w = Window.orderBy(col("date"))
+    // secondary sort makes tied months deterministic (late-data rebuilds
+    // can carry duplicate dates). Window is global like the reference's —
+    // the gated unit is one year's file (~tens of rows), never a big scan.
+    val w = Window.orderBy(col("date"), col(totalCol))
     val bad = df
       .filter(col("details") === "remaining" && col("date").rlike(MonthRe))
       .withColumn("__prev", lag(col(totalCol), 1).over(w))

@@ -26,10 +26,19 @@ object SqlGuard {
   /** Backtick-quote the reserved word `date` when used bare — idempotent,
     * word-boundary, skips already-quoted occurrences (Q3 —
     * `dashboard/services/hive_gpt.py:46-48`, tests
-    * `tests/test_sql_safety.py:23-54`).
+    * `tests/test_sql_safety.py:23-54`). Hardened beyond the reference's
+    * regex: string literals are left untouched, and `DATE '...'` typed
+    * literals / `CAST(... AS DATE)` keep their keyword meaning.
     */
-  def quoteReservedDate(sql: String): String =
-    sql.replaceAll("(?i)(?<!`)\\bdate\\b(?!`)", "`date`")
+  def quoteReservedDate(sql: String): String = {
+    val token = "(?i)(?<!`)(?<!\\bas )\\bdate\\b(?!`)(?!\\s*')".r
+    val literalSpans = "'(?:[^']|'')*'".r.findAllMatchIn(sql)
+      .map(m => (m.start, m.end)).toList
+    token.replaceAllIn(sql, m =>
+      if (literalSpans.exists { case (s, e) => m.start >= s && m.start < e })
+        m.matched // inside a string literal: untouched
+      else "`date`")
+  }
 
   /** Detect the summed-stock-measure anti-pattern
     * `SUM(CASE WHEN ... details = 'remaining' ...)` — summing a

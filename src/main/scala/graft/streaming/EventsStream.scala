@@ -44,7 +44,9 @@ object EventsStream {
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      // WithinWatermark variant: dedup state is evicted as the watermark
+      // advances (plain dropDuplicates(event_id) would grow state forever)
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
       .select(

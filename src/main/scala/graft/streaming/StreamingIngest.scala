@@ -37,8 +37,11 @@ class StreamingIngest(
       .option("header", "true")
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .csv(s"$rawDir/year=*/")
+      // try_cast + filter: a stray dir matching year=* but not year=NNNN
+      // must not kill the stream (ANSI cast of '' throws)
       .withColumn("year",
-        regexp_extract(input_file_name(), "year=(\\d{4})", 1).cast("int"))
+        expr("try_cast(regexp_extract(input_file_name(), 'year=(\\\\d{4})', 1) AS INT)"))
+      .filter(col("year").isNotNull)
 
   /** The DQ-gated sink. Returns the running query (AvailableNow: call
     * `awaitTermination()` to drain everything currently in the raw zone).

@@ -27,6 +27,22 @@ class SqlGuardSpec extends AnyFunSuite {
       "SELECT update_s FROM t")
   }
 
+  test("reserved-date quoting leaves literals and typed DATE keywords alone") {
+    assert(SqlGuard.quoteReservedDate("SELECT DATE '2024-01-01'") ==
+      "SELECT DATE '2024-01-01'")
+    assert(SqlGuard.quoteReservedDate("SELECT CAST(x AS DATE) FROM t") ==
+      "SELECT CAST(x AS DATE) FROM t")
+    assert(SqlGuard.quoteReservedDate("SELECT date FROM t WHERE note = 'the date is'") ==
+      "SELECT `date` FROM t WHERE note = 'the date is'")
+  }
+
+  test("retry attempts at least once even with maxRetries <= 0") {
+    var runs = 0
+    val out = graft.lake.Retry.withRetry("t", maxRetries = 0,
+      delaySeconds = 0.0, sleep = _ => ()) { runs += 1; "ok" }
+    assert(out == "ok" && runs == 1)
+  }
+
   test("bad remaining-sum detector: rejects anti-pattern, allows good patterns") {
     assert(SqlGuard.hasBadRemainingSum(
       "SELECT SUM(CASE WHEN details = 'remaining' THEN amount END) FROM t"))
