@@ -66,6 +66,55 @@ object EventsStream {
         col("session_window.end").cast("long").as("session_end"),
         col("user_id"), col("n_events"), col("value_c"))
 
+  final case class UserActivity(
+      user_id: Long, n_events: Long, value_c_total: Long, last_event_id: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch
+    * when built-in windows can't express the state machine. Maintains a
+    * per-user running activity summary and emits an updated snapshot
+    * whenever a micro-batch touches the user.
+    *
+    * Production bounds state with `ProcessingTimeTimeout` (idle users'
+    * state is flushed and removed after `idleTimeout`); pass
+    * `idleTimeout = None` for drain-to-completion runs —
+    * `processAllAvailable` never quiesces while timeout timers are armed,
+    * because Spark keeps firing empty batches to check them.
+    */
+  def userActivity(events: DataFrame,
+      idleTimeout: Option[String] = None): org.apache.spark.sql.Dataset[UserActivity] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+        col("user_id"), col("event_id"),
+        cents(col("value")).as("value_c"))
+      .as[(Long, Long, Long)]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (userId: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[UserActivity]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption
+            state.remove()
+            out.iterator
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserActivity(userId, 0L, 0L, -1L))
+            val next = rows.foldLeft(prev) { case (acc, (_, eid, vc)) =>
+              UserActivity(userId, acc.n_events + 1,
+                acc.value_c_total + vc, math.max(acc.last_event_id, eid))
+            }
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+        })
+  }
+
   /** Run a streaming DataFrame to completion against the files currently
     * in the source dir, into an in-memory table (test/dev harness —
     * production would use a durable sink + checkpoint location).

@@ -52,6 +52,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful user activity via flatMapGroupsWithState matches batch totals") {
+    val dir = Files.createTempDirectory("graft-state")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.runToMemory(
+      EventsStream.userActivity(EventsStream.read(spark, dir.toString)).toDF(),
+      "stream_activity")
+    try {
+      import org.apache.spark.sql.functions._
+      // last emitted snapshot per user = that user's full batch totals
+      val fin = spark.table("stream_activity")
+        .groupBy("user_id").agg(
+          max("n_events").as("n_events"),
+          max("value_c_total").as("value_c_total"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.operators.EventsOps.runningSum(spark, sf)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n"), max("running_c").as("total"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
+  test("typed CentsStats aggregator: exact moments, derived variance") {
+    import spark.implicits._
+    val ds = graft.sources.Tables.events(spark, sf)
+      .select(graft.operators.Determinism.cents(
+        org.apache.spark.sql.functions.col("value")).as("c"))
+      .as[Long]
+    val out = ds.select(graft.functions.CentsStats.toColumn).collect()(0)
+    assert(out.n == ds.count())
+    val (sum, sumSq) = ds.collect().foldLeft((0L, 0L)) {
+      case ((s, q), x) => (s + x, q + x * x)
+    }
+    assert(out.sum_c == sum && out.sum_sq_c == sumSq)
+    assert(math.abs(out.mean_c - sum.toDouble / out.n) < 1e-9)
+  }
+
   test("multimodal: binary payload + typed metadata, deterministic stub decode") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     assert(media.schema("content").dataType ==
