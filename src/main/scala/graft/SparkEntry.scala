@@ -74,6 +74,13 @@ object SparkEntry {
     "q56_key_skew_profile" -> ((s, d) =>
       graft.operators.Profiler.keySkewProfile(
         graft.sources.Tables.lineitem(s, d), "l_orderkey")),
+    "q57_frame_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d))
+    }),
+    "q58_json_struct" -> (EventsOps.jsonStructParse _),
+    "q59_rolling_hour_sum" -> (EventsOps.rollingHourSum _),
     "q48_hash_sample" -> (Sampling.documentSample _),
     "q49_split_distribution" -> (Sampling.splitDistribution _),
     "q45_asof_join" -> (AsOf.purchaseAsofSignup _),
@@ -444,6 +451,21 @@ object SparkEntry {
          |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
          |  AND l_shipdate < TIMESTAMP '1995-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q57_frame_sample" ->
+      """SELECT doc_id AS media_id, n_chars * 40 AS duration_ms,
+        |  unnest(generate_series(0, n_chars * 40 - 1, 1000)) AS frame_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q58_json_struct" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) >= 50 AS k_high,
+         |  COUNT(*) AS n, ${sumc("value")} AS value_c
+         |FROM events GROUP BY 1""".stripMargin,
+    "q59_rolling_hour_sum" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(SUM(${cents("value")}) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_ns(ts)
+         |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS hour_sum_c
+         |FROM events""".stripMargin,
     "q48_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -61,6 +61,32 @@ object EventsOps {
         sum(cents(col("value"))).over(w).as("running_c"))
   }
 
+  /** Typed JSON parsing with `from_json` + declared schema (vs q20's
+    * path-extraction): parse once into a struct, then aggregate on the
+    * typed field.
+    */
+  def jsonStructParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))))
+      .groupBy((col("p.k") >= 50).as("k_high"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+
+  /** Time-range window frame (RANGE, not ROWS): per user, the rolling sum
+    * of the past hour of activity at each event — frames defined by the
+    * time axis, so ties and gaps are handled by value, not position.
+    */
+  def rollingHourSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+      .rangeBetween(-3600L * 1000000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        sum(cents(col("value"))).over(w).as("hour_sum_c"))
+      .drop("ts_ns")
+  }
+
   /** JSON field extraction from the `props` payload column, then a
     * grouped rollup on the extracted key. `get_json_object` is the
     * codegen'd built-in path (no UDF).
