@@ -7,11 +7,18 @@ object Bench {
     val spark = GraftSession.local(cpus.toInt)
     // absorb session/codegen warmup outside the measured window
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    var failures = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures += 1
+          System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    if (failures > 0)
+      System.err.println(s"[bench] $failures queries failed — totals are partial")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

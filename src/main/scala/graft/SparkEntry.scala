@@ -97,10 +97,9 @@ object SparkEntry {
     }),
   )
 
-  // Shared SQL fragments for the oracle (DuckDB). Keep in lockstep with
-  // graft.operators.Determinism.
-  private def cents(e: String): String =
-    s"CAST(floor(($e) * 100.0 + 0.5) AS BIGINT)"
+  // Shared SQL fragments for the oracle (DuckDB), delegating to
+  // Determinism so the Spark and oracle formulas cannot diverge.
+  private def cents(e: String): String = graft.operators.Determinism.centsSql(e)
 
   // DuckDB SUM(BIGINT) widens to HUGEINT; cast back so the result schema
   // matches Spark's LongType sums exactly.
@@ -454,7 +453,7 @@ object SparkEntry {
     "q57_frame_sample" ->
       """SELECT doc_id AS media_id, n_chars * 40 AS duration_ms,
         |  unnest(generate_series(0, n_chars * 40 - 1, 1000)) AS frame_ms
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+        |FROM documents WHERE doc_id % 3 = 2 AND n_chars > 0""".stripMargin,
     "q58_json_struct" ->
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) >= 50 AS k_high,
          |  COUNT(*) AS n, ${sumc("value")} AS value_c

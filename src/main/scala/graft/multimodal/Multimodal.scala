@@ -79,7 +79,7 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
     media
-      .filter(col("meta.mime") === "video/mp4")
+      .filter(col("meta.mime") === "video/mp4" && col("meta.duration_ms") > 0)
       .select(col("media_id"), col("meta.duration_ms").as("duration_ms"))
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))

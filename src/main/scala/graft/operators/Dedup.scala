@@ -36,7 +36,10 @@ object Dedup {
     * Jaccard in exact ppm. Returns pairs with J ≥ 0.3.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+    // no cache: pinning the exploded shingle set for the session's
+    // lifetime costs more than recomputation (Catalyst reuses the
+    // exchange where plans coincide)
+    val sh = shingles(Tables.documents(spark, dir))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("sh"))

@@ -123,11 +123,22 @@ object DataQuality {
     CheckResult("monotonic/remaining", Warning, bad.isEmpty, bad.toSeq)
   }
 
+  /** Empty input is fatal: a header-only file has nothing to load and
+    * must be quarantined, not vacuously pass every per-row check.
+    */
+  def checkNonEmpty(df: DataFrame): CheckResult = {
+    val empty = df.isEmpty
+    CheckResult("rows/non-empty", Fatal, !empty,
+      if (empty) Seq("no data rows") else Nil)
+  }
+
   /** The full gate, reference order (`jobs/data_quality.py:105-144`). */
   def run(df: DataFrame, expectedCols: Seq[String], idCols: Seq[String],
       totalCol: String, amountCols: Seq[String]): Report = {
     val schema = checkSchema(df, expectedCols)
     if (schema.exists(_.blocking)) return Report(schema)
+    val nonEmpty = checkNonEmpty(df)
+    if (nonEmpty.blocking) return Report(schema :+ nonEmpty)
     Report(schema ++ Seq(
       checkNotNull(df, idCols),
       checkDateFormat(df),

@@ -47,7 +47,10 @@ object SqlGuard {
     * tests `tests/test_sql_safety.py:61-109`).
     */
   def hasBadRemainingSum(sql: String): Boolean = {
-    val re = ("(?is)sum\\s*\\(\\s*case\\s+when[^)]*" +
+    // bounded non-greedy gap (not [^)]*) so nested calls before the
+    // predicate — sum(case when round(x) > 0 and details='remaining' —
+    // still trip the guard; over-triggering only costs a rewrite hint
+    val re = ("(?is)sum\\s*\\(\\s*case\\s+when.{0,200}?" +
       "details\\s*=\\s*'remaining'").r
     re.findFirstIn(sql).isDefined
   }

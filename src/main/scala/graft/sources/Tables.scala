@@ -41,7 +41,8 @@ object Tables {
       raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     else
-      raw.withColumn("ts_ns", col("ts").cast("timestamp").cast("long") * 1000000000L)
+      // microsecond precision (cast-to-long would truncate to whole seconds)
+      raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

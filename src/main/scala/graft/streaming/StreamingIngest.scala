@@ -51,6 +51,9 @@ class StreamingIngest(
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materialize once: the batch is re-read per year (DQ + write)
+        batch.persist()
+        try {
         val years = batch.select(col("year")).distinct()
           .collect().map(_.getInt(0)).sorted
         years.foreach { y =>
@@ -65,6 +68,7 @@ class StreamingIngest(
           else
             writer.write(wide, stagingDir, y)
         }
+        } finally batch.unpersist()
       }
       .start()
 }

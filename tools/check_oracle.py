@@ -35,6 +35,11 @@ def main():
     failures = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that crashed in Verify writes no dir — that's a failure,
+    # not a skip
+    for missing in sorted(set(oracle) - set(names)):
+        print(f"[FAIL] {missing}: no output written by Verify")
+        failures += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
