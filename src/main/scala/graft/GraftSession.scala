@@ -20,6 +20,10 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // split size: at 100 TB this is the lever that keeps scan tasks
+      // ~uniform and partitions within executor memory; 128m default made
+      // explicit so it is tuned deliberately, not inherited
+      .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

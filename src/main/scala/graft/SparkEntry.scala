@@ -74,6 +74,7 @@ object SparkEntry {
     "q56_key_skew_profile" -> ((s, d) =>
       graft.operators.Profiler.keySkewProfile(
         graft.sources.Tables.lineitem(s, d), "l_orderkey")),
+    "q60_curation_summary" -> (graft.operators.CurationPipeline.curationSummary _),
     "q57_frame_sample" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.multimodal.Multimodal.sampleFrames(
@@ -450,6 +451,33 @@ object SparkEntry {
          |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
          |  AND l_shipdate < TIMESTAMP '1995-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q60_curation_summary" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS char_total,
+         |    CAST(len(list_filter($toks,
+         |      t -> t IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM d
+         |         WHERE n_tokens > 0 GROUP BY fp),
+         |gated AS (
+         |  SELECT d.* FROM d JOIN keep USING (fp, doc_id)
+         |  WHERE d.n_tokens >= 10
+         |    AND d.n_stop * 1000000 // d.n_tokens <= 400000
+         |    AND d.char_total * 1000000 // d.n_tokens <= 9000000),
+         |sp AS (
+         |  SELECT lang, n_tokens,
+         |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              % 1000000 < 800000 THEN 'train'
+         |         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              % 1000000 < 900000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM gated)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin,
     "q57_frame_sample" ->
       """SELECT doc_id AS media_id, n_chars * 40 AS duration_ms,
         |  unnest(generate_series(0, n_chars * 40 - 1, 1000)) AS frame_ms

@@ -54,6 +54,25 @@ class NorthStarSpec extends AnyFunSuite {
     assert(dups.count() >= 0)
   }
 
+  test("curation pipeline: dedup + gate + split survive and materialize partitioned") {
+    import org.apache.spark.sql.functions._
+    val curated = graft.operators.CurationPipeline.curate(spark, sf)
+    val n = curated.count()
+    assert(n > 0 && n <= graft.sources.Tables.documents(spark, sf).count())
+    // no duplicate fingerprints survive
+    val dups = graft.sources.Tables.documents(spark, sf)
+      .withColumn("fp", operators.TextOps.fingerprint(col("text")))
+      .join(curated.select("doc_id"), "doc_id")
+      .groupBy("fp").count().filter(col("count") > 1)
+    assert(dups.count() == 0)
+    // materialized output is partitioned by split and prunable
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    graft.operators.CurationPipeline.write(spark, sf, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == n)
+    assert(new java.io.File(s"$out/split=train").exists())
+  }
+
   test("lsh candidates are a superset of exact duplicate pairs") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf)
