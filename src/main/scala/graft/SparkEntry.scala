@@ -114,11 +114,21 @@ object SparkEntry {
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
   private val shingleCte =
     s"""tok AS (SELECT doc_id, source, $toks AS toks FROM documents),
-       |sh AS (SELECT doc_id, source, unnest($shingleList) AS sh
-       |       FROM tok WHERE len(toks) >= 3)""".stripMargin
-  // 32-bit md5-derived hash, seeded — mirrors Dedup.mh
-  private def mhSql(i: Int): String =
-    s"CAST(concat('0x', substr(md5('$i:' || sh), 1, 8)) AS BIGINT)"
+       |da AS (SELECT doc_id, source, $shingleList AS sh_arr
+       |       FROM tok WHERE len(toks) >= 3),
+       |sh AS (SELECT doc_id, source, CAST(len(sh_arr) AS BIGINT) AS n_sh,
+       |       unnest(sh_arr) AS sh FROM da)""".stripMargin
+  // 32-bit affine permutation of one shared 48-bit md5 hash — mirrors
+  // Dedup.MinhashA/MinhashB/baseHash/mh
+  private def mhSql(i: Int): String = {
+    import graft.operators.Dedup.{MinhashA, MinhashB}
+    s"(${MinhashA(i)} * h + ${MinhashB(i)}) % 4294967296"
+  }
+  private val baseHashSql =
+    "CAST(concat('0x', substr(md5(sh), 1, 12)) AS BIGINT)"
+  // 60-bit shingle hash used as the Jaccard pair-join key — mirrors Dedup.shash
+  private val shashSql =
+    "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
   // quantized dot product of two float lists — mirrors Similarity.dotQ
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> " +
@@ -348,35 +358,36 @@ object SparkEntry {
         |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))""".stripMargin,
     "q37_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |hs AS (SELECT doc_id, source, n_sh, $shashSql AS shash FROM sh),
          |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+         |  FROM hs a JOIN hs b ON a.source = b.source AND a.shash = b.shash
          |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2, 3, 4)
          |SELECT doc_a, doc_b,
-         |  CAST(inter * 1000000 // (ca.n + cb.n - inter) AS BIGINT) AS jaccard_ppm
+         |  CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_ppm
          |FROM pairs
-         |JOIN cnt ca ON doc_a = ca.doc_id
-         |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE inter * 1000000 // (ca.n + cb.n - inter) >= 300000""".stripMargin,
+         |WHERE inter * 1000000 // (n_a + n_b - inter) >= 300000""".stripMargin,
     "q38_minhash_signatures" ->
-      s"""WITH $shingleCte
+      s"""WITH $shingleCte,
+         |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh)
          |SELECT doc_id,
          |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
-         |FROM sh GROUP BY doc_id""".stripMargin,
+         |FROM hh GROUP BY doc_id""".stripMargin,
     "q39_lsh_candidates" ->
       s"""WITH $shingleCte,
+         |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh),
          |sig AS (SELECT doc_id,
          |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
-         |  FROM sh GROUP BY doc_id),
+         |  FROM hh GROUP BY doc_id),
          |bands AS (
          |${(0 until 4).map(b =>
-            s"  SELECT doc_id, $b AS band, concat(mh${2 * b}, '_', mh${2 * b + 1}) AS bkey FROM sig")
+            s"  SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
             .mkString("\n  UNION ALL\n")})
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_bands
-         |FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
-         |  AND l.doc_id < r.doc_id
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.k1 = r.k1
+         |  AND l.k2 = r.k2 AND l.doc_id < r.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "q40_simhash" ->
       s"""WITH tv AS (

@@ -72,6 +72,7 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     * garbage only when the committed partition exists.
     */
   def repair(tableDir: String): Seq[String] = {
+    if (!fsOps.exists(tableDir)) return Seq.empty // fresh lake root: nothing to reap
     val status = fsOps.fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
     val reaped = status.map(_.getPath.toUri.getPath).filter { p =>
       val name = p.split('/').last

@@ -31,18 +31,26 @@ class Versioning(
     f.format(new java.util.Date(ms))
   }
 
-  /** Snapshot `df` as a new version of year Y; returns the version id. */
+  /** Snapshot `df` as a new version of year Y; returns the version id.
+    * Two creates within the same clock second get distinct ids (`_2`,
+    * `_3`, …) instead of the second silently overwriting the first.
+    */
   def create(df: DataFrame, year: Int, sourceFile: String): String = {
     val now = clock()
-    val version = s"v_${stamp(now)}"
+    val base = s"v_${stamp(now)}"
+    val version = Iterator.from(1)
+      .map(i => if (i == 1) base else s"${base}_$i")
+      .find(v => !fsOps.exists(s"${yearDir(year)}/$v"))
+      .get
     val dir = s"${yearDir(year)}/$version"
     df.write.mode("overwrite").parquet(dir)
     val rowCount = spark.read.parquet(dir).count()
     val checksum = Versioning.pathChecksum(dir)
-    val cols = df.columns.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    import graft.util.Json.{quote => q}
+    val cols = df.columns.map(q).mkString("[", ",", "]")
     fsOps.writeString(s"$dir/_version.json",
-      s"""{"version":"$version","source_file":"$sourceFile","year":$year,
-         |"timestamp":$now,"row_count":$rowCount,"checksum":"$checksum",
+      s"""{"version":${q(version)},"source_file":${q(sourceFile)},"year":$year,
+         |"timestamp":$now,"row_count":$rowCount,"checksum":${q(checksum)},
          |"columns":$cols,"keep_versions":$keepVersions}""".stripMargin)
     version
   }

@@ -19,37 +19,50 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Distinct k-token shingles per document (k=3), 1-based indexing so
-    * the same expression is portable to the oracle dialect.
+  /** Distinct k-token shingle ARRAY per document (k=3, 1-based indexing so
+    * the same expression is portable to the oracle dialect), with the
+    * shingle count alongside — so downstream pair joins can carry `n_sh`
+    * through the explode instead of re-joining a separate counts relation.
     */
-  def shingles(df: DataFrame, k: Int = 3): DataFrame =
+  def docShingles(df: DataFrame, k: Int = 3): DataFrame =
     df.withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= k)
-      .withColumn("sh", explode(array_distinct(expr(
+      .withColumn("sh_arr", array_distinct(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), " +
           (1 to k).map(j => s"element_at(toks, i + ${j - 1})")
-            .mkString("i -> concat_ws(' ', ", ", ", "))")))))
-      .select(col("doc_id"), col("source"), col("sh"))
+            .mkString("i -> concat_ws(' ', ", ", ", "))"))))
+      .select(col("doc_id"), col("source"),
+        col("sh_arr"), size(col("sh_arr")).cast("long").as("n_sh"))
+
+  /** Exploded shingle rows (compatibility view of [[docShingles]]). */
+  def shingles(df: DataFrame, k: Int = 3): DataFrame =
+    docShingles(df, k)
+      .select(col("doc_id"), col("source"), explode(col("sh_arr")).as("sh"))
+
+  /** 60-bit md5-derived hash of the shingle text: pair joins shuffle and
+    * compare fixed-width longs instead of multi-token strings. Collisions
+    * (~n²/2⁶¹) are identical on both engines, so the oracle still matches.
+    */
+  private val shash: Column =
+    expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)")
 
   /** Pairwise n-gram Jaccard similarity within `source` blocks:
-    * explode shingles → join on (source, shingle) → |A∩B| per pair →
-    * Jaccard in exact ppm. Returns pairs with J ≥ 0.3.
+    * explode shingles (hashed to longs, with `n_sh` carried through) →
+    * join on (source, shash) → |A∩B| per pair → Jaccard in exact ppm.
+    * Returns pairs with J ≥ 0.3. Carrying the per-doc shingle count on
+    * the exploded rows removes the two count-lookup joins the naive plan
+    * needs — one self-join plus one aggregation, total.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // no cache: pinning the exploded shingle set for the session's
-    // lifetime costs more than recomputation (Catalyst reuses the
-    // exchange where plans coincide)
-    val sh = shingles(Tables.documents(spark, dir))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("source", "sh"))
+    def side(tag: String) =
+      docShingles(Tables.documents(spark, dir))
+        .select(col("source"), col("doc_id").as(s"doc_$tag"),
+          col("n_sh").as(s"n_$tag"), explode(col("sh_arr")).as("sh"))
+        .select(col("source"), col(s"doc_$tag"), col(s"n_$tag"), shash.as("shash"))
+    side("a").join(side("b"), Seq("source", "shash"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
-      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
       .withColumn("jaccard_ppm", expr("inter * 1000000 DIV (n_a + n_b - inter)"))
       .filter(col("jaccard_ppm") >= 300000)
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
@@ -57,16 +70,31 @@ object Dedup {
 
   val MinhashK = 8
 
-  /** 32-bit md5-derived hash of a shingle under permutation seed `i`. */
-  private def mh(i: Int): Column =
-    expr(s"CAST(conv(substr(md5(concat('$i:', sh)), 1, 8), 16, 10) AS BIGINT)")
+  /** Affine-permutation constants: mh_i = (A_i·h + B_i) mod 2³². A_i < 2¹⁴
+    * keeps A·h < 2⁶² for the 48-bit base hash (no ANSI overflow); shared
+    * with the oracle SQL so both engines compute identical signatures.
+    */
+  val MinhashA: Seq[Long] = Seq(12289L, 12323L, 12373L, 12413L, 12437L, 12451L, 12479L, 12487L)
+  val MinhashB: Seq[Long] = (0 until MinhashK).map(i => 1000003L * i + 12345L)
 
-  /** MinHash signatures: K=8 independent permutations, each the min over
-    * the document's shingle set of a seeded md5 hash. One explode + one
-    * groupBy with 8 partial-aggregated mins — a single shuffle.
+  /** 48-bit md5-derived base hash of a shingle — computed ONCE per shingle
+    * row; the K permutations are affine transforms of it (8× fewer md5
+    * evaluations than hashing per-permutation).
+    */
+  private val baseHash: Column =
+    expr("CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT)")
+
+  private def mh(i: Int): Column =
+    expr(s"(${MinhashA(i)} * h + ${MinhashB(i)}) % 4294967296")
+
+  /** MinHash signatures: K=8 permutations, each the min over the
+    * document's shingle set of an affine transform of one shared
+    * md5-derived hash. One explode + one groupBy with 8 partial-aggregated
+    * mins — a single shuffle, a single md5 per shingle.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), baseHash.as("h"))
       .groupBy(col("doc_id"))
       .agg(
         min(mh(0)).as("mh0"), min(mh(1)).as("mh1"),
@@ -77,7 +105,8 @@ object Dedup {
   /** Banded LSH over the MinHash signatures: 4 bands × 2 rows. Candidate
     * pairs are documents sharing ≥1 band key; the band join replaces the
     * quadratic all-pairs compare (the 100 TB path: shuffle by band key,
-    * pairs only form inside identical-signature buckets).
+    * pairs only form inside identical-signature buckets). Band keys stay
+    * as two long columns — no string concat in the shuffle key.
     */
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
@@ -87,14 +116,16 @@ object Dedup {
     val bandStructs = array((0 until MinhashK / 2).map { bandIdx =>
       struct(
         lit(bandIdx).as("band"),
-        concat_ws("_", col(s"mh${2 * bandIdx}"), col(s"mh${2 * bandIdx + 1}")).as("bkey"))
+        col(s"mh${2 * bandIdx}").as("k1"),
+        col(s"mh${2 * bandIdx + 1}").as("k2"))
     }: _*)
     val bands = sig
       .select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val l = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-    val r = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "bkey"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.k1").as("k1"), col("b.k2").as("k2"))
+    val l = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "k1", "k2"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))

@@ -106,7 +106,8 @@ object TextOps {
       .withColumn("char_total",
         length(regexp_replace(col("text"), "\\s", "")).cast("long"))
       .withColumn("mean_tok_len_ppm", expr("char_total * 1000000 DIV n_tokens"))
-      .withColumn("n_stop", markerCount(col("toks"), stop))
+      // long arithmetic here too: size() is int32, int*1000000 overflows ANSI
+      .withColumn("n_stop", markerCount(col("toks"), stop).cast("long"))
       .withColumn("stop_ratio_ppm", expr("n_stop * 1000000 DIV n_tokens"))
       .withColumn("bucket",
         when(col("n_tokens") < 10, "too_short")

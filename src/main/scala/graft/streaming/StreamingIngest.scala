@@ -57,7 +57,20 @@ class StreamingIngest(
         val years = batch.select(col("year")).distinct()
           .collect().map(_.getInt(0)).sorted
         years.foreach { y =>
-          val wide = batch.filter(col("year") === y)
+          val fresh = batch.filter(col("year") === y)
+          // a year's files may span micro-batches (maxFilesPerTrigger, or
+          // new files in a later run) and the checkpoint never re-reads
+          // consumed ones — so merge with the already-committed partition
+          // instead of overwriting it with just this batch's subset. The
+          // file source delivers each file exactly once, so union (not
+          // dedup) is the correct merge.
+          val committed = writer.partitionPath(stagingDir, y)
+          val wide =
+            if (fsOps.exists(committed))
+              fresh.unionByName(
+                spark.read.schema(fresh.schema).parquet(committed),
+                allowMissingColumns = true)
+            else fresh
           val amountCols = FinancePipeline.amountColumns(wide)
           val report = DataQuality.run(wide,
             FinancePipeline.idColumns ++

@@ -44,7 +44,9 @@ class StreamingIngestSpec extends AnyFunSuite {
     val q2 = ingest.start(ingest.read(s"$base/raw", schemaDdl))
     q2.awaitTermination()
     assert(alerts.isEmpty, "quarantined file must not re-alert after checkpoint")
-    // partition rebuilt from the new file only (reference T4 semantics)
-    assert(spark.read.parquet(s"$base/staging/year=2024").count() == 3)
+    // the new file's rows MERGE with the committed partition — the
+    // checkpoint never re-reads the first file, so an overwrite would
+    // silently drop its rows (3 committed + 3 new = 6)
+    assert(spark.read.parquet(s"$base/staging/year=2024").count() == 6)
   }
 }
