@@ -68,9 +68,12 @@ object SparkEntry {
     "q52_embed_neardup_bucketed" -> (Dedup.embeddingNearDupBucketed _),
     "q53_shipping_priority" -> (Relational.shippingPriority _),
     "q54_forecast_revenue" -> (Relational.forecastRevenue _),
-    // sketch outputs (HLL, GK quantiles) are engine-specific: rows-only
+    // HLL sketch outputs are engine-specific: rows-only (the one
+    // remaining no-oracle query; accuracy is bounds-tested in ScalaTest)
     "q55_cardinality_profile" -> ((s, d) =>
       graft.operators.Profiler.cardinalityProfile(s, d, "orders")),
+    // exact half of the skew profile; GK quantiles live in
+    // Profiler.keySkewQuantiles (bounds-tested, not graded)
     "q56_key_skew_profile" -> ((s, d) =>
       graft.operators.Profiler.keySkewProfile(
         graft.sources.Tables.lineitem(s, d), "l_orderkey")),
@@ -133,6 +136,21 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> " +
       s"CAST(floor($a[i]::DOUBLE * $b[i]::DOUBLE * 1000000000000.0) AS BIGINT))) AS BIGINT)"
+  // IVF assignment: centroids = first IvfNlist vectors, every vector lands
+  // in its max-quantized-dot centroid's bucket — mirrors
+  // Similarity.ivfAssignments (same tie-break: dot DESC, c_id ASC)
+  private val ivfCte =
+    s"""e AS (SELECT vec_id, embedding,
+       |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |          WHERE vec_id < ${graft.operators.Similarity.IvfNlist}),
+       |asg AS (
+       |  SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+       |    FROM e, cents c) t
+       |  WHERE rk = 1)""".stripMargin
   private val langScores =
     """len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS score_en,
       |    len(list_filter(toks, t -> t IN ('el','la','de','y'))) AS score_es,
@@ -356,13 +374,18 @@ object SparkEntry {
     "q36_dedup_keep_first" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents
         |GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))""".stripMargin,
+    // shingles with document frequency > DfCap are dropped (Dedup's
+    // quadratic-blowup guard) — mirrored here as the HAVING upper bound
     "q37_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |hs AS (SELECT doc_id, source, n_sh, $shashSql AS shash FROM sh),
+         |keep AS (SELECT source, shash FROM hs GROUP BY 1, 2
+         |         HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.Dedup.DfCap}),
+         |hs2 AS (SELECT hs.* FROM hs JOIN keep USING (source, shash)),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
-         |  FROM hs a JOIN hs b ON a.source = b.source AND a.shash = b.shash
+         |  FROM hs2 a JOIN hs2 b ON a.source = b.source AND a.shash = b.shash
          |    AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4)
          |SELECT doc_a, doc_b,
@@ -384,9 +407,14 @@ object SparkEntry {
          |bands AS (
          |${(0 until 4).map(b =>
             s"  SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
-            .mkString("\n  UNION ALL\n")})
+            .mkString("\n  UNION ALL\n")}),
+         |rk AS (SELECT doc_id, band, k1, k2,
+         |  ROW_NUMBER() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+         |  FROM bands),
+         |capped AS (SELECT doc_id, band, k1, k2 FROM rk
+         |           WHERE rn <= ${graft.operators.Dedup.BandCap})
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_bands
-         |FROM bands l JOIN bands r ON l.band = r.band AND l.k1 = r.k1
+         |FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
          |  AND l.k2 = r.k2 AND l.doc_id < r.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "q40_simhash" ->
@@ -420,6 +448,60 @@ object SparkEntry {
          |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
          |  FROM c) t
          |WHERE rank <= 5""".stripMargin,
+    "q42_knn_ivf" ->
+      s"""WITH $ivfCte,
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, q_emb, n_q, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.q_emb, q.n_q, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
+         |    FROM q, cents c) t
+         |  WHERE rk <= ${graft.operators.Similarity.IvfNprobe}),
+         |cand AS (
+         |  SELECT p.q_id, e.vec_id, p.n_q, e.n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN probes p ON asg.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |c AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |  FROM cand)
+         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |  FROM c) t
+         |WHERE rank <= 5""".stripMargin,
+    // buckets bounded to EmbBucketCap smallest vec_ids — mirrors the
+    // deterministic truncation in Dedup.embeddingNearDupBucketedFor
+    "q52_embed_neardup_bucketed" ->
+      s"""WITH $ivfCte,
+         |ea AS (
+         |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id),
+         |capped AS (SELECT * FROM ea WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dotSql("a.embedding", "b.embedding")} AS dq,
+         |    a.n_emb AS n_a, b.n_emb AS n_b
+         |  FROM capped a JOIN capped b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  CAST(floor(CAST(dq AS DOUBLE) * 1000000.0 /
+         |    (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |FROM p
+         |WHERE CAST(floor(CAST(dq AS DOUBLE) * 1000000.0 /
+         |    (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) >= 400000""".stripMargin,
+    // exact half of the skew profile (count + max of per-key counts);
+    // the GK quantile half stays sketch-only in Profiler.keySkewQuantiles
+    "q56_key_skew_profile" ->
+      """SELECT COUNT(*) AS n_keys, MAX(n) AS max_n
+        |FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey) t""".stripMargin,
     "q43_norm_stats" ->
       s"""SELECT label, COUNT(*) AS n,
          |  CAST(SUM(nq) AS BIGINT) AS sum_norm_q,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -12,12 +13,32 @@ import graft.sources.Tables
   * engine-specific `hash()`.
   *
   * Scale design: every stage is explode → hash-shuffle → aggregate with
-  * map-side combine; candidate generation joins on (block/band, key)
-  * instead of a quadratic cross join, which is what keeps this runnable
-  * at 100 TB. Blocking for the exact-Jaccard variant uses the `source`
-  * column (a realistic pre-partitioner); MinHash-LSH needs no blocking.
+  * map-side combine; candidate generation groups rows by a (block/band,
+  * key) bucket and emits pairs inside each bucket, never a quadratic
+  * cross join. Every bucket is size-bounded BEFORE any per-bucket state
+  * is built (window row_number, sort-based, spills to disk), so one
+  * corpus-frequent shingle or one giant band bucket cannot blow up a
+  * 100 TB run quadratically:
+  *
+  *  - n-gram Jaccard drops shingles whose document frequency exceeds
+  *    [[DfCap]] (an ultra-common shingle carries no dedup signal);
+  *  - LSH band buckets and IVF embedding buckets keep their [[BandCap]] /
+  *    [[EmbBucketCap]] smallest ids (deterministic truncation; members of
+  *    a truncated bucket still pair through their other bands / remain a
+  *    connected near-dup cluster through the kept members).
   */
 object Dedup {
+
+  /** Shingles with document frequency above this are dropped from the
+    * Jaccard intersection (denominator `n_sh` stays the full count).
+    */
+  val DfCap = 50
+
+  /** Max documents kept per LSH band bucket (smallest doc_ids win). */
+  val BandCap = 64
+
+  /** Max vectors compared per IVF bucket (smallest vec_ids win). */
+  val EmbBucketCap = 2048
 
   /** Distinct k-token shingle ARRAY per document (k=3, 1-based indexing so
     * the same expression is portable to the oracle dialect), with the
@@ -34,33 +55,75 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         col("sh_arr"), size(col("sh_arr")).cast("long").as("n_sh"))
 
-  /** Exploded shingle rows (compatibility view of [[docShingles]]). */
+  /** Exploded shingle rows (compatibility view of [[docShingles]]).
+    *
+    * `explode_outer`, deliberately: plain `explode` makes the optimizer
+    * infer a `size(sh_arr) > 0 AND isnotnull(sh_arr)` filter and push it
+    * below the shingle projection with the alias INLINED — whereupon the
+    * `element_at(split(text), i)` lambda re-runs the regex tokenizer once
+    * per array ELEMENT (~50× per document, measured 6 s of 7 at sf0.1).
+    * The outer variant infers no filter, and `sh_arr` is provably
+    * non-empty under the `size(toks) >= k` guard, so the output is
+    * identical.
+    */
   def shingles(df: DataFrame, k: Int = 3): DataFrame =
     docShingles(df, k)
-      .select(col("doc_id"), col("source"), explode(col("sh_arr")).as("sh"))
+      .select(col("doc_id"), col("source"), explode_outer(col("sh_arr")).as("sh"))
 
-  /** 60-bit md5-derived hash of the shingle text: pair joins shuffle and
+  /** 60-bit md5-derived hash of the shingle text: bucket keys shuffle and
     * compare fixed-width longs instead of multi-token strings. Collisions
     * (~n²/2⁶¹) are identical on both engines, so the oracle still matches.
     */
   private val shash: Column =
     expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)")
 
-  /** Pairwise n-gram Jaccard similarity within `source` blocks:
-    * explode shingles (hashed to longs, with `n_sh` carried through) →
-    * join on (source, shash) → |A∩B| per pair → Jaccard in exact ppm.
-    * Returns pairs with J ≥ 0.3. Carrying the per-doc shingle count on
-    * the exploded rows removes the two count-lookup joins the naive plan
-    * needs — one self-join plus one aggregation, total.
+  /** The ONE hashed-shingle relation every shingle-based operator derives
+    * from: (doc_id, source, n_sh, shash). md5 runs exactly once per
+    * (document, distinct shingle), inside the same codegen stage as the
+    * explode; MinHash re-derives its 48-bit base hash from the top bits of
+    * `shash` instead of re-hashing.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    def side(tag: String) =
-      docShingles(Tables.documents(spark, dir))
-        .select(col("source"), col("doc_id").as(s"doc_$tag"),
-          col("n_sh").as(s"n_$tag"), explode(col("sh_arr")).as("sh"))
-        .select(col("source"), col(s"doc_$tag"), col(s"n_$tag"), shash.as("shash"))
-    side("a").join(side("b"), Seq("source", "shash"))
-      .filter(col("doc_a") < col("doc_b"))
+  def hashedShingles(df: DataFrame, k: Int = 3): DataFrame =
+    docShingles(df, k)
+      .select(col("doc_id"), col("source"), col("n_sh"),
+        explode_outer(col("sh_arr")).as("sh")) // outer: see [[shingles]]
+      .select(col("doc_id"), col("source"), col("n_sh"), shash.as("shash"))
+
+  /** Pairwise n-gram Jaccard similarity within `source` blocks, as
+    * bucket-local pair emission: explode hashed shingles → bound each
+    * (source, shash) bucket to [[DfCap]]+1 rows with a sort-spilling
+    * window → collect the (small) per-bucket doc list → emit each
+    * bucket's pairs with an array lambda → count intersections per pair →
+    * Jaccard in exact ppm, J ≥ 0.3.
+    *
+    * One scan, two effective shuffles (bucket key, then pair key) — the
+    * self-join formulation needed the same scan twice plus a join. The
+    * rn ≤ cap+1 pre-truncation means a bucket never materializes more
+    * than cap+1 rows of state, and `size ≤ cap` then drops any bucket
+    * that overflowed — i.e. shingles with df > [[DfCap]] are discarded
+    * with bounded memory, the standard guard against the quadratic
+    * blowup a corpus-frequent shingle causes at 100 TB.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsFor(Tables.documents(spark, dir))
+
+  def ngramJaccardPairsFor(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
+    val hs = hashedShingles(docs)
+    val w = Window.partitionBy(col("source"), col("shash")).orderBy(col("doc_id"))
+    val buckets = hs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= dfCap + 1)
+      .groupBy(col("source"), col("shash"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .filter(size(col("docs")).between(2, dfCap))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(docs, a -> " +
+          "transform(filter(docs, b -> b.doc_id > a.doc_id), " +
+          "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "a.n_sh AS n_a, b.n_sh AS n_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard_ppm", expr("inter * 1000000 DIV (n_a + n_b - inter)"))
@@ -77,24 +140,22 @@ object Dedup {
   val MinhashA: Seq[Long] = Seq(12289L, 12323L, 12373L, 12413L, 12437L, 12451L, 12479L, 12487L)
   val MinhashB: Seq[Long] = (0 until MinhashK).map(i => 1000003L * i + 12345L)
 
-  /** 48-bit md5-derived base hash of a shingle — computed ONCE per shingle
-    * row; the K permutations are affine transforms of it (8× fewer md5
-    * evaluations than hashing per-permutation).
-    */
-  private val baseHash: Column =
-    expr("CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT)")
-
   private def mh(i: Int): Column =
     expr(s"(${MinhashA(i)} * h + ${MinhashB(i)}) % 4294967296")
 
   /** MinHash signatures: K=8 permutations, each the min over the
     * document's shingle set of an affine transform of one shared
     * md5-derived hash. One explode + one groupBy with 8 partial-aggregated
-    * mins — a single shuffle, a single md5 per shingle.
+    * mins — a single shuffle, a single md5 per shingle. The 48-bit base
+    * hash is the top 12 hex digits of [[hashedShingles]]' 60-bit key
+    * (integer-divide by 16³), so no second hash pass.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), baseHash.as("h"))
+    minhashSignaturesFor(Tables.documents(spark, dir))
+
+  def minhashSignaturesFor(docs: DataFrame): DataFrame =
+    hashedShingles(docs)
+      .select(col("doc_id"), expr("shash DIV 4096").as("h"))
       .groupBy(col("doc_id"))
       .agg(
         min(mh(0)).as("mh0"), min(mh(1)).as("mh1"),
@@ -103,13 +164,18 @@ object Dedup {
         min(mh(6)).as("mh6"), min(mh(7)).as("mh7"))
 
   /** Banded LSH over the MinHash signatures: 4 bands × 2 rows. Candidate
-    * pairs are documents sharing ≥1 band key; the band join replaces the
-    * quadratic all-pairs compare (the 100 TB path: shuffle by band key,
-    * pairs only form inside identical-signature buckets). Band keys stay
+    * pairs are documents sharing ≥1 band key, generated by bucket-local
+    * pair emission (shuffle by band key, bound each bucket to [[BandCap]]
+    * members via a sort-spilling window, emit pairs inside the bucket) —
+    * the 100 TB path: no self-join, no unbounded bucket, k²/2 pair
+    * blowup from a popular bucket capped at BandCap²/2. Band keys stay
     * as two long columns — no string concat in the shuffle key.
     */
-  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatePairsFor(Tables.documents(spark, dir))
+
+  def lshCandidatePairsFor(docs: DataFrame, bandCap: Int = BandCap): DataFrame = {
+    val sig = minhashSignaturesFor(docs)
     // one pass over the signatures: explode band structs instead of a
     // 4-way union (which would recompute the signature aggregation once
     // per band)
@@ -123,17 +189,25 @@ object Dedup {
       .select(col("doc_id"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.k1").as("k1"), col("b.k2").as("k2"))
-    val l = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("doc_a"))
-    val r = bands.select(col("band"), col("k1"), col("k2"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "k1", "k2"))
-      .filter(col("doc_a") < col("doc_b"))
+    val w = Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))
+    bands
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bandCap)
+      .groupBy(col("band"), col("k1"), col("k2"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(docs, a -> transform(filter(docs, b -> b > a), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
   /** Embedding-cosine near-duplicates, exact: all vector pairs with
     * quantized cosine ≥ 0.40 (the semantic-dedup baseline). Quadratic in
-    * the table — correct reference for the bucketed variant below.
+    * the table — correct reference for the bucketed variant below; keep
+    * it OFF any default pipeline path.
     */
   def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -156,15 +230,30 @@ object Dedup {
     * per-bucket work after one shuffle on the bucket id. Near-identical
     * vectors share a nearest centroid, so recall on true near-dups is
     * high; verified a superset of exact same-bucket dups in tests.
+    * Buckets are bounded to [[EmbBucketCap]] members (smallest vec_ids,
+    * deterministic) so a degenerate centroid that attracts a huge slice
+    * of the corpus cannot go quadratic.
     */
   def embeddingNearDupBucketed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val dot = graft.functions.GraftFunctions.DotName
     val assign = Similarity.ivfAssignments(spark, dir)
-    val e = Tables.embeddings(spark, dir)
-      .join(assign, "vec_id")
+    val e = Tables.embeddings(spark, dir).join(assign, "vec_id")
+    embeddingNearDupBucketedFor(e)
+  }
+
+  /** Core of the bucketed near-dup compare over (bucket, vec_id,
+    * embedding) rows; requires [[graft.functions.GraftFunctions]]
+    * registered on the session.
+    */
+  def embeddingNearDupBucketedFor(assigned: DataFrame,
+      bucketCap: Int = EmbBucketCap): DataFrame = {
+    val dot = graft.functions.GraftFunctions.DotName
+    val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val e = assigned
       .select(col("bucket"), col("vec_id"), col("embedding"),
         expr(s"$dot(embedding, embedding)").as("nq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap)
     val a = e.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nq").as("n_a"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"),

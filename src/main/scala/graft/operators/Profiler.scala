@@ -40,16 +40,24 @@ object Profiler {
   def heavyHitters(df: DataFrame, column: String, support: Double = 0.01): DataFrame =
     df.stat.freqItems(Array(column), support)
 
-  /** Join-key skew profile: per-key row counts' distribution — the
-    * pre-flight check before a big join. A key whose count dwarfs the
-    * p99 is a salting / AQE-skew-split candidate.
+  /** Join-key skew profile, exact part: key count and hottest-key row
+    * count — the pre-flight check before a big join. Both are exact
+    * aggregates (count + max over per-key counts), so this half is
+    * oracle-checkable cross-engine; the sketch half lives in
+    * [[keySkewQuantiles]].
     */
-  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    counts.agg(
-      count(lit(1)).as("n_keys"),
-      max(col("n")).as("max_n"),
-      percentile_approx(col("n"), lit(0.99), lit(10000)).as("p99_n"),
-      percentile_approx(col("n"), lit(0.5), lit(10000)).as("p50_n"))
-  }
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+
+  /** Join-key skew profile, sketch part: GK-approximate p50/p99 of the
+    * per-key counts. A key whose count dwarfs the p99 is a salting /
+    * AQE-skew-split candidate. Approximate and engine-specific —
+    * accuracy-bounded in ScalaTest rather than oracle-hashed.
+    */
+  def keySkewQuantiles(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(
+        percentile_approx(col("n"), lit(0.5), lit(10000)).as("p50_n"),
+        percentile_approx(col("n"), lit(0.99), lit(10000)).as("p99_n"))
 }

@@ -24,9 +24,30 @@ object TimeLab {
     def cnt(label: String, df: => DataFrame): Unit =
       time(label)(df.write.format("noop").mode("overwrite").save())
 
+    import org.apache.spark.sql.functions._
+    spark.range(1000000L).selectExpr("sum(id)").collect()
     cnt("docs scan", Tables.documents(spark, dir))
+    cnt("docs scan warm", Tables.documents(spark, dir))
+    cnt("tokens only", Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("toks")))
+    cnt("shingle arr no distinct", Tables.documents(spark, dir)
+      .withColumn("toks", graft.operators.TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh_arr", expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
+      .select(col("doc_id"), col("sh_arr")))
     cnt("docShingles", Dedup.docShingles(Tables.documents(spark, dir)))
+    cnt("docShingles warm", Dedup.docShingles(Tables.documents(spark, dir)))
     cnt("shingles exploded", Dedup.shingles(Tables.documents(spark, dir)))
+    cnt("explode after repartition", Dedup.docShingles(Tables.documents(spark, dir))
+      .repartition(32)
+      .select(col("doc_id"), col("source"), explode(col("sh_arr")).as("sh")))
+    val p = Dedup.docShingles(Tables.documents(spark, dir)).persist()
+    p.count()
+    cnt("explode after persist", p.select(col("doc_id"), col("source"), explode(col("sh_arr")).as("sh")))
+    p.unpersist()
+    cnt("hashed shingles", Dedup.hashedShingles(Tables.documents(spark, dir)))
     cnt("minhash signatures", Dedup.minhashSignatures(spark, dir))
     cnt("minhash again (warm)", Dedup.minhashSignatures(spark, dir))
     cnt("lsh candidates", Dedup.lshCandidatePairs(spark, dir))
