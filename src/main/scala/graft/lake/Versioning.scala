@@ -55,7 +55,11 @@ class Versioning(
     version
   }
 
-  /** Version ids for a year, newest first (reference `:88-107`). */
+  /** Version ids for a year, newest first (reference `:88-107`). Sorted
+    * by parsed (stamp, numeric suffix), not raw strings — lexicographic
+    * order would rank `..._2` after `..._10` once same-second suffixes
+    * reach double digits, making cleanup delete the wrong snapshots.
+    */
   def list(year: Int): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(yearDir(year))
     if (!fsOps.fs.exists(dir)) return Nil
@@ -63,7 +67,7 @@ class Versioning(
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("v_"))
-      .sorted(Ordering[String].reverse)
+      .sortBy(Versioning.sortKey)(Ordering[(String, Int)].reverse)
       .toSeq
   }
 
@@ -94,6 +98,16 @@ class Versioning(
 object Versioning {
   val DefaultKeep: Int =
     sys.env.get("KEEP_VERSIONS").flatMap(_.toIntOption).getOrElse(5)
+
+  /** Ordering key for a version id `v_<yyyyMMdd>_<HHmmss>[_<n>]`: the
+    * stamp (its embedded underscore keeps it two parts) plus the numeric
+    * same-second suffix, 1 when absent.
+    */
+  def sortKey(version: String): (String, Int) = {
+    val parts = version.split("_") // ["v", date, time] or ["v", date, time, n]
+    val stamp = parts.slice(1, 3).mkString("_")
+    (stamp, parts.lift(3).flatMap(_.toIntOption).getOrElse(1))
+  }
 
   /** md5-of-path checksum fallback (reference `:168-179`: HDFS file
     * checksums are unavailable on local fs, so the reference hashes the

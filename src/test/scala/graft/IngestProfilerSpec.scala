@@ -79,6 +79,11 @@ class IngestProfilerSpec extends AnyFunSuite {
     val prof = Profiler.keySkewProfile(skewed, "k").collect()(0)
     assert(prof.getLong(prof.fieldIndex("max_n")) == 1000)
     assert(prof.getLong(prof.fieldIndex("n_keys")) == 101)
+    // sketch half: 100 keys at n=1, one at n=1000 — p50 exact-ish, p99
+    // within GK accuracy of either tail value
+    val qs = Profiler.keySkewQuantiles(skewed, "k").collect()(0)
+    assert(qs.getLong(qs.fieldIndex("p50_n")) == 1)
+    assert(Set(1L, 1000L).contains(qs.getLong(qs.fieldIndex("p99_n"))))
   }
 
   test("salted join equals plain join on skewed data") {

@@ -145,4 +145,16 @@ class LakeSpec extends AnyFunSuite {
     v.restore(2023, v2, table, w)
     assert(spark.read.parquet(s"$table/year=2023").count() == 4)
   }
+
+  test("versioning: same-second suffixes order numerically past _9") {
+    val root = tmpDir()
+    // frozen clock: every create lands in the same second → suffixes
+    // _2.._11; lexicographic order would rank _2 above _10/_11
+    val v = new Versioning(fsOps, spark, root, keepVersions = 3,
+      clock = () => 1700000000000L)
+    val ids = (1 to 11).map(_ => v.create(writeDf(1), 2023, "s.csv"))
+    assert(v.list(2023) == ids.reverse)
+    assert(v.cleanup(2023).toSet == ids.dropRight(3).toSet)
+    assert(v.list(2023) == ids.reverse.take(3))
+  }
 }

@@ -48,5 +48,15 @@ class StreamingIngestSpec extends AnyFunSuite {
     // checkpoint never re-reads the first file, so an overwrite would
     // silently drop its rows (3 committed + 3 new = 6)
     assert(spark.read.parquet(s"$base/staging/year=2024").count() == 6)
+
+    // replay idempotence: wipe the checkpoint so the next run re-delivers
+    // EVERY file (the worst-case crash-after-swap replay). The lineage
+    // anti-join must replace the committed rows from the replayed files,
+    // not union duplicates on top of them.
+    fs.delete(s"$base/chk")
+    val q3 = ingest.start(ingest.read(s"$base/raw", schemaDdl))
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$base/staging/year=2024").count() == 6,
+      "replaying committed files must not duplicate rows")
   }
 }
