@@ -26,6 +26,24 @@ object TimeLab {
 
     import org.apache.spark.sql.functions._
     spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    // `relational` mode: time the heavy non-dedup bench queries twice each
+    // (cold = plan + codegen + exec, warm = mostly exec) to localize where
+    // the time goes without rerunning the whole bench.
+    if (args.length > 1 && args(1) == "relational") {
+      for (_ <- 1 to 2) {
+        cnt("q01 pricing", graft.operators.Relational.pricingSummary(spark, dir))
+        cnt("q04 region_revenue", graft.operators.Relational.regionRevenue(spark, dir))
+        cnt("q35 fingerprint", graft.operators.TextOps.fingerprintClusters(spark, dir))
+        cnt("q35 fp scan+md5 only", Tables.documents(spark, dir)
+          .select(graft.operators.TextOps.fingerprint(col("text")).as("fp")))
+        cnt("q35 norm only", Tables.documents(spark, dir)
+          .select(lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("n")))
+        cnt("q58 json_struct", graft.operators.EventsOps.jsonStructParse(spark, dir))
+      }
+      spark.stop()
+      return
+    }
     cnt("docs scan", Tables.documents(spark, dir))
     cnt("docs scan warm", Tables.documents(spark, dir))
     cnt("tokens only", Tables.documents(spark, dir)

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Physical-plan shape assertions for the queries whose 100 TB viability
+  * depends on the plan, not the output: the dedup candidate generators
+  * must compile to bucket-local aggregation pipelines (no join of any
+  * kind), star joins must broadcast every dimension, and ANN must
+  * broadcast the query side instead of shuffling the corpus. Catching a
+  * plan regression here is the point — q37's round-2 3.6× slowdown was
+  * exactly such a shape change, invisible to the correctness oracle.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  private def assertNoJoin(p: String, label: String): Unit =
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct", "BroadcastNestedLoopJoin").foreach { j =>
+      assert(!p.contains(j), s"$label must not contain $j:\n${p.take(2000)}")
+    }
+
+  test("q37 ngram jaccard compiles to a join-free bucket pipeline") {
+    val p = plan(Dedup.ngramJaccardPairs(spark, sf))
+    assertNoJoin(p, "ngramJaccardPairs")
+    // bucket window/agg + pair agg; window and groupBy share the
+    // (source, shash) partitioning so the keys shuffle once each
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q39 lsh candidates compile to a join-free band-bucket pipeline") {
+    val p = plan(Dedup.lshCandidatePairs(spark, sf))
+    assertNoJoin(p, "lshCandidatePairs")
+    // signature agg (doc_id) + band window/agg (band key) + pair agg
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q04 star join broadcasts every dimension, single agg shuffle") {
+    val p = plan(Relational.regionRevenue(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"dimensions must broadcast, not shuffle:\n${p.take(2000)}")
+    assert(shuffles(p) <= 1, s"only the final aggregation may shuffle:\n${p.take(2000)}")
+  }
+
+  test("q41 brute-force knn broadcasts queries; corpus is never shuffled") {
+    val p = plan(Similarity.bruteForceKnn(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must not shuffle for the join:\n${p.take(2000)}")
+    // the only hash shuffle is the per-query top-k window
+    assert(shuffles(p) <= 1, s"expected ≤1 shuffle (rank window):\n${p.take(2000)}")
+  }
+
+  test("q52 bucketed near-dup pairs via a bucket equi-join, never a data×data loop") {
+    val p = plan(Dedup.embeddingNearDupBucketed(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the pair-generating join must be an equi-join keyed on the bucket
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bucket".r
+      .findFirstIn(p).isDefined,
+      s"pair join must key on bucket:\n${p.take(2000)}")
+    // the only nested-loop join allowed is the IVF assignment: corpus ×
+    // broadcast of the FIXED nlist=16 centroid set (map-only, bounded).
+    // It appears once per join side pre-AQE (runtime exchange reuse
+    // dedupes the subtree); what matters is that every nested-loop build
+    // side is the vec_id < nlist centroid filter, never data×data
+    val nlJoins = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlJoins <= 2, s"unexpected nested-loop joins ($nlJoins):\n${p.take(2000)}")
+    if (nlJoins > 0)
+      assert(p.contains(s"vec_id), LessThan(vec_id,${Similarity.IvfNlist})"),
+        s"nested-loop build side must be the bounded centroid set:\n${p.take(3000)}")
+  }
+
+  test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+}
