@@ -99,6 +99,8 @@ object SparkEntry {
         col("meta.mime").as("mime"),
         col("meta.duration_ms").as("duration_ms"))
     }),
+    "q61_incremental_dedup" -> (TextOps.incrementalDedup _),
+    "q62_containment_pairs" -> (Dedup.containmentPairs _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -392,6 +394,31 @@ object SparkEntry {
          |  CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_ppm
          |FROM pairs
          |WHERE inter * 1000000 // (n_a + n_b - inter) >= 300000""".stripMargin,
+    "q61_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id FROM fp
+        |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 5 <> 0)
+        |GROUP BY fp""".stripMargin,
+    // same pair CTE as q37, asymmetric containment projection
+    "q62_containment_pairs" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, source, n_sh, $shashSql AS shash FROM sh),
+         |keep AS (SELECT source, shash FROM hs GROUP BY 1, 2
+         |         HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.Dedup.DfCap}),
+         |hs2 AS (SELECT hs.* FROM hs JOIN keep USING (source, shash)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+         |  FROM hs2 a JOIN hs2 b ON a.source = b.source AND a.shash = b.shash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter * 1000000 // n_a AS BIGINT) AS cont_a_ppm,
+         |  CAST(inter * 1000000 // n_b AS BIGINT) AS cont_b_ppm
+         |FROM pairs
+         |WHERE greatest(inter * 1000000 // n_a, inter * 1000000 // n_b) >= 500000""".stripMargin,
     "q38_minhash_signatures" ->
       s"""WITH $shingleCte,
          |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh)

@@ -107,7 +107,12 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsFor(Tables.documents(spark, dir))
 
-  def ngramJaccardPairsFor(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
+  /** Shared pair-intersection pipeline for the shingle-overlap family:
+    * (doc_a, doc_b, n_a, n_b, inter) for every within-source pair sharing
+    * at least one kept shingle, via bucket-local pair emission (see
+    * [[ngramJaccardPairs]] for the plan rationale and the df-cap guard).
+    */
+  def shingleIntersections(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
     val hs = hashedShingles(docs)
     val w = Window.partitionBy(col("source"), col("shash")).orderBy(col("doc_id"))
     val buckets = hs
@@ -126,10 +131,32 @@ object Dedup {
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def ngramJaccardPairsFor(docs: DataFrame, dfCap: Int = DfCap): DataFrame =
+    shingleIntersections(docs, dfCap)
       .withColumn("jaccard_ppm", expr("inter * 1000000 DIV (n_a + n_b - inter)"))
       .filter(col("jaccard_ppm") >= 300000)
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
-  }
+
+  /** Asymmetric shingle containment (Broder): C(a→b) = |A∩B| / |A|.
+    * Catches the subset near-dups symmetric Jaccard misses — a page
+    * embedded in a larger page, a doc plus boilerplate — the second
+    * standard dedup signal on web corpora. A pair is reported when
+    * EITHER direction's containment clears the threshold; both
+    * directions are returned in exact ppm so the caller can tell which
+    * side is the fragment. Same scale story as [[ngramJaccardPairs]]:
+    * bucket-local pair emission, df-capped, no join.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsFor(Tables.documents(spark, dir))
+
+  def containmentPairsFor(docs: DataFrame, dfCap: Int = DfCap): DataFrame =
+    shingleIntersections(docs, dfCap)
+      .withColumn("cont_a_ppm", expr("inter * 1000000 DIV n_a"))
+      .withColumn("cont_b_ppm", expr("inter * 1000000 DIV n_b"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 500000)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_ppm"), col("cont_b_ppm"))
 
   val MinhashK = 8
 

@@ -135,4 +135,36 @@ object TextOps {
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+
+  /** Incremental exact dedup: the surviving doc_ids of a NEW batch
+    * against an already-curated corpus — the recurring-crawl shape at
+    * 100 TB, where the corpus is orders of magnitude larger than the
+    * batch. A batch row survives iff its normalized-content fingerprint
+    * (a) does not exist in the corpus and (b) is first within the batch
+    * (min doc_id).
+    *
+    * Scale: the corpus side collapses to DISTINCT 16-byte fingerprints
+    * before the anti-join, so the corpus's text never shuffles — only
+    * its hash set. For a recurring pipeline, persist that fingerprint
+    * set bucketed by `fp` ([[graft.lake.Bucketing]]) and the daily
+    * anti-join needs no corpus-side exchange at all.
+    */
+  def dedupAgainstCorpus(newBatch: DataFrame, corpus: DataFrame): DataFrame = {
+    val nb = newBatch.withColumn("fp", fingerprint(col("text")))
+    val seen = corpus.select(fingerprint(col("text")).as("fp")).distinct()
+    nb.join(seen, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+  }
+
+  /** [[dedupAgainstCorpus]] over the documents table, full-re-crawl
+    * shape: the batch is the whole dump, the corpus is the 4/5 already
+    * ingested (`doc_id % 5 <> 0`) — so survivors are exactly the genuinely
+    * new 1/5 plus natural content dups resolved keep-first.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupAgainstCorpus(docs, docs.filter(col("doc_id") % 5 =!= 0))
+  }
 }

@@ -86,4 +86,34 @@ class NorthStarSpec extends AnyFunSuite {
     assert(dupPairs.subsetOf(cands),
       s"missing exact-dup pairs: ${(dupPairs -- cands).take(5)}")
   }
+
+  test("incremental dedup: corpus fingerprints remove re-crawled batch rows") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha   text"), // corpus dup modulo normalization → dropped
+      (11L, "gamma text"),   // new
+      (12L, "gamma  TEXT"),  // within-batch dup of 11 → keep-first
+      (13L, "delta text"))   // new
+      .toDF("doc_id", "text")
+    val survivors = TextOps.dedupAgainstCorpus(batch, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(11L, 13L))
+  }
+
+  test("containment catches a fragment symmetric jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
+    val fragment = (1 to 5).map(i => s"w$i").mkString(" ") // 3, all ⊂ big
+    val docs = Seq((1L, "src0", big), (2L, "src0", fragment))
+      .toDF("doc_id", "source", "text")
+    // jaccard = 3/18 ≈ 0.17 — below the 0.3 near-dup threshold
+    assert(Dedup.ngramJaccardPairsFor(docs).count() == 0)
+    val c = Dedup.containmentPairsFor(docs).collect()
+    assert(c.length == 1)
+    assert(c(0).getLong(0) == 1L && c(0).getLong(1) == 2L)
+    assert(c(0).getLong(3) == 1000000L, "fragment direction is total containment")
+    assert(c(0).getLong(2) < 500000L)
+  }
 }
