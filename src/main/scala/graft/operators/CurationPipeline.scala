@@ -19,10 +19,13 @@ import graft.sources.Tables
   */
 object CurationPipeline {
 
-  /** The curated corpus with provenance columns. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  /** Stateless stage 1: per-document features (fingerprint + the quality
+    * measures). A narrow map — shared verbatim by the batch path and the
+    * streaming twin ([[graft.streaming.DocStream]]).
+    */
+  def withDocFeatures(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    val docs = Tables.documents(spark, dir)
+    docs
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -31,20 +34,31 @@ object CurationPipeline {
         length(regexp_replace(col("text"), "\\s", "")).cast("long"))
       .withColumn("n_stop",
         size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast("long"))
-    // keep-first within each duplicate cluster
-    val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val deduped = docs.join(keepers, Seq("fp", "doc_id"))
-    // quality gate: same bucket rule as TextOps.qualityBuckets
-    val gated = deduped
+  }
+
+  /** Stateless stage 2: the quality gate (same bucket rule as
+    * `TextOps.qualityBuckets`) + deterministic split — narrow maps over
+    * [[withDocFeatures]] output, batch/streaming agnostic.
+    */
+  def gateAndSplit(featured: DataFrame): DataFrame = {
+    val gated = featured
       .withColumn("bucket",
         when(col("n_tokens") < 10, "too_short")
           .when(expr("n_stop * 1000000 DIV n_tokens") > 400000, "boilerplate")
           .when(expr("char_total * 1000000 DIV n_tokens") > 9000000, "garbled")
           .otherwise("ok"))
       .filter(col("bucket") === "ok")
-    // deterministic split
     Sampling.split(gated, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"))
+  }
+
+  /** The curated corpus with provenance columns. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withDocFeatures(Tables.documents(spark, dir))
+    // keep-first within each duplicate cluster
+    val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = docs.join(keepers, Seq("fp", "doc_id"))
+    gateAndSplit(deduped)
   }
 
   /** Curation summary — the graded rollup: per (split, lang), surviving

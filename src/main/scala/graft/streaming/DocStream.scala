@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.CurationPipeline
+
+/** Streaming document curation — the continuous-ingest twin of the batch
+  * [[graft.operators.CurationPipeline]]: a crawler drops document files
+  * into a landing directory, and the stream fingerprints, dedupes,
+  * quality-gates and split-assigns them incrementally.
+  *
+  * The stateless stages (features, gate, split) are the SAME code as the
+  * batch path (`CurationPipeline.withDocFeatures` / `gateAndSplit`), so
+  * the two cannot drift. The only semantic difference is dedup: batch
+  * keep-first picks the global min doc_id per fingerprint, while the
+  * stream keeps the FIRST ARRIVAL within the watermark horizon —
+  * `dropDuplicatesWithinWatermark` keyed on the fingerprint, so dedup
+  * state is evicted as the watermark advances instead of growing with
+  * corpus size. At 100 TB that bound is the difference between a
+  * feasible operator and an unbounded state store; exact cross-horizon
+  * dedup belongs to the batch path ([[graft.operators.TextOps
+  * .dedupAgainstCorpus]] against the already-curated corpus).
+  */
+object DocStream {
+
+  /** Landing-file schema: the documents table plus the ingest timestamp
+    * (microseconds) the crawler stamps on each row.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ingest_us", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** File-source stream over a landing directory of document parquet
+    * files. `maxFilesPerTrigger=1` keeps micro-batches file-sized, so a
+    * burst of crawler output cannot produce an oversized batch.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ingest_us")))
+
+  /** The curated append stream: watermarked fingerprint dedup (bounded
+    * state, first-arrival-wins) then the shared stateless gate + split.
+    */
+  def curateStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val featured = CurationPipeline.withDocFeatures(docs)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+    CurationPipeline.gateAndSplit(featured)
+  }
+}

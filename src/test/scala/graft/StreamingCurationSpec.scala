@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CurationPipeline
+import graft.streaming.{DocStream, EventsStream}
+
+/** The streaming curation path must agree with the batch path on the
+  * same landing data: same survivors, same split assignment. The only
+  * allowed divergence is dedup policy (batch = global min doc_id,
+  * stream = first arrival within the watermark), so the fixture makes
+  * the keeper both smaller-id and earlier-arriving.
+  */
+class StreamingCurationSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  private val good1 =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+  private val good2 =
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+  private val good3 =
+    "whiskey xray yankee zulu apple banana cherry damson elder fig grape"
+
+  test("streaming curation matches batch curation on the same landing dir") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("doc_stream").toFile
+    val landing = new java.io.File(root, "documents.parquet")
+
+    // file 1 (earlier mtime): two good docs + one too-short (gate drop)
+    Seq(
+      (1L, 1000L * 1000000, good1, "en", "src0"),
+      (2L, 1001L * 1000000, good2, "en", "src0"),
+      (3L, 1002L * 1000000, "too short", "en", "src0"))
+      .toDF("doc_id", "ingest_us", "text", "lang", "source")
+      .coalesce(1).write.mode("append").parquet(landing.getPath)
+    Thread.sleep(1500) // distinct mtimes → deterministic file order
+    // file 2 (later): a re-crawl dup of doc 1 (same fp modulo
+    // normalization) + one new good doc
+    Seq(
+      (10L, 2000L * 1000000, good1.toUpperCase + "  ", "en", "src0"),
+      (4L, 2001L * 1000000, good3, "th", "src1"))
+      .toDF("doc_id", "ingest_us", "text", "lang", "source")
+      .coalesce(1).write.mode("append").parquet(landing.getPath)
+
+    val batch = CurationPipeline.curate(spark, root.getPath)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+
+    val q = EventsStream.runToMemory(
+      DocStream.curateStream(DocStream.read(spark, landing.getPath)),
+      "doc_curated")
+    val streamed = spark.table("doc_curated")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    q.stop()
+
+    assert(batch == streamed,
+      s"batch=$batch stream=$streamed must agree")
+    assert(streamed.map(_._1) == Set(1L, 2L, 4L),
+      "dup 10 deduped against 1, short 3 gated out")
+  }
+}
