@@ -78,8 +78,19 @@ case class QuantizedDot(left: Expression, right: Expression)
 /** Session-scoped registration of the engine's native functions. */
 object GraftFunctions {
   val DotName = "graft_quantized_dot"
+  val Md5PrefixName = "graft_md5_prefix"
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => QuantizedDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Md5PrefixName, exprs => {
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"$Md5PrefixName(str, nHex): nHex must be an INT literal, got $other")
+        }
+        Md5PrefixLong(exprs(0), n)
+      }, "scala_udf")
+  }
 }

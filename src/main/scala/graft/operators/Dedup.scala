@@ -73,9 +73,12 @@ object Dedup {
   /** 60-bit md5-derived hash of the shingle text: bucket keys shuffle and
     * compare fixed-width longs instead of multi-token strings. Collisions
     * (~n²/2⁶¹) are identical on both engines, so the oracle still matches.
+    * Computed by the native [[graft.functions.Md5PrefixLong]] — same
+    * value as the oracle's `conv(substr(md5(sh), 1, 15), 16, 10)`, minus
+    * the hex-string round-trip on the hottest scalar in the engine.
     */
   private val shash: Column =
-    expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)")
+    expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 15)")
 
   /** The ONE hashed-shingle relation every shingle-based operator derives
     * from: (doc_id, source, n_sh, shash). md5 runs exactly once per
@@ -83,11 +86,13 @@ object Dedup {
     * explode; MinHash re-derives its 48-bit base hash from the top bits of
     * `shash` instead of re-hashing.
     */
-  def hashedShingles(df: DataFrame, k: Int = 3): DataFrame =
+  def hashedShingles(df: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     docShingles(df, k)
       .select(col("doc_id"), col("source"), col("n_sh"),
         explode_outer(col("sh_arr")).as("sh")) // outer: see [[shingles]]
       .select(col("doc_id"), col("source"), col("n_sh"), shash.as("shash"))
+  }
 
   /** Pairwise n-gram Jaccard similarity within `source` blocks, as
     * bucket-local pair emission: explode hashed shingles → bound each
@@ -302,9 +307,10 @@ object Dedup {
     * partial-aggregated sums (no per-bit row blowup).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val tv = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("tv", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("tv", expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(tok, 8)"))
     val votes = (0 until SimhashBits).map { b =>
       sum(expr(s"2 * (shiftright(tv, $b) & 1) - 1")).as(s"s$b")
     }

@@ -16,21 +16,26 @@ object Sampling {
   val Buckets = 1000000L
 
   /** Stable per-key bucket in [0, 1e6): md5 of the key column's string
-    * form, first 8 hex chars, mod 1e6. `keyCol` must be a plain column
-    * name (it is spliced into a SQL expression).
+    * form, first 8 hex chars, mod 1e6 — via the native
+    * [[graft.functions.Md5PrefixLong]] (same value as the oracle's
+    * `conv(substr(md5(..), 1, 8), 16, 10)`). `keyCol` must be a plain
+    * column name (it is spliced into a SQL expression).
     */
   def hashBucket(keyCol: String): Column =
-    expr(s"CAST(conv(substr(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) AS BIGINT)") % Buckets
+    expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(CAST($keyCol AS STRING), 8)") % Buckets
 
   /** Keep ~`rate` of rows, deterministically by key. */
-  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.filter(hashBucket(keyCol) < (rate * Buckets).toLong)
+  }
 
   /** Stratified train/val/test assignment by key hash: 0=train 1=val
     * 2=test with the given ppm-exact boundaries.
     */
   def split(df: DataFrame, keyCol: String,
       trainRate: Double = 0.8, valRate: Double = 0.1): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val b = hashBucket(keyCol)
     val t1 = (trainRate * Buckets).toLong
     val t2 = ((trainRate + valRate) * Buckets).toLong
