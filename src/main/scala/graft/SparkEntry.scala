@@ -101,6 +101,8 @@ object SparkEntry {
     }),
     "q61_incremental_dedup" -> (TextOps.incrementalDedup _),
     "q62_containment_pairs" -> (Dedup.containmentPairs _),
+    "q63_winnow_profile" -> (TextOps.winnowProfile _),
+    "q64_winnow_overlap" -> (TextOps.winnowOverlapPairs _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -134,6 +136,27 @@ object SparkEntry {
   // 60-bit shingle hash used as the Jaccard pair-join key — mirrors Dedup.shash
   private val shashSql =
     "CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)"
+
+  // winnowed fingerprints: k=5 char-gram polynomial hash (base 257,
+  // mod 2^31-1; powers 257^4..257^0 inlined — sums stay < 2^54, exact),
+  // min per w=4 window, distinct — mirrors functions.WinnowedFingerprints
+  // over TextOps.winnowFps's normalization
+  private val winnowCte =
+    raw"""norm AS (SELECT doc_id, source,
+         |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+         |    FROM documents),
+         |g AS (SELECT doc_id, source,
+         |    list_transform(generate_series(1, length(t) - 4),
+         |      i -> (ascii(substr(t, i, 1)) * 4362470401
+         |          + ascii(substr(t, i+1, 1)) * 16974593
+         |          + ascii(substr(t, i+2, 1)) * 66049
+         |          + ascii(substr(t, i+3, 1)) * 257
+         |          + ascii(substr(t, i+4, 1))) % 2147483647) AS hs
+         |    FROM norm),
+         |f AS (SELECT doc_id, source,
+         |    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+         |      i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3]))) AS fps
+         |    FROM g)""".stripMargin
   // quantized dot product of two float lists — mirrors Similarity.dotQ
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> " +
@@ -419,6 +442,31 @@ object SparkEntry {
          |  CAST(inter * 1000000 // n_b AS BIGINT) AS cont_b_ppm
          |FROM pairs
          |WHERE greatest(inter * 1000000 // n_a, inter * 1000000 // n_b) >= 500000""".stripMargin,
+    // winnowing (SIGMOD'03): polynomial rolling hash over normalized
+    // char 5-grams mod 2^31-1 (exact integer math both engines), min per
+    // 4-window, distinct — mirrors functions.WinnowedFingerprints
+    "q63_winnow_profile" ->
+      s"""WITH $winnowCte
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM f WHERE len(fps) > 0""".stripMargin,
+    "q64_winnow_overlap" ->
+      s"""WITH $winnowCte,
+         |e AS (SELECT doc_id, source, CAST(len(fps) AS BIGINT) AS n_fp,
+         |      unnest(fps) AS fp FROM f),
+         |keep AS (SELECT source, fp FROM e GROUP BY 1, 2
+         |         HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.Dedup.DfCap}),
+         |e2 AS (SELECT e.* FROM e JOIN keep USING (source, fp)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.n_fp AS n_a, b.n_fp AS n_b, COUNT(*) AS shared
+         |  FROM e2 a JOIN e2 b ON a.source = b.source AND a.fp = b.fp
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  CAST(shared * 1000000 // least(n_a, n_b) AS BIGINT) AS score_ppm
+         |FROM p
+         |WHERE shared * 1000000 // least(n_a, n_b) >= ${graft.operators.TextOps.WinnowScorePpm}""".stripMargin,
     "q38_minhash_signatures" ->
       s"""WITH $shingleCte,
          |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh)

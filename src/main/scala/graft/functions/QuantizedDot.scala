@@ -79,18 +79,24 @@ case class QuantizedDot(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_quantized_dot"
   val Md5PrefixName = "graft_md5_prefix"
+  val WinnowName = "graft_winnow"
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal, got $other")
+  }
 
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => QuantizedDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Md5PrefixName, exprs => {
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"$Md5PrefixName(str, nHex): nHex must be an INT literal, got $other")
-        }
-        Md5PrefixLong(exprs(0), n)
-      }, "scala_udf")
+      Md5PrefixName, exprs =>
+        Md5PrefixLong(exprs(0), intLit(exprs(1), Md5PrefixName, "nHex")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WinnowName, exprs => WinnowedFingerprints(exprs(0),
+        intLit(exprs(1), WinnowName, "k"), intLit(exprs(2), WinnowName, "w")),
+      "scala_udf")
   }
 }

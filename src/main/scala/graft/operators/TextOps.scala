@@ -167,4 +167,68 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     dedupAgainstCorpus(docs, docs.filter(col("doc_id") % 5 =!= 0))
   }
+
+  // --- winnowed rolling-hash fingerprints (SIGMOD'03 winnowing) ---
+
+  val WinnowK = 5
+  val WinnowW = 4
+  /** Report a pair when shared/min(n_fp) clears this (ppm). */
+  val WinnowScorePpm = 500000L
+
+  /** Sorted distinct winnowed fingerprints of the normalized text — the
+    * native O(n) rolling-hash [[graft.functions.WinnowedFingerprints]]
+    * over the same whitespace/case normalization as [[fingerprint]].
+    */
+  def winnowFps(c: Column): Column =
+    call_function(graft.functions.GraftFunctions.WinnowName,
+      lower(regexp_replace(trim(c), "\\s+", " ")), lit(WinnowK), lit(WinnowW))
+
+  /** Per-document winnow profile (q63): fingerprint count and range.
+    * Docs too short to fingerprint (< k+w-1 normalized chars) drop out.
+    */
+  def winnowProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), winnowFps(col("text")).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+  }
+
+  /** Winnow-overlap pairs (q64, the MOSS shape): documents in the same
+    * source whose shared fingerprint count is ≥ [[WinnowScorePpm]] of
+    * the smaller document's fingerprint set — local substring overlap
+    * that token-shingle Jaccard dilutes away on long documents. Same
+    * 100 TB plan as the shingle family: bucket-local pair emission on
+    * (source, fp) with the document-frequency cap, no join.
+    */
+  def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val dfCap = Dedup.DfCap
+    val e = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), winnowFps(col("text")).as("fps"))
+      .select(col("doc_id"), col("source"),
+        size(col("fps")).cast("long").as("n_fp"),
+        explode_outer(col("fps")).as("fp")) // outer: see Dedup.shingles
+      .filter(col("fp").isNotNull)
+    val w = Window.partitionBy(col("source"), col("fp")).orderBy(col("doc_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= dfCap + 1)
+      .groupBy(col("source"), col("fp"))
+      .agg(collect_list(struct(col("doc_id"), col("n_fp"))).as("docs"))
+      .filter(size(col("docs")).between(2, dfCap))
+      .select(explode(expr(
+        "flatten(transform(docs, a -> " +
+          "transform(filter(docs, b -> b.doc_id > a.doc_id), " +
+          "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "a.n_fp AS n_a, b.n_fp AS n_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("score_ppm", expr("shared * 1000000 DIV least(n_a, n_b)"))
+      .filter(col("score_ppm") >= WinnowScorePpm)
+      .select(col("doc_a"), col("doc_b"), col("score_ppm"))
+  }
 }
