@@ -84,4 +84,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q64 winnow overlap compiles to a join-free bucket pipeline") {
+    val p = plan(graft.operators.TextOps.winnowOverlapPairs(spark, sf))
+    assertNoJoin(p, "winnowOverlapPairs")
+    // (source, fp) bucket window/agg share one shuffle + pair agg
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
 }
