@@ -103,6 +103,7 @@ object SparkEntry {
     "q62_containment_pairs" -> (Dedup.containmentPairs _),
     "q63_winnow_profile" -> (TextOps.winnowProfile _),
     "q64_winnow_overlap" -> (TextOps.winnowOverlapPairs _),
+    "q65_stratified_mix" -> (Sampling.stratifiedMix _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -665,6 +666,18 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 1000000 < 100000""".stripMargin,
+    "q65_stratified_mix" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 AS bucket
+        |  FROM documents),
+        |k AS (SELECT lang, COUNT(*) AS n_kept FROM b
+        |      WHERE bucket < CASE WHEN lang = 'en' THEN 250000 ELSE 1000000 END
+        |      GROUP BY 1),
+        |t AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1)
+        |SELECT t.lang, t.n_total, COALESCE(k.n_kept, 0) AS n_kept
+        |FROM t LEFT JOIN k USING (lang)""".stripMargin,
     "q49_split_distribution" ->
       """WITH b AS (
         |  SELECT lang,

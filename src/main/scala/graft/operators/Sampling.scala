@@ -55,4 +55,37 @@ object Sampling {
     split(Tables.documents(spark, dir), "doc_id")
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n"))
+
+  /** Stratified sampling with PER-STRATUM rates — the corpus-mixing op:
+    * down-weight over-represented strata (a dominant language, a crawl
+    * source) to a target mix without a shuffle. Each row's keep/drop is
+    * the same key-hash filter as [[sampleByHash]], just with the
+    * threshold looked up from its stratum — still a narrow map, still
+    * deterministic under any partitioning, still join-free (the rate
+    * table rides along as a literal CASE, never a join at 100 TB).
+    * Strata absent from `rates` keep `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val threshold = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(keyCol) < threshold)
+  }
+
+  /** q65: language rebalancing of the documents corpus — keep 25% of
+    * `en` (the dominant stratum) and everything else, reported as the
+    * per-language before/after mix.
+    */
+  def stratifiedMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sampled = stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.25))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -72,4 +72,26 @@ class RangeSamplingSpec extends AnyFunSuite {
     assert(byS.keySet == Set("train", "val", "test"))
     assert(byS("train") > byS("val") && byS("train") > byS("test"))
   }
+
+  test("stratified sampling applies per-stratum rates and leaves the rest intact") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.25))
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-target strata pass through untouched
+    (before.keySet - "en").foreach { l => assert(after(l) == before(l), l) }
+    // the down-weighted stratum lands near 25%, and is a strict subset
+    val rate = after.getOrElse("en", 0L).toDouble / before("en")
+    assert(rate > 0.10 && rate < 0.40, s"en rate=$rate")
+    val kept = mixed.filter($"lang" === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.filter($"lang" === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(all))
+    // same hash, same keys: rerun keeps the identical subset
+    val again = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.25))
+      .filter($"lang" === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
 }
