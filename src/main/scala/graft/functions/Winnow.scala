@@ -95,7 +95,12 @@ object WinnowedFingerprints {
       i += 1
     }
 
-    val out = new java.util.TreeSet[java.lang.Long]()
+    // collect window minima allocation-free: adjacent windows usually
+    // share their minimum, so skip consecutive repeats as they're
+    // produced, then sort + dedup in place (no boxed TreeSet)
+    val mins = new Array[Long](nWin)
+    var nMins = 0
+    var prev = -1L // hashes are in [0, Mod), so -1 never matches
     var wStart = 0
     while (wStart < nWin) {
       var m = hs(wStart)
@@ -104,13 +109,18 @@ object WinnowedFingerprints {
         if (hs(wStart + j) < m) m = hs(wStart + j)
         j += 1
       }
-      out.add(m)
+      if (m != prev) { mins(nMins) = m; nMins += 1; prev = m }
       wStart += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var oi = 0
-    while (it.hasNext) { arr(oi) = it.next(); oi += 1 }
-    new GenericArrayData(arr)
+    java.util.Arrays.sort(mins, 0, nMins)
+    var nOut = 0
+    var mi = 0
+    while (mi < nMins) {
+      if (nOut == 0 || mins(mi) != mins(nOut - 1)) {
+        mins(nOut) = mins(mi); nOut += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, nOut))
   }
 }

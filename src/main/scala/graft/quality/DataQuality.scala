@@ -110,9 +110,12 @@ object DataQuality {
   def checkRemainingMonotonic(
       df: DataFrame, totalCol: String = "total_amount"): CheckResult = {
     // secondary sort makes tied months deterministic (late-data rebuilds
-    // can carry duplicate dates). Window is global like the reference's —
-    // the gated unit is one year's file (~tens of rows), never a big scan.
-    val w = Window.orderBy(col("date"), col(totalCol))
+    // can carry duplicate dates). Partitioned by the date's year: the
+    // reference gates one year-file at a time, so per-year windows keep
+    // its semantics while avoiding a single-task global sort if the gate
+    // is ever pointed at a multi-year (or 100 TB) table.
+    val w = Window.partitionBy(substring(col("date"), 1, 4))
+      .orderBy(col("date"), col(totalCol))
     val bad = df
       .filter(col("details") === "remaining" && col("date").rlike(MonthRe))
       .withColumn("__prev", lag(col(totalCol), 1).over(w))

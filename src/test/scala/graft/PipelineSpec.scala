@@ -121,4 +121,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!r3.fatalFailed)
     assert(r3.warnings.map(_.name) == Seq("tolerance/total-amount"))
   }
+
+  test("monotonic check windows per year: budget reset at the year " +
+      "boundary is not a violation, an in-year increase still is") {
+    import spark.implicits._
+    // 2023 decreases cleanly; 2024 opens higher (new budget) — fine
+    val reset = Seq(
+      ("2023-11", "remaining", 200.0, 100.0, 100.0),
+      ("2023-12", "remaining", 150.0, 75.0, 75.0),
+      ("2024-01", "remaining", 900.0, 450.0, 450.0),
+      ("2024-02", "remaining", 850.0, 425.0, 425.0)
+    ).toDF("date", "details", "total_amount", "a", "b")
+    assert(DataQuality.checkRemainingMonotonic(reset).passed,
+      "cross-year increase must not warn")
+    // same data plus an in-year increase in 2024 — must still warn
+    val inYear = reset.union(Seq(
+      ("2024-03", "remaining", 870.0, 435.0, 435.0)
+    ).toDF("date", "details", "total_amount", "a", "b"))
+    val r = DataQuality.checkRemainingMonotonic(inYear)
+    assert(!r.passed && r.messages.exists(_.contains("2024-03")))
+  }
 }

@@ -85,6 +85,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q62 containment pairs compile to a join-free bucket pipeline") {
+    val p = plan(Dedup.containmentPairs(spark, sf))
+    assertNoJoin(p, "containmentPairs")
+    // shares q37's capped shingle-intersection pipeline: bucket
+    // window/agg on (source, shash) + pair agg
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q60 curation pipeline is two shuffles end-to-end") {
+    val p = plan(graft.operators.CurationPipeline.curationSummary(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // shuffle 1: the fingerprint groupBy (keeper selection); shuffle 2:
+    // the (split, lang) rollup. The keeper join itself broadcasts —
+    // keepers is an aggregate of 16-byte fps, small relative to docs
+    assert(p.contains("BroadcastHashJoin"),
+      s"keeper join must broadcast:\n${p.take(2000)}")
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
   test("q64 winnow overlap compiles to a join-free bucket pipeline") {
     val p = plan(graft.operators.TextOps.winnowOverlapPairs(spark, sf))
     assertNoJoin(p, "winnowOverlapPairs")

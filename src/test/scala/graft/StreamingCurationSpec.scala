@@ -35,7 +35,8 @@ class StreamingCurationSpec extends AnyFunSuite {
       (3L, 1002L * 1000000, "too short", "en", "src0"))
       .toDF("doc_id", "ingest_us", "text", "lang", "source")
       .coalesce(1).write.mode("append").parquet(landing.getPath)
-    Thread.sleep(1500) // distinct mtimes → deterministic file order
+    def partFiles() = landing.listFiles().filter(_.getName.endsWith(".parquet"))
+    val firstBatch = partFiles().map(_.getName).toSet
     // file 2 (later): a re-crawl dup of doc 1 (same fp modulo
     // normalization) + one new good doc
     Seq(
@@ -43,6 +44,14 @@ class StreamingCurationSpec extends AnyFunSuite {
       (4L, 2001L * 1000000, good3, "th", "src1"))
       .toDF("doc_id", "ingest_us", "text", "lang", "source")
       .coalesce(1).write.mode("append").parquet(landing.getPath)
+    // pin mtimes explicitly (not Thread.sleep): coarse-granularity
+    // filesystems could otherwise give both files the same timestamp and
+    // flip the file source's arrival order
+    val t0 = System.currentTimeMillis() - 60000
+    partFiles().foreach { f =>
+      assert(f.setLastModified(
+        if (firstBatch(f.getName)) t0 else t0 + 10000))
+    }
 
     val batch = CurationPipeline.curate(spark, root.getPath)
       .collect().map(r => (r.getLong(0), r.getString(3))).toSet
