@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Dedup, EventsOps, Relational, Reshape, Sampling, Scalars, SetOps, Similarity, TextOps}
+import graft.operators.{AsOf, CorpusPrep, Dedup, EventsOps, Relational, Reshape, Sampling, Scalars, SetOps, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -105,6 +105,10 @@ object SparkEntry {
     "q63_winnow_profile" -> (TextOps.winnowProfile _),
     "q64_winnow_overlap" -> (TextOps.winnowOverlapPairs _),
     "q65_stratified_mix" -> (Sampling.stratifiedMix _),
+    "q66_repetition_profile" -> (CorpusPrep.repetitionProfile _),
+    "q67_tfidf_top_terms" -> ((s, d) => CorpusPrep.tfidfTopTerms(s, d)),
+    "q68_sequence_packing" -> (CorpusPrep.sequencePacking _),
+    "q69_exact_median" -> (Relational.exactMedianByPriority _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -753,5 +757,71 @@ object SparkEntry {
         |       ELSE 'video/mp4' END AS mime,
         |  CAST(n_chars * 40 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+    "q66_repetition_profile" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE len($toks) >= 2),
+         |t AS (
+         |  SELECT doc_id, 't' AS kind, unnest(toks) AS v FROM f
+         |  UNION ALL
+         |  SELECT doc_id, 'b' AS kind,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS v
+         |  FROM f),
+         |c AS (SELECT doc_id, kind, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2, 3),
+         |a AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN kind = 't' THEN cnt END) AS BIGINT) AS n_tokens,
+         |    CAST(MAX(CASE WHEN kind = 't' THEN cnt END) AS BIGINT) AS top_tok,
+         |    CAST(SUM(CASE WHEN kind = 't' THEN 1 END) AS BIGINT) AS n_distinct,
+         |    CAST(SUM(CASE WHEN kind = 'b' THEN cnt END) AS BIGINT) AS n_bigrams,
+         |    CAST(MAX(CASE WHEN kind = 'b' THEN cnt END) AS BIGINT) AS top_bigram
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  top_tok * 1000000 // n_tokens AS top_tok_ppm,
+         |  top_bigram * 1000000 // n_bigrams AS top_bigram_ppm,
+         |  n_distinct * 1000000 // n_tokens AS distinct_ppm
+         |FROM a""".stripMargin,
+    "q67_tfidf_top_terms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents) x
+         |  GROUP BY 1, 2),
+         |d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf),
+         |r AS (SELECT doc_id, token,
+         |        CAST(tf * 1000000 // df AS BIGINT) AS score_ppm,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY tf * 1000000 // df DESC, token ASC) AS rank
+         |      FROM d)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score_ppm
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q68_sequence_packing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, COALESCE(CAST(SUM(n_tokens) OVER (
+         |        PARTITION BY source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |        0) AS cum_before
+         |      FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |  cum_before // 512 AS start_seq,
+         |  (cum_before + n_tokens - 1) // 512 AS end_seq,
+         |  cum_before % 512 AS start_offset
+         |FROM c""".stripMargin,
+    "q69_exact_median" ->
+      s"""WITH p AS (
+         |  SELECT o_orderpriority, ${cents("o_totalprice")} AS price_c
+         |  FROM orders),
+         |w AS (SELECT o_orderpriority, price_c,
+         |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |          ORDER BY price_c) AS rn,
+         |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         |      FROM p)
+         |SELECT o_orderpriority,
+         |  CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 THEN price_c ELSE 0 END) +
+         |       SUM(CASE WHEN rn = (cnt + 2) // 2 THEN price_c ELSE 0 END)
+         |    AS BIGINT) AS median_x2_c
+         |FROM w GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-preparation operators for an LLM training-data pipeline:
+  * repetition-based quality signals, rarity-weighted term extraction,
+  * and token-budget sequence packing.
+  *
+  * Everything stays on codegen'd built-ins and quantizes ratios to
+  * parts-per-million integers (see [[Determinism]]) so results
+  * hash-match the DuckDB oracle exactly.
+  */
+object CorpusPrep {
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    * use duplicate-line and duplicate-n-gram fractions as quality
+    * filters; with single-line synthetic docs the token and bigram forms
+    * carry the same signal):
+    *
+    *  - `top_tok_ppm`     — occurrences of the most frequent token / n_tokens
+    *  - `top_bigram_ppm`  — occurrences of the most frequent bigram / n_bigrams
+    *  - `distinct_ppm`    — distinct tokens / n_tokens (type-token ratio)
+    *
+    * Plan: tokens and bigrams are concatenated into ONE exploded
+    * relation tagged by kind, so the whole operator is a single
+    * explode → two-level aggregation — two shuffles, map-side combine on
+    * both, no self-join. At 100 TB the (doc_id, kind, v) key is near-
+    * unique per document so partial aggregation collapses almost
+    * everything before the exchange.
+    */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    repetitionProfileFor(Tables.documents(spark, dir))
+
+  def repetitionProfileFor(docs: DataFrame): DataFrame = {
+    val both = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        // kind 't' = each token; kind 'b' = each adjacent bigram
+        "concat(" +
+          "transform(toks, t -> struct('t' AS kind, t AS v)), " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct('b' AS kind, concat_ws(' ', element_at(toks, i), " +
+          "element_at(toks, i + 1)) AS v)))")).as("e"))
+      .select(col("doc_id"), col("e.kind").as("kind"), col("e.v").as("v"))
+    both
+      .groupBy(col("doc_id"), col("kind"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("kind") === "t", col("cnt"))).as("n_tokens"),
+        max(when(col("kind") === "t", col("cnt"))).as("top_tok"),
+        sum(when(col("kind") === "t", 1L)).as("n_distinct"),
+        sum(when(col("kind") === "b", col("cnt"))).as("n_bigrams"),
+        max(when(col("kind") === "b", col("cnt"))).as("top_bigram"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("top_tok * 1000000 DIV n_tokens").as("top_tok_ppm"),
+        expr("top_bigram * 1000000 DIV n_bigrams").as("top_bigram_ppm"),
+        expr("n_distinct * 1000000 DIV n_tokens").as("distinct_ppm"))
+  }
+
+  /** Rarity-weighted top terms per document — the tf-idf shape with the
+    * idf's corpus-size constant dropped (it cannot change the ranking):
+    * score = tf · 10⁶ / df, top 3 terms per document, ties broken
+    * alphabetically.
+    *
+    * Plan: explode → tf aggregation on (doc_id, token); df via a count
+    * window over the token partition (reuses the aggregated relation, no
+    * second scan or join); top-k via row_number over the doc partition.
+    * Three shuffles, each on a high-cardinality key — the standard
+    * scalable shape for corpus term weighting.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfTopTermsFor(Tables.documents(spark, dir), k)
+
+  def tfidfTopTermsFor(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    val ranked = withDf
+      .withColumn("score_ppm", expr("tf * 1000000 DIV df"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm").desc, col("token").asc)))
+      .filter(col("rank") <= k)
+    ranked.select(col("doc_id"), col("rank").cast("long").as("rank"),
+      col("token"), col("score_ppm"))
+  }
+
+  /** Tokens per packed training sequence. */
+  val PackBudget = 512L
+
+  /** Token-budget sequence packing (concat-and-chunk): documents are
+    * concatenated in doc_id order within each source shard and cut into
+    * fixed [[PackBudget]]-token sequences; each document reports the
+    * sequence it starts in, the sequence it ends in, and its token
+    * offset in the first one — exactly the map a training-data writer
+    * needs to emit packed sequences without materializing them.
+    *
+    * Plan: one running-sum window per source partition. Packing is
+    * embarrassingly parallel across shards (a source never crosses a
+    * bin), which is how a 100 TB corpus packs on 1000 executors — the
+    * only sequential dependency is within one shard's window, and AQE
+    * splits skewed shards' sort spills, not the window semantics.
+    */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame =
+    sequencePackingFor(Tables.documents(spark, dir))
+
+  def sequencePackingFor(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_before DIV $PackBudget").as("start_seq"),
+        expr(s"(cum_before + n_tokens - 1) DIV $PackBudget").as("end_seq"),
+        expr(s"cum_before % $PackBudget").as("start_offset"))
+  }
+}

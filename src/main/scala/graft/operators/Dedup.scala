@@ -206,21 +206,28 @@ object Dedup {
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     lshCandidatePairsFor(Tables.documents(spark, dir))
 
-  def lshCandidatePairsFor(docs: DataFrame, bandCap: Int = BandCap): DataFrame = {
+  /** (doc_id, band, k1, k2) band-key rows for every document — the LSH
+    * bucket relation, exposed for [[lshCandidatePairsFor]] and the
+    * scale-rehearsal cap diagnostics. One pass over the signatures:
+    * explode band structs instead of a 4-way union (which would
+    * recompute the signature aggregation once per band).
+    */
+  def lshBandKeys(docs: DataFrame): DataFrame = {
     val sig = minhashSignaturesFor(docs)
-    // one pass over the signatures: explode band structs instead of a
-    // 4-way union (which would recompute the signature aggregation once
-    // per band)
     val bandStructs = array((0 until MinhashK / 2).map { bandIdx =>
       struct(
         lit(bandIdx).as("band"),
         col(s"mh${2 * bandIdx}").as("k1"),
         col(s"mh${2 * bandIdx + 1}").as("k2"))
     }: _*)
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.k1").as("k1"), col("b.k2").as("k2"))
+  }
+
+  def lshCandidatePairsFor(docs: DataFrame, bandCap: Int = BandCap): DataFrame = {
+    val bands = lshBandKeys(docs)
     val w = Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))
     bands
       .withColumn("rn", row_number().over(w))

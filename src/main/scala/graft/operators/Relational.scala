@@ -209,4 +209,35 @@ object Relational {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
+
+  /** Exact grouped median, distributed (the A-family percentile upgrade):
+    * emitted as 2×median in integer cents so the even-count case (mean
+    * of the two middle values) stays exact — no floating interpolation
+    * to drift between engines. Two windows over the same (group, value)
+    * sort order pick the middle row(s); summing the low- and high-middle
+    * cases counts an odd group's single middle twice, which IS 2×median.
+    *
+    * Scale: one hash shuffle on the group key, then a sort within each
+    * group partition (spill-safe). No global sort, no collect — unlike
+    * `percentile_approx` this is exact, and unlike a naive
+    * `sort + limit` it works per-group in one pass.
+    */
+  def exactMedianByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cts = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+    // ties in price_c make row_number's choice among equal rows arbitrary,
+    // but the VALUES at the middle positions are unaffected — equal rows
+    // carry equal values, so the median is deterministic
+    val rn = row_number().over(w.orderBy(col("price_c")))
+    cts
+      .withColumn("rn", rn)
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("lo", expr("(cnt + 1) DIV 2"))
+      .withColumn("hi", expr("(cnt + 2) DIV 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(when(col("rn") === col("lo"), col("price_c")).otherwise(0L)) +
+        sum(when(col("rn") === col("hi"), col("price_c")).otherwise(0L)))
+        .as("median_x2_c"))
+  }
 }

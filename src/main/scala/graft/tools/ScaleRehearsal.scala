@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Scale-rehearsal tooling: synthesize an sf1-equivalent (10×) corpus
+  * from the sf0.1 testdata and report the cap-truncation diagnostics the
+  * dedup family's 100 TB story rests on.
+  *
+  * Synthesis preserves the STRUCTURE of the workload rather than copying
+  * rows verbatim — verbatim replicas would make every document an exact
+  * duplicate of its 9 clones, turning the near-dup pair space quadratic
+  * in the replication factor and measuring a workload that never occurs:
+  *
+  *  - documents: every token gets a per-replica suffix, so replica
+  *    shingle/token/minhash spaces are disjoint. Per-(source, shingle)
+  *    document frequency — the quantity [[Dedup.DfCap]] bounds — is
+  *    unchanged; the number of buckets grows 10×. That is exactly the
+  *    "more shards, same density" shape of a larger crawl.
+  *  - embeddings: each replica's vector is the original rotated by k
+  *    positions — norm-preserving (same quantized self-dot) but
+  *    direction-changing, so replicas land in different IVF buckets
+  *    instead of stacking 10 exact copies into one.
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleRehearsal scale <srcDir> <outDir> <factor>
+  *   runMain graft.tools.ScaleRehearsal caps <dir>
+  */
+object ScaleRehearsal {
+
+  /** doc_id/vec_id shift per replica; far above any testdata id. */
+  val IdShift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    args.toList match {
+      case "scale" :: src :: out :: factor :: Nil =>
+        scaleUp(spark, src, out, factor.toInt)
+      case "caps" :: dir :: Nil =>
+        capReport(spark, dir)
+      case other =>
+        System.err.println(s"unknown args: $other"); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def replicate(base: DataFrame, factor: Int)(
+      replica: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(k => replica(base, k)).reduce(_.unionAll(_))
+
+  def scaleUp(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val docs = replicate(Tables.documents(spark, src), factor) { (df, k) =>
+      val text =
+        if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1" + s"x$k")
+      df.select(
+        (col("doc_id") + lit(k * IdShift)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val embs = replicate(Tables.embeddings(spark, src), factor) { (df, k) =>
+      val n = 64 // testdata embedding dim
+      val rot =
+        if (k == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${k % n} + 1, $n - ${k % n}), " +
+          s"slice(embedding, 1, ${k % n}))")
+      df.select(
+        (col("vec_id") + lit(k * IdShift)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }
+    embs.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    println(s"[scale] wrote ${factor}x documents+embeddings to $out")
+  }
+
+  /** How often each dedup-family cap actually truncates: the 100 TB
+    * claim is "bounded state per bucket"; this measures how much signal
+    * the bound discards at the rehearsal scale.
+    */
+  def capReport(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+
+    val shingleBuckets = Dedup.hashedShingles(docs)
+      .groupBy(col("source"), col("shash")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("df") > Dedup.DfCap, 1L).otherwise(0L)).as("over_df_cap"),
+        max(col("df")).as("max_df"))
+      .first()
+    println(s"[caps] shingle buckets=${shingleBuckets.getLong(0)} " +
+      s"over_DfCap(${Dedup.DfCap})=${shingleBuckets.getLong(1)} " +
+      s"max_df=${shingleBuckets.getLong(2)}")
+
+    val bands = Dedup.lshBandKeys(docs)
+      .groupBy(col("band"), col("k1"), col("k2")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") > Dedup.BandCap, 1L).otherwise(0L)).as("over_band_cap"),
+        max(col("n")).as("max_bucket"))
+      .first()
+    println(s"[caps] lsh band buckets=${bands.getLong(0)} " +
+      s"over_BandCap(${Dedup.BandCap})=${bands.getLong(1)} " +
+      s"max_bucket=${bands.getLong(2)}")
+
+    val emb = graft.operators.Similarity.ivfAssignments(spark, dir)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") > Dedup.EmbBucketCap, 1L).otherwise(0L)).as("over_emb_cap"),
+        max(col("n")).as("max_bucket"))
+      .first()
+    println(s"[caps] ivf buckets=${emb.getLong(0)} " +
+      s"over_EmbBucketCap(${Dedup.EmbBucketCap})=${emb.getLong(1)} " +
+      s"max_bucket=${emb.getLong(2)}")
+  }
+}

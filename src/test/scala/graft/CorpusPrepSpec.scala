@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusPrep, Relational}
+
+/** Semantics of the corpus-preparation operators on hand-computed
+  * fixtures (the oracle gate covers the full-table runs; these pin the
+  * arithmetic: exact ppm values, bin boundaries, median middle-rows).
+  */
+class CorpusPrepSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("repetition profile: hand-computed ppm values") {
+    // "a a a b": 4 tokens, top token a×3; bigrams [a a, a a, a b] top 2/3;
+    // distinct {a,b} 2/4
+    val out = CorpusPrep.repetitionProfileFor(docs((1L, "a a a b", "s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 4L, 750000L, 666666L, 500000L)))
+  }
+
+  test("repetition profile: single-token docs drop out") {
+    val out = CorpusPrep.repetitionProfileFor(
+      docs((1L, "only", "s"), (2L, "a b", "s")))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("tfidf: rare terms outrank common ones, ties break alphabetically") {
+    // "rare" df=1, "common" df=3 → doc 1's top term is rare (tf=1, 1e6/1)
+    val out = CorpusPrep.tfidfTopTermsFor(docs(
+      (1L, "common rare", "s"),
+      (2L, "common zebra", "s"),
+      (3L, "common apple", "s")), k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "rare", 1000000L), (2L, "zebra", 1000000L), (3L, "apple", 1000000L)))
+  }
+
+  test("sequence packing: bin spans and offsets at the 512 boundary") {
+    val many = ("w " * 500).trim   // 500 tokens
+    val twenty = ("x " * 20).trim  // 20 tokens
+    val sixHundred = ("y " * 600).trim
+    val out = CorpusPrep.sequencePackingFor(docs(
+      (1L, many, "s"), (2L, twenty, "s"), (3L, sixHundred, "s")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 500L, 0L, 0L, 0L),    // [0, 500) inside seq 0
+      (2L, 20L, 0L, 1L, 500L),   // [500, 520) straddles the 512 cut
+      (3L, 600L, 1L, 2L, 8L)))   // [520, 1120) spans seqs 1-2
+  }
+
+  test("sequence packing never crosses sources") {
+    val out = CorpusPrep.sequencePackingFor(docs(
+      (1L, ("a " * 600).trim, "s1"), (2L, "b b", "s2")))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // doc 2 starts a fresh packing in its own source despite doc 1's spill
+    assert(out.toSeq == Seq((1L, 0L, 1L, 0L), (2L, 0L, 0L, 0L)))
+  }
+
+  test("exact median: odd and even group sizes") {
+    val orders = Seq(
+      // odd group: 3 values, median 20.00 → x2 = 4000 cents
+      (1L, "P1", 10.0), (2L, "P1", 20.0), (3L, "P1", 70.0),
+      // even group: middles 20.00 and 30.00 → x2 = 5000 cents
+      (4L, "P2", 10.0), (5L, "P2", 20.0), (6L, "P2", 30.0), (7L, "P2", 99.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Determinism.cents
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+    val out = orders
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rn", row_number().over(w.orderBy(col("price_c"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("lo", expr("(cnt + 1) DIV 2"))
+      .withColumn("hi", expr("(cnt + 2) DIV 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(when(col("rn") === col("lo"), col("price_c")).otherwise(0L)) +
+        sum(when(col("rn") === col("hi"), col("price_c")).otherwise(0L)))
+        .as("median_x2_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("P1" -> 4000L, "P2" -> 5000L))
+  }
+
+  test("exact median over the orders table matches percentile_cont") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Relational.exactMedianByPriority(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    import org.apache.spark.sql.functions._
+    import graft.operators.Determinism.cents
+    val expect = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(price_c, 0.5) * 2").as("m2"))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1)))).toMap
+    assert(got == expect)
+  }
+}
