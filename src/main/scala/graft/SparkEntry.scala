@@ -109,6 +109,7 @@ object SparkEntry {
     "q67_tfidf_top_terms" -> ((s, d) => CorpusPrep.tfidfTopTerms(s, d)),
     "q68_sequence_packing" -> (CorpusPrep.sequencePacking _),
     "q69_exact_median" -> (Relational.exactMedianByPriority _),
+    "q70_dedup_components" -> (Dedup.dedupComponents _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -182,6 +183,28 @@ object SparkEntry {
        |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
        |    FROM e, cents c) t
        |  WHERE rk = 1)""".stripMargin
+  // minhash → bands → capped buckets → candidate pairs — the full q39
+  // pipeline as CTEs, shared by q39 itself and q70's component closure
+  private val lshPairsCtes =
+    s"""$shingleCte,
+       |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
+       |  FROM hh GROUP BY doc_id),
+       |bands AS (
+       |${(0 until 4).map(b =>
+          s"  SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
+          .mkString("\n  UNION ALL\n")}),
+       |rk AS (SELECT doc_id, band, k1, k2,
+       |  ROW_NUMBER() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
+       |  FROM bands),
+       |capped AS (SELECT doc_id, band, k1, k2 FROM rk
+       |           WHERE rn <= ${graft.operators.Dedup.BandCap}),
+       |lsh_pairs AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_bands
+       |  FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
+       |    AND l.k2 = r.k2 AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
   private val langScores =
     """len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS score_en,
       |    len(list_filter(toks, t -> t IN ('el','la','de','y'))) AS score_es,
@@ -484,24 +507,18 @@ object SparkEntry {
          |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
          |FROM hh GROUP BY doc_id""".stripMargin,
     "q39_lsh_candidates" ->
-      s"""WITH $shingleCte,
-         |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh),
-         |sig AS (SELECT doc_id,
-         |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
-         |  FROM hh GROUP BY doc_id),
-         |bands AS (
-         |${(0 until 4).map(b =>
-            s"  SELECT doc_id, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
-            .mkString("\n  UNION ALL\n")}),
-         |rk AS (SELECT doc_id, band, k1, k2,
-         |  ROW_NUMBER() OVER (PARTITION BY band, k1, k2 ORDER BY doc_id) AS rn
-         |  FROM bands),
-         |capped AS (SELECT doc_id, band, k1, k2 FROM rk
-         |           WHERE rn <= ${graft.operators.Dedup.BandCap})
-         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_bands
-         |FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
-         |  AND l.k2 = r.k2 AND l.doc_id < r.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $lshPairsCtes
+         |SELECT doc_a, doc_b, n_bands FROM lsh_pairs""".stripMargin,
+    "q70_dedup_components" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc)
+         |SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+         |FROM reach GROUP BY doc""".stripMargin,
     "q40_simhash" ->
       s"""WITH tv AS (
          |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS tv

@@ -306,6 +306,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_ppm"))
   }
 
+  /** Connected components over a near-dup candidate pair graph — the
+    * step that turns PAIRS into dedup CLUSTERS: each document is labeled
+    * with the smallest doc_id reachable through any chain of candidate
+    * pairs (so `component` is also the keep-first survivor id for the
+    * whole cluster).
+    *
+    * Algorithm: hash-min label propagation — every iteration each vertex
+    * takes the min of its own and its neighbors' labels, as one join +
+    * one partial-aggregated groupBy, with `localCheckpoint` truncating
+    * the lineage between rounds. Converges in O(cluster diameter)
+    * iterations; near-dup clusters are shallow (stars around a canonical
+    * document), so 3-4 rounds in practice. For adversarially long chain
+    * graphs at 100 TB, swap the per-round step for large-star/small-star
+    * (Kiveris et al. 2014) — same join-aggregate shape, O(log n) rounds;
+    * the driver loop and convergence check here carry over unchanged.
+    * The convergence check is a `limit 1` existence probe, not a count.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // materialize: the pair pipeline must not rerun per round
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges.withColumnRenamed("dst", "doc")
+        .join(labels, "doc")
+        .select(col("src").as("doc"), col("label"))
+      val next = labels.select(col("doc"), col("label")).union(viaNeighbor)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.select(col("doc"), col("label").as("old")), "doc")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("doc").as("doc_id"), col("label").as("component"))
+  }
+
+  /** [[connectedComponents]] over the LSH candidate pairs (q39): the
+    * standard minhash-LSH dedup endgame — signatures → banded candidate
+    * pairs → clusters with a canonical survivor per cluster.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(lshCandidatePairs(spark, dir))
+
   val SimhashBits = 32
 
   /** 32-bit SimHash: every token occurrence votes ±1 on each bit of its

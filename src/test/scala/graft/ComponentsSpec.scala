@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Hash-min connected components: label propagation over candidate-pair
+  * graphs of the shapes dedup actually produces (stars, chains, multiple
+  * clusters), including multi-hop convergence.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint clusters keep separate min labels") {
+    assert(cc((1L, 2L), (2L, 3L), (10L, 11L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("chain graph needs multi-hop propagation to reach the far end") {
+    // 9-8, 8-7, ..., 2-1: label 1 must travel 8 hops
+    val chain = (1L to 8L).map(i => (i, i + 1))
+    val got = cc(chain: _*)
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("star with the canonical doc NOT the hub") {
+    // hub 5 connects 6,7,8 and also 1: whole star collapses to 1
+    assert(cc((5L, 6L), (5L, 7L), (5L, 8L), (1L, 5L)) ==
+      Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
+
+  test("component ids are the keep-first survivors of the LSH clusters") {
+    val comps = Dedup.dedupComponents(spark, "/root/testdata/sf0.001")
+    val byComp = comps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2)
+    // every component's label is its own minimum member
+    byComp.foreach { case (label, members) =>
+      assert(members.map(_._1).min == label)
+    }
+    // and members exactly cover the docs that appear in candidate pairs
+    val pairDocs = Dedup.lshCandidatePairs(spark, "/root/testdata/sf0.001")
+      .select("doc_a").union(
+        Dedup.lshCandidatePairs(spark, "/root/testdata/sf0.001").select("doc_b"))
+      .as[Long].collect().toSet
+    assert(comps.select("doc_id").as[Long].collect().toSet == pairDocs)
+  }
+}

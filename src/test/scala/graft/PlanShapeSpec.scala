@@ -111,4 +111,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // (source, fp) bucket window/agg share one shuffle + pair agg
     assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
   }
+
+  test("q66 repetition profile is one explode + two agg shuffles, no join") {
+    val p = plan(graft.operators.CorpusPrep.repetitionProfile(spark, sf))
+    assertNoJoin(p, "repetitionProfile")
+    // (doc_id, kind, v) agg then doc_id agg
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q68 sequence packing is a single per-source window shuffle") {
+    val p = plan(graft.operators.CorpusPrep.sequencePacking(spark, sf))
+    assertNoJoin(p, "sequencePacking")
+    assert(shuffles(p) <= 1, s"expected ≤1 shuffle (source window):\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"packing must not globally sort or single-partition:\n${p.take(2000)}")
+  }
+
+  test("q55 checked profile avoids the Expand multi-distinct plan") {
+    val p = plan(graft.operators.Profiler.cardinalityProfileChecked(
+      spark, sf, "orders"))
+    assert(!p.contains("Expand"),
+      s"exact NDV must use the narrow pair pipeline, not Expand:\n${p.take(2000)}")
+  }
 }
