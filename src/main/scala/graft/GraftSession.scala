@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(master: String = "local[*]", cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
     SparkSession.builder()
+      // native expressions registered through the extensions hook: they
+      // reach every derived session (incl. Thrift-served ones), not just
+      // the ones that call GraftFunctions.ensureRegistered
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)

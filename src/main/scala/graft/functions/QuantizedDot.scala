@@ -87,16 +87,28 @@ object GraftFunctions {
       s"$fn: $arg must be an INT literal, got $other")
   }
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, exprs => QuantizedDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Md5PrefixName, exprs =>
-        Md5PrefixLong(exprs(0), intLit(exprs(1), Md5PrefixName, "nHex")),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      WinnowName, exprs => WinnowedFingerprints(exprs(0),
-        intLit(exprs(1), WinnowName, "k"), intLit(exprs(2), WinnowName, "w")),
-      "scala_udf")
+  private def builderOf(name: String): Seq[Expression] => Expression = name match {
+    case DotName => exprs => QuantizedDot(exprs(0), exprs(1))
+    case Md5PrefixName => exprs =>
+      Md5PrefixLong(exprs(0), intLit(exprs(1), Md5PrefixName, "nHex"))
+    case WinnowName => exprs => WinnowedFingerprints(exprs(0),
+      intLit(exprs(1), WinnowName, "k"), intLit(exprs(2), WinnowName, "w"))
   }
+
+  /** The injectable descriptions for [[GraftExtensions]]. */
+  def descriptions: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    Seq(DotName, Md5PrefixName, WinnowName).map { name =>
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftFunctions", name),
+        builderOf(name))
+    }
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    Seq(DotName, Md5PrefixName, WinnowName).foreach { name =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builderOf(name), "scala_udf")
+    }
 }
