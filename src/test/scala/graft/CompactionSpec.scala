@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{Compaction, LakeFs}
+
+/** Compaction: many small files → few right-sized files, atomically,
+  * with the sorted layout making per-file min/max stats selective.
+  */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private def freshLake(): (String, Compaction, LakeFs) = {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val fs = LakeFs.local()
+    (s"$root/t", new Compaction(fs, spark), fs)
+  }
+
+  /** 40 tiny files in year=2024 via repartition(40). */
+  private def seedSmallFiles(tableDir: String): Unit =
+    spark.range(0, 20000)
+      .select(col("id").as("user_id"),
+        (col("id") * 7919 % 1000).as("v"))
+      .repartition(40)
+      .write.mode("overwrite").parquet(s"$tableDir/year=2024")
+
+  test("plan inventories partitions from listing metadata") {
+    val (t, c, _) = freshLake()
+    seedSmallFiles(t)
+    val plans = c.plan(t, targetBytes = 1L << 30)
+    assert(plans.size == 1)
+    assert(plans.head.nFiles == 40)
+    assert(plans.head.targetFiles == 1)
+    assert(plans.head.worthCompacting)
+  }
+
+  test("compaction rewrites to the planned file count, same rows") {
+    val (t, c, fs) = freshLake()
+    seedSmallFiles(t)
+    val before = spark.read.parquet(s"$t/year=2024")
+      .agg(count(lit(1)), sum("v")).first()
+    c.compactYear(t, 2024, targetBytes = 1L << 30)
+    val files = fs.lsRecursive(s"$t/year=2024").filter(_.endsWith(".parquet"))
+    assert(files.size == 1, s"expected 1 file, got ${files.size}")
+    val after = spark.read.parquet(s"$t/year=2024")
+      .agg(count(lit(1)), sum("v")).first()
+    assert(before == after)
+    // no _tmp/_old leftovers: the swap completed
+    assert(!fs.exists(s"$t/year=2024_tmp") && !fs.exists(s"$t/year=2024_old"))
+  }
+
+  test("sorted layout yields near-disjoint per-file user_id ranges") {
+    val (t, c, fs) = freshLake()
+    seedSmallFiles(t) // user_id scattered across all 40 files
+    // force 4 output files regardless of byte size to observe the ranges
+    val bytes = fs.lsRecursive(s"$t/year=2024").filter(_.endsWith(".parquet"))
+      .map(f => fs.fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    c.compactYear(t, 2024, targetBytes = bytes / 4, sortCols = Seq("user_id"))
+    val ranges = spark.read.parquet(s"$t/year=2024")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2)
+    // range-partitioned: consecutive files must not interleave
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+}
