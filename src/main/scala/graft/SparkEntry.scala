@@ -110,6 +110,7 @@ object SparkEntry {
     "q68_sequence_packing" -> (CorpusPrep.sequencePacking _),
     "q69_exact_median" -> (Relational.exactMedianByPriority _),
     "q70_dedup_components" -> (Dedup.dedupComponents _),
+    "q71_exact_deciles" -> (Relational.exactDecilesByPriority _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -840,5 +841,21 @@ object SparkEntry {
          |       SUM(CASE WHEN rn = (cnt + 2) // 2 THEN price_c ELSE 0 END)
          |    AS BIGINT) AS median_x2_c
          |FROM w GROUP BY 1""".stripMargin,
+    "q71_exact_deciles" ->
+      s"""WITH p AS (
+         |  SELECT o_orderpriority, ${cents("o_totalprice")} AS price_c
+         |  FROM orders),
+         |r AS (SELECT o_orderpriority, price_c,
+         |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |          ORDER BY price_c) AS rn
+         |      FROM p),
+         |c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM p GROUP BY 1),
+         |pos AS (SELECT o_orderpriority, d AS decile,
+         |          (cnt - 1) * d // 10 + 1 AS pos
+         |        FROM c, (SELECT unnest(range(1, 10)) AS d) ds)
+         |SELECT r.o_orderpriority, CAST(decile AS BIGINT) AS decile,
+         |  price_c AS value_c
+         |FROM r JOIN pos ON r.o_orderpriority = pos.o_orderpriority
+         |  AND r.rn = pos.pos""".stripMargin,
   )
 }

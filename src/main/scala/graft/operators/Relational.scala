@@ -240,4 +240,31 @@ object Relational {
         sum(when(col("rn") === col("hi"), col("price_c")).otherwise(0L)))
         .as("median_x2_c"))
   }
+
+  /** Exact per-group deciles (d1–d9), distributed — the full-profile
+    * generalization of [[exactMedianByPriority]], lower-value quantile
+    * definition (position = (n−1)·d/10 + 1, integer floor) so every
+    * reported value is an actual data value, no interpolation.
+    *
+    * Plan: one ranked window per group + a tiny (groups × 9) broadcast
+    * positions relation joined on the group key — the rank side
+    * shuffles once; the positions side never exceeds 9 rows per group.
+    * This is what `percentile_approx` trades away: same shuffle count,
+    * exact answers.
+    */
+  def exactDecilesByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cts = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+    val ranked = cts.withColumn("rn", row_number().over(
+      Window.partitionBy(col("o_orderpriority")).orderBy(col("price_c"))))
+    val positions = cts.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("o_orderpriority"),
+        explode(sequence(lit(1), lit(9))).as("decile"), col("cnt"))
+      .withColumn("pos", expr("(cnt - 1) * decile DIV 10 + 1"))
+    ranked.join(broadcast(positions), Seq("o_orderpriority"))
+      .where(col("rn") === col("pos"))
+      .select(col("o_orderpriority"), col("decile").cast("long").as("decile"),
+        col("price_c").as("value_c"))
+  }
 }

@@ -87,6 +87,24 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out == Map("P1" -> 4000L, "P2" -> 5000L))
   }
 
+  test("exact deciles: hand-computed positions on 1..11") {
+    val orders = (1L to 11L).map(i => (i, "P", i.toDouble))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.write.mode("overwrite").parquet("/tmp/graft-deciles/orders.parquet")
+    val out = Relational.exactDecilesByPriority(spark, "/tmp/graft-deciles")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // position(d) = (11-1)*d/10 + 1 = d+1 → value (d+1)*100 cents
+    assert(out.toSeq == (1L to 9L).map(d => (d, (d + 1) * 100L)))
+  }
+
+  test("exact deciles broadcast the positions side") {
+    val p = Relational.exactDecilesByPriority(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"positions must broadcast:\n${p.take(2000)}")
+  }
+
   test("exact median over the orders table matches percentile_cont") {
     val dir = "/root/testdata/sf0.001"
     val got = Relational.exactMedianByPriority(spark, dir)
