@@ -779,13 +779,16 @@ object SparkEntry {
       s"""WITH f AS (
          |  SELECT doc_id, $toks AS toks FROM documents
          |  WHERE len($toks) >= 2),
-         |t AS (
-         |  SELECT doc_id, 't' AS kind, unnest(toks) AS v FROM f
+         |t0 AS (
+         |  SELECT doc_id, 't' AS kind, unnest(toks) AS vs FROM f
          |  UNION ALL
          |  SELECT doc_id, 'b' AS kind,
          |    unnest(list_transform(range(1, len(toks)),
-         |      i -> toks[i] || ' ' || toks[i + 1])) AS v
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS vs
          |  FROM f),
+         |t AS (SELECT doc_id, kind,
+         |        CAST(concat('0x', substr(md5(vs), 1, 15)) AS BIGINT) AS v
+         |      FROM t0),
          |c AS (SELECT doc_id, kind, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2, 3),
          |a AS (SELECT doc_id,
          |    CAST(SUM(CASE WHEN kind = 't' THEN cnt END) AS BIGINT) AS n_tokens,

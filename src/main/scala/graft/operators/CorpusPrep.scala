@@ -36,6 +36,7 @@ object CorpusPrep {
     repetitionProfileFor(Tables.documents(spark, dir))
 
   def repetitionProfileFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val both = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 2)
@@ -46,7 +47,11 @@ object CorpusPrep {
           "transform(sequence(1, size(toks) - 1), " +
           "i -> struct('b' AS kind, concat_ws(' ', element_at(toks, i), " +
           "element_at(toks, i + 1)) AS v)))")).as("e"))
-      .select(col("doc_id"), col("e.kind").as("kind"), col("e.v").as("v"))
+      // shuffle a fixed-width 60-bit hash of the term, not the string
+      // itself (same trick as the shingle family; collisions ~n²/2⁶¹ and
+      // identical on both engines, so counts — and the oracle — agree)
+      .select(col("doc_id"), col("e.kind").as("kind"),
+        expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(e.v, 15)").as("v"))
     both
       .groupBy(col("doc_id"), col("kind"), col("v"))
       .agg(count(lit(1)).as("cnt"))
