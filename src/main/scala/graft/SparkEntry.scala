@@ -111,6 +111,7 @@ object SparkEntry {
     "q69_exact_median" -> (Relational.exactMedianByPriority _),
     "q70_dedup_components" -> (Dedup.dedupComponents _),
     "q71_exact_deciles" -> (Relational.exactDecilesByPriority _),
+    "q72_doc_chunks" -> (CorpusPrep.docChunks _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -860,5 +861,20 @@ object SparkEntry {
          |  price_c AS value_c
          |FROM r JOIN pos ON r.o_orderpriority = pos.o_orderpriority
          |  AND r.rn = pos.pos""".stripMargin,
+    "q72_doc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents),
+         |x AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(0, (n - 1) // ${graft.operators.CorpusPrep.ChunkStride} + 1),
+         |    j -> struct_pack(chunk_id := CAST(j AS BIGINT),
+         |      c := toks[j * ${graft.operators.CorpusPrep.ChunkStride} + 1 :
+         |             j * ${graft.operators.CorpusPrep.ChunkStride} +
+         |             ${graft.operators.CorpusPrep.ChunkSize}]))) AS e
+         |  FROM d WHERE n >= 1)
+         |SELECT doc_id, e.chunk_id AS chunk_id,
+         |  CAST(len(e.c) AS BIGINT) AS n_ctoks,
+         |  md5(array_to_string(e.c, ' ')) AS chunk_md5
+         |FROM x""".stripMargin,
   )
 }

@@ -98,6 +98,39 @@ object CorpusPrep {
       col("token"), col("score_ppm"))
   }
 
+  /** Chunk size / stride (tokens) for [[docChunks]]. Stride < size →
+    * consecutive chunks overlap by `ChunkSize - ChunkStride` tokens.
+    */
+  val ChunkSize = 128
+  val ChunkStride = 96
+
+  /** Overlapping fixed-size token windows per document — the
+    * retrieval/context-prep chunking stage: chunk j covers tokens
+    * [j·stride, j·stride + size), chunks start while j·stride < n, the
+    * last chunk may be short. Emitted as (doc_id, chunk_id, token
+    * count, md5 of the chunk text) so the result is compact and
+    * hash-matchable; a writer variant would carry the token slice
+    * itself.
+    *
+    * Plan: one array-lambda projection + explode — zero shuffles, pure
+    * map-side work that scales with scan parallelism.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunksFor(Tables.documents(spark, dir))
+
+  def docChunksFor(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (n - 1) DIV $ChunkStride), " +
+          s"j -> struct(CAST(j AS BIGINT) AS chunk_id, " +
+          s"slice(toks, j * $ChunkStride + 1, $ChunkSize) AS c))")).as("e"))
+      .select(col("doc_id"), col("e.chunk_id").as("chunk_id"),
+        size(col("e.c")).cast("long").as("n_ctoks"),
+        md5(concat_ws(" ", col("e.c"))).as("chunk_md5"))
+
   /** Tokens per packed training sequence. */
   val PackBudget = 512L
 

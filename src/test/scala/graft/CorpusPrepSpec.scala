@@ -63,6 +63,30 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 1L, 0L), (2L, 0L, 0L, 0L)))
   }
 
+  test("doc chunks: stride-96 windows of 128 with a short tail") {
+    // 200 distinct tokens t0..t199
+    val text = (0 until 200).map(i => s"t$i").mkString(" ")
+    val out = CorpusPrep.docChunksFor(docs((1L, text, "s")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.map(c => (c._1, c._2)).toSeq ==
+      Seq((0L, 128L), (1L, 104L), (2L, 8L))) // starts 0, 96, 192
+    // overlap region: chunk 0's tokens 96..127 == chunk 1's first 32 —
+    // verified via the digests of the expected slices
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0)._3 == h((0 until 128).map(i => s"t$i").mkString(" ")))
+    assert(out(1)._3 == h((96 until 200).map(i => s"t$i").mkString(" ")))
+    assert(out(2)._3 == h((192 until 200).map(i => s"t$i").mkString(" ")))
+  }
+
+  test("doc chunks: a single-token doc yields one one-token chunk") {
+    val out = CorpusPrep.docChunksFor(docs((1L, "only", "s")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+
   test("exact median: odd and even group sizes") {
     val orders = Seq(
       // odd group: 3 values, median 20.00 → x2 = 4000 cents
