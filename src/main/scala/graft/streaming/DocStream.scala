@@ -54,4 +54,27 @@ object DocStream {
       .dropDuplicatesWithinWatermark("fp")
     CurationPipeline.gateAndSplit(featured)
   }
+
+  /** [[curateStream]] plus dedup against an ALREADY-CURATED static
+    * corpus — the streaming twin of
+    * [[graft.operators.TextOps.dedupAgainstCorpus]], via Spark's
+    * stream–static anti-join: the corpus collapses to its distinct
+    * 16-byte fingerprint set once (batch side, broadcast or bucketed at
+    * scale), and each micro-batch anti-joins against it with NO
+    * streaming state — re-crawls of corpus content never reach the
+    * in-stream dedup window, whose state stays bounded by the watermark
+    * as before.
+    */
+  def curateStreamAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val corpusFps = corpus
+      .select(graft.operators.TextOps.fingerprint(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .distinct()
+    val fresh = CurationPipeline.withDocFeatures(docs)
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+    CurationPipeline.gateAndSplit(fresh)
+  }
 }

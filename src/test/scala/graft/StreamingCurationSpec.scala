@@ -68,4 +68,34 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 2L, 4L),
       "dup 10 deduped against 1, short 3 gated out")
   }
+
+  test("stream-static anti-join drops re-crawls of the curated corpus") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("doc_stream_corpus").toFile
+    val landing = new java.io.File(root, "landing")
+    landing.mkdirs()
+    // static corpus already contains good1 (different id / case / spacing
+    // — fingerprint-normalized dup)
+    val corpus = Seq((100L, good1.toUpperCase + " ", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // arriving batch: a corpus re-crawl (drop), a fresh doc (keep), and
+    // an in-stream dup pair (first arrival wins)
+    Seq(
+      (1L, 1000L * 1000000, good1, "en", "src0"),
+      (2L, 1001L * 1000000, good2, "en", "src0"),
+      (3L, 1002L * 1000000, good2 + " ", "en", "src0"))
+      .toDF("doc_id", "ingest_us", "text", "lang", "source")
+      .coalesce(1).write.mode("append").parquet(landing.getPath)
+
+    val q = EventsStream.runToMemory(
+      DocStream.curateStreamAgainstCorpus(
+        DocStream.read(spark, landing.getPath), corpus),
+      "doc_curated_corpus")
+    try {
+      val survivors = spark.table("doc_curated_corpus")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(2L),
+        "corpus re-crawl 1 dropped, in-stream dup 3 dropped, 2 kept")
+    } finally q.stop()
+  }
 }
