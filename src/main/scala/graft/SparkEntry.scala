@@ -112,6 +112,7 @@ object SparkEntry {
     "q70_dedup_components" -> (Dedup.dedupComponents _),
     "q71_exact_deciles" -> (Relational.exactDecilesByPriority _),
     "q72_doc_chunks" -> (CorpusPrep.docChunks _),
+    "q73_minhash_accuracy" -> (Dedup.minhashAccuracy _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -876,5 +877,24 @@ object SparkEntry {
          |  CAST(len(e.c) AS BIGINT) AS n_ctoks,
          |  md5(array_to_string(e.c, ' ')) AS chunk_md5
          |FROM x""".stripMargin,
+    "q73_minhash_accuracy" ->
+      s"""WITH $lshPairsCtes,
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST((${(0 until 8).map(i =>
+            s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")})
+         |      * 125000 AS BIGINT) AS est_ppm
+         |  FROM lsh_pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b),
+         |shj AS (SELECT doc_id, sh_arr,
+         |          CAST(len(sh_arr) AS BIGINT) AS n_sh FROM da)
+         |SELECT est.doc_a, est.doc_b, est_ppm,
+         |  CAST(len(list_intersect(a.sh_arr, b.sh_arr)) * 1000000 //
+         |    (a.n_sh + b.n_sh - len(list_intersect(a.sh_arr, b.sh_arr)))
+         |    AS BIGINT) AS exact_ppm
+         |FROM est
+         |JOIN shj a ON a.doc_id = est.doc_a
+         |JOIN shj b ON b.doc_id = est.doc_b""".stripMargin,
   )
 }

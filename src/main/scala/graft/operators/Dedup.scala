@@ -306,6 +306,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_ppm"))
   }
 
+  /** Sketch-accuracy audit for the MinHash family: for every LSH
+    * candidate pair, the signature-estimated Jaccard (matching positions
+    * / K, in ppm) side by side with the exact df-capped shingle Jaccard
+    * — the measurement that justifies trusting the K=8 sketch before
+    * pointing it at 100 TB (and the one to re-run when tuning K or the
+    * banding). Candidates with no surviving shared shingle report
+    * exact 0.
+    *
+    * Plan: the candidate pair list is tiny relative to the corpus, so
+    * every join broadcasts it; the exact side intersects the two
+    * documents' distinct-shingle ARRAYS directly (LSH candidates cross
+    * source blocks, so the source-blocked bucket pipeline would
+    * under-report them; per-pair array intersection is exact and costs
+    * O(pairs × doc length), bounded by the candidate count).
+    */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame =
+    minhashAccuracyFor(Tables.documents(spark, dir))
+
+  def minhashAccuracyFor(docs: DataFrame): DataFrame = {
+    val pairs = lshCandidatePairsFor(docs).select(col("doc_a"), col("doc_b"))
+    val sig = minhashSignaturesFor(docs)
+    val a = sig.toDF("doc_a" +: (0 until MinhashK).map(i => s"a$i"): _*)
+    val b = sig.toDF("doc_b" +: (0 until MinhashK).map(i => s"b$i"): _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sh = docShingles(docs).select(col("doc_id"), col("sh_arr"), col("n_sh"))
+    pairs
+      .join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches * lit(1000000L / MinhashK)).as("est_ppm"))
+      .join(sh.toDF("doc_a", "sh_a", "n_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b", "n_b"), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"),
+        expr("inter * 1000000 DIV (n_a + n_b - inter)").as("exact_ppm"))
+  }
+
   /** Connected components over a near-dup candidate pair graph — the
     * step that turns PAIRS into dedup CLUSTERS: each document is labeled
     * with the smallest doc_id reachable through any chain of candidate

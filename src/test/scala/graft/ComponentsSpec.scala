@@ -34,6 +34,28 @@ class ComponentsSpec extends AnyFunSuite {
       Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("minhash accuracy: identical docs estimate exactly 1.0") {
+    import spark.implicits._
+    val text = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text, "s"), (2L, text, "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.minhashAccuracyFor(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("minhash accuracy: K=8 estimate tracks exact Jaccard on real pairs") {
+    val rows = Dedup.minhashAccuracy(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, exact) =>
+      assert(est % 125000 == 0 && est >= 0 && est <= 1000000)
+      // K=8 ⇒ σ ≈ √(J(1−J)/8) ≤ 0.177; allow 3σ plus the lattice step
+      assert(math.abs(est - exact) <= 3 * 177000 + 125000,
+        s"est $est vs exact $exact implausibly far")
+    }
+  }
+
   test("component ids are the keep-first survivors of the LSH clusters") {
     val comps = Dedup.dedupComponents(spark, "/root/testdata/sf0.001")
     val byComp = comps.collect().map(r => (r.getLong(0), r.getLong(1)))
