@@ -38,16 +38,21 @@ class Compaction(fs: LakeFs, spark: SparkSession) {
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .filterNot(s => s.getPath.getName.endsWith("_tmp") ||
         s.getPath.getName.endsWith("_old"))
-      .map { s =>
-        val dataFiles = fs.lsRecursive(s.getPath.toUri.getPath)
-          .filter(_.endsWith(".parquet"))
-        val bytes = dataFiles.map(f =>
-          fs.fs.getFileStatus(new Path(f)).getLen).sum
-        PartitionPlan(
-          s.getPath.toUri.getPath, dataFiles.size, bytes,
-          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
-      }
+      .map(s => planPartition(s.getPath.toUri.getPath, targetBytes))
       .sortBy(_.partition)
+  }
+
+  /** Size ONE partition directory's rewrite — listing metadata only.
+    * `partition` in the result is scheme-stripped (`toUri.getPath`), so
+    * plans compare equal whether the caller passed `hdfs://nn/t` or
+    * `/t`.
+    */
+  def planPartition(partDir: String, targetBytes: Long): PartitionPlan = {
+    val dataFiles = fs.lsRecursive(partDir).filter(_.endsWith(".parquet"))
+    val bytes = dataFiles.map(f => fs.fs.getFileStatus(new Path(f)).getLen).sum
+    PartitionPlan(
+      new Path(partDir).toUri.getPath, dataFiles.size, bytes,
+      math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
   }
 
   /** Rewrite one year partition into `targetFiles(plan)` files, sorted
@@ -57,10 +62,12 @@ class Compaction(fs: LakeFs, spark: SparkSession) {
     */
   def compactYear(tableDir: String, year: Int, targetBytes: Long,
       sortCols: Seq[String] = Nil, table: Option[String] = None): PartitionPlan = {
+    // Size only the target partition (not a full-table listing), and go
+    // through Path so a scheme-qualified tableDir (hdfs://nn/t) works.
     val part = s"$tableDir/year=$year"
-    val p = plan(tableDir, targetBytes)
-      .find(_.partition == part)
-      .getOrElse(throw new IllegalArgumentException(s"no partition $part"))
+    if (!fs.exists(part))
+      throw new IllegalArgumentException(s"no partition $part")
+    val p = planPartition(part, targetBytes)
     val df = spark.read.parquet(part)
     val laidOut =
       if (sortCols.isEmpty) df.repartition(p.targetFiles)

@@ -41,8 +41,10 @@ object Profiler {
     * profiling.
     */
   def cardinalityProfileChecked(spark: SparkSession, dir: String, table: String,
-      rsd: Double = 0.05): DataFrame = {
-    val df = Tables.table(spark, dir, table)
+      rsd: Double = 0.05): DataFrame =
+    cardinalityProfileCheckedFor(Tables.table(spark, dir, table), rsd)
+
+  def cardinalityProfileCheckedFor(df: DataFrame, rsd: Double = 0.05): DataFrame = {
     val cols = df.columns.toSeq
     // Sketch + row count in one pass: N HLL buffers aggregate without the
     // Expand operator multi-COUNT(DISTINCT) plans (which multiplies every
@@ -62,11 +64,15 @@ object Profiler {
     val exactRow = pairs.distinct()
       .groupBy(col("cname")).agg(count(lit(1)).as("ndv"))
       .groupBy().pivot("cname", cols).agg(sum(col("ndv")))
-    // both sides are single rows — a trivial broadcast nested-loop join
+    // both sides are single rows — a trivial broadcast nested-loop join.
+    // An all-NULL column contributes no (cname, v) pair, so its pivot cell
+    // is NULL — coalesce to 0 to keep COUNT(DISTINCT)'s 0-and-true
+    // semantics (the HLL estimate of an all-null column is also 0).
     val out = cols.flatMap { c =>
-      val tol = greatest(lit(1L), (col(c) * 3 * rsd).cast("long"))
-      Seq(col(c).as(s"ndv_$c"),
-        (abs(col(s"hll_$c") - col(c)) <= tol).as(s"hll_ok_$c"))
+      val exact = coalesce(col(c), lit(0L))
+      val tol = greatest(lit(1L), (exact * 3 * rsd).cast("long"))
+      Seq(exact.as(s"ndv_$c"),
+        (abs(col(s"hll_$c") - exact) <= tol).as(s"hll_ok_$c"))
     }
     sketchRow.crossJoin(exactRow)
       .select(col("n_rows") +: out: _*)

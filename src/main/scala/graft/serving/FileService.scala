@@ -72,9 +72,14 @@ object FileService {
     */
   private def resolve(root: String, ex: HttpExchange): Option[String] = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    // URLDecoder applies FORM-encoding rules ('+' → space), which would
+    // make lake files with a literal '+' in the name unaddressable and
+    // silently retarget PUT/DELETE. Query-string semantics keep '+'
+    // literal: shield it as %2B so only %XX escapes decode.
     val rel = q.split("&").collectFirst {
       case kv if kv.startsWith("path=") =>
-        java.net.URLDecoder.decode(kv.drop(5), StandardCharsets.UTF_8)
+        java.net.URLDecoder.decode(
+          kv.drop(5).replace("+", "%2B"), StandardCharsets.UTF_8)
     }
     rel.filter(r => r.nonEmpty && !r.startsWith("/") &&
         !r.split("/").contains(".."))

@@ -53,6 +53,17 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(s"$t/year=2024_tmp") && !fs.exists(s"$t/year=2024_old"))
   }
 
+  test("scheme-qualified tableDir compacts the same partition") {
+    val (t, c, fs) = freshLake()
+    seedSmallFiles(t)
+    // file:-qualified URI must resolve to the same partition as the bare
+    // path (the plan's partition field is scheme-stripped for comparison)
+    val p = c.compactYear(s"file:$t", 2024, targetBytes = 1L << 30)
+    assert(p.nFiles == 40)
+    val files = fs.lsRecursive(s"$t/year=2024").filter(_.endsWith(".parquet"))
+    assert(files.size == 1)
+  }
+
   test("sorted layout yields near-disjoint per-file user_id ranges") {
     val (t, c, fs) = freshLake()
     seedSmallFiles(t) // user_id scattered across all 40 files

@@ -28,6 +28,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("iteration budget exhaustion returns best-effort labels, not a crash") {
+    // 9-hop chain with maxIter=2: label 1 cannot reach the far end, but
+    // the job must still return a valid (finer) clustering instead of
+    // throwing away the rounds already paid for.
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 10L).toSet)
+    // labels only ever decrease toward the true component min, and every
+    // label is a member of the graph
+    got.foreach { case (doc, label) => assert(label <= doc && got.contains(label)) }
+    // near end converged, far end not yet: that's the documented tradeoff
+    assert(got(2L) == 1L)
+    assert(got(10L) > 1L)
+  }
+
   test("star with the canonical doc NOT the hub") {
     // hub 5 connects 6,7,8 and also 1: whole star collapses to 1
     assert(cc((5L, 6L), (5L, 7L), (5L, 8L), (1L, 5L)) ==

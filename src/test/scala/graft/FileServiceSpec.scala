@@ -61,6 +61,23 @@ class FileServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("a literal '+' in a file name is addressable (no form-decoding)") {
+    withService { (svc, fs, root) =>
+      val put = send(HttpRequest.newBuilder(
+        URI.create(s"${svc.baseUrl}/files?path=raw/a+b.csv"))
+        .PUT(HttpRequest.BodyPublishers.ofString("x")).build())
+      assert(put.statusCode() == 201)
+      // must land at 'a+b.csv', not 'a b.csv'
+      assert(fs.exists(s"$root/raw/a+b.csv"))
+      assert(!fs.exists(s"$root/raw/a b.csv"))
+      val del = send(HttpRequest.newBuilder(
+        URI.create(s"${svc.baseUrl}/files?path=raw/a+b.csv"))
+        .DELETE().build())
+      assert(del.statusCode() == 200)
+      assert(!fs.exists(s"$root/raw/a+b.csv"))
+    }
+  }
+
   test("path traversal and absolute paths are rejected") {
     withService { (svc, fs, root) =>
       fs.writeString(s"$root/inside.txt", "in")

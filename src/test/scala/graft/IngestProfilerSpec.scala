@@ -72,6 +72,21 @@ class IngestProfilerSpec extends AnyFunSuite {
       s"hll=$ndvCust exact=$exact")
   }
 
+  test("checked profile: an all-NULL column reports ndv 0 and hll_ok true") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .withColumn("dead", lit(null).cast("string"))
+    val row = Profiler.cardinalityProfileCheckedFor(df).collect()(0)
+    assert(row.getLong(row.fieldIndex("n_rows")) == 3)
+    assert(row.getLong(row.fieldIndex("ndv_id")) == 3)
+    assert(row.getLong(row.fieldIndex("ndv_k")) == 2)
+    // COUNT(DISTINCT dead) = 0, and the HLL estimate of all-null is also
+    // 0 — the pivot's NULL cell must not leak through as NULL/NULL
+    assert(row.getLong(row.fieldIndex("ndv_dead")) == 0)
+    assert(row.getBoolean(row.fieldIndex("hll_ok_dead")))
+  }
+
   test("key skew profile surfaces the hot key") {
     import spark.implicits._
     val skewed = (Seq.fill(1000)("hot") ++ (1 to 100).map(i => s"k$i"))
