@@ -57,18 +57,30 @@ object Bench {
     if (coldFailures + warmFailures > 0)
       System.err.println(
         s"[bench] $coldFailures cold / $warmFailures warm query runs failed — totals are partial")
-    def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(rs: Seq[(String, Double)], scale: Int = 9): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v)
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+      }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},""" +
-        s""""warm_value":$warmTotal,"warm_queries":${fmt(warm)},""" +
+    def line(detail: Boolean): String = {
+      // The driver stores only a bounded TAIL of stdout; two
+      // full-precision 73-query maps overflow it and the capture then
+      // fails to parse (BENCH_r03/r04 `parsed: null`). stdout gets the
+      // contract line with the cold map at millisecond precision and
+      // warm detail as a scalar (~2.3 KB); the sidecar file keeps both
+      // maps at full precision.
+      s"""{"metric":"total","value":$coldTotal,"unit":"sec",""" +
+        s""""queries":${fmt(cold, if (detail) 9 else 3)},""" +
+        s""""warm_value":$warmTotal,""" +
+        (if (detail) s""""warm_queries":${fmt(warm)},""" else "") +
         s""""failures":$coldFailures,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
-    println(line)
+    }
+    println(line(detail = false))
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (line(detail = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
