@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, CorpusPrep, Dedup, EventsOps, Relational, Reshape, Sampling, Scalars, SetOps, Similarity, TextOps}
+import graft.operators.{AsOf, CorpusPrep, Dedup, EventsOps, Relational, Reshape, Sampling, Scalars, SetOps, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,12 @@ object SparkEntry {
     "q71_exact_deciles" -> (Relational.exactDecilesByPriority _),
     "q72_doc_chunks" -> (CorpusPrep.docChunks _),
     "q73_minhash_accuracy" -> (Dedup.minhashAccuracy _),
+    "q74_bloom_dedup" -> (Sketches.bloomPrefilterDedup _),
+    "q75_heavy_hitters" -> (Sketches.heavyHittersChecked _),
+    "q76_kmeans_refine" -> (Similarity.kmeansRefine _),
+    "q77_quantile_audit" -> (Sketches.quantileSketchChecked _),
+    "q78_contamination" -> (TextOps.contaminationCheck _),
+    "q79_mix_weights" -> (Sampling.mixWeights _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -896,5 +902,111 @@ object SparkEntry {
          |FROM est
          |JOIN shj a ON a.doc_id = est.doc_a
          |JOIN shj b ON b.doc_id = est.doc_b""".stripMargin,
+    // bit-identical to the plain anti-join — the Bloom filter only
+    // routes rows, so the oracle is q61's shape on the % 3 corpus
+    "q74_bloom_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id FROM fp
+        |WHERE NOT EXISTS (SELECT 1 FROM fp c
+        |  WHERE c.doc_id % 3 <> 0 AND c.fp = fp.fp)
+        |GROUP BY fp""".stripMargin,
+    // exact top-k is the hash target; cms_ok is TRUE here — if Spark's
+    // count-min estimate ever leaves [exact, exact + eps*N], the boolean
+    // flips and the row hash-mismatches
+    "q75_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+         |tf AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1),
+         |r AS (SELECT token, CAST(n AS BIGINT) AS n,
+         |      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank
+         |      FROM tf)
+         |SELECT token, n, rank, TRUE AS cms_ok FROM r
+         |WHERE rank <= ${graft.operators.Sketches.HeavyHittersK}""".stripMargin,
+    // one Lloyd step: elements quantized to integer micros before any
+    // aggregation (order-free sums); mean is one IEEE divide + floor on
+    // identical longs. pos is 1-based here, 0-based in Spark — it only
+    // serves as each engine's internal join key, never output
+    "q76_kmeans_refine" ->
+      s"""WITH $ivfCte,
+         |el AS (
+         |  SELECT bucket, u.pos AS pos, u.vq AS vq FROM (
+         |    SELECT asg.bucket AS bucket,
+         |      unnest(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> {'pos': i,
+         |              'vq': CAST(floor(e.embedding[i]::DOUBLE * 1000000.0) AS BIGINT)})) AS u
+         |    FROM e JOIN asg USING (vec_id)) q),
+         |dims AS (
+         |  SELECT bucket, pos,
+         |    CAST(floor(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q,
+         |    COUNT(*) AS n
+         |  FROM el GROUP BY 1, 2),
+         |cd AS (
+         |  SELECT bucket, u.pos AS pos, u.cq AS cq FROM (
+         |    SELECT c_id AS bucket,
+         |      unnest(list_transform(generate_series(1, len(c_emb)),
+         |        i -> {'pos': i,
+         |              'cq': CAST(floor(c_emb[i]::DOUBLE * 1000000.0) AS BIGINT)})) AS u
+         |    FROM cents) q)
+         |SELECT d.bucket AS bucket, CAST(MAX(d.n) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(d.mean_q * d.mean_q) AS BIGINT) AS norm_new_q,
+         |  CAST(floor(CAST(SUM(d.mean_q * c.cq) AS DOUBLE) * 1000000.0 /
+         |    (sqrt(CAST(SUM(d.mean_q * d.mean_q) AS DOUBLE)) *
+         |     sqrt(CAST(SUM(c.cq * c.cq) AS DOUBLE)))) AS BIGINT) AS shift_cos_ppm
+         |FROM dims d JOIN cd c USING (bucket, pos)
+         |GROUP BY d.bucket""".stripMargin,
+    // exact median is the hash target (q69's formula); gk_ok audits
+    // percentile_approx's rank-error contract and is TRUE here
+    "q77_quantile_audit" ->
+      s"""WITH p AS (
+         |  SELECT o_orderpriority, ${cents("o_totalprice")} AS price_c
+         |  FROM orders),
+         |w AS (SELECT o_orderpriority, price_c,
+         |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |          ORDER BY price_c) AS rn,
+         |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+         |      FROM p)
+         |SELECT o_orderpriority,
+         |  CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 THEN price_c ELSE 0 END) +
+         |       SUM(CASE WHEN rn = (cnt + 2) // 2 THEN price_c ELSE 0 END)
+         |    AS BIGINT) AS median_x2_c,
+         |  TRUE AS gk_ok
+         |FROM w GROUP BY 1""".stripMargin,
+    // same md5 split buckets as q48/q49, same winnow fingerprints as
+    // q63/q64: eval docs sharing >= ContamPpm of their fingerprints
+    // with the train split
+    "q78_contamination" ->
+      s"""WITH $winnowCte,
+         |b AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS bucket, fps
+         |  FROM f WHERE len(fps) > 0),
+         |train AS (SELECT DISTINCT unnest(fps) AS fp FROM b WHERE bucket < 800000),
+         |te AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |       unnest(fps) AS fp FROM b WHERE bucket >= 900000),
+         |j AS (SELECT te.doc_id, te.n_fp, COUNT(*) AS n_shared
+         |      FROM te JOIN train USING (fp) GROUP BY 1, 2)
+         |SELECT doc_id, n_fp, CAST(n_shared AS BIGINT) AS n_shared,
+         |  n_shared * 1000000 // n_fp AS contam_ppm
+         |FROM j
+         |WHERE n_shared * 1000000 // n_fp >= ${graft.operators.TextOps.ContamPpm}""".stripMargin,
+    // integer-ppm mixing plan: weights cap at 1e6 (down-sample only)
+    "q79_mix_weights" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pl AS (SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS tok_total FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS grand_total,
+        |      COUNT(*) AS n_langs FROM pl),
+        |w AS (SELECT lang, n_docs, tok_total,
+        |    tok_total * 1000000 // grand_total AS share_ppm,
+        |    least(CAST(1000000 AS BIGINT), (1000000 // n_langs) * 1000000 //
+        |      (tok_total * 1000000 // grand_total)) AS weight_ppm
+        |  FROM pl, t)
+        |SELECT lang, n_docs, tok_total, share_ppm, weight_ppm,
+        |  tok_total * weight_ppm // 1000000 AS kept_tokens
+        |FROM w""".stripMargin,
   )
 }

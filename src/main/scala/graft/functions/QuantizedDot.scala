@@ -80,6 +80,11 @@ object GraftFunctions {
   val DotName = "graft_quantized_dot"
   val Md5PrefixName = "graft_md5_prefix"
   val WinnowName = "graft_winnow"
+  val BloomBuildName = "graft_bloom_build"
+  val BloomContainsName = "graft_bloom_contains"
+
+  private val names =
+    Seq(DotName, Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName)
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -93,13 +98,26 @@ object GraftFunctions {
       Md5PrefixLong(exprs(0), intLit(exprs(1), Md5PrefixName, "nHex"))
     case WinnowName => exprs => WinnowedFingerprints(exprs(0),
       intLit(exprs(1), WinnowName, "k"), intLit(exprs(2), WinnowName, "w"))
+    // Spark's own (non-SQL-exposed) bloom-filter expressions, surfaced
+    // under graft names: the same pair the runtime-filter framework uses,
+    // so build + probe share one serialized format and hash family.
+    case BloomBuildName => exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          intLit(exprs(1), BloomBuildName, "estItems").toLong, LongType),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          intLit(exprs(2), BloomBuildName, "numBits").toLong, LongType))
+    case BloomContainsName => exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))
   }
 
   /** The injectable descriptions for [[GraftExtensions]]. */
   def descriptions: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
       Seq[Expression] => Expression)] =
-    Seq(DotName, Md5PrefixName, WinnowName).map { name =>
+    names.map { name =>
       (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           "graft.functions.GraftFunctions", name),
@@ -107,7 +125,7 @@ object GraftFunctions {
     }
 
   def ensureRegistered(spark: SparkSession): Unit =
-    Seq(DotName, Md5PrefixName, WinnowName).foreach { name =>
+    names.foreach { name =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builderOf(name), "scala_udf")
     }

@@ -75,6 +75,38 @@ object Sampling {
     df.filter(hashBucket(keyCol) < threshold)
   }
 
+  /** Token-budget mixing weights (q79) — the planning half of corpus
+    * mixing: given per-language token totals (BPE-ish counts, the same
+    * regex as q50), compute the down-sampling weight that moves each
+    * language toward a uniform token share. `weight_ppm` is what a
+    * pipeline feeds straight into [[stratifiedSample]]'s rate map;
+    * `kept_tokens` is the resulting budget. Down-sampling only
+    * (weights cap at 1e6) — under-represented languages keep everything,
+    * matching how real mixes are built (you can't up-sample tokens you
+    * don't have without repeating them).
+    *
+    * All ratios are integer ppm arithmetic, so the plan is two tiny
+    * aggregations and a broadcast — nothing here scales with corpus
+    * size except the one token-counting scan.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"),
+        regexp_count(col("text"), lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"))
+          .cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+    val totals = perLang.agg(
+      sum(col("tok_total")).as("grand_total"), count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("tok_total * 1000000 DIV grand_total"))
+      .withColumn("weight_ppm", expr(
+        "least(CAST(1000000 AS BIGINT), (1000000 DIV n_langs) * 1000000 DIV share_ppm)"))
+      .withColumn("kept_tokens", expr("tok_total * weight_ppm DIV 1000000"))
+      .select(col("lang"), col("n_docs"), col("tok_total"),
+        col("share_ppm"), col("weight_ppm"), col("kept_tokens"))
+  }
+
   /** q65: language rebalancing of the documents corpus — keep 25% of
     * `en` (the dominant stratum) and everything else, reported as the
     * per-language before/after mix.

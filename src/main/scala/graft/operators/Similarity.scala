@@ -118,6 +118,50 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos_ppm"), col("rank"))
   }
 
+  /** One Lloyd refinement step over the IVF buckets (q76) — how the IVF
+    * index's centroids are actually trained: re-compute each bucket's
+    * centroid as the element-wise mean of its members, and report how far
+    * it moved from the seed centroid (cosine in ppm) plus the bucket
+    * population. Iterating this to a shift threshold IS k-means; one
+    * audited step keeps the query deterministic and oracle-checkable.
+    *
+    * Numerics: elements are quantized to integer micros BEFORE any
+    * aggregation, so sums are exact and order-free; the mean is a single
+    * deterministic IEEE divide + floor on identical longs in both
+    * engines (same discipline as [[graft.operators.Determinism]]).
+    *
+    * Scale: `posexplode` fans each vector into dim rows, but the
+    * (bucket, pos) partial aggregation collapses them map-side — the
+    * shuffle carries ≤ nlist×dims rows per input partition, independent
+    * of N. The seed-centroid side is nlist×dims rows, broadcast. This is
+    * the canonical distributed-k-means round: shuffle O(k·d), not O(N·d).
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val elems = emb.join(ivfAssignments(spark, dir), "vec_id")
+      .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vq", expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"))
+    val dims = elems.groupBy(col("bucket"), col("pos"))
+      .agg(sum(col("vq")).as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("mean_q",
+        expr("CAST(floor(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+    val seed = emb.filter(col("vec_id") < IvfNlist)
+      .select(col("vec_id").as("bucket"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+      .withColumn("cq", expr("CAST(floor(CAST(cv AS DOUBLE) * 1000000.0) AS BIGINT)"))
+    dims.join(broadcast(seed), Seq("bucket", "pos"))
+      .groupBy(col("bucket"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        sum(expr("mean_q * mean_q")).as("norm_new_q"),
+        sum(expr("cq * cq")).as("norm_old_q"),
+        sum(expr("mean_q * cq")).as("dot_q"))
+      .withColumn("shift_cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(norm_new_q AS DOUBLE)) * sqrt(CAST(norm_old_q AS DOUBLE)))) AS BIGINT)"))
+      .select(col("bucket"), col("n_vecs"), col("norm_new_q"), col("shift_cos_ppm"))
+  }
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** Sketch-accelerated operators with exact audits — the three sketch
+  * families a 100 TB curation pipeline leans on beyond HLL (q55) and GK
+  * (q56): Bloom membership for incremental dedup, count-min for heavy
+  * hitters, and a rank-error audit for approximate quantiles.
+  *
+  * The oracle pattern matches q55/q73: every hash-compared column is
+  * EXACT (so DuckDB can reproduce it), and each sketch contributes a
+  * boolean `*_ok` column that verifies the sketch's guarantee against
+  * the exact value — TRUE on the oracle side, computed on ours. A sketch
+  * drifting out of its error bound fails the round, not just a unit test.
+  */
+object Sketches {
+
+  /** Bloom capacity knobs for [[bloomPrefilterDedup]]: sized for ~10×
+    * the sf0.1 corpus, 8 bits/key ≈ 2% false-positive rate. At real
+    * scale these grow with the corpus fingerprint count (the sketch is
+    * ~200 KB per million keys per 8 bits — a broadcast, not a shuffle).
+    */
+  val BloomEstItems = 200000
+  val BloomNumBits = 1600000
+
+  /** Incremental exact dedup with a Bloom-filter prefilter (q74) — the
+    * scale path for [[TextOps.dedupAgainstCorpus]]'s recurring-crawl
+    * shape. The corpus's distinct fingerprints are folded once into a
+    * Bloom filter (Spark's own runtime-filter sketch, built by
+    * [[graft.functions.GraftFunctions.BloomBuildName]]); the new batch
+    * probes it as a broadcast map-side filter. Rows the filter rejects
+    * are DEFINITELY new (no false negatives) and skip the anti-join
+    * entirely; only the `mightContain` candidates — true dups plus the
+    * ~2% false positives — reach the exact confirm join.
+    *
+    * Result is bit-identical to the plain anti-join (the filter only
+    * routes rows); at 100 TB the anti-join's probe side shrinks from
+    * |batch| to |dups| + 2%, which is the difference between shuffling
+    * a crawl and shuffling its duplicates.
+    *
+    * Corpus here = `doc_id % 3 != 0` (vs q61's % 5 split, so the two
+    * incremental-dedup variants are checked on different corpora).
+    */
+  def bloomPrefilterDedup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+    val corpusFps = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    // index build: one ~200 KB sketch collected to the driver (the same
+    // collect a broadcast does), then shipped as a literal into codegen
+    val bf = corpusFps
+      .agg(expr(s"${GraftFunctions.BloomBuildName}(xxhash64(fp), " +
+        s"$BloomEstItems, $BloomNumBits)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val batch = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("maybe_seen",
+        call_function(GraftFunctions.BloomContainsName, lit(bf), xxhash64(col("fp"))))
+    val confirmedNew = batch.filter(col("maybe_seen"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+    val definitelyNew = batch.filter(!col("maybe_seen"))
+    confirmedNew.select(col("fp"), col("doc_id"))
+      .union(definitelyNew.select(col("fp"), col("doc_id")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+  }
+
+  /** Count-min sketch error budget for [[heavyHittersChecked]]:
+    * est − exact ≤ CmsEps·N with probability ≥ CmsConfidence.
+    */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+  val HeavyHittersK = 20
+
+  /** Corpus heavy hitters with a count-min audit (q75). The exact top-k
+    * tokens (one explode + partial-agg groupBy + TakeOrderedAndProject —
+    * the same plan family as q32/q03) are the hash-compared result; each
+    * row carries `cms_ok`, verifying Spark's `count_min_sketch` estimate
+    * for that token against the count-min guarantee: one-sided
+    * (est ≥ exact) and within ε·N above it.
+    *
+    * At 100 TB the sketch is the point: a fixed ~⌈2/ε⌉×⌈ln(1/δ)⌉ integer
+    * grid per partition, merged associatively — heavy-hitter estimates
+    * with no per-token state, while the exact top-k (which needs the full
+    * groupBy) is the audit run on a sample or a round boundary. Probing
+    * k terms through the driver-side sketch is O(k), k=20.
+    */
+  def heavyHittersChecked(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val sketchRow = toks.agg(
+      expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)").as("cms"),
+      count(lit(1)).as("n_total")).head
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchRow.getAs[Array[Byte]](0)))
+    val budget = math.ceil(CmsEps * sketchRow.getAs[Long](1)).toLong
+    val topk = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(HeavyHittersK)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)))
+    // audit: probe the k winners through the sketch (k driver lookups on
+    // an already-top-k result, not a data-path collect)
+    val est = topk.select(col("token")).collect().map(_.getString(0))
+      .map(t => t -> cms.estimateCount(t)).toMap
+    val estCol = est.foldLeft(lit(-1L)) { case (acc, (t, e)) =>
+      when(col("token") === t, lit(e)).otherwise(acc)
+    }
+    topk
+      .withColumn("cms_ok", estCol >= col("n") && estCol <= col("n") + lit(budget))
+      .select(col("token"), col("n"), col("rank"), col("cms_ok"))
+  }
+
+  /** `percentile_approx` accuracy knob for [[quantileSketchChecked]]:
+    * rank error ≤ n / accuracy.
+    */
+  val QuantileAccuracy = 10000
+
+  /** Exact per-group median with an approximate-quantile audit (q77).
+    * The hash-compared column is the exact distributed median
+    * ([[Relational.exactMedianByPriority]]'s formula); `gk_ok` checks
+    * Spark's `percentile_approx` (Greenwald-Khanna family) against its
+    * rank-error contract: the returned value's rank interval
+    * [n_lt+1, n_le] must cover the median position within ±n/accuracy.
+    *
+    * This is the audit shape for the sketch every 100 TB profiler
+    * actually uses — exact medians need a full sort per group; GK needs
+    * one pass and O(accuracy·log n) state, and this query proves the
+    * trade stayed inside its contract on real data.
+    */
+  def quantileSketchChecked(spark: SparkSession, dir: String): DataFrame = {
+    val cts = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), Determinism.cents(col("o_totalprice")).as("price_c"))
+    val appx = cts.groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("price_c"), lit(0.5), lit(QuantileAccuracy)).as("appx_c"),
+        count(lit(1)).as("cnt"))
+    val audited = cts.join(broadcast(appx), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("cnt")).as("cnt"),
+        sum(when(col("price_c") <= col("appx_c"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("price_c") < col("appx_c"), 1L).otherwise(0L)).as("n_lt"))
+      .withColumn("rank_err", expr(s"cnt DIV $QuantileAccuracy + 1"))
+      .withColumn("gk_ok",
+        col("n_le") >= expr("(cnt + 1) DIV 2") - col("rank_err") &&
+          col("n_lt") < expr("(cnt + 2) DIV 2") + col("rank_err"))
+      .select(col("o_orderpriority"), col("gk_ok"))
+    Relational.exactMedianByPriority(spark, dir)
+      .join(audited, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("median_x2_c"), col("gk_ok"))
+  }
+}

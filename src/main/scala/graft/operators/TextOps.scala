@@ -195,6 +195,44 @@ object TextOps {
         array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
   }
 
+  /** A test doc is flagged when this share (ppm) of its winnowed
+    * fingerprints also appears in the train split.
+    */
+  val ContamPpm = 500000L
+
+  /** Train/eval contamination check (q78) — the decontamination pass
+    * every benchmark-respecting training pipeline runs: find eval-split
+    * documents whose content substantially overlaps the train split, via
+    * the same winnowed fingerprints as q63/q64. Splits are the
+    * deterministic key-hash buckets of [[Sampling.split]] (train < 0.8,
+    * test ≥ 0.9), so the check composes with the real split operator.
+    *
+    * Scale: the train side collapses to DISTINCT fingerprint longs
+    * before the join — the q61 incremental-dedup shape, not a pair
+    * explosion. The test side (eval sets are small by construction)
+    * explodes to (doc, fp) and semi-joins on the fingerprint hash; one
+    * shuffle each side, no doc×doc work anywhere.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // bucket-filter FIRST (cheap md5 on the key), winnow once per
+    // surviving row; fingerprint-less docs vanish in the explode, so no
+    // size() filter that would re-evaluate the winnow in a Filter node
+    val docs = Tables.documents(spark, dir)
+    val trainFps = docs.filter(Sampling.hashBucket("doc_id") < 800000L)
+      .select(explode(winnowFps(col("text"))).as("fp")).distinct()
+    val testFps = docs.filter(Sampling.hashBucket("doc_id") >= 900000L)
+      .select(col("doc_id"), winnowFps(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        explode(col("fps")).as("fp"))
+    // winnowFps is distinct per doc, so count(1) = distinct shared fps
+    testFps.join(trainFps, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"), col("n_fp"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contam_ppm", expr("n_shared * 1000000 DIV n_fp"))
+      .filter(col("contam_ppm") >= ContamPpm)
+  }
+
   /** Winnow-overlap pairs (q64, the MOSS shape): documents in the same
     * source whose shared fingerprint count is ≥ [[WinnowScorePpm]] of
     * the smaller document's fingerprint set — local substring overlap

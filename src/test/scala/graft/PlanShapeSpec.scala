@@ -128,6 +128,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"packing must not globally sort or single-partition:\n${p.take(2000)}")
   }
 
+  test("q74 bloom prefilter gates the anti-join probe side") {
+    val p = plan(graft.operators.Sketches.bloomPrefilterDedup(spark, sf))
+    assert(p.contains("might_contain"),
+      s"batch side must probe the bloom filter before the join:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), s"exact confirm must be an anti-join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // corpus fp distinct + final keep-first agg (+ one more if AQE
+    // splits the anti-join); never a per-pair structure
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q76 lloyd step: broadcast seed join, O(k·d) agg shuffles only") {
+    val p = plan(Similarity.kmeansRefine(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // assignment window + (bucket, pos) partial agg + bucket rollup
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+    // any nested-loop join must be corpus × the bounded centroid set
+    if (p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains(s"vec_id), LessThan(vec_id,${Similarity.IvfNlist})"),
+        s"nested-loop build side must be the bounded centroid set:\n${p.take(3000)}")
+  }
+
+  test("q78 contamination compiles to the incremental-dedup shape") {
+    val p = plan(graft.operators.TextOps.contaminationCheck(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"train membership must be a semi-join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // train fp distinct + per-doc rollup; never doc×doc
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+    // Catalyst's InferFiltersFromGenerate re-derives a size(winnow)>0
+    // guard on the test side (extra winnow evals); conjunct order must
+    // lead with the cheap bucket predicate so that guard only ever runs
+    // on the 10% test split
+    assert("Filter \\(+md5prefixlong".r.findFirstIn(p).isDefined,
+      s"pushed filters must lead with the bucket predicate:\n${p.take(3000)}")
+  }
+
   test("q55 checked profile avoids the Expand multi-distinct plan") {
     val p = plan(graft.operators.Profiler.cardinalityProfileChecked(
       spark, sf, "orders"))

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.{Relational, Sampling, Sketches, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Unit/property coverage for the round-5 sketch-audit operators
+  * (q74–q79). The oracle gate proves cross-engine equality; these specs
+  * prove the sketch-side CLAIMS — Bloom has no false negatives, the
+  * prefilter changes the plan but never the result, count-min is
+  * one-sided, the Lloyd step conserves mass, audits actually audit.
+  */
+class SketchAuditSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+
+  test("q74 bloom-prefiltered dedup equals the plain exact anti-join") {
+    val viaBloom = Sketches.bloomPrefilterDedup(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf)
+    val plain = TextOps.dedupAgainstCorpus(
+      docs, docs.filter(col("doc_id") % 3 =!= 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom == plain)
+  }
+
+  test("bloom filter has no false negatives over the corpus it was built from") {
+    GraftFunctions.ensureRegistered(spark)
+    val fps = Tables.documents(spark, sf)
+      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val bf = fps.agg(expr(s"${GraftFunctions.BloomBuildName}(xxhash64(fp), " +
+      s"${Sketches.BloomEstItems}, ${Sketches.BloomNumBits})")).head
+      .getAs[Array[Byte]](0)
+    val misses = fps.withColumn("hit",
+      call_function(GraftFunctions.BloomContainsName, lit(bf), xxhash64(col("fp"))))
+      .filter(!col("hit")).count()
+    assert(misses == 0L)
+  }
+
+  test("count-min estimates are one-sided: est >= exact for EVERY token") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val bytes = toks.agg(expr(
+      s"count_min_sketch(token, ${Sketches.CmsEps}d, " +
+        s"${Sketches.CmsConfidence}d, ${Sketches.CmsSeed})")).head
+      .getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (t, n) =>
+      assert(cms.estimateCount(t) >= n, s"one-sided bound broken for '$t'")
+    }
+  }
+
+  test("q75 heavy hitters: k rows, audit green, counts exact") {
+    val rows = Sketches.heavyHittersChecked(spark, sf).collect()
+    assert(rows.length == Sketches.HeavyHittersK)
+    assert(rows.forall(_.getAs[Boolean]("cms_ok")))
+    // ranks are 1..k and counts are non-increasing in rank order
+    val byRank = rows.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to Sketches.HeavyHittersK))
+    val ns = byRank.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
+  test("q76 lloyd step conserves vectors and reports sane shifts") {
+    val rows = Similarity.kmeansRefine(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+      "every vector must land in exactly one bucket")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("norm_new_q") > 0L)
+      val shift = r.getAs[Long]("shift_cos_ppm")
+      // quantized cosine can exceed 1e6 by at most rounding slack
+      assert(shift > 0L && shift <= 1000001L,
+        s"bucket ${r.getAs[Long]("bucket")}: implausible shift $shift")
+    }
+  }
+
+  test("q77 audit: gk_ok everywhere and medians equal the exact operator") {
+    val audited = Sketches.quantileSketchChecked(spark, sf).collect()
+    assert(audited.nonEmpty)
+    assert(audited.forall(_.getAs[Boolean]("gk_ok")))
+    val exact = Relational.exactMedianByPriority(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    audited.foreach { r =>
+      assert(r.getAs[Long]("median_x2_c") == exact(r.getString(0)))
+    }
+  }
+
+  test("q78 contamination only flags test-split docs, scores in range") {
+    val rows = TextOps.contaminationCheck(spark, sf).collect()
+    val testIds = Sampling.split(Tables.documents(spark, sf), "doc_id")
+      .filter(col("split") === "test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(testIds.contains(r.getAs[Long]("doc_id")))
+      val ppm = r.getAs[Long]("contam_ppm")
+      assert(ppm >= TextOps.ContamPpm && ppm <= 1000000L)
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_fp"))
+    }
+  }
+
+  test("q79 mix weights: caps at 1e6, never grows a language") {
+    val rows = Sampling.mixWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("weight_ppm")
+      assert(w > 0L && w <= 1000000L)
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("tok_total"))
+    }
+    // the over-represented language is the one that gets cut
+    val byShare = rows.sortBy(-_.getAs[Long]("share_ppm"))
+    assert(byShare.head.getAs[Long]("weight_ppm") <=
+      byShare.last.getAs[Long]("weight_ppm"))
+  }
+}
