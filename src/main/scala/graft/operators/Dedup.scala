@@ -275,9 +275,9 @@ object Dedup {
     */
   def embeddingNearDupBucketed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val assign = Similarity.ivfAssignments(spark, dir)
-    val e = Tables.embeddings(spark, dir).join(assign, "vec_id")
-    embeddingNearDupBucketedFor(e)
+    // assignment is a projection of the corpus itself (map-only argmax
+    // over the centroid literals) — no corpus-to-assignment self-join
+    embeddingNearDupBucketedFor(Similarity.assignedEmbeddings(spark, dir))
   }
 
   /** Core of the bucketed near-dup compare over (bucket, vec_id,

@@ -65,23 +65,56 @@ object Similarity {
   val IvfNlist = 16
   val IvfNprobe = 4
 
+  /** The centroid seed set (first `IvfNlist` vectors) collected to the
+    * driver — the IVF index-build step. nlist rows; at real scale this
+    * is the k-means model, still O(nlist·dims) and driver-resident.
+    */
+  private def centroidLits(spark: SparkSession, dir: String): Seq[(Long, Array[Float])] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < IvfNlist)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).toSeq
+
+  /** Per-row dot columns against every centroid literal plus the argmax
+    * bucket (max dot, lowest c_id tie-break — same order as the oracle's
+    * `ROW_NUMBER ... ORDER BY dot DESC, c_id ASC`). The centroids ride
+    * into whole-stage codegen as array literals: assignment is a pure
+    * projection — no join, no window, no shuffle, at any corpus size.
+    */
+  private def withCentroidDots(df: DataFrame,
+      cents: Seq[(Long, Array[Float])], embCol: String): DataFrame = {
+    val scored = cents.foldLeft(df) { case (d, (cid, arr)) =>
+      d.withColumn(s"dot_c$cid",
+        expr(s"${graft.functions.GraftFunctions.DotName}($embCol, " +
+          s"array(${arr.map(v => s"CAST($v AS FLOAT)").mkString(",")}))"))
+    }
+    val best = greatest(cents.map { case (cid, _) => col(s"dot_c$cid") }: _*)
+    // foldRight: the FIRST (lowest) c_id reaching the max wins ties
+    val bucket = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
+      when(col(s"dot_c$cid") === best, lit(cid)).otherwise(acc)
+    }
+    scored.withColumn("bucket", bucket)
+  }
+
+  /** The corpus with its IVF bucket attached — (vec_id, embedding,
+    * bucket) in one map-only pass, the input every IVF consumer wants
+    * without re-joining the corpus to its own assignment.
+    */
+  def assignedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    withCentroidDots(Tables.embeddings(spark, dir),
+      centroidLits(spark, dir), "embedding")
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+  }
+
   /** IVF bucket assignment: centroids are the first `IvfNlist` vectors
     * (deterministic seed set); every vector lands in the bucket of its
-    * max-dot-product centroid.
+    * max-dot-product centroid. Map-only: see [[withCentroidDots]].
     */
-  def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
-    withFns(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < IvfNlist)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dot_c").desc, col("c_id").asc)
-    emb.join(broadcast(cents))
-      .withColumn("dot_c", dotQ("c_emb", "embedding"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("c_id").as("bucket"))
-  }
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+    assignedEmbeddings(spark, dir).select(col("vec_id"), col("bucket"))
 
   /** IVF-probed ANN: queries probe their `IvfNprobe` best buckets, then
     * rank exactly within the probed subset. Returns the same shape as
@@ -91,19 +124,19 @@ object Similarity {
   def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
     withFns(spark)
     val emb = Tables.embeddings(spark, dir)
-    val assign = ivfAssignments(spark, dir)
-    val cents = emb.filter(col("vec_id") < IvfNlist)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cents = centroidLits(spark, dir)
     val q = queries(emb).withColumn("n_q", normQ("q_emb"))
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("dot_c").desc, col("c_id").asc)
-    val probes = q.join(broadcast(cents))
-      .withColumn("dot_c", dotQ("c_emb", "q_emb"))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfNprobe)
-      .select(col("q_id"), col("q_emb"), col("n_q"), col("c_id").as("bucket"))
-    val candidates = Tables.embeddings(spark, dir)
-      .join(assign, "vec_id")
+    // probe selection is map-only too: rank the nlist centroid dots per
+    // query in one sort_array over (−dot, c_id) structs — dot DESC then
+    // c_id ASC, the same order the oracle's ROW_NUMBER uses
+    val probeStructs = array(cents.map { case (cid, _) =>
+      struct((-col(s"dot_c$cid")).as("negdot"), lit(cid).as("c_id"))
+    }: _*)
+    val probes = withCentroidDots(q, cents, "q_emb")
+      .select(col("q_id"), col("q_emb"), col("n_q"),
+        explode(slice(sort_array(probeStructs), 1, IvfNprobe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("n_q"), col("p.c_id").as("bucket"))
+    val candidates = assignedEmbeddings(spark, dir)
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("n_emb", normQ("embedding"))
@@ -139,7 +172,7 @@ object Similarity {
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     withFns(spark)
     val emb = Tables.embeddings(spark, dir)
-    val elems = emb.join(ivfAssignments(spark, dir), "vec_id")
+    val elems = assignedEmbeddings(spark, dir)
       .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("vq", expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"))
     val dims = elems.groupBy(col("bucket"), col("pos"))

@@ -68,16 +68,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bucket".r
       .findFirstIn(p).isDefined,
       s"pair join must key on bucket:\n${p.take(2000)}")
-    // the only nested-loop join allowed is the IVF assignment: corpus ×
-    // broadcast of the FIXED nlist=16 centroid set (map-only, bounded).
-    // It appears once per join side pre-AQE (runtime exchange reuse
-    // dedupes the subtree); what matters is that every nested-loop build
-    // side is the vec_id < nlist centroid filter, never data×data
-    val nlJoins = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-    assert(nlJoins <= 2, s"unexpected nested-loop joins ($nlJoins):\n${p.take(2000)}")
-    if (nlJoins > 0)
-      assert(p.contains(s"vec_id), LessThan(vec_id,${Similarity.IvfNlist})"),
-        s"nested-loop build side must be the bounded centroid set:\n${p.take(3000)}")
+    // IVF assignment is a pure projection (argmax over centroid
+    // literals) — no nested-loop join anywhere, and only the bucket-cap
+    // window + pair-join shuffles remain
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must be map-only, not a join:\n${p.take(2000)}")
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q42 ivf knn: map-only assignment+probes, corpus never shuffled") {
+    val p = plan(Similarity.ivfKnn(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus must meet only the broadcast probe join:\n${p.take(2000)}")
+    // the single shuffle is the per-query top-k window
+    assert(shuffles(p) <= 1, s"expected ≤1 shuffle (rank window):\n${p.take(2000)}")
   }
 
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
@@ -142,13 +147,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q76 lloyd step: broadcast seed join, O(k·d) agg shuffles only") {
     val p = plan(Similarity.kmeansRefine(spark, sf))
-    assert(!p.contains("CartesianProduct"), p.take(2000))
-    // assignment window + (bucket, pos) partial agg + bucket rollup
-    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
-    // any nested-loop join must be corpus × the bounded centroid set
-    if (p.contains("BroadcastNestedLoopJoin"))
-      assert(p.contains(s"vec_id), LessThan(vec_id,${Similarity.IvfNlist})"),
-        s"nested-loop build side must be the bounded centroid set:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // (bucket, pos) partial agg + bucket rollup — assignment itself is
+    // a map-only projection, so nothing else may shuffle
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
   }
 
   test("q78 contamination compiles to the incremental-dedup shape") {
