@@ -65,14 +65,14 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
     def line(detail: Boolean): String = {
-      // The driver stores only a bounded TAIL of stdout; two
-      // full-precision 73-query maps overflow it and the capture then
-      // fails to parse (BENCH_r03/r04 `parsed: null`). stdout gets the
-      // contract line with the cold map at millisecond precision and
-      // warm detail as a scalar (~2.3 KB); the sidecar file keeps both
-      // maps at full precision.
+      // The driver stores only a bounded TAIL of stdout; even a
+      // millisecond-precision per-query map (~2.6 KB at 79 queries)
+      // overflowed it three rounds running (BENCH_r03/r04/r05
+      // `parsed: null`). stdout therefore carries totals ONLY
+      // (~150 bytes — cannot truncate); both full-precision per-query
+      // maps live solely in the sidecar file.
       s"""{"metric":"total","value":$coldTotal,"unit":"sec",""" +
-        s""""queries":${fmt(cold, if (detail) 9 else 3)},""" +
+        (if (detail) s""""queries":${fmt(cold)},""" else "") +
         s""""warm_value":$warmTotal,""" +
         (if (detail) s""""warm_queries":${fmt(warm)},""" else "") +
         s""""failures":$coldFailures,"warm_failures":$warmFailures,"sf":"$sfDir"}"""

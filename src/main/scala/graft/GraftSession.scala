@@ -28,6 +28,11 @@ object GraftSession {
       // ~uniform and partitions within executor memory; 128m default made
       // explicit so it is tuned deliberately, not inherited
       .config("spark.sql.files.maxPartitionBytes", "128m")
+      // ANSI mode pinned explicitly (Spark 4 default): arithmetic faults
+      // (div-by-zero, overflow, bad casts) ABORT rather than silently
+      // yielding NULL. Queries guard data-dependent denominators
+      // identically on both engines instead of relying on NULL semantics.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -950,9 +950,10 @@ object SparkEntry {
          |    FROM cents) q)
          |SELECT d.bucket AS bucket, CAST(MAX(d.n) AS BIGINT) AS n_vecs,
          |  CAST(SUM(d.mean_q * d.mean_q) AS BIGINT) AS norm_new_q,
-         |  CAST(floor(CAST(SUM(d.mean_q * c.cq) AS DOUBLE) * 1000000.0 /
+         |  CASE WHEN SUM(d.mean_q * d.mean_q) = 0 OR SUM(c.cq * c.cq) = 0 THEN NULL
+         |  ELSE CAST(floor(CAST(SUM(d.mean_q * c.cq) AS DOUBLE) * 1000000.0 /
          |    (sqrt(CAST(SUM(d.mean_q * d.mean_q) AS DOUBLE)) *
-         |     sqrt(CAST(SUM(c.cq * c.cq) AS DOUBLE)))) AS BIGINT) AS shift_cos_ppm
+         |     sqrt(CAST(SUM(c.cq * c.cq) AS DOUBLE)))) AS BIGINT) END AS shift_cos_ppm
          |FROM dims d JOIN cd c USING (bucket, pos)
          |GROUP BY d.bucket""".stripMargin,
     // exact median is the hash target (q69's formula); gk_ok audits
@@ -1003,7 +1004,7 @@ object SparkEntry {
         |w AS (SELECT lang, n_docs, tok_total,
         |    tok_total * 1000000 // grand_total AS share_ppm,
         |    least(CAST(1000000 AS BIGINT), (1000000 // n_langs) * 1000000 //
-        |      (tok_total * 1000000 // grand_total)) AS weight_ppm
+        |      greatest(tok_total * 1000000 // grand_total, 1)) AS weight_ppm
         |  FROM pl, t)
         |SELECT lang, n_docs, tok_total, share_ppm, weight_ppm,
         |  tok_total * weight_ppm // 1000000 AS kept_tokens

@@ -15,9 +15,14 @@ object Verify {
       .getOrElse(Seq.empty)
     val spark = GraftSession.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter { case (name, _) =>
+    val selected = SparkEntry.queries.filter { case (name, _) =>
       filters.isEmpty || filters.exists(name.startsWith)
-    }.foreach { case (name, fn) =>
+    }
+    // a leaked filter env var must never be mistaken for a full dump
+    if (filters.nonEmpty)
+      System.err.println(s"[verify] WARNING: SPARK_GRAFT_QUERY_FILTER active — " +
+        s"dumping ${selected.size} of ${SparkEntry.queries.size} queries (PARTIAL dump)")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

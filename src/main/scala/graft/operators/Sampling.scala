@@ -100,8 +100,13 @@ object Sampling {
       sum(col("tok_total")).as("grand_total"), count(lit(1)).as("n_langs"))
     perLang.crossJoin(broadcast(totals))
       .withColumn("share_ppm", expr("tok_total * 1000000 DIV grand_total"))
+      // greatest(share_ppm, 1): a long-tail language whose token share
+      // floors below 1 ppm would divide by zero — ANSI Spark aborts,
+      // DuckDB yields NULL; clamping keeps the "under-represented
+      // languages keep everything" semantics (weight caps at 1e6) and is
+      // identical in the oracle SQL
       .withColumn("weight_ppm", expr(
-        "least(CAST(1000000 AS BIGINT), (1000000 DIV n_langs) * 1000000 DIV share_ppm)"))
+        "least(CAST(1000000 AS BIGINT), (1000000 DIV n_langs) * 1000000 DIV greatest(share_ppm, CAST(1 AS BIGINT)))"))
       .withColumn("kept_tokens", expr("tok_total * weight_ppm DIV 1000000"))
       .select(col("lang"), col("n_docs"), col("tok_total"),
         col("share_ppm"), col("weight_ppm"), col("kept_tokens"))

@@ -189,9 +189,14 @@ object Similarity {
         sum(expr("mean_q * mean_q")).as("norm_new_q"),
         sum(expr("cq * cq")).as("norm_old_q"),
         sum(expr("mean_q * cq")).as("dot_q"))
+      // zero-norm guard: an all-zero quantized bucket mean (or seed
+      // centroid) makes the cosine 0/0 → Infinity, and the ANSI CAST to
+      // BIGINT aborts; NULL matches what the oracle computes under the
+      // same guard
       .withColumn("shift_cos_ppm", expr(
-        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
-          "(sqrt(CAST(norm_new_q AS DOUBLE)) * sqrt(CAST(norm_old_q AS DOUBLE)))) AS BIGINT)"))
+        "CASE WHEN norm_new_q = 0 OR norm_old_q = 0 THEN NULL " +
+          "ELSE CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(norm_new_q AS DOUBLE)) * sqrt(CAST(norm_old_q AS DOUBLE)))) AS BIGINT) END"))
       .select(col("bucket"), col("n_vecs"), col("norm_new_q"), col("shift_cos_ppm"))
   }
 

@@ -99,22 +99,22 @@ object Sketches {
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchRow.getAs[Array[Byte]](0)))
     val budget = math.ceil(CmsEps * sketchRow.getAs[Long](1)).toLong
+    // audit: the exact top-k is collected ONCE (token AND count — k=20
+    // rows), each winner probed through the driver-side sketch, and the
+    // result returned as a local relation — executing the returned
+    // DataFrame costs nothing, so each run scans the corpus exactly
+    // twice (sketch pass + top-k pass), not three times
     val topk = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(HeavyHittersK)
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("token").asc)))
-    // audit: probe the k winners through the sketch (k driver lookups on
-    // an already-top-k result, not a data-path collect)
-    val est = topk.select(col("token")).collect().map(_.getString(0))
-      .map(t => t -> cms.estimateCount(t)).toMap
-    val estCol = est.foldLeft(lit(-1L)) { case (acc, (t, e)) =>
-      when(col("token") === t, lit(e)).otherwise(acc)
-    }
-    topk
-      .withColumn("cms_ok", estCol >= col("n") && estCol <= col("n") + lit(budget))
-      .select(col("token"), col("n"), col("rank"), col("cms_ok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    topk.toSeq.zipWithIndex.map { case ((token, n), i) =>
+      val e = cms.estimateCount(token)
+      (token, n, i + 1, e >= n && e <= n + budget)
+    }.toDF("token", "n", "rank", "cms_ok")
   }
 
   /** `percentile_approx` accuracy knob for [[quantileSketchChecked]]:
