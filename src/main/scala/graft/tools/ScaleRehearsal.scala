@@ -116,5 +116,35 @@ object ScaleRehearsal {
     println(s"[caps] ivf buckets=${emb.getLong(0)} " +
       s"over_EmbBucketCap(${Dedup.EmbBucketCap})=${emb.getLong(1)} " +
       s"max_bucket=${emb.getLong(2)}")
+
+    // derived index width: nlist ∝ √N keeps max bucket membership flat
+    // as the corpus grows (the fixed-nlist row above is the cliff)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    val dn = graft.operators.Similarity.nlistFor(nVecs)
+    val embAuto = graft.operators.Similarity.assignedEmbeddingsFor(spark, dir, dn)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") > Dedup.EmbBucketCap, 1L).otherwise(0L)).as("over_emb_cap"),
+        max(col("n")).as("max_bucket"))
+      .first()
+    println(s"[caps] ivf-auto n=$nVecs nlist=$dn buckets=${embAuto.getLong(0)} " +
+      s"over_EmbBucketCap(${Dedup.EmbBucketCap})=${embAuto.getLong(1)} " +
+      s"max_bucket=${embAuto.getLong(2)}")
+
+    // derived Bloom sizing: measured FPR over guaranteed non-members
+    // must track the target at this corpus scale
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val fps = docs.select(graft.operators.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val nFps = fps.count()
+    val bits = graft.operators.Sketches.bloomBitsFor(nFps)
+    val bf = fps.agg(expr(s"${graft.functions.GraftFunctions.BloomBuildName}(" +
+      s"xxhash64(fp), $nFps, $bits)")).first().getAs[Array[Byte]](0)
+    val probes = 1000000L
+    val hits = spark.range(probes)
+      .withColumn("hit", call_function(graft.functions.GraftFunctions.BloomContainsName,
+        lit(bf), xxhash64(concat(lit("nonmember_probe_"), col("id")))))
+      .filter(col("hit")).count()
+    println(f"[caps] bloom-auto n=$nFps bits=$bits measured_fpr=${hits.toDouble / probes}%.5f " +
+      s"target=${graft.operators.Sketches.BloomTargetFpr}")
   }
 }

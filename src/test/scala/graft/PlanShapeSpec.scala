@@ -85,6 +85,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 1, s"expected ≤1 shuffle (rank window):\n${p.take(2000)}")
   }
 
+  test("ivf assignment stays map-only at any index width (derived nlist)") {
+    // nlistFor grows the index ∝ √N; the assignment must stay a pure
+    // projection (centroid literals in codegen) no matter how wide —
+    // widening may never introduce a join or a shuffle
+    for (nlist <- Seq(16, 64)) {
+      val p = plan(Similarity.assignedEmbeddingsFor(spark, sf, nlist))
+      assertNoJoin(p, s"assignedEmbeddingsFor(nlist=$nlist)")
+      assert(shuffles(p) == 0,
+        s"assignment at nlist=$nlist must not shuffle:\n${p.take(2000)}")
+    }
+    assert(Similarity.nlistFor(100) == 16, "floor holds for small corpora")
+    assert(Similarity.nlistFor(1000000) == 1000, "nlist ~ sqrt(N)")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

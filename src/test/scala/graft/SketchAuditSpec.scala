@@ -31,13 +31,37 @@ class SketchAuditSpec extends AnyFunSuite {
     GraftFunctions.ensureRegistered(spark)
     val fps = Tables.documents(spark, sf)
       .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val n = fps.count()
     val bf = fps.agg(expr(s"${GraftFunctions.BloomBuildName}(xxhash64(fp), " +
-      s"${Sketches.BloomEstItems}, ${Sketches.BloomNumBits})")).head
+      s"$n, ${Sketches.bloomBitsFor(n)})")).head
       .getAs[Array[Byte]](0)
     val misses = fps.withColumn("hit",
       call_function(GraftFunctions.BloomContainsName, lit(bf), xxhash64(col("fp"))))
       .filter(!col("hit")).count()
     assert(misses == 0L)
+  }
+
+  test("derived bloom sizing holds measured FPR <= 2x target across corpus sizes") {
+    GraftFunctions.ensureRegistered(spark)
+    // the sizing must adapt: same code, two corpus scales, same bound
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val fps = Tables.documents(spark, dir)
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      val n = fps.count()
+      val bits = Sketches.bloomBitsFor(n)
+      val bf = fps.agg(expr(s"${GraftFunctions.BloomBuildName}(xxhash64(fp), " +
+        s"$n, $bits)")).head.getAs[Array[Byte]](0)
+      // probe keys are hashes of strings outside any fingerprint space —
+      // non-members w.p. 1; hit rate over them IS the false-positive rate
+      val probes = 200000L
+      val hits = spark.range(probes)
+        .withColumn("hit", call_function(GraftFunctions.BloomContainsName,
+          lit(bf), xxhash64(concat(lit("nonmember_probe_"), col("id")))))
+        .filter(col("hit")).count()
+      val fpr = hits.toDouble / probes
+      assert(fpr <= 2 * Sketches.BloomTargetFpr,
+        s"$dir: n=$n bits=$bits measured FPR=$fpr")
+    }
   }
 
   test("count-min estimates are one-sided: est >= exact for EVERY token") {
