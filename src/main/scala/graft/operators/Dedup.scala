@@ -366,18 +366,26 @@ object Dedup {
     * Convergence probe: labels only ever DECREASE under min-propagation,
     * so the round converged iff Σlabel is unchanged — one tiny aggregate
     * per round instead of a join-based diff.
+    *
+    * Checkpointing: `checkpointDir = None` (tests, single-JVM) truncates
+    * lineage with `localCheckpoint` — executor-local blocks, fast but
+    * lost with the executor. On a real cluster pass a reliable dir
+    * (HDFS/S3): blocks survive executor loss mid-closure, which over a
+    * multi-round iterative job at 1000 executors is a certainty to plan
+    * for, not a tail risk.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val chk = checkpointer(pairs.sparkSession, checkpointDir)
+    val edges = chk(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // materialize: the pair pipeline must not rerun per round
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      // materialized: the pair pipeline must not rerun per round
     // seed with the best single-hop label (≤ own id by construction) —
     // same cost as a plain distinct, one fewer propagation round
-    var labels = edges
+    var labels = chk(edges
       .select(col("src").as("doc"), least(col("src"), col("dst")).as("label"))
-      .groupBy(col("doc")).agg(min(col("label")).as("label"))
-      .localCheckpoint()
+      .groupBy(col("doc")).agg(min(col("label")).as("label")))
     var prevSig = Long.MinValue
     var iter = 0
     var converged = false
@@ -385,9 +393,8 @@ object Dedup {
       val viaNeighbor = edges.withColumnRenamed("dst", "doc")
         .join(labels, "doc")
         .select(col("src").as("doc"), col("label"))
-      val next = labels.select(col("doc"), col("label")).union(viaNeighbor)
-        .groupBy(col("doc")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = chk(labels.select(col("doc"), col("label")).union(viaNeighbor)
+        .groupBy(col("doc")).agg(min(col("label")).as("label")))
       val sig = next.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
       converged = sig == prevSig
       prevSig = sig
@@ -410,12 +417,122 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("label").as("component"))
   }
 
+  /** Lineage truncation strategy for the iterative closures: local
+    * checkpoint by default (single-JVM tests/bench), reliable
+    * `checkpoint()` into `dir` when one is given (cluster runs).
+    */
+  private def checkpointer(spark: SparkSession,
+      dir: Option[String]): DataFrame => DataFrame = dir match {
+    case Some(d) =>
+      spark.sparkContext.setCheckpointDir(d)
+      df => df.checkpoint()
+    case None => df => df.localCheckpoint()
+  }
+
   /** [[connectedComponents]] over the LSH candidate pairs (q39): the
     * standard minhash-LSH dedup endgame — signatures → banded candidate
     * pairs → clusters with a canonical survivor per cluster.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(lshCandidatePairs(spark, dir))
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the adversarial-scale variant [[connectedComponents]]'s
+    * Scaladoc promises: hash-min needs O(diameter) rounds, so a
+    * pathological chain embedded in 100 TB of near-dup pairs stalls it;
+    * star contraction converges in O(log n) rounds on ANY graph shape.
+    * Same contract as [[connectedComponents]]: every doc in `pairs` is
+    * labeled with the smallest doc_id reachable from it.
+    *
+    * Each round is two node-centric steps, each a groupBy-min plus an
+    * equi-join on the node id — the same bounded shuffle shape as the
+    * hash-min step, never an adjacency list in memory:
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    neighborhood minimum (keeps the graph connected, strictly
+    *    shrinks large-id stars);
+    *  - small-star: every node connects its smaller neighbors and
+    *    itself to that minimum (contracts toward component minima).
+    * At the fixpoint the edge set is a star forest rooted at each
+    * component's minimum; convergence is detected by an order-free
+    * (count, Σxxhash64) edge-set signature, one tiny aggregate per round.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsStarsWithStats(pairs, maxIter, checkpointDir)._1
+
+  /** [[connectedComponentsStars]] plus the number of rounds used —
+    * exposed so tests (and operational telemetry) can assert the
+    * O(log n) round bound instead of trusting it.
+    */
+  def connectedComponentsStarsWithStats(pairs: DataFrame, maxIter: Int = 30,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val chk = checkpointer(pairs.sparkSession, checkpointDir)
+
+    // orient (larger, smaller); a self-pair carries no connectivity
+    def orient(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+    // large-star: per node u, m = min(N(u) ∪ {u}); emit (v, m) for the
+    // strictly larger neighbors v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = bi.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      bi.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: edges oriented (u, v<u); per u, m = min of the smaller
+    // neighborhood; emit (v, m) for v ∈ N⁻(u) \ {m} plus (u, m)
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = orient(e)
+      val m = or.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val viaNeighbor = or.join(m, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      viaNeighbor.union(m.select(col("src"), col("m").as("dst"))).distinct()
+    }
+
+    // order-free set signature: xor never overflows (ANSI sum of
+    // full-range hashes would), and the edge set is distinct so xor
+    // cancellation can't mask a change
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = chk(orient(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
+    var prevSig = (-1L, 0L)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      edges = chk(smallStar(largeStar(edges)))
+      val sig = signature(edges)
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStars did not converge in $maxIter rounds; " +
+          "returning best-effort labels")
+    // fixpoint edges are (member, root) stars; groupBy-min instead of a
+    // plain rename keeps the labels valid (finer clustering) even on a
+    // budget-exhausted non-fixpoint, matching hash-min's best-effort
+    val members = edges.groupBy(col("src")).agg(min(col("dst")).as("component"))
+      .select(col("src").as("doc_id"), col("component"))
+    val roots = edges.select(col("dst").as("doc_id")).distinct()
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    (members.union(roots), iter)
+  }
 
   val SimhashBits = 32
 

@@ -44,6 +44,46 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(10L) > 1L)
   }
 
+  test("reliable checkpointing yields the same labels as localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-chk").toString
+    val chain = (1L to 8L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"),
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+    // reliable checkpoint actually wrote blocks to the dir
+    assert(new java.io.File(dir).listFiles.nonEmpty)
+  }
+
+  private def ccStars(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponentsStars(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("large-star/small-star matches hash-min on dedup-shaped graphs") {
+    val shapes = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),             // disjoint clusters
+      Seq((5L, 6L), (5L, 7L), (5L, 8L), (1L, 5L)),     // star, hub not min
+      (1L to 8L).map(i => (i, i + 1)),                 // chain
+      Seq((7L, 3L), (3L, 9L), (9L, 2L), (4L, 8L), (8L, 4L))) // dup edges
+    shapes.foreach { pairs =>
+      assert(ccStars(pairs: _*) == cc(pairs: _*), s"disagree on $pairs")
+    }
+  }
+
+  test("1k-vertex chain: stars converge in O(log n) rounds, hash-min cannot") {
+    val chain = (1L to 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsStarsWithStats(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 1000L).map(_ -> 1L).toMap,
+      "every vertex must collapse to component 1")
+    assert(rounds <= 16, s"expected O(log n) ~ 10 rounds, used $rounds")
+    // hash-min propagates the label one hop per round: at the same
+    // round budget the far end of the chain provably hasn't converged
+    val hm = Dedup.connectedComponents(chain, maxIter = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm(1000L) > 1L, "hash-min needs O(n) rounds on a chain")
+  }
+
   test("star with the canonical doc NOT the hub") {
     // hub 5 connects 6,7,8 and also 1: whole star collapses to 1
     assert(cc((5L, 6L), (5L, 7L), (5L, 8L), (1L, 5L)) ==
