@@ -36,6 +36,11 @@ class FinancePipeline(
 
   import FinancePipeline._
 
+  // the structured ledger (util.StructuredLog), when one is configured:
+  // INFO progress + ERROR failures land as queryable JSON, errors also
+  // in the separate error file — ref jobs/logger.py:30-71 semantics
+  private def slog = graft.util.StructuredLog.current.map(_.forModule("pipeline"))
+
   /** One full incremental cycle. Returns per-year outcomes. */
   def run(): Seq[YearResult] =
     markers.pendingByYear(config.rawDir).map { case (year, files) =>
@@ -43,12 +48,16 @@ class FinancePipeline(
       catch {
         case e: Throwable =>
           alert(s"pipeline year=$year failed", e.getMessage)
+          slog.foreach(_.error("pipeline year failed",
+            "year" -> year, "files" -> files.size,
+            "error" -> String.valueOf(e.getMessage)))
           YearResult(year, files, committed = false, Some(e.getMessage))
       }
     }
 
   private def runYear(year: Int, files: Seq[String]): YearResult = {
     log.info(s"processing year=$year files=${files.size}")
+    slog.foreach(_.info("processing year", "year" -> year, "files" -> files.size))
     val wide = Retry.withRetry(s"read-csv year=$year")(readWideCsv(files, year))
     val amountCols = amountColumns(wide)
     val report = DataQuality.run(wide,
@@ -58,6 +67,8 @@ class FinancePipeline(
     if (report.fatalFailed) {
       files.foreach(markers.markFailed)
       alert(s"DQ failed for year=$year", report.render)
+      slog.foreach(_.error("DQ fatal failure — year quarantined",
+        "year" -> year, "files" -> files.size, "report" -> report.render))
       return YearResult(year, files, committed = false, Some(report.render))
     }
     Retry.withRetry(s"commit-wide year=$year") {
@@ -75,6 +86,8 @@ class FinancePipeline(
     // safely redoes it. Marking earlier would strand a half-ingested year
     // forever — the ledger would say done while curated is missing.
     files.foreach(markers.markDone)
+    slog.foreach(_.info("year committed",
+      "year" -> year, "files" -> files.size, "version" -> version))
     YearResult(year, files, committed = true, None, Some(version))
   }
 
