@@ -73,10 +73,13 @@ object SparkEntry {
     // sketch-only production form is Profiler.cardinalityProfile)
     "q55_cardinality_profile" -> ((s, d) =>
       graft.operators.Profiler.cardinalityProfileChecked(s, d, "orders")),
-    // exact half of the skew profile; GK quantiles live in
-    // Profiler.keySkewQuantiles (bounds-tested, not graded)
+    // exact half of the skew profile; the GK quantile sketch is
+    // oracle-graded in q80
     "q56_key_skew_profile" -> ((s, d) =>
       graft.operators.Profiler.keySkewProfile(
+        graft.sources.Tables.lineitem(s, d), "l_orderkey")),
+    "q80_key_skew_quantiles" -> ((s, d) =>
+      graft.operators.Profiler.keySkewQuantilesChecked(
         graft.sources.Tables.lineitem(s, d), "l_orderkey")),
     "q60_curation_summary" -> (graft.operators.CurationPipeline.curationSummary _),
     "q57_frame_sample" -> ((s, d) => {
@@ -621,10 +624,21 @@ object SparkEntry {
         |  COUNT(DISTINCT o_orderpriority) AS ndv_o_orderpriority, TRUE AS hll_ok_o_orderpriority
         |FROM orders""".stripMargin,
     // exact half of the skew profile (count + max of per-key counts);
-    // the GK quantile half stays sketch-only in Profiler.keySkewQuantiles
+    // the GK quantile half is audited in q80
     "q56_key_skew_profile" ->
       """SELECT COUNT(*) AS n_keys, MAX(n) AS max_n
         |FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey) t""".stripMargin,
+    // exact value-at-rank p50/p99 of the per-key-count distribution is
+    // the hash target (q77's audit shape); gk_ok checks percentile_approx
+    // against its rank-error contract and is TRUE here
+    "q80_key_skew_quantiles" ->
+      """WITH c AS (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+        |      COUNT(*) OVER () AS cnt FROM c)
+        |SELECT CAST(SUM(CASE WHEN rn = (cnt + 1) // 2 THEN n ELSE 0 END) AS BIGINT) AS p50_n,
+        |  CAST(SUM(CASE WHEN rn = (99 * cnt + 99) // 100 THEN n ELSE 0 END) AS BIGINT) AS p99_n,
+        |  TRUE AS gk_ok
+        |FROM r""".stripMargin,
     "q43_norm_stats" ->
       s"""SELECT label, COUNT(*) AS n,
          |  CAST(SUM(nq) AS BIGINT) AS sum_norm_q,

@@ -101,12 +101,61 @@ object Profiler {
 
   /** Join-key skew profile, sketch part: GK-approximate p50/p99 of the
     * per-key counts. A key whose count dwarfs the p99 is a salting /
-    * AQE-skew-split candidate. Approximate and engine-specific —
-    * accuracy-bounded in ScalaTest rather than oracle-hashed.
+    * AQE-skew-split candidate. Approximate and engine-specific — the
+    * oracle-graded audit of this sketch is [[keySkewQuantilesChecked]]
+    * (q80).
     */
   def keySkewQuantiles(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .agg(
         percentile_approx(col("n"), lit(0.5), lit(10000)).as("p50_n"),
         percentile_approx(col("n"), lit(0.99), lit(10000)).as("p99_n"))
+
+  /** GK accuracy knob shared by [[keySkewQuantiles]] and its audit:
+    * rank error ≤ n_keys / accuracy.
+    */
+  val SkewQuantileAccuracy = 10000
+
+  /** Exact per-key-count quantiles with a GK audit (q80) — grades the
+    * [[keySkewQuantiles]] sketch the way q77 grades the median sketch.
+    * The hash-compared columns are EXACT value-at-rank quantiles of the
+    * per-key count distribution: p50 at rank ⌈0.5·n_keys⌉, p99 at rank
+    * ⌈0.99·n_keys⌉ over the sorted counts — deterministic integer
+    * picks both engines can reproduce. `gk_ok` checks Spark's
+    * `percentile_approx` answers against the Greenwald-Khanna contract
+    * at BOTH quantiles: each returned value's rank interval
+    * [n_lt+1, n_le] must cover the target rank within
+    * ±(n_keys/accuracy + 1). TRUE on the oracle side; a sketch leaving
+    * its bound fails the round.
+    *
+    * The exact side sorts only the per-key COUNTS (n_keys rows, already
+    * reduced from the corpus) — the same "exact audit at round
+    * boundaries, sketch in production" trade as q75/q77.
+    */
+  def keySkewQuantilesChecked(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val appx = counts.agg(
+      percentile_approx(col("n"), lit(0.5), lit(SkewQuantileAccuracy)).as("a50"),
+      percentile_approx(col("n"), lit(0.99), lit(SkewQuantileAccuracy)).as("a99"),
+      count(lit(1)).as("cnt"))
+    val ranked = counts.select(col("n"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n"), col(keyCol))).as("rn"))
+    ranked.crossJoin(broadcast(appx))
+      .agg(
+        max(col("cnt")).as("cnt"),
+        sum(when(col("rn") === expr("(cnt + 1) DIV 2"), col("n")).otherwise(0L)).as("p50_n"),
+        sum(when(col("rn") === expr("(99 * cnt + 99) DIV 100"), col("n")).otherwise(0L)).as("p99_n"),
+        sum(when(col("n") <= col("a50"), 1L).otherwise(0L)).as("n_le50"),
+        sum(when(col("n") < col("a50"), 1L).otherwise(0L)).as("n_lt50"),
+        sum(when(col("n") <= col("a99"), 1L).otherwise(0L)).as("n_le99"),
+        sum(when(col("n") < col("a99"), 1L).otherwise(0L)).as("n_lt99"))
+      .withColumn("rank_err", expr(s"cnt DIV $SkewQuantileAccuracy + 1"))
+      .withColumn("gk_ok",
+        col("n_le50") >= expr("(cnt + 1) DIV 2") - col("rank_err") &&
+          col("n_lt50") < expr("(cnt + 1) DIV 2") + col("rank_err") &&
+          col("n_le99") >= expr("(99 * cnt + 99) DIV 100") - col("rank_err") &&
+          col("n_lt99") < expr("(99 * cnt + 99) DIV 100") + col("rank_err"))
+      .select(col("p50_n"), col("p99_n"), col("gk_ok"))
+  }
 }

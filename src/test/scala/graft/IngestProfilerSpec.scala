@@ -99,6 +99,13 @@ class IngestProfilerSpec extends AnyFunSuite {
     val qs = Profiler.keySkewQuantiles(skewed, "k").collect()(0)
     assert(qs.getLong(qs.fieldIndex("p50_n")) == 1)
     assert(Set(1L, 1000L).contains(qs.getLong(qs.fieldIndex("p99_n"))))
+    // q80 audit form: 101 sorted counts [1×100, 1000] — p50 at rank 51
+    // is 1, p99 at rank 100 is 1, and the GK answers sit inside their
+    // rank-error contract
+    val chk = Profiler.keySkewQuantilesChecked(skewed, "k").collect()(0)
+    assert(chk.getLong(chk.fieldIndex("p50_n")) == 1)
+    assert(chk.getLong(chk.fieldIndex("p99_n")) == 1)
+    assert(chk.getBoolean(chk.fieldIndex("gk_ok")))
   }
 
   test("salted join equals plain join on skewed data") {
