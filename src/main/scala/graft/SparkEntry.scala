@@ -122,6 +122,8 @@ object SparkEntry {
     "q77_quantile_audit" -> (Sketches.quantileSketchChecked _),
     "q78_contamination" -> (TextOps.contaminationCheck _),
     "q79_mix_weights" -> (Sampling.mixWeights _),
+    "q81_pq_codes" -> (Similarity.pqCodes _),
+    "q82_dup_span_profile" -> (Dedup.dupSpanProfile _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1023,5 +1025,43 @@ object SparkEntry {
         |SELECT lang, n_docs, tok_total, share_ppm, weight_ppm,
         |  tok_total * weight_ppm // 1000000 AS kept_tokens
         |FROM w""".stripMargin,
+    // PQ codes: per-element integer-micro quantization, exact long
+    // squared distances, argmin tie-break lowest centroid id — mirrors
+    // functions.QuantizedL2 + Similarity.pqCodes bit for bit
+    "q81_pq_codes" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      val codeCols = (0 until PqSubspaces).map(m =>
+        s"  CAST(SUM(CASE WHEN m = $m THEN c_id ELSE 0 END) AS BIGINT) AS code_$m")
+        .mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q WHERE vec_id < $PqK),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |r AS (SELECT vec_id, m, c_id, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d)
+         |SELECT vec_id,
+         |$codeCols,
+         |  CAST(SUM(dist) AS BIGINT) AS recon_err_q
+         |FROM r WHERE rn = 1
+         |GROUP BY vec_id""".stripMargin
+    },
+    // duplicated-span profile: per-shash row count IS the document
+    // frequency (shingles are distinct per doc)
+    "q82_dup_span_profile" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id, n_sh, $shashSql AS shash FROM sh),
+         |d AS (SELECT doc_id, n_sh,
+         |      COUNT(*) OVER (PARTITION BY shash) AS df FROM h),
+         |p AS (SELECT doc_id, CAST(MAX(n_sh) AS BIGINT) AS n_sh,
+         |      CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |      FROM d GROUP BY 1)
+         |SELECT doc_id, n_sh, n_dup, n_dup * 1000000 // n_sh AS dup_ppm
+         |FROM p WHERE n_dup > 0""".stripMargin,
   )
 }

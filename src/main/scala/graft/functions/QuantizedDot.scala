@@ -78,13 +78,14 @@ case class QuantizedDot(left: Expression, right: Expression)
 /** Session-scoped registration of the engine's native functions. */
 object GraftFunctions {
   val DotName = "graft_quantized_dot"
+  val L2Name = "graft_quantized_l2"
   val Md5PrefixName = "graft_md5_prefix"
   val WinnowName = "graft_winnow"
   val BloomBuildName = "graft_bloom_build"
   val BloomContainsName = "graft_bloom_contains"
 
   private val names =
-    Seq(DotName, Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName)
+    Seq(DotName, L2Name, Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName)
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -92,8 +93,18 @@ object GraftFunctions {
       s"$fn: $arg must be an INT literal, got $other")
   }
 
+  // Bloom sizing is corpus-derived and exceeds Int range past ~260M
+  // keys at the default FPR — accept both integral literal widths
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integral literal, got $other")
+  }
+
   private def builderOf(name: String): Seq[Expression] => Expression = name match {
     case DotName => exprs => QuantizedDot(exprs(0), exprs(1))
+    case L2Name => exprs => QuantizedL2(exprs(0), exprs(1))
     case Md5PrefixName => exprs =>
       Md5PrefixLong(exprs(0), intLit(exprs(1), Md5PrefixName, "nHex"))
     case WinnowName => exprs => WinnowedFingerprints(exprs(0),
@@ -105,9 +116,9 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0),
         org.apache.spark.sql.catalyst.expressions.Literal(
-          intLit(exprs(1), BloomBuildName, "estItems").toLong, LongType),
+          longLit(exprs(1), BloomBuildName, "estItems"), LongType),
         org.apache.spark.sql.catalyst.expressions.Literal(
-          intLit(exprs(2), BloomBuildName, "numBits").toLong, LongType))
+          longLit(exprs(2), BloomBuildName, "numBits"), LongType))
     case BloomContainsName => exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))

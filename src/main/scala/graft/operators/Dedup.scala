@@ -534,6 +534,36 @@ object Dedup {
     (members.union(roots), iter)
   }
 
+  /** Per-document duplicated-span profile (q82) — the per-document half
+    * of exact-substring dedup (the action list "how much of THIS doc is
+    * repeated elsewhere", the quantity span-cutting dedup à la Lee et
+    * al. 2022 thresholds on): for each document, the count and ppm
+    * share of its distinct shingles that occur in at least one OTHER
+    * document, globally across sources (unlike q37's within-source
+    * pairwise blocking — boilerplate crosses sources). Documents with
+    * no duplicated span are omitted (they need no action).
+    *
+    * Plan: one window count over the hashed-shingle relation — rows are
+    * distinct per (doc, shingle), so the per-`shash` row count IS the
+    * document frequency — then a per-doc aggregation. Two shuffles, no
+    * join, no pair structure; a corpus-frequent shingle only grows one
+    * sort-spilling window partition, never quadratic state.
+    */
+  def dupSpanProfile(spark: SparkSession, dir: String): DataFrame =
+    dupSpanProfileFor(Tables.documents(spark, dir))
+
+  def dupSpanProfileFor(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shash"))
+    hashedShingles(docs)
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_sh"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 DIV n_sh"))
+      .filter(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_sh"), col("n_dup"), col("dup_ppm"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash: every token occurrence votes ±1 on each bit of its

@@ -230,6 +230,54 @@ object Similarity {
       .select(col("bucket"), col("n_vecs"), col("norm_new_q"), col("shift_cos_ppm"))
   }
 
+  val PqSubspaces = 8
+  val PqSubDim = 8 // testdata embeddings are 64-dim
+  val PqK = 16
+
+  /** Product-quantization codes (q81) — the compression half of the
+    * canonical 100 TB ANN index (IVF-PQ): each 64-dim float vector
+    * (256 bytes) becomes [[PqSubspaces]] centroid ids (8 bytes) by
+    * splitting into 8-dim subvectors and snapping each to its nearest
+    * codebook entry. The codebook is seeded from the first [[PqK]]
+    * vectors' subvectors (the same deterministic seed discipline as the
+    * IVF index; iterating [[kmeansRefine]] per subspace IS the codebook
+    * training). Output per vector: the 8 codes plus the exact quantized
+    * reconstruction error Σ_m min_k ‖sub_m − c_{m,k}‖²_q — the quantity
+    * PQ training minimizes, audited here in exact integer arithmetic.
+    *
+    * Distances use the native [[graft.functions.QuantizedL2]]
+    * (per-element ⌊·1e6⌋ quantization, exact long math), so the argmin
+    * — lowest centroid id on ties — is bit-identical in the oracle.
+    *
+    * Scale: assignment is a map-only projection, exactly like the IVF
+    * bucket argmax — [[PqSubspaces]]×[[PqK]] codegen'd 8-dim loops per
+    * row against literal centroids, no join, no shuffle, at any N.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val cents = centroidLits(spark, dir, PqK)
+    val l2 = graft.functions.GraftFunctions.L2Name
+    var df = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    for (m <- 0 until PqSubspaces) {
+      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+      for ((cid, arr) <- cents) {
+        val centLit = arr.slice(m * PqSubDim, (m + 1) * PqSubDim)
+          .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+        df = df.withColumn(s"d_${m}_$cid", expr(s"$l2($sub, $centLit)"))
+      }
+      val best = least(cents.map { case (cid, _) => col(s"d_${m}_$cid") }: _*)
+      // foldRight: the FIRST (lowest) c_id reaching the min wins ties
+      val code = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
+        when(col(s"d_${m}_$cid") === best, lit(cid)).otherwise(acc)
+      }
+      df = df.withColumn(s"code_$m", code).withColumn(s"err_$m", best)
+    }
+    df.select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(m => col(s"code_$m")) :+
+        (0 until PqSubspaces).map(m => col(s"err_$m")).reduce(_ + _).as("recon_err_q"): _*)
+  }
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */

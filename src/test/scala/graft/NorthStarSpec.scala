@@ -27,6 +27,40 @@ class NorthStarSpec extends AnyFunSuite {
     assert(assigned.select("vec_id").distinct().count() == n)
   }
 
+  test("pq codes: every vector coded, codebook vectors reconstruct exactly") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val codes = Similarity.pqCodes(spark, sf).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      (1 to Similarity.PqSubspaces).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= 0 && c < Similarity.PqK, s"code out of codebook range: $c")
+      }
+      assert(r.getAs[Long]("recon_err_q") >= 0L)
+    }
+    // a codebook seed vector's subvectors ARE codebook entries: its
+    // quantized reconstruction error must be exactly zero
+    codes.filter(_.getLong(0) < Similarity.PqK).foreach { r =>
+      assert(r.getAs[Long]("recon_err_q") == 0L,
+        s"seed vector ${r.getLong(0)} must reconstruct exactly")
+    }
+  }
+
+  test("dup-span profile: identical docs are fully duplicated spans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val text = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "en", "a", 40L), (2L, text, "en", "b", 40L),
+      (3L, (100 until 160).map(i => s"uniq$i").mkString(" "), "en", "a", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val prof = Dedup.dupSpanProfileFor(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dup_ppm")).toMap
+    // the two clones share every shingle (cross-source!); the unique
+    // doc has no duplicated span and is omitted
+    assert(prof == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
   test("minhash similarity correlates with jaccard on identical docs") {
     // a document is always a perfect match with itself: signatures equal
     val sig = Dedup.minhashSignatures(spark, sf)

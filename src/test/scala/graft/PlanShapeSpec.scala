@@ -99,6 +99,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(Similarity.nlistFor(1000000) == 1000, "nlist ~ sqrt(N)")
   }
 
+  test("q81 pq code assignment is a map-only projection") {
+    val p = plan(Similarity.pqCodes(spark, sf))
+    assertNoJoin(p, "pqCodes")
+    assert(shuffles(p) == 0,
+      s"PQ assignment must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("q82 dup-span profile: window + agg, join-free, two shuffles") {
+    val p = plan(Dedup.dupSpanProfile(spark, sf))
+    assertNoJoin(p, "dupSpanProfile")
+    // shash window partitioning + doc_id aggregation
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

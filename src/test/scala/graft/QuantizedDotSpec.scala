@@ -27,6 +27,29 @@ class QuantizedDotSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("native QuantizedL2 equals the per-element-quantized formulation on every row") {
+    GraftFunctions.ensureRegistered(spark)
+    // portable form: quantize each ELEMENT to integer micros, then
+    // difference and square — what the q81 oracle computes
+    val hofL2 = "aggregate(zip_with(embedding, reverse(embedding), (x, y) -> " +
+      "(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) - " +
+      " CAST(floor(CAST(y AS DOUBLE) * 1000000.0) AS BIGINT)) * " +
+      "(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) - " +
+      " CAST(floor(CAST(y AS DOUBLE) * 1000000.0) AS BIGINT))), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val diff = emb.select(
+        expr(s"${GraftFunctions.L2Name}(embedding, reverse(embedding))").as("native"),
+        expr(hofL2).as("portable"))
+      .filter(col("native") =!= col("portable"))
+    assert(diff.count() == 0)
+    // identity: distance to itself is exactly zero
+    val selfNonZero = emb.select(
+        expr(s"${GraftFunctions.L2Name}(embedding, embedding)").as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(selfNonZero == 0)
+  }
+
   test("rejects wrong argument types at analysis time") {
     GraftFunctions.ensureRegistered(spark)
     val e = intercept[Exception] {
