@@ -124,6 +124,11 @@ object SparkEntry {
     "q79_mix_weights" -> (Sampling.mixWeights _),
     "q81_pq_codes" -> (Similarity.pqCodes _),
     "q82_dup_span_profile" -> (Dedup.dupSpanProfile _),
+    "q83_ivfpq_search" -> (Similarity.ivfPqSearch _),
+    "q84_decontaminate" -> (TextOps.decontaminateTrain _),
+    "q85_token_rarity" -> (TextOps.tokenRarityScore _),
+    "q86_shard_balance" -> (Sampling.shardBalance _),
+    "q87_dup_span_scrub" -> (Dedup.dupSpanScrub _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1063,5 +1068,128 @@ object SparkEntry {
          |      FROM d GROUP BY 1)
          |SELECT doc_id, n_sh, n_dup, n_dup * 1000000 // n_sh AS dup_ppm
          |FROM p WHERE n_dup > 0""".stripMargin,
+    // IVF-PQ ADC search: `d` (every vector's exact quantized subspace
+    // distance to every codebook entry) doubles as the corpus code
+    // argmin AND the query lookup table — mirrors Similarity.ivfPqSearch
+    "q83_ivfpq_search" -> {
+      import graft.operators.Similarity.{IvfNprobe, PqK, PqSubDim, PqSubspaces}
+      s"""WITH $ivfCte,
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q WHERE vec_id < $PqK),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, c_id AS code FROM (
+         |    SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT q_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id AS q_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c WHERE e.vec_id % 100 = 0) t
+         |  WHERE rk <= $IvfNprobe),
+         |adc AS (
+         |  SELECT p.q_id, a.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+         |  FROM probes p
+         |  JOIN asg a ON a.bucket = p.bucket
+         |  JOIN code co ON co.vec_id = a.vec_id
+         |  JOIN d l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, neighbor_id, adc_q, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, adc_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin
+    },
+    // decontamination keep-list: train docs whose token-shingle overlap
+    // with the eval split stays under the q78 threshold; shingle-less
+    // docs re-enter via the join back to tr
+    "q84_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sa AS (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3 THEN $shingleList ELSE [] END AS sh_arr
+         |  FROM tok),
+         |b AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS bucket, sh_arr
+         |  FROM sa),
+         |ev AS (SELECT DISTINCT CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS shash
+         |       FROM (SELECT unnest(sh_arr) AS sh FROM b WHERE bucket >= 900000) x),
+         |tr AS (SELECT doc_id, CAST(len(sh_arr) AS BIGINT) AS n_sh, sh_arr
+         |       FROM b WHERE bucket < 800000),
+         |trf AS (SELECT doc_id, n_sh,
+         |        CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS shash
+         |        FROM (SELECT doc_id, n_sh, unnest(sh_arr) AS sh FROM tr) y),
+         |hits AS (SELECT t.doc_id, t.n_sh, COUNT(ev.shash) AS n_eval_hits
+         |         FROM trf t LEFT JOIN ev ON t.shash = ev.shash GROUP BY 1, 2),
+         |res AS (SELECT tr.doc_id, tr.n_sh,
+         |          CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits
+         |        FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id)
+         |SELECT doc_id, n_sh, n_eval_hits,
+         |  CASE WHEN n_sh = 0 THEN 0 ELSE n_eval_hits * 1000000 // n_sh END AS contam_ppm
+         |FROM res
+         |WHERE (CASE WHEN n_sh = 0 THEN 0 ELSE n_eval_hits * 1000000 // n_sh END)
+         |  < ${graft.operators.TextOps.ContamPpm}""".stripMargin,
+    // integer surprisal: idf_x = grand DIV count(token), no log/floats
+    "q85_token_rarity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS grand FROM t),
+         |d AS (SELECT doc_id,
+         |      grand // COUNT(*) OVER (PARTITION BY token) AS idf_x
+         |    FROM t, g)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM(idf_x) AS BIGINT) AS sum_idf,
+         |  CAST(MAX(idf_x) AS BIGINT) AS max_idf,
+         |  CAST(SUM(idf_x) // COUNT(*) AS BIGINT) AS rarity_score
+         |FROM d GROUP BY 1""".stripMargin,
+    // same md5 buckets as q48/q49; load_ppm: 1e6 = perfectly even shard
+    "q86_shard_balance" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 % ${graft.operators.Sampling.Shards} AS shard,
+         |    CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |      CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+         |      MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |    FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM s)
+         |SELECT shard, n_docs, tok_total, min_doc, max_doc,
+         |  n_docs * ${graft.operators.Sampling.Shards} * 1000000 // total_docs AS load_ppm
+         |FROM s, t""".stripMargin,
+    // positional spans: duplicated iff ≥2 distinct docs share the shash
+    // (min ≠ max over the partition); covered = distinct token positions
+    "q87_dup_span_scrub" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, n_tok, u.pos AS pos, u.sh AS sh FROM (
+         |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |      unnest(list_transform(generate_series(1, len(toks) - 2),
+         |        i -> {'pos': i,
+         |              'sh': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})) AS u
+         |    FROM tk WHERE len(toks) >= 3) q),
+         |h AS (SELECT doc_id, n_tok, pos,
+         |      CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS shash FROM p),
+         |dd AS (SELECT doc_id, n_tok, pos,
+         |      MIN(doc_id) OVER (PARTITION BY shash)
+         |        <> MAX(doc_id) OVER (PARTITION BY shash) AS dup
+         |    FROM h),
+         |cov AS (SELECT DISTINCT doc_id, n_tok, pos + off AS tp
+         |        FROM dd, (SELECT unnest([0, 1, 2]) AS off) o
+         |        WHERE dup),
+         |a AS (SELECT doc_id, MAX(n_tok) AS n_tok,
+         |      CAST(COUNT(*) AS BIGINT) AS n_covered
+         |    FROM cov GROUP BY 1)
+         |SELECT doc_id, n_tok, n_covered, n_tok - n_covered AS n_clean,
+         |  n_covered * 1000000 // n_tok AS scrub_ppm
+         |FROM a""".stripMargin,
   )
 }

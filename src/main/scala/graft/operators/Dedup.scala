@@ -564,6 +564,59 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"), col("n_dup"), col("dup_ppm"))
   }
 
+  /** Duplicated-span scrub (q87) — the removal step q82 profiles: count
+    * the token positions of each document that sit inside a globally
+    * duplicated 3-token span (a shingle appearing in ≥ 2 distinct
+    * documents — boilerplate, licence headers, navigation chrome), and
+    * the clean token count a scrubbed rewrite would keep. Unlike q82
+    * this needs POSITIONS, not the distinct shingle set: a span
+    * duplicated elsewhere marks tokens i..i+2 as covered, and overlapping
+    * covered spans must not double-count.
+    *
+    * Cross-document duplication is decided without counting: a shingle
+    * hash is duplicated iff min(doc_id) ≠ max(doc_id) over its window
+    * partition — exact, and cheaper state than a distinct count. The
+    * same within-doc-repeat semantics as q82: a span repeated only
+    * inside one document is not "duplicated".
+    *
+    * Plan: positional explode → one sort-spilling window on `shash` →
+    * covered-position explode (3 rows per duplicated span) → per-doc
+    * distinct count. Two data shuffles plus the distinct-count expand;
+    * no join, no pair structure — a corpus-frequent span grows one
+    * window partition linearly, never quadratically.
+    */
+  def dupSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    dupSpanScrubFor(Tables.documents(spark, dir))
+
+  def dupSpanScrubFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val pos = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        // explode_outer: see [[shingles]] — and the struct keeps pos
+        // and shingle in ONE generated column so the tokenizer never
+        // re-runs per element
+        explode_outer(expr(
+          "transform(sequence(1, size(toks) - 2), i -> struct(i AS pos, " +
+            "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+            "element_at(toks, i + 2)) AS sh))")).as("u"))
+      .select(col("doc_id"), col("n_tok"), col("u.pos").as("pos"),
+        expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(u.sh, 15)").as("shash"))
+    val w = Window.partitionBy(col("shash"))
+    pos
+      .withColumn("dup", min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
+      .filter(col("dup"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(col("pos"), col("pos") + lit(2))).as("tp"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).as("n_tok"), countDistinct(col("tp")).as("n_covered"))
+      .withColumn("n_clean", expr("n_tok - n_covered"))
+      .withColumn("scrub_ppm", expr("n_covered * 1000000 DIV n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("n_covered"),
+        col("n_clean"), col("scrub_ppm"))
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash: every token occurrence votes ±1 on each bit of its

@@ -112,6 +112,40 @@ object Sampling {
         col("share_ppm"), col("weight_ppm"), col("kept_tokens"))
   }
 
+  /** Output shards for a training-data write. */
+  val Shards = 64L
+
+  /** Deterministic shard-balance audit (q86) — the output half of a
+    * training pipeline: documents are assigned to one of [[Shards]]
+    * shards by the same stable key hash as [[sampleByHash]] (so shard
+    * membership survives reruns, repartitioning, and incremental
+    * appends), and the audit reports each shard's document and token
+    * load plus its deviation from the even share in ppm. This is the
+    * check you run before `write.partitionBy(shard)` at 100 TB — a hot
+    * shard means a straggler executor and an oversized output file.
+    *
+    * Plan: one narrow map (hash + token count) + one 64-group
+    * aggregation with map-side partials + a broadcast 1-row total.
+    * Nothing scales with corpus size except the single scan.
+    */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val perShard = Tables.documents(spark, dir)
+      .withColumn("shard", hashBucket("doc_id") % Shards)
+      .withColumn("n_tok", size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    // straight off the corpus (a doc_id-only columnar scan), not a
+    // re-aggregation of perShard — keeps the plan at one hash shuffle
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("total_docs"))
+    perShard.crossJoin(broadcast(total))
+      // 1e6 = perfectly even; a shard at 2e6 holds twice its share
+      .withColumn("load_ppm", expr(s"n_docs * $Shards * 1000000 DIV total_docs"))
+      .select(col("shard"), col("n_docs"), col("tok_total"),
+        col("min_doc"), col("max_doc"), col("load_ppm"))
+  }
+
   /** q65: language rebalancing of the documents corpus — keep 25% of
     * `en` (the dominant stratum) and everything else, reported as the
     * per-language before/after mix.

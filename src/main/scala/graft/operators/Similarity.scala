@@ -98,11 +98,14 @@ object Similarity {
     */
   private def withCentroidDots(df: DataFrame,
       cents: Seq[(Long, Array[Float])], embCol: String): DataFrame = {
-    val scored = cents.foldLeft(df) { case (d, (cid, arr)) =>
-      d.withColumn(s"dot_c$cid",
-        expr(s"${graft.functions.GraftFunctions.DotName}($embCol, " +
-          s"array(${arr.map(v => s"CAST($v AS FLOAT)").mkString(",")}))"))
+    // ONE Project for all nlist dot columns (a withColumn per centroid
+    // nests nlist Projects and analyzer time grows quadratically — at
+    // nlist=141 in the derived-index test that was seconds of planning)
+    val dotCols = cents.map { case (cid, arr) =>
+      expr(s"${graft.functions.GraftFunctions.DotName}($embCol, " +
+        s"array(${arr.map(v => s"CAST($v AS FLOAT)").mkString(",")}))").as(s"dot_c$cid")
     }
+    val scored = df.select(col("*") +: dotCols: _*)
     val best = greatest(cents.map { case (cid, _) => col(s"dot_c$cid") }: _*)
     // foldRight: the FIRST (lowest) c_id reaching the max wins ties
     val bucket = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
@@ -253,29 +256,124 @@ object Similarity {
     * bucket argmax — [[PqSubspaces]]×[[PqK]] codegen'd 8-dim loops per
     * row against literal centroids, no join, no shuffle, at any N.
     */
+  /** Per-subspace distance ARRAYS against the codebook: one array column
+    * per subspace, all in a single Project (the 8×[[PqK]] distances as
+    * chained withColumns nested 128 Projects — most of q81's measured
+    * time was Catalyst analysis, not data). The codebook ids are 0..PqK-1
+    * in array order, so `array_position(d, array_min(d)) - 1` IS the
+    * argmin code with the oracle's first-lowest-id tie-break.
+    */
+  private def withPqDistanceArrays(df: DataFrame,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val l2 = graft.functions.GraftFunctions.L2Name
+    val dArrs = (0 until PqSubspaces).map { m =>
+      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
+      val entries = cents.map { case (_, arr) =>
+        val centLit = arr.slice(m * PqSubDim, (m + 1) * PqSubDim)
+          .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+        s"$l2($sub, $centLit)"
+      }.mkString("array(", ",", ")")
+      expr(entries).as(s"d_$m")
+    }
+    df.select(col("*") +: dArrs: _*)
+  }
+
+  private def pqCode(m: Int): Column =
+    array_position(col(s"d_$m"), array_min(col(s"d_$m"))) - 1
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     withFns(spark)
     val cents = centroidLits(spark, dir, PqK)
+    withPqDistanceArrays(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), cents)
+      .select(
+        col("vec_id") +:
+          (0 until PqSubspaces).map(m => pqCode(m).as(s"code_$m")) :+
+          (0 until PqSubspaces).map(m => array_min(col(s"d_$m"))).reduce(_ + _)
+            .as("recon_err_q"): _*)
+  }
+
+  /** PQ-coded corpus with its IVF bucket — (vec_id, bucket, code_0..7)
+    * in ONE map-only projection over the embeddings scan: the IVF argmax
+    * and the 8 subspace argmins run in the same codegen stage, so the
+    * compressed index build never joins the corpus against anything.
+    * This is the 100 TB index layout: 8 code bytes + 1 bucket id per
+    * vector instead of 256 float bytes.
+    */
+  private def pqCodedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val ivfCents = centroidLits(spark, dir, IvfNlist)
+    val pqCents = centroidLits(spark, dir, PqK)
+    withPqDistanceArrays(
+      withCentroidDots(Tables.embeddings(spark, dir), ivfCents, "embedding")
+        .select(col("vec_id"), col("embedding"), col("bucket")),
+      pqCents)
+      .select(col("vec_id") +: col("bucket") +:
+        (0 until PqSubspaces).map(m => pqCode(m).as(s"code_$m")): _*)
+  }
+
+  /** IVF-PQ asymmetric-distance search (q83) — the full canonical
+    * 100 TB ANN query: queries probe their [[IvfNprobe]] best IVF
+    * buckets, and candidates in those buckets are ranked by ADC
+    * (asymmetric distance computation) — the query builds a per-subspace
+    * lookup table of exact quantized L2 distances to every codebook
+    * entry, and each candidate's approximate distance is the sum of 8
+    * table lookups indexed by its PQ codes. The scan side touches ONLY
+    * the 8-byte codes, never the vectors: at 100 TB this is the
+    * difference between scanning 100 TB of floats and ~3 TB of codes.
+    *
+    * All distances are exact integer quantities ([[graft.functions.QuantizedL2]]
+    * per-element ⌊·1e6⌋ math), so the ranking — ADC ascending, vec_id
+    * tie-break — is bit-identical in the oracle. Recall < 1 twice over
+    * (IVF probe misses + PQ quantization error); the test suite measures
+    * it against [[bruteForceKnn]].
+    *
+    * Plan: the coded corpus is one map-only projection; the query side
+    * (tiny by construction) computes probes AND the 8 LUT arrays in one
+    * projection and broadcasts; one hash join on `bucket`, one window
+    * for the top-k. The corpus is never shuffled, exactly like
+    * [[ivfKnn]] — but here the join output carries 8 longs per
+    * candidate, not a 64-float embedding.
+    */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val ivfCents = centroidLits(spark, dir, IvfNlist)
+    val pqCents = centroidLits(spark, dir, PqK)
     val l2 = graft.functions.GraftFunctions.L2Name
-    var df = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    for (m <- 0 until PqSubspaces) {
-      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
-      for ((cid, arr) <- cents) {
+    val corpus = pqCodedCorpus(spark, dir)
+    // probe selection: same map-only sort_array ranking as ivfKnn
+    val q = queries(Tables.embeddings(spark, dir))
+    val probeStructs = array(ivfCents.map { case (cid, _) =>
+      struct((-col(s"dot_c$cid")).as("negdot"), lit(cid).as("c_id"))
+    }: _*)
+    // ADC lookup tables: lut_m[k+1] = ‖q_sub_m − c_{m,k}‖²_q, one array
+    // literal-expression per subspace, computed once per query row
+    val lutCols = (0 until PqSubspaces).map { m =>
+      val sub = s"slice(q_emb, ${m * PqSubDim + 1}, $PqSubDim)"
+      val entries = pqCents.map { case (_, arr) =>
         val centLit = arr.slice(m * PqSubDim, (m + 1) * PqSubDim)
           .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
-        df = df.withColumn(s"d_${m}_$cid", expr(s"$l2($sub, $centLit)"))
-      }
-      val best = least(cents.map { case (cid, _) => col(s"d_${m}_$cid") }: _*)
-      // foldRight: the FIRST (lowest) c_id reaching the min wins ties
-      val code = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
-        when(col(s"d_${m}_$cid") === best, lit(cid)).otherwise(acc)
-      }
-      df = df.withColumn(s"code_$m", code).withColumn(s"err_$m", best)
+        s"$l2($sub, $centLit)"
+      }.mkString("array(", ",", ")")
+      expr(entries).as(s"lut_$m")
     }
-    df.select(
-      col("vec_id") +:
-        (0 until PqSubspaces).map(m => col(s"code_$m")) :+
-        (0 until PqSubspaces).map(m => col(s"err_$m")).reduce(_ + _).as("recon_err_q"): _*)
+    val probes = withCentroidDots(q, ivfCents, "q_emb")
+      .select(col("q_id") +: col("q_emb") +:
+        explode(slice(sort_array(probeStructs), 1, IvfNprobe)).as("p") +: Nil: _*)
+      .select(col("q_id") +: col("p.c_id").as("bucket") +: lutCols: _*)
+    // candidates: codes join broadcast probes on bucket; ADC is 8 array
+    // lookups — element_at is 1-based, codes are codebook ids 0..PqK-1
+    val adc = (0 until PqSubspaces).map { m =>
+      element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc_q").asc, col("vec_id").asc)
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_q", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc_q"), col("rank"))
   }
 
   /** Per-label embedding norm statistics — array numerics as a plain

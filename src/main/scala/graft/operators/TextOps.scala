@@ -50,6 +50,38 @@ object TextOps {
           .cast("long").as("n_bpe_tokens"),
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
 
+  /** Per-document token-rarity score (q85) — an integer surprisal proxy
+    * for quality/novelty scoring without a language model: each token
+    * occurrence is weighted by its inverse corpus frequency
+    * `idf_x = grand_total DIV count(token)` (a hapax scores the corpus
+    * size, "the" scores ~single digits), and the document score is the
+    * mean weight. Pure integer arithmetic — no log, no floats — so the
+    * score is bit-identical across engines and partitionings, unlike a
+    * float log-prob whose sum order matters.
+    *
+    * Plan: the q67/q82 house shape — one window count over the token
+    * partition (occurrence rows; the window is sort-spilling, a
+    * corpus-frequent token only grows one partition), the 1-row grand
+    * total broadcast in, one per-doc aggregation. Two data shuffles, no
+    * join of corpus-sized relations.
+    */
+  def tokenRarityScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val grand = t.agg(count(lit(1)).as("grand"))
+    t.withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(grand))
+      .withColumn("idf_x", expr("grand DIV cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("idf_x")).as("sum_idf"),
+        max(col("idf_x")).as("max_idf"))
+      .withColumn("rarity_score", expr("sum_idf DIV n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("sum_idf"),
+        col("max_idf"), col("rarity_score"))
+  }
+
   /** Corpus token frequency — the classic explode→count rollup. Spark
     * does map-side partial aggregation automatically, so the shuffle
     * carries one row per (partition, token), not per occurrence.
@@ -231,6 +263,54 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("contam_ppm", expr("n_shared * 1000000 DIV n_fp"))
       .filter(col("contam_ppm") >= ContamPpm)
+  }
+
+  /** Decontaminated train corpus (q84) — the other direction of q78,
+    * and the one production pipelines actually apply: drop from the
+    * TRAIN split any document that substantially overlaps the eval
+    * split, and emit the kept docs with their overlap evidence. The
+    * overlap unit is the token 3-gram shingle (the GPT-3-style n-gram
+    * decontamination unit, same hashes as q37/q82) rather than q78's
+    * char-gram winnow fingerprints: char 5-grams over a narrow
+    * vocabulary collide near-totally, while token shingles measure
+    * actual phrase reuse. A train doc is dropped when ≥ [[ContamPpm]]
+    * of its shingles appear in the eval split; docs too short to
+    * shingle carry no eval phrase and are kept with n_eval_hits = 0.
+    *
+    * Scale: mirror image of [[contaminationCheck]] — the (small) eval
+    * split collapses to DISTINCT shingle hashes and BROADCASTS; the
+    * (huge) train side explodes to (doc, shash) and left-joins against
+    * it map-side, then re-aggregates per doc. The train corpus shuffles
+    * once (the per-doc groupBy); no shingle-keyed shuffle of the big
+    * side, no doc×doc work.
+    */
+  def decontaminateTrain(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir)
+    val ev = Dedup.hashedShingles(docs.filter(Sampling.hashBucket("doc_id") >= 900000L))
+      .select(col("shash")).distinct()
+      .withColumn("hit", lit(1L))
+    // total over ALL train docs: guarded shingle expr (sequence(1, n)
+    // DESCENDS when n < 1, so the >= 3 case split is load-bearing)
+    // instead of docShingles' dropping filter
+    val tr = docs.filter(Sampling.hashBucket("doc_id") < 800000L)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh_arr", when(size(col("toks")) >= 3,
+        array_distinct(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+            "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        explode_outer(col("sh_arr")).as("sh")) // outer: keep shingle-less docs
+      .withColumn("shash",
+        expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 15)"))
+    tr.join(broadcast(ev), Seq("shash"), "left_outer")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_eval_hits"))
+      .withColumn("contam_ppm",
+        expr("CASE WHEN n_sh = 0 THEN 0 ELSE n_eval_hits * 1000000 DIV n_sh END"))
+      .filter(col("contam_ppm") < ContamPpm)
+      .select(col("doc_id"), col("n_sh"), col("n_eval_hits"), col("contam_ppm"))
   }
 
   /** Winnow-overlap pairs (q64, the MOSS shape): documents in the same

@@ -46,6 +46,94 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq adc search: valid ranking, usable recall vs brute force") {
+    val rows = Similarity.ivfPqSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per query: exactly ranks 1..5, non-negative ADC, never self
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"ranks must be 1..k for query $qid")
+      rs.foreach { r =>
+        assert(r.getLong(2) >= 0L, "ADC distance is a sum of exact squared terms")
+        assert(r.getLong(1) != qid, "self must be excluded")
+      }
+    }
+    val bf = Similarity.bruteForceKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    info(s"ivf-pq recall@5 = $recall")
+    // lossier than full-vector IVF (probe misses + quantization), but
+    // must stay far above random (5/500 ≈ 0.01)
+    assert(recall >= 0.1, s"recall=$recall")
+  }
+
+  test("decontaminate: kept docs are under threshold and partition the train split") {
+    import org.apache.spark.sql.functions._
+    val kept = TextOps.decontaminateTrain(spark, sf).collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      assert(r.getAs[Long]("contam_ppm") < TextOps.ContamPpm)
+      assert(r.getAs[Long]("n_eval_hits") <= math.max(r.getAs[Long]("n_sh"), 0L))
+    }
+    val trainTotal = graft.sources.Tables.documents(spark, sf)
+      .filter(graft.operators.Sampling.hashBucket("doc_id") < 800000L).count()
+    assert(kept.length <= trainTotal)
+    // the word-salad corpus has heavy phrase reuse, so SOME doc must be
+    // dropped — otherwise the threshold isn't exercised
+    assert(kept.length < trainTotal, "expected at least one contaminated drop")
+  }
+
+  test("token rarity: integer surprisal properties hold corpus-wide") {
+    val docsN = graft.sources.Tables.documents(spark, sf).count()
+    val rows = TextOps.tokenRarityScore(spark, sf).collect()
+    assert(rows.length == docsN, "every document must be scored")
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tok")
+      val sumIdf = r.getAs[Long]("sum_idf")
+      val maxIdf = r.getAs[Long]("max_idf")
+      val score = r.getAs[Long]("rarity_score")
+      assert(nTok > 0)
+      // every occurrence weighs ≥ 1 (grand DIV cnt ≥ 1 since cnt ≤ grand)
+      assert(sumIdf >= nTok)
+      assert(maxIdf >= 1L && maxIdf <= sumIdf)
+      assert(score == sumIdf / nTok)
+    }
+  }
+
+  test("shard balance: shards partition the corpus with sane load factors") {
+    val docsN = graft.sources.Tables.documents(spark, sf).count()
+    val rows = graft.operators.Sampling.shardBalance(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("shard")).forall(s =>
+      s >= 0 && s < graft.operators.Sampling.Shards))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docsN,
+      "shards must partition the corpus exactly")
+    // load_ppm averages 1e6 by construction; every shard is non-empty
+    // at this corpus/shard ratio and nothing is pathologically hot
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Long]("load_ppm") > 0)
+    }
+  }
+
+  test("dup-span scrub: cloned docs are fully covered, unique doc untouched") {
+    import spark.implicits._
+    val text = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "en", "a", 40L), (2L, text, "en", "b", 40L),
+      (3L, (100 until 160).map(i => s"uniq$i").mkString(" "), "en", "a", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scrub = Dedup.dupSpanScrubFor(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_covered"),
+          r.getAs[Long]("n_clean"), r.getAs[Long]("scrub_ppm"))).toMap
+    // clones: every position inside a duplicated span → zero clean tokens
+    assert(scrub(1L) == ((40L, 40L, 0L, 1000000L)))
+    assert(scrub(2L) == ((40L, 40L, 0L, 1000000L)))
+    // unique doc has no duplicated span and is omitted entirely
+    assert(!scrub.contains(3L))
+  }
+
   test("dup-span profile: identical docs are fully duplicated spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

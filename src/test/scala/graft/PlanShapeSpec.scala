@@ -113,6 +113,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
   }
 
+  test("q83 ivf-pq search: coded corpus never shuffles, probes broadcast") {
+    val p = plan(Similarity.ivfPqSearch(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the coded corpus must never shuffle for the join:\n${p.take(2000)}")
+    // the only hash shuffle is the per-query top-k window
+    assert(shuffles(p) <= 1, s"expected ≤1 shuffle:\n${p.take(2000)}")
+  }
+
+  test("q84 decontaminate: eval side broadcasts, train side shuffles once") {
+    val p = plan(graft.operators.TextOps.decontaminateTrain(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval fingerprints must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the train corpus must never shuffle for the join:\n${p.take(2000)}")
+    // eval-distinct shuffle + per-doc aggregation shuffle
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q85 token rarity: window + agg with a broadcast grand total") {
+    val p = plan(graft.operators.TextOps.tokenRarityScore(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-sized shuffle join:\n${p.take(2000)}")
+    // token window partitioning + doc aggregation; the 1-row grand
+    // total rides a broadcast nested loop
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q86 shard balance: one 64-group aggregation, broadcast total") {
+    val p = plan(graft.operators.Sampling.shardBalance(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join:\n${p.take(2000)}")
+    assert(shuffles(p) <= 1, s"only the shard aggregation may shuffle:\n${p.take(2000)}")
+  }
+
+  test("q87 dup-span scrub: window + distinct-count, join-free") {
+    val p = plan(Dedup.dupSpanScrub(spark, sf))
+    assertNoJoin(p, "dupSpanScrub")
+    // shash window + the two-phase distinct count on (doc_id, tp)
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
