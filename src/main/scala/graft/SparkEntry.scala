@@ -129,6 +129,8 @@ object SparkEntry {
     "q85_token_rarity" -> (TextOps.tokenRarityScore _),
     "q86_shard_balance" -> (Sampling.shardBalance _),
     "q87_dup_span_scrub" -> (Dedup.dupSpanScrub _),
+    "q88_pq_lsh_pairs" -> (Similarity.pqLshPairs _),
+    "q89_incremental_lsh" -> (Dedup.incrementalLshPairs _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1191,5 +1193,74 @@ object SparkEntry {
          |SELECT doc_id, n_tok, n_covered, n_tok - n_covered AS n_clean,
          |  n_covered * 1000000 // n_tok AS scrub_ppm
          |FROM a""".stripMargin,
+    // LSH over PQ codes: band b = codes (2b, 2b+1); same capped
+    // bucket-pair emission as q39 — mirrors Similarity.pqLshPairs
+    "q88_pq_lsh_pairs" -> {
+      import graft.operators.Similarity.{PqBands, PqK, PqSubDim, PqSubspaces}
+      val codePivot = (0 until PqSubspaces).map(m =>
+        s"  CAST(SUM(CASE WHEN m = $m THEN code ELSE 0 END) AS BIGINT) AS c_$m")
+        .mkString(",\n")
+      val bandUnion = (0 until PqBands).map(b =>
+        s"  SELECT vec_id, $b AS band, c_${2 * b} AS k1, c_${2 * b + 1} AS k2 FROM w")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q WHERE vec_id < $PqK),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, c_id AS code FROM (
+         |    SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |w AS (SELECT vec_id,
+         |$codePivot
+         |  FROM code GROUP BY vec_id),
+         |bands AS (
+         |$bandUnion),
+         |rk AS (SELECT vec_id, band, k1, k2,
+         |  ROW_NUMBER() OVER (PARTITION BY band, k1, k2 ORDER BY vec_id) AS rn
+         |  FROM bands),
+         |capped AS (SELECT vec_id, band, k1, k2 FROM rk
+         |           WHERE rn <= ${graft.operators.Dedup.BandCap})
+         |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bands
+         |FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
+         |  AND l.k2 = r.k2 AND l.vec_id < r.vec_id
+         |GROUP BY 1, 2""".stripMargin
+    },
+    // cross-split LSH: corpus (<0.8) × batch (≥0.9) pairs only, per-side
+    // band caps — mirrors Dedup.incrementalLshPairs
+    "q89_incremental_lsh" -> {
+      val bucket =
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+      s"""WITH $shingleCte,
+         |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh
+         |       WHERE $bucket < 800000 OR $bucket >= 900000),
+         |sig AS (SELECT doc_id,
+         |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
+         |  FROM hh GROUP BY doc_id),
+         |sided AS (SELECT sig.*,
+         |    CASE WHEN $bucket < 800000 THEN 0 ELSE 1 END AS side
+         |  FROM sig),
+         |bands AS (
+         |${(0 until 4).map(b =>
+            s"  SELECT doc_id, side, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sided")
+            .mkString("\n  UNION ALL\n")}),
+         |rk AS (SELECT doc_id, side, band, k1, k2,
+         |  ROW_NUMBER() OVER (PARTITION BY band, k1, k2, side ORDER BY doc_id) AS rn
+         |  FROM bands),
+         |capped AS (SELECT doc_id, side, band, k1, k2 FROM rk
+         |           WHERE rn <= ${graft.operators.Dedup.BandCap})
+         |SELECT l.doc_id AS corpus_doc, r.doc_id AS batch_doc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bands
+         |FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
+         |  AND l.k2 = r.k2 AND l.side = 0 AND r.side = 1
+         |GROUP BY 1, 2""".stripMargin
+    },
   )
 }

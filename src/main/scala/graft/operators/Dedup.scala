@@ -212,8 +212,10 @@ object Dedup {
     * explode band structs instead of a 4-way union (which would
     * recompute the signature aggregation once per band).
     */
-  def lshBandKeys(docs: DataFrame): DataFrame = {
-    val sig = minhashSignaturesFor(docs)
+  def lshBandKeys(docs: DataFrame): DataFrame =
+    bandKeysOfSig(minhashSignaturesFor(docs))
+
+  private def bandKeysOfSig(sig: DataFrame): DataFrame = {
     val bandStructs = array((0 until MinhashK / 2).map { bandIdx =>
       struct(
         lit(bandIdx).as("band"),
@@ -226,8 +228,18 @@ object Dedup {
         col("b.k1").as("k1"), col("b.k2").as("k2"))
   }
 
-  def lshCandidatePairsFor(docs: DataFrame, bandCap: Int = BandCap): DataFrame = {
-    val bands = lshBandKeys(docs)
+  def lshCandidatePairsFor(docs: DataFrame, bandCap: Int = BandCap): DataFrame =
+    bandPairs(lshBandKeys(docs), bandCap)
+
+  /** Capped band-bucket pair emission over ANY banded-signature relation
+    * `(doc_id, band, k1, k2)` — the one LSH candidate generator, shared
+    * by the MinHash bands (q39/q70) and the PQ-code bands (q88). Shuffle
+    * by band key, bound each bucket to `bandCap` members BEFORE any
+    * state is built (sort-spilling window), emit pairs bucket-locally,
+    * count shared bands per pair. Never a self-join, never an unbounded
+    * bucket.
+    */
+  def bandPairs(bands: DataFrame, bandCap: Int = BandCap): DataFrame = {
     val w = Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("doc_id"))
     bands
       .withColumn("rn", row_number().over(w))
@@ -240,6 +252,55 @@ object Dedup {
           "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Incremental near-dup screen (q89) — the LSH complement of q61's
+    * exact incremental dedup: which documents of an incoming batch (the
+    * ≥ 0.9 hash split, a fresh crawl) NEAR-duplicate the existing corpus
+    * (the < 0.8 split). Candidate pairs form only across the two sides
+    * of a shared band bucket — corpus×corpus and batch×batch pairs are
+    * never emitted, which is what makes the incremental shape cheap: the
+    * recurring cost of a crawl refresh is (batch bands) against an
+    * already-banded corpus, not a full-corpus re-pairing.
+    *
+    * One scan (both splits filter the same read), one signature
+    * aggregation, then [[bandPairs]]'s discipline with a per-SIDE cap:
+    * each bucket holds ≤ [[BandCap]] corpus rows and ≤ [[BandCap]] batch
+    * rows before any state is built, so pair emission is bounded by
+    * BandCap² per bucket regardless of skew.
+    */
+  def incrementalLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val b = Sampling.hashBucket("doc_id")
+    val both = Tables.documents(spark, dir)
+      .filter(b < 800000L || b >= 900000L)
+    // side re-derived per signature row (one md5 per doc, not per shingle)
+    val bands = bandKeysOfSig(minhashSignaturesFor(both))
+      .withColumn("side",
+        when(Sampling.hashBucket("doc_id") < 800000L, lit(0)).otherwise(lit(1)))
+    // ONE window partitioning, shared with the groupBy below (keying the
+    // window by (bucket, side) added a fourth shuffle): corpus rows sort
+    // first, so side-0 rank is `rn` and side-1 rank is `rn − n_corpus`
+    val w = Window.partitionBy(col("band"), col("k1"), col("k2"))
+      .orderBy(col("side"), col("doc_id"))
+    val wAll = Window.partitionBy(col("band"), col("k1"), col("k2"))
+    bands
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n0", sum(when(col("side") === 0, 1L).otherwise(0L)).over(wAll))
+      .filter(
+        (col("side") === 0 && col("rn") <= BandCap) ||
+          (col("side") === 1 && col("rn") - col("n0") <= BandCap))
+      .groupBy(col("band"), col("k1"), col("k2"))
+      .agg(
+        collect_list(when(col("side") === 0, col("doc_id"))).as("corpus_docs"),
+        collect_list(when(col("side") === 1, col("doc_id"))).as("batch_docs"))
+      .filter(size(col("corpus_docs")) >= 1 && size(col("batch_docs")) >= 1)
+      .select(explode(expr(
+        "flatten(transform(corpus_docs, a -> transform(batch_docs, " +
+          "b -> struct(a AS corpus_doc, b AS batch_doc))))")).as("p"))
+      .select(col("p.corpus_doc").as("corpus_doc"), col("p.batch_doc").as("batch_doc"))
+      .groupBy(col("corpus_doc"), col("batch_doc"))
       .agg(count(lit(1)).as("n_bands"))
   }
 

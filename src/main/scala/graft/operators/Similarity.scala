@@ -376,6 +376,42 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc_q"), col("rank"))
   }
 
+  /** PQ bands: [[PqSubspaces]]/2 bands of 2 adjacent codes. */
+  val PqBands = PqSubspaces / 2
+
+  /** PQ-banded semantic near-dup candidates (q88) — LSH over the
+    * COMPRESSED index: two vectors are candidates when any band of two
+    * adjacent PQ codes matches exactly, i.e. both vectors snapped to the
+    * same codebook entries on a 16-dim slice. This is the embedding
+    * analogue of the MinHash band trick (q39), and the reason it matters
+    * at 100 TB is the same reason PQ itself does: candidate generation
+    * reads 8 bytes per vector — no floats, no distance computations, no
+    * pair structure — and reuses [[Dedup.bandPairs]]'s capped
+    * bucket-local emission, so a degenerate codebook entry that attracts
+    * a huge slice of the corpus cannot go quadratic. The exact-cosine
+    * verify step for survivors is q52's bucket equi-join.
+    *
+    * `n_bands` (1..[[PqBands]]) counts matching bands — a monotone
+    * proxy for closeness under the codebook.
+    */
+  /** (vec_id-as-doc_id, band, k1, k2) PQ band-key rows — exposed for
+    * [[pqLshPairs]] and the scale-rehearsal cap diagnostics.
+    */
+  def pqBandKeys(spark: SparkSession, dir: String): DataFrame = {
+    val bandStructs = array((0 until PqBands).map { b =>
+      struct(lit(b).as("band"),
+        col(s"code_${2 * b}").as("k1"), col(s"code_${2 * b + 1}").as("k2"))
+    }: _*)
+    pqCodes(spark, dir)
+      .select(col("vec_id").as("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.k1").as("k1"), col("b.k2").as("k2"))
+  }
+
+  def pqLshPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandPairs(pqBandKeys(spark, dir))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("n_bands"))
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */

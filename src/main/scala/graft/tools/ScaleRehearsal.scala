@@ -107,6 +107,18 @@ object ScaleRehearsal {
       s"over_BandCap(${Dedup.BandCap})=${bands.getLong(1)} " +
       s"max_bucket=${bands.getLong(2)}")
 
+    // PQ band buckets (q88): a 16-dim codebook slice shared by a large
+    // corpus fraction shows up here as max_bucket approaching BandCap
+    val pqBands = graft.operators.Similarity.pqBandKeys(spark, dir)
+      .groupBy(col("band"), col("k1"), col("k2")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") > Dedup.BandCap, 1L).otherwise(0L)).as("over_band_cap"),
+        max(col("n")).as("max_bucket"))
+      .first()
+    println(s"[caps] pq band buckets=${pqBands.getLong(0)} " +
+      s"over_BandCap(${Dedup.BandCap})=${pqBands.getLong(1)} " +
+      s"max_bucket=${pqBands.getLong(2)}")
+
     val emb = graft.operators.Similarity.ivfAssignments(spark, dir)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("buckets"),

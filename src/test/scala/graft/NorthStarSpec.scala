@@ -134,6 +134,53 @@ class NorthStarSpec extends AnyFunSuite {
     assert(!scrub.contains(3L))
   }
 
+  test("pq-lsh pairs: band agreement implies equal codes on that slice") {
+    val rows = Similarity.pqLshPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val codes = Similarity.pqCodes(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (0 until Similarity.PqSubspaces).map(m => r.getLong(1 + m))).toMap
+    rows.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getAs[Long]("n_bands"))
+      assert(a < b, "pairs are ordered")
+      assert(n >= 1 && n <= Similarity.PqBands)
+      // n_bands must equal the actual number of agreeing code bands
+      val agree = (0 until Similarity.PqBands).count { band =>
+        codes(a)(2 * band) == codes(b)(2 * band) &&
+          codes(a)(2 * band + 1) == codes(b)(2 * band + 1)
+      }
+      assert(agree == n, s"pair ($a,$b): n_bands=$n but $agree bands agree")
+    }
+  }
+
+  test("incremental lsh: pairs cross the split, clones across splits are caught") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bucket = graft.operators.Sampling.hashBucket("doc_id")
+    val corpusIds = docs.filter(bucket < 800000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = docs.filter(bucket >= 900000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.incrementalLshPairs(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(corpusIds.contains(r.getLong(0)), "left side must be corpus")
+      assert(batchIds.contains(r.getLong(1)), "right side must be batch")
+    }
+    // every exact cross-split duplicate text MUST appear as a candidate
+    // (identical docs share all bands)
+    val byFp = docs.withColumn("fp", TextOps.fingerprint(col("text")))
+      .select("doc_id", "fp").collect().groupBy(_.getString(1))
+    val crossDups = byFp.values.flatMap { rs =>
+      val ids = rs.map(_.getLong(0)).toSeq
+      for {
+        a <- ids.filter(corpusIds); b <- ids.filter(batchIds)
+      } yield (a, b)
+    }.toSet
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossDups.subsetOf(found),
+      s"missing exact cross-split dups: ${crossDups -- found}")
+  }
+
   test("dup-span profile: identical docs are fully duplicated spans") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -157,6 +157,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
   }
 
+  test("q88 pq-lsh pairs: join-free capped band pipeline over codes") {
+    val p = plan(Similarity.pqLshPairs(spark, sf))
+    assertNoJoin(p, "pqLshPairs")
+    // band window/agg + pair agg on top of the map-only code projection
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q89 incremental lsh: join-free, one signature agg + band window + pair agg") {
+    val p = plan(Dedup.incrementalLshPairs(spark, sf))
+    assertNoJoin(p, "incrementalLshPairs")
+    // signature agg (doc_id) + per-side band window/agg + pair agg
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
