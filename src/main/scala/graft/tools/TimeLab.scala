@@ -44,6 +44,18 @@ object TimeLab {
       spark.stop()
       return
     }
+    // `pq` mode: localize q83's cost — coded corpus, probe side, full
+    // search, and the search without its top-k window
+    if (args.length > 1 && args(1) == "pq") {
+      import graft.operators.Similarity
+      for (_ <- 1 to 2) {
+        cnt("q81 pqCodes", Similarity.pqCodes(spark, dir))
+        cnt("q42 ivf knn", Similarity.ivfKnn(spark, dir))
+        cnt("q83 full", Similarity.ivfPqSearch(spark, dir))
+      }
+      spark.stop()
+      return
+    }
     cnt("docs scan", Tables.documents(spark, dir))
     cnt("docs scan warm", Tables.documents(spark, dir))
     cnt("tokens only", Tables.documents(spark, dir)

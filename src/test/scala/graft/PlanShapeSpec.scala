@@ -106,6 +106,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"PQ assignment must not shuffle:\n${p.take(2000)}")
   }
 
+  test("pq code assignment stays map-only at any codebook width (derived k)") {
+    // pqKFor grows the codebook ∝ √N to keep the q88 band key space
+    // ahead of the corpus; widening may never introduce a join/shuffle
+    for (k <- Seq(16, 48)) {
+      val p = plan(Similarity.pqCodesFor(spark, sf, k))
+      assertNoJoin(p, s"pqCodesFor(k=$k)")
+      assert(shuffles(p) == 0,
+        s"code assignment at k=$k must not shuffle:\n${p.take(2000)}")
+    }
+    assert(Similarity.pqKFor(1000) == 16, "floor holds for small corpora")
+    assert(Similarity.pqKFor(4000000) == 1000, "k ~ sqrt(N/4)")
+  }
+
   test("q82 dup-span profile: window + agg, join-free, two shuffles") {
     val p = plan(Dedup.dupSpanProfile(spark, sf))
     assertNoJoin(p, "dupSpanProfile")
