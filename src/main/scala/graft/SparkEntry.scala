@@ -131,6 +131,7 @@ object SparkEntry {
     "q87_dup_span_scrub" -> (Dedup.dupSpanScrub _),
     "q88_pq_lsh_pairs" -> (Similarity.pqLshPairs _),
     "q89_incremental_lsh" -> (Dedup.incrementalLshPairs _),
+    "q90_ann_recall" -> (Similarity.annRecallAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1261,6 +1262,89 @@ object SparkEntry {
          |FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
          |  AND l.k2 = r.k2 AND l.side = 0 AND r.side = 1
          |GROUP BY 1, 2""".stripMargin
+    },
+    // brute-force / IVF / IVF-PQ top-5 re-derived as CTEs (same
+    // formulas as q41/q42/q83; z-prefixed names avoid collisions),
+    // joined into per-query hit counts — mirrors Similarity.annRecallAudit
+    "q90_ann_recall" -> {
+      import graft.operators.Similarity.{IvfNprobe, PqK, PqSubDim, PqSubspaces}
+      val cosRank =
+        """ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+          |        CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+          |          (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) DESC,
+          |        vec_id ASC) AS rank""".stripMargin
+      s"""WITH $ivfCte,
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |bfc AS (
+         |  SELECT q_id, e.vec_id, n_q, n_emb, ${dotSql("q_emb", "embedding")} AS dot_q
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |bf AS (
+         |  SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      $cosRank
+         |    FROM bfc) t
+         |  WHERE rank <= 5),
+         |probes AS (
+         |  SELECT q_id, q_emb, n_q, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.q_emb, q.n_q, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
+         |    FROM q, cents c) t
+         |  WHERE rk <= $IvfNprobe),
+         |ivc AS (
+         |  SELECT p.q_id, e.vec_id, p.n_q, e.n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN probes p ON asg.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |iv AS (
+         |  SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      $cosRank
+         |    FROM ivc) t
+         |  WHERE rank <= 5),
+         |zq AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |zc AS (SELECT vec_id AS c_id, qe AS cq FROM zq WHERE vec_id < $PqK),
+         |zd AS (SELECT zq.vec_id, zc.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((zq.qe[p.pos] - zc.cq[p.pos]) * (zq.qe[p.pos] - zc.cq[p.pos])) AS dist
+         |    FROM zq, zc,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |zcode AS (SELECT vec_id, m, c_id AS code FROM (
+         |    SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM zd) t
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT p.q_id, a.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+         |  FROM probes p
+         |  JOIN asg a ON a.bucket = p.bucket
+         |  JOIN zcode co ON co.vec_id = a.vec_id
+         |  JOIN zd l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY 1, 2),
+         |pq AS (
+         |  SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY adc_q ASC, vec_id ASC) AS rank
+         |    FROM adc) t
+         |  WHERE rank <= 5)
+         |SELECT bf.q_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ivf_hit,
+         |  CAST(SUM(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pq_hit,
+         |  CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS ivf_recall_ppm,
+         |  CAST(SUM(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS pq_recall_ppm
+         |FROM bf
+         |LEFT JOIN iv ON bf.q_id = iv.q_id AND bf.neighbor_id = iv.neighbor_id
+         |LEFT JOIN pq ON bf.q_id = pq.q_id AND bf.neighbor_id = pq.neighbor_id
+         |GROUP BY 1""".stripMargin
     },
   )
 }

@@ -437,6 +437,34 @@ object Similarity {
     Dedup.bandPairs(pqBandKeys(spark, dir))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("n_bands"))
 
+  /** ANN recall audit (q90) — the sketch-audit pattern (q73/q75/q77/q80)
+    * applied to the ANN family: per query point, how many of the exact
+    * brute-force top-5 ([[bruteForceKnn]]) the IVF index ([[ivfKnn]]) and
+    * the compressed IVF-PQ index ([[ivfPqSearch]]) each recovered. Every
+    * input is exact integer arithmetic, so the recall counts are
+    * deterministic and hash-comparable — an index rebuild that silently
+    * degrades recall fails the correctness round, not just a dashboard.
+    *
+    * Plan: the three searches run as written (their own plan shapes are
+    * locked in PlanShapeSpec); the audit join is k×queries rows a side —
+    * broadcast, negligible against the searches themselves.
+    */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceKnn(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val ivf = ivfKnn(spark, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("ivf", lit(1L))
+    val pq = ivfPqSearch(spark, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("pq", lit(1L))
+    bf.join(broadcast(ivf), Seq("q_id", "neighbor_id"), "left_outer")
+      .join(broadcast(pq), Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("ivf"), lit(0L))).as("n_ivf_hit"),
+        sum(coalesce(col("pq"), lit(0L))).as("n_pq_hit"))
+      .withColumn("ivf_recall_ppm", expr("n_ivf_hit * 1000000 DIV n_true"))
+      .withColumn("pq_recall_ppm", expr("n_pq_hit * 1000000 DIV n_true"))
+  }
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */

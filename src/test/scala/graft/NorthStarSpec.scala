@@ -271,6 +271,27 @@ class NorthStarSpec extends AnyFunSuite {
     assert(survivors == Set(11L, 13L))
   }
 
+  test("ann recall audit agrees with independently computed recall") {
+    val rows = Similarity.annRecallAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bf = Similarity.bruteForceKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Similarity.ivfKnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val truth = bf.filter(_._1 == qid)
+      assert(r.getAs[Long]("n_true") == truth.length)
+      assert(r.getAs[Long]("n_ivf_hit") == truth.count(ivf.contains))
+      assert(r.getAs[Long]("n_pq_hit") == truth.count(pq.contains))
+      assert(r.getAs[Long]("ivf_recall_ppm") ==
+        r.getAs[Long]("n_ivf_hit") * 1000000L / r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_pq_hit") <= r.getAs[Long]("n_true"))
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
