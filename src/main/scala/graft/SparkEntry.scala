@@ -132,6 +132,8 @@ object SparkEntry {
     "q88_pq_lsh_pairs" -> (Similarity.pqLshPairs _),
     "q89_incremental_lsh" -> (Dedup.incrementalLshPairs _),
     "q90_ann_recall" -> (Similarity.annRecallAudit _),
+    "q91_dedup_survivors" -> (Dedup.dedupSurvivors _),
+    "q92_source_divergence" -> (TextOps.sourceDivergence _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1346,5 +1348,53 @@ object SparkEntry {
          |LEFT JOIN pq ON bf.q_id = pq.q_id AND bf.neighbor_id = pq.neighbor_id
          |GROUP BY 1""".stripMargin
     },
+    // q70's recursive component closure, reduced to one survivor per
+    // cluster (longest member, ties to smallest id) plus dropped mass
+    "q91_dedup_survivors" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+         |comp AS (SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+         |         FROM reach GROUP BY doc),
+         |m AS (
+         |  SELECT comp.component, comp.doc_id, d.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY comp.component
+         |      ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rk
+         |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id)
+         |SELECT component,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS survivor_chars,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+         |FROM m GROUP BY component""".stripMargin,
+    // total-variation distance per source vs the corpus distribution:
+    // Σ_present |p_s − p_g| plus the global share of tokens the source
+    // never emits (Σ_all p_g − Σ_present p_g)
+    "q92_source_divergence" ->
+      s"""WITH st AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+         |  FROM (SELECT source, unnest($toks) AS token FROM documents) t
+         |  GROUP BY 1, 2),
+         |stot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s
+         |         FROM st GROUP BY 1),
+         |g AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t
+         |      FROM st GROUP BY 1),
+         |grand AS (SELECT CAST(SUM(c_t) AS BIGINT) AS grand FROM g),
+         |gp AS (SELECT token, c_t * 1000000 // grand AS p_g FROM g, grand),
+         |gtot AS (SELECT CAST(SUM(p_g) AS BIGINT) AS g_ppm_total FROM gp),
+         |j AS (
+         |  SELECT st.source, st.c_st * 1000000 // stot.t_s AS p_s,
+         |    gp.p_g, stot.t_s
+         |  FROM st JOIN stot USING (source) JOIN gp USING (token))
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(MAX(t_s) AS BIGINT) AS tok_total,
+         |  CAST(SUM(ABS(p_s - p_g)) + (SELECT g_ppm_total FROM gtot)
+         |    - SUM(p_g) AS BIGINT) AS tv_ppm
+         |FROM j GROUP BY 1""".stripMargin,
   )
 }

@@ -497,6 +497,36 @@ object Dedup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(lshCandidatePairs(spark, dir))
 
+  /** Canonical-survivor selection per near-dup cluster (q91) — the step
+    * a production dedup actually ships: [[dedupComponents]]' clusters
+    * reduced to one kept document each, with the removed mass accounted
+    * for. The survivor rule is the classic one (keep the longest member;
+    * ties to the smallest doc_id) — near-dup clusters are usually a
+    * superset document plus its fragments, so length keeps the superset.
+    * `dropped_chars` is the corpus mass the dedup deletes — the number a
+    * curation report leads with.
+    *
+    * Plan: cluster labels are a tiny relation next to the corpus (only
+    * docs that appeared in a candidate pair), so the join against
+    * `documents` shuffles cluster rows, never amplifies the corpus; the
+    * per-cluster window is bounded by the same caps that bound the pair
+    * generation upstream.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val members = dedupComponents(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+    members.groupBy(col("component"))
+      .agg(
+        max(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("rk") === 1, col("n_chars"))).cast("long").as("survivor_chars"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("rk") > 1, col("n_chars")).otherwise(lit(0L)))
+          .cast("long").as("dropped_chars"))
+  }
+
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the adversarial-scale variant [[connectedComponents]]'s

@@ -82,6 +82,55 @@ object TextOps {
         col("max_idf"), col("rarity_score"))
   }
 
+  /** Per-source token-distribution divergence (q92) — total-variation
+    * distance in ppm between each source's token distribution and the
+    * whole-corpus distribution, the drift diagnostic a data-mixing
+    * pipeline watches per shard/crawl/date: a source whose TV jumps is
+    * contributing different text than the mix was tuned for. Pure
+    * integer arithmetic (ppm floors, no log), so the score is
+    * bit-identical across engines — unlike float KL whose sum order
+    * drifts.
+    *
+    * TV needs the sum over ALL corpus tokens including those absent
+    * from a source, but absent tokens contribute exactly their global
+    * share, so `TV_s = Σ_present |p_s − p_g| + (Σ_all p_g − Σ_present
+    * p_g)` — only (source, token) rows that exist are ever joined; no
+    * source × vocabulary expansion.
+    *
+    * Plan: one explode → (source, token) count with map-side combine;
+    * the global distribution re-aggregated FROM those counts (the
+    * corpus is tokenized once); one token-keyed equi-join of two
+    * token-aggregated relations; per-source rollup. No corpus-sized
+    * join, no cross product.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergenceFor(Tables.documents(spark, dir))
+
+  /** [[sourceDivergence]] over an explicit `(source, text)` relation. */
+  def sourceDivergenceFor(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val stot = st.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val g = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val grand = g.agg(sum(col("c_t")).as("grand"))
+    val gp = g.crossJoin(broadcast(grand))
+      .withColumn("p_g", expr("c_t * 1000000 DIV grand"))
+    val gTot = gp.agg(sum(col("p_g")).as("g_ppm_total"))
+    st.join(broadcast(stot), Seq("source"))
+      .withColumn("p_s", expr("c_st * 1000000 DIV t_s"))
+      .join(gp.select(col("token"), col("p_g")), Seq("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        max(col("t_s")).as("tok_total"),
+        sum(abs(col("p_s") - col("p_g"))).as("present_abs"),
+        sum(col("p_g")).as("present_pg"))
+      .crossJoin(broadcast(gTot))
+      .withColumn("tv_ppm", expr("present_abs + (g_ppm_total - present_pg)"))
+      .select(col("source"), col("n_tokens"), col("tok_total"), col("tv_ppm"))
+  }
+
   /** Corpus token frequency — the classic explode→count rollup. Spark
     * does map-side partial aggregation automatically, so the shuffle
     * carries one row per (partition, token), not per occurrence.

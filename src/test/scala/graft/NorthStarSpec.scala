@@ -292,6 +292,46 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup survivors: longest member kept, dropped mass accounted") {
+    val chars = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).sorted }
+    Dedup.dedupSurvivors(spark, sf).collect().foreach { r =>
+      val comp = r.getLong(0)
+      val ids = members(comp)
+      assert(ids.length >= 2 && ids.length == r.getAs[Long]("n_members"))
+      val best = ids.maxBy(id => (chars(id), -id))
+      assert(r.getAs[Long]("survivor_id") == best)
+      assert(r.getAs[Long]("survivor_chars") == chars(best))
+      assert(r.getAs[Long]("dropped_chars") ==
+        ids.map(chars).sum - chars(best))
+    }
+  }
+
+  test("source divergence: exact TV ppm on a hand-computed corpus") {
+    import spark.implicits._
+    // global: a 4/8, b 3/8, c 1/8 → p_g = 500000, 375000, 125000
+    // srcX (a a a b): p_s = 750000, 250000, absent c
+    //   TV = |750000-500000| + |250000-375000| + 125000 = 500000
+    // srcY (a b b c): p_s = 250000, 500000, 250000
+    //   TV = 250000 + 125000 + 125000 = 500000
+    val docs = Seq(("srcX", "a a a b"), ("srcY", "a b b c"))
+      .toDF("source", "text")
+    val rows = TextOps.sourceDivergenceFor(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("srcX") == ((2L, 4L, 500000L)))
+    assert(rows("srcY") == ((3L, 4L, 500000L)))
+    // a source that IS the corpus distribution diverges by zero
+    val uniform = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    TextOps.sourceDivergenceFor(uniform).collect().foreach { r =>
+      assert(r.getLong(3) == 0L, s"uniform source ${r.getString(0)}")
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
