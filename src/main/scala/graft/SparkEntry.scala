@@ -134,6 +134,8 @@ object SparkEntry {
     "q90_ann_recall" -> (Similarity.annRecallAudit _),
     "q91_dedup_survivors" -> (Dedup.dedupSurvivors _),
     "q92_source_divergence" -> (TextOps.sourceDivergence _),
+    "q93_semantic_agreement" -> (Similarity.lexicalSemanticAgreement _),
+    "q94_token_budget" -> (Sampling.tokenBudgetSelect _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1396,5 +1398,48 @@ object SparkEntry {
          |  CAST(SUM(ABS(p_s - p_g)) + (SELECT g_ppm_total FROM gtot)
          |    - SUM(p_g) AS BIGINT) AS tv_ppm
          |FROM j GROUP BY 1""".stripMargin,
+    // every LSH candidate pair scored with the exact quantized cosine
+    // of the two embeddings; agree = cos above the confirmation bar
+    "q93_semantic_agreement" ->
+      s"""WITH $lshPairsCtes,
+         |e AS (SELECT vec_id, embedding,
+         |  ${dotSql("embedding", "embedding")} AS n FROM embeddings)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(floor(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
+         |    * 1000000.0 / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))))
+         |    AS BIGINT) AS cos_ppm,
+         |  (CAST(floor(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
+         |    * 1000000.0 / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))))
+         |    AS BIGINT) >= ${graft.operators.Similarity.SemAgreePpm}) AS semantic_agree
+         |FROM lsh_pairs p
+         |JOIN e a ON p.doc_a = a.vec_id
+         |JOIN e b ON p.doc_b = b.vec_id""".stripMargin,
+    // q85's rarity scores folded into buckets, swept best-first against
+    // a relative token budget; kept = whole buckets that fit
+    "q94_token_budget" -> {
+      import graft.operators.Sampling.{BudgetBucketWidth, BudgetPpm}
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS grand FROM t),
+         |d AS (SELECT doc_id,
+         |      grand // COUNT(*) OVER (PARTITION BY token) AS idf_x
+         |    FROM t, g),
+         |scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |    CAST(SUM(idf_x) // COUNT(*) AS BIGINT) // $BudgetBucketWidth
+         |      AS score_bucket
+         |  FROM d GROUP BY 1),
+         |b AS (
+         |  SELECT score_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tok_total
+         |  FROM scored GROUP BY 1),
+         |grand_tok AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS grand FROM scored)
+         |SELECT score_bucket, n_docs, tok_total,
+         |  CAST(SUM(tok_total) OVER (ORDER BY score_bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+         |  (SUM(tok_total) OVER (ORDER BY score_bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+         |    <= $BudgetPpm * (SELECT grand FROM grand_tok)) AS kept
+         |FROM b""".stripMargin
+    },
   )
 }

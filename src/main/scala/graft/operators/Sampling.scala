@@ -146,6 +146,56 @@ object Sampling {
         col("min_doc"), col("max_doc"), col("load_ppm"))
   }
 
+  /** Token budget for [[tokenBudgetSelect]], as a ppm share of the
+    * corpus's total tokens — relative, so the op means the same thing
+    * at any scale.
+    */
+  val BudgetPpm = 500000L
+
+  /** Score-bucket width for [[tokenBudgetSelect]]: rarity scores are
+    * grouped into buckets of this width before the cumulative sweep.
+    */
+  val BudgetBucketWidth = 4L
+
+  /** Token-budget quality selection (q94) — "keep the highest-quality
+    * documents until the token budget is spent", the curation step that
+    * turns a scored corpus into a training set of a target size. The
+    * naive form is a global ORDER BY quality + running SUM(tokens) —
+    * a single-partition window over the corpus, dead at 100 TB. This is
+    * the two-phase version that scales: documents fold into quality-score
+    * buckets (one aggregation, map-side partials), the cumulative token
+    * sweep runs best-bucket-first over the BUCKET relation (tiny — one
+    * row per score bucket, thousands at most, so its single-partition
+    * window is free), and `kept` marks the buckets that fit the budget.
+    * The actual selection is then a broadcast-able `kept`-bucket filter;
+    * the corpus is never globally sorted.
+    *
+    * Budget granularity is a whole bucket (a boundary bucket that would
+    * overflow the budget is dropped, not split) — deterministic, and at
+    * corpus scale a single bucket's mass is noise against the budget.
+    * Scores are [[graft.operators.TextOps.tokenRarityScore]]'s exact
+    * integers, so the sweep hash-compares across engines.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.operators.TextOps.tokenRarityScore(spark, dir)
+      .withColumn("score_bucket", expr(s"rarity_score DIV $BudgetBucketWidth"))
+    val buckets = scored.groupBy(col("score_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+    val grand = scored.agg(sum(col("n_tok")).as("grand"))
+    // the window relation is bucket-sized, not corpus-sized: a single
+    // unpartitioned ordered window here is the two-phase trick, not a
+    // scale bug
+    val sweep = Window.orderBy(col("score_bucket").desc)
+    buckets
+      .withColumn("cum_tok", sum(col("tok_total")).over(
+        sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(grand))
+      .withColumn("kept", col("cum_tok") * lit(1000000L) <= lit(BudgetPpm) * col("grand"))
+      .select(col("score_bucket"), col("n_docs"), col("tok_total"),
+        col("cum_tok"), col("kept"))
+  }
+
   /** q65: language rebalancing of the documents corpus — keep 25% of
     * `en` (the dominant stratum) and everything else, reported as the
     * per-language before/after mix.

@@ -465,6 +465,41 @@ object Similarity {
       .withColumn("pq_recall_ppm", expr("n_pq_hit * 1000000 DIV n_true"))
   }
 
+  /** Cosine threshold (ppm) above which a lexical near-dup pair counts
+    * as semantically confirmed in [[lexicalSemanticAgreement]].
+    */
+  val SemAgreePpm = 800000L
+
+  /** Lexical-vs-semantic dedup cross-check (q93): every LSH candidate
+    * pair ([[Dedup.lshCandidatePairs]]) scored with the exact quantized
+    * cosine of the two documents' embeddings. A lexical near-dup whose
+    * embeddings disagree is the false positive a MinHash-only pipeline
+    * silently deletes; auditing the candidate set against the embedding
+    * space is how a production dedup sets its thresholds. Scores are the
+    * house exact-integer cosine, so the audit hash-compares.
+    *
+    * Plan: the pair list is capped and tiny next to the corpus, so it
+    * broadcasts into two scans of `embeddings` (one per pair side) —
+    * the corpus is never shuffled and never self-joined.
+    */
+  def lexicalSemanticAgreement(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val pairs = Dedup.lshCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normQ("embedding").as("n"))
+    val withA = emb
+      .select(col("vec_id").as("doc_a"), col("embedding").as("e_a"), col("n").as("n_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    emb
+      .select(col("vec_id").as("doc_b"), col("embedding").as("e_b"), col("n").as("n_b"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .withColumn("dot_q", dotQ("e_a", "e_b"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("semantic_agree", col("cos_ppm") >= lit(SemAgreePpm))
+      .select(col("doc_a"), col("doc_b"), col("cos_ppm"), col("semantic_agree"))
+  }
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */

@@ -184,6 +184,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
   }
 
+  test("q93 semantic agreement: pairs broadcast, corpus never shuffles for the join") {
+    val p = plan(Similarity.lexicalSemanticAgreement(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the capped pair list must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"embeddings must never shuffle for the join:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

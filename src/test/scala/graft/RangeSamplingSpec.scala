@@ -73,6 +73,23 @@ class RangeSamplingSpec extends AnyFunSuite {
     assert(byS("train") > byS("val") && byS("train") > byS("test"))
   }
 
+  test("token budget sweep: best-first cumsum, kept is a prefix within budget") {
+    val rows = Sampling.tokenBudgetSelect(spark, sf).collect()
+      .sortBy(-_.getLong(0))
+    assert(rows.nonEmpty)
+    var cum = 0L
+    val grand = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(3) == cum, s"cum_tok mismatch at bucket ${r.getLong(0)}")
+      assert(r.getBoolean(4) ==
+        (cum * 1000000L <= Sampling.BudgetPpm * grand))
+    }
+    // kept is a prefix of the best-first order: once false, always false
+    val kept = rows.map(_.getBoolean(4))
+    assert(!kept.dropWhile(identity).contains(true))
+  }
+
   test("stratified sampling applies per-stratum rates and leaves the rest intact") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)
