@@ -136,6 +136,7 @@ object SparkEntry {
     "q92_source_divergence" -> (TextOps.sourceDivergence _),
     "q93_semantic_agreement" -> (Similarity.lexicalSemanticAgreement _),
     "q94_token_budget" -> (Sampling.tokenBudgetSelect _),
+    "q95_curation_delta" -> (Dedup.curationDelta _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1441,5 +1442,56 @@ object SparkEntry {
          |    <= $BudgetPpm * (SELECT grand FROM grand_tok)) AS kept
          |FROM b""".stripMargin
     },
+    // q91's removed set + q87's covered-token profile (z-prefixed
+    // clones), rolled into the 3-status before/after delta
+    "q95_curation_delta" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+         |comp AS (SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+         |         FROM reach GROUP BY doc),
+         |mm AS (
+         |  SELECT comp.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY comp.component
+         |      ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rk
+         |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id),
+         |removed AS (SELECT doc_id FROM mm WHERE rk > 1),
+         |ztk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |zp AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(toks) - 2),
+         |        i -> {'pos': i,
+         |              'sh': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})) AS u
+         |    FROM ztk WHERE len(toks) >= 3) q),
+         |zh AS (SELECT doc_id, pos,
+         |      CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS shash FROM zp),
+         |zdd AS (SELECT doc_id, pos,
+         |      MIN(doc_id) OVER (PARTITION BY shash)
+         |        <> MAX(doc_id) OVER (PARTITION BY shash) AS dup
+         |    FROM zh),
+         |zcov AS (SELECT DISTINCT doc_id, pos + off AS tp
+         |         FROM zdd, (SELECT unnest([0, 1, 2]) AS off) o
+         |         WHERE dup),
+         |za AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+         |       FROM zcov GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM ztk)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_before,
+         |  CAST(SUM(tok_after) AS BIGINT) AS tok_after
+         |FROM (
+         |  SELECT b.doc_id, b.n_tok,
+         |    CASE WHEN r.doc_id IS NOT NULL THEN 'removed_dup'
+         |         WHEN COALESCE(za.n_covered, 0) > 0 THEN 'kept_trimmed'
+         |         ELSE 'kept_clean' END AS status,
+         |    CASE WHEN r.doc_id IS NOT NULL THEN 0
+         |         ELSE b.n_tok - COALESCE(za.n_covered, 0) END AS tok_after
+         |  FROM base b
+         |  LEFT JOIN removed r ON b.doc_id = r.doc_id
+         |  LEFT JOIN za ON b.doc_id = za.doc_id) t
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -527,6 +527,47 @@ object Dedup {
           .cast("long").as("dropped_chars"))
   }
 
+  /** Curation-impact delta report (q95) — the before/after accounting a
+    * curation run publishes: every document classified as `removed_dup`
+    * (a non-survivor of its near-dup cluster, [[dedupSurvivors]]' rule),
+    * `kept_trimmed` (survives but loses duplicated-span tokens,
+    * [[dupSpanScrub]]), or `kept_clean`, with token mass before and
+    * after. One 3-row table answers "what did this curation pass delete"
+    * — per-status doc counts and the exact token spend.
+    *
+    * Plan: the scrub profile joins doc-keyed (corpus-sized but an
+    * equi-join on the natural key); the removed set is cluster members
+    * only — tiny, broadcast. Nothing new shuffles beyond the two
+    * constituent pipelines.
+    */
+  def curationDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val covered = dupSpanScrub(spark, dir).select(col("doc_id"), col("n_covered"))
+    val removed = dedupComponents(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), lit(true).as("removed"))
+    docs
+      .join(covered, Seq("doc_id"), "left_outer")
+      .join(broadcast(removed), Seq("doc_id"), "left_outer")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("status",
+        when(col("removed"), lit("removed_dup"))
+          .when(col("n_covered") > 0, lit("kept_trimmed"))
+          .otherwise(lit("kept_clean")))
+      .withColumn("tok_after",
+        when(col("removed"), lit(0L)).otherwise(col("n_tok") - col("n_covered")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_before"),
+        sum(col("tok_after")).as("tok_after"))
+  }
+
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the adversarial-scale variant [[connectedComponents]]'s

@@ -332,6 +332,26 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("curation delta: statuses partition the corpus, mass conserves") {
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val removedIds = Dedup.dedupSurvivors(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_members") - 1).sum
+    val rows = Dedup.curationDelta(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.values.map(_._1).sum == total, "statuses must partition the corpus")
+    rows.get("removed_dup").foreach { case (n, _, after) =>
+      assert(after == 0L, "removed docs keep zero tokens")
+      assert(n == removedIds, "removed count must equal non-survivor count")
+    }
+    rows.values.foreach { case (_, before, after) =>
+      assert(after <= before, "curation never adds tokens")
+    }
+    rows.get("kept_clean").foreach { case (_, before, after) =>
+      assert(after == before, "clean docs are untouched")
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
