@@ -137,6 +137,7 @@ object SparkEntry {
     "q93_semantic_agreement" -> (Similarity.lexicalSemanticAgreement _),
     "q94_token_budget" -> (Sampling.tokenBudgetSelect _),
     "q95_curation_delta" -> (Dedup.curationDelta _),
+    "q96_lsh_recall" -> (Dedup.lshRecallAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -211,10 +212,11 @@ object SparkEntry {
        |    FROM e, cents c) t
        |  WHERE rk = 1)""".stripMargin
   // minhash → bands → capped buckets → candidate pairs — the full q39
-  // pipeline as CTEs, shared by q39 itself and q70's component closure
-  private val lshPairsCtes =
-    s"""$shingleCte,
-       |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh),
+  // pipeline as CTEs, shared by q39 itself and q70's component closure.
+  // The tail (everything after the shared shingle CTE) is separate so
+  // q96 can compose it with q37's chain under ONE shingle scan.
+  private val lshPairsTail =
+    s"""hh AS (SELECT doc_id, $baseHashSql AS h FROM sh),
        |sig AS (SELECT doc_id,
        |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
        |  FROM hh GROUP BY doc_id),
@@ -232,6 +234,7 @@ object SparkEntry {
        |  FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
        |    AND l.k2 = r.k2 AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+  private val lshPairsCtes = s"""$shingleCte,\n$lshPairsTail"""
   private val langScores =
     """len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS score_en,
       |    len(list_filter(toks, t -> t IN ('el','la','de','y'))) AS score_es,
@@ -1492,6 +1495,34 @@ object SparkEntry {
          |  FROM base b
          |  LEFT JOIN removed r ON b.doc_id = r.doc_id
          |  LEFT JOIN za ON b.doc_id = za.doc_id) t
+         |GROUP BY 1""".stripMargin,
+    // q37's exact-Jaccard truth and q39's LSH candidates under ONE
+    // shingle CTE, rolled into per-similarity-band recall
+    "q96_lsh_recall" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, source, n_sh, $shashSql AS shash FROM sh),
+         |keep AS (SELECT source, shash FROM hs GROUP BY 1, 2
+         |         HAVING COUNT(*) BETWEEN 2 AND ${graft.operators.Dedup.DfCap}),
+         |hs2 AS (SELECT hs.* FROM hs JOIN keep USING (source, shash)),
+         |jpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+         |  FROM hs2 a JOIN hs2 b ON a.source = b.source AND a.shash = b.shash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_ppm
+         |  FROM jpairs
+         |  WHERE inter * 1000000 // (n_a + n_b - inter) >= 300000),
+         |$lshPairsTail
+         |SELECT t.jaccard_ppm // 100000 AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM truth t
+         |LEFT JOIN lsh_pairs c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
          |GROUP BY 1""".stripMargin,
   )
 }

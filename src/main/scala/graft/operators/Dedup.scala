@@ -527,6 +527,32 @@ object Dedup {
           .cast("long").as("dropped_chars"))
   }
 
+  /** LSH recall audit (q96) — [[Similarity.annRecallAudit]]'s pattern
+    * applied to the dedup family: how many of the exact n-gram-Jaccard
+    * near-dup pairs ([[ngramJaccardPairs]], the ground truth the banded
+    * index approximates) the LSH candidate generator
+    * ([[lshCandidatePairs]]) actually surfaces, bucketed by similarity
+    * band. LSH recall rises with similarity (a band match needs 2
+    * consecutive minhashes equal), so the per-band curve — not one
+    * global number — is what tunes the bands/rows trade; a banding
+    * change that hollows out the 0.3-0.5 band fails the round.
+    *
+    * Both pair sets are cap-bounded and tiny against the corpus; the
+    * candidate side broadcasts into the truth side. Exact integers
+    * throughout — the audit hash-compares.
+    */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir)
+    val cand = lshCandidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(broadcast(cand), Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("band", expr("jaccard_ppm DIV 100000"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_true"))
+  }
+
   /** Curation-impact delta report (q95) — the before/after accounting a
     * curation run publishes: every document classified as `removed_dup`
     * (a non-survivor of its near-dup cluster, [[dedupSurvivors]]' rule),

@@ -352,6 +352,24 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh recall audit agrees with set arithmetic over truth and candidates") {
+    val truth = Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cand = Dedup.lshCandidatePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = truth.groupBy(_._3 / 100000).map { case (b, ps) =>
+      b -> ((ps.length.toLong, ps.count(p => cand((p._1, p._2))).toLong))
+    }
+    val rows = Dedup.lshRecallAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (nTrue, nHit) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_true") == nTrue)
+      assert(r.getAs[Long]("n_hit") == nHit)
+      assert(r.getAs[Long]("recall_ppm") == nHit * 1000000L / nTrue)
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
