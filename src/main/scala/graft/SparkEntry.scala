@@ -138,6 +138,7 @@ object SparkEntry {
     "q94_token_budget" -> (Sampling.tokenBudgetSelect _),
     "q95_curation_delta" -> (Dedup.curationDelta _),
     "q96_lsh_recall" -> (Dedup.lshRecallAudit _),
+    "q97_funnel_stages" -> (EventsOps.funnelStages _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1524,5 +1525,35 @@ object SparkEntry {
          |FROM truth t
          |LEFT JOIN lsh_pairs c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
          |GROUP BY 1""".stripMargin,
+    // iterated first-touch minima: first view, first click after it,
+    // first purchase after that — each within the 24 h conversion window
+    "q97_funnel_stages" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        |t1 AS (SELECT user_id, MIN(ts_ns) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts_ns) AS t2
+        |       FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_ns > t1.t1
+        |         AND e.ts_ns <= t1.t1 + ${graft.operators.EventsOps.FunnelWindowNs} GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts_ns) AS t3
+        |       FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_ns > t2.t2
+        |         AND e.ts_ns <= t2.t2 + ${graft.operators.EventsOps.FunnelWindowNs} GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
+        |s AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |         WHEN t2.t2 IS NOT NULL THEN 2
+        |         WHEN t1.t1 IS NOT NULL THEN 1
+        |         ELSE 0 END AS stage
+        |  FROM u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) * 1000000 // (SELECT n_total FROM tot) AS BIGINT) AS share_ppm
+        |FROM s GROUP BY 1""".stripMargin,
   )
 }

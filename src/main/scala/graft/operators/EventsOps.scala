@@ -87,6 +87,56 @@ object EventsOps {
       .drop("ts_ns")
   }
 
+  /** Conversion window for [[funnelStages]]: each funnel step must occur
+    * within 24 h of the previous step's first touch.
+    */
+  val FunnelWindowNs: Long = 24L * 3600L * 1000000000L
+
+  /** Staged first-touch funnel (q97) — per user, the deepest
+    * view → click → purchase stage reached in strict temporal order
+    * (the first click must FOLLOW the first view, the first purchase
+    * must follow that click), rolled up to per-stage user counts and
+    * ppm shares. Each step must land within the [[FunnelWindowNs]]
+    * conversion window of the previous one — the standard product
+    * definition ("clicked within a day of first seeing it"), and what
+    * keeps the funnel discriminating instead of saturating over an
+    * unbounded horizon. The iterated-minimum formulation is the scalable
+    * funnel: each stage is one filtered aggregation plus one user-keyed
+    * equi-join — no per-user event array is ever collected, so a power
+    * user with millions of events costs the same as anyone else.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+    def firstAfter(evType: String, prev: DataFrame, prevCol: String,
+        outCol: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts_ns") > col(prevCol) &&
+          col("ts_ns") <= col(prevCol) + lit(FunnelWindowNs))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as(outCol))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+    val t2 = firstAfter("click", t1, "t1", "t2")
+    val t3 = firstAfter("purchase", t2.select(col("user_id"), col("t2")), "t2", "t3")
+    val users = ev.select(col("user_id")).distinct()
+    val total = users.agg(count(lit(1)).as("n_total"))
+    users
+      .join(t1, Seq("user_id"), "left_outer")
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left_outer")
+      .join(t3, Seq("user_id"), "left_outer")
+      .withColumn("stage",
+        when(col("t3").isNotNull, lit(3L))
+          .when(col("t2").isNotNull, lit(2L))
+          .when(col("t1").isNotNull, lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_users * 1000000 DIV n_total"))
+      .select(col("stage"), col("n_users"), col("share_ppm"))
+  }
+
   /** JSON field extraction from the `props` payload column, then a
     * grouped rollup on the extracted key. `get_json_object` is the
     * codegen'd built-in path (no UDF).

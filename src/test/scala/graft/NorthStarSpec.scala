@@ -370,6 +370,33 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stages agree with a brute-force per-user replay") {
+    import graft.operators.EventsOps
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = EventsOps.FunnelWindowNs
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      def firstAfter(t: String, lo: Long): Option[Long] =
+        es.filter(e => e._2 == t && e._3 > lo && e._3 <= lo + w)
+          .map(_._3).sorted.headOption
+      val t1 = es.filter(_._2 == "view").map(_._3).sorted.headOption
+      val t2 = t1.flatMap(firstAfter("click", _))
+      val t3 = t2.flatMap(firstAfter("purchase", _))
+      u -> (if (t3.isDefined) 3L else if (t2.isDefined) 2L
+            else if (t1.isDefined) 1L else 0L)
+    }
+    val byStage = expected.values.groupBy(identity).map { case (s, xs) =>
+      s -> xs.size.toLong }
+    val rows = EventsOps.funnelStages(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == byStage.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == byStage(r.getLong(0)),
+        s"stage ${r.getLong(0)} user count")
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / expected.size)
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
