@@ -77,7 +77,20 @@ object ScaleRehearsal {
     }
     embs.repartition(8).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
-    println(s"[scale] wrote ${factor}x documents+embeddings to $out")
+
+    // events: replicas get disjoint user/event id spaces and keep their
+    // timestamps — per-user behavior (funnels, sessions, as-of joins)
+    // is unchanged, there is just 10× of it, which is the scale shape
+    // raw read, not Tables.events: preserve the stored ts representation
+    // (nanos-as-long) bit-for-bit across replicas
+    val rawEvents = spark.read.parquet(s"$src/events.parquet")
+    val evs = replicate(rawEvents, factor) { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * IdShift))
+        .withColumn("user_id", col("user_id") + lit(k * IdShift))
+    }
+    evs.repartition(16).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    println(s"[scale] wrote ${factor}x documents+embeddings+events to $out")
   }
 
   /** How often each dedup-family cap actually truncates: the 100 TB
