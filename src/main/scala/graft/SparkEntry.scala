@@ -139,6 +139,7 @@ object SparkEntry {
     "q95_curation_delta" -> (Dedup.curationDelta _),
     "q96_lsh_recall" -> (Dedup.lshRecallAudit _),
     "q97_funnel_stages" -> (EventsOps.funnelStages _),
+    "q98_retention_cohorts" -> (EventsOps.retentionCohorts _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1555,5 +1556,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(COUNT(*) * 1000000 // (SELECT n_total FROM tot) AS BIGINT) AS share_ppm
         |FROM s GROUP BY 1""".stripMargin,
+    // (user, epoch-day) grid distinct-reduced first, then the classic
+    // retention triangle: cohort = first-seen day
+    "q98_retention_cohorts" ->
+      """WITH grid AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |cohort AS (SELECT user_id, MIN(d) AS cohort_day FROM grid GROUP BY 1),
+        |sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |          FROM cohort GROUP BY 1),
+        |j AS (
+        |  SELECT c.cohort_day, g.d - c.cohort_day AS day_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM grid g JOIN cohort c ON g.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT j.cohort_day, j.day_offset, j.n_active,
+        |  CAST(j.n_active * 1000000 // s.n_cohort AS BIGINT) AS retention_ppm
+        |FROM j JOIN sizes s ON j.cohort_day = s.cohort_day""".stripMargin,
   )
 }

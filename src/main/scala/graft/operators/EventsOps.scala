@@ -137,6 +137,31 @@ object EventsOps {
       .select(col("stage"), col("n_users"), col("share_ppm"))
   }
 
+  /** Retention cohort matrix (q98) — users grouped by first-seen epoch
+    * day, activity counted per (cohort, day offset): the classic
+    * product-analytics retention triangle, in its at-scale form. The
+    * (user, day) activity grid is distinct-reduced FIRST (map-side
+    * combine does most of the work), so the cohort join and both
+    * aggregations run on at most users × days rows, never raw events;
+    * cohort sizes are a broadcast. Epoch-day integers keep the matrix
+    * hash-comparable across engines.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val grid = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ns DIV $dayNs").as("day"))
+      .distinct()
+    val cohort = grid.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    grid.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention_ppm", expr("n_active * 1000000 DIV n_cohort"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("retention_ppm"))
+  }
+
   /** JSON field extraction from the `props` payload column, then a
     * grouped rollup on the extracted key. `get_json_object` is the
     * codegen'd built-in path (no UDF).

@@ -397,6 +397,30 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("retention cohorts agree with a brute-force replay") {
+    val dayNs = 86400000000000L
+    val grid = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / dayNs)).distinct
+    val cohort = grid.groupBy(_._1).map { case (u, ws) =>
+      u -> ws.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (w, xs) =>
+      w -> xs.size.toLong }
+    val expected = grid.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val rows = graft.operators.EventsOps.retentionCohorts(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == expected(k), s"n_active at $k")
+      assert(r.getLong(3) == expected(k) * 1000000L / sizes(r.getLong(0)))
+    }
+    // offset 0 is every cohort member by definition
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(3) == 1000000L)
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
