@@ -115,6 +115,55 @@ object EventsStream {
         })
   }
 
+  /** Per-user funnel progress: first-view / first-qualifying-click /
+    * first-qualifying-purchase timestamps (−1 = not reached), same
+    * 24 h conversion-window semantics as the batch funnel
+    * ([[graft.operators.EventsOps.funnelStages]]).
+    */
+  final case class FunnelState(user_id: Long, t1: Long, t2: Long, t3: Long) {
+    def stage: Long = if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L
+  }
+  final case class FunnelSnapshot(user_id: Long, stage: Long)
+
+  /** Streaming twin of the batch funnel (q97): a per-user state machine
+    * over `flatMapGroupsWithState` — three timestamps of state per user,
+    * emitting the user's current stage snapshot whenever a micro-batch
+    * touches them. Rows are sorted by event time inside each group call
+    * (bounded by the user's slice of the micro-batch), so in-order
+    * arrival reproduces the batch funnel exactly; events arriving across
+    * batches out of event-time order are subject to the standard
+    * streaming caveat — a late earlier view cannot retroactively re-open
+    * a funnel step (state only moves forward), which is the documented
+    * trade for constant-size state.
+    */
+  def funnelProgress(events: DataFrame): org.apache.spark.sql.Dataset[FunnelSnapshot] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = graft.operators.EventsOps.FunnelWindowNs
+    val typed = events.select(col("user_id"), col("event_type"), col("ts_ns"))
+      .as[(Long, String, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[FunnelState]) => {
+          val prev = state.getOption.getOrElse(FunnelState(userId, -1L, -1L, -1L))
+          val next = rows.toSeq.sortBy(_._3).foldLeft(prev) {
+            case (s, (_, et, ts)) => et match {
+              case "view" if s.t1 < 0 => s.copy(t1 = ts)
+              case "click" if s.t1 >= 0 && s.t2 < 0 &&
+                  ts > s.t1 && ts <= s.t1 + w => s.copy(t2 = ts)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 &&
+                  ts > s.t2 && ts <= s.t2 + w => s.copy(t3 = ts)
+              case _ => s
+            }
+          }
+          state.update(next)
+          Iterator.single(FunnelSnapshot(userId, next.stage))
+        })
+  }
+
   /** Run a streaming DataFrame to completion against the files currently
     * in the source dir, into an in-memory table (test/dev harness —
     * production would use a durable sink + checkpoint location).

@@ -52,6 +52,26 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel snapshots match the batch funnel per-stage counts") {
+    val dir = Files.createTempDirectory("graft-funnel")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.runToMemory(
+      EventsStream.funnelProgress(EventsStream.read(spark, dir.toString)).toDF(),
+      "stream_funnel")
+    try {
+      // one file → one micro-batch → one snapshot per user, processed
+      // in event-time order inside the group: equals the batch funnel
+      val streamed = spark.table("stream_funnel").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.map(_._1).distinct.length == streamed.length)
+      val byStage = streamed.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+      val batch = EventsOps.funnelStages(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byStage == batch.filter(_._2 > 0))
+    } finally q.stop()
+  }
+
   test("stateful user activity via flatMapGroupsWithState matches batch totals") {
     val dir = Files.createTempDirectory("graft-state")
     Files.copy(Paths.get(s"$sf/events.parquet"),
