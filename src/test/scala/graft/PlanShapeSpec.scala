@@ -193,6 +193,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"embeddings must never shuffle for the join:\n${p.take(2000)}")
   }
 
+  test("q94 token budget: the only ordered single-partition work is the bucket sweep") {
+    val p = plan(graft.operators.Sampling.tokenBudgetSelect(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the corpus is never range-partitioned (no global sort of documents);
+    // single-partition exchanges exist only for the bucket sweep and the
+    // 1-row scalar totals, and the sweep's sort keys the BUCKET relation
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"corpus must not be globally sorted:\n${p.take(2000)}")
+    assert(p.contains("Sort [score_bucket"),
+      s"the bucket sweep sort must exist:\n${p.take(2000)}")
+    // every sort is partition-local (", false, 0"): the rarity window's
+    // token sort spills per partition, the sweep sorts the bucket
+    // relation — nothing sorts the corpus globally
+    assert(!"Sort \\[[^\\]]*\\], true, 0".r.findFirstIn(p).isDefined,
+      s"no global sort may appear:\n${p.take(2000)}")
+  }
+
+  test("q97/q98 event analytics join on user keys, never cartesian") {
+    Seq(
+      "funnel" -> graft.operators.EventsOps.funnelStages(spark, sf),
+      "cohorts" -> graft.operators.EventsOps.retentionCohorts(spark, sf)
+    ).foreach { case (label, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$label:\n${p.take(2000)}")
+      // the 1-row total rides a broadcast; real joins are keyed
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$label must join keyed:\n${p.take(2000)}")
+    }
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
