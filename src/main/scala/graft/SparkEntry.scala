@@ -140,6 +140,7 @@ object SparkEntry {
     "q96_lsh_recall" -> (Dedup.lshRecallAudit _),
     "q97_funnel_stages" -> (EventsOps.funnelStages _),
     "q98_retention_cohorts" -> (EventsOps.retentionCohorts _),
+    "q99_ivf_derived_index" -> (Similarity.ivfDerivedHistogram _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1572,5 +1573,23 @@ object SparkEntry {
         |SELECT j.cohort_day, j.day_offset, j.n_active,
         |  CAST(j.n_active * 1000000 // s.n_cohort AS BIGINT) AS retention_ppm
         |FROM j JOIN sizes s ON j.cohort_day = s.cohort_day""".stripMargin,
+    // the derived-width index: nlist = max(16, round(√N)) recomputed in
+    // SQL — same seed set, dot formula, and tie-break as the pinned ivfCte
+    "q99_ivf_derived_index" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+         |       FROM e),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+         |FROM asg GROUP BY 1""".stripMargin,
   )
 }

@@ -421,6 +421,18 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("derived ivf histogram covers every vector under the √N width") {
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val rows = Similarity.ivfDerivedHistogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum == n)
+    val nlist = Similarity.nlistFor(n)
+    assert(rows.length <= nlist)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < nlist, "bucket in index range")
+      assert(r.getAs[Long]("min_vec") <= r.getAs[Long]("max_vec"))
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
