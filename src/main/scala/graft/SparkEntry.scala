@@ -141,6 +141,7 @@ object SparkEntry {
     "q97_funnel_stages" -> (EventsOps.funnelStages _),
     "q98_retention_cohorts" -> (EventsOps.retentionCohorts _),
     "q99_ivf_derived_index" -> (Similarity.ivfDerivedHistogram _),
+    "q100_gopher_gates" -> (CorpusPrep.gopherGates _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1591,5 +1592,44 @@ object SparkEntry {
          |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_assigned,
          |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
          |FROM asg GROUP BY 1""".stripMargin,
+    // five exact-integer quality gates (q34's length/stopword metrics +
+    // q66's repetition chain), rolled up per (lang, gates passed)
+    "q100_gopher_gates" -> {
+      val stopList = graft.operators.CorpusPrep.GateStopWords
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH f AS (SELECT doc_id, lang, text, $toks AS toks FROM documents
+         |           WHERE len($toks) >= 2),
+         |b AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    length(regexp_replace(text, '\\s', '', 'g')) * 1000000
+         |      // len(toks) AS mlen_ppm,
+         |    len(list_filter(toks, t -> t IN ($stopList))) * 1000000
+         |      // len(toks) AS stop_ppm
+         |  FROM f),
+         |t0 AS (
+         |  SELECT doc_id, 't' AS kind, unnest(toks) AS vs FROM f
+         |  UNION ALL
+         |  SELECT doc_id, 'b' AS kind,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS vs
+         |  FROM f),
+         |c AS (SELECT doc_id, kind, vs, COUNT(*) AS cnt FROM t0 GROUP BY 1, 2, 3),
+         |a AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN kind = 't' THEN cnt END) AS BIGINT) AS n_tokens,
+         |    CAST(MAX(CASE WHEN kind = 't' THEN cnt END) AS BIGINT) AS top_tok,
+         |    CAST(SUM(CASE WHEN kind = 't' THEN 1 END) AS BIGINT) AS n_distinct
+         |  FROM c GROUP BY 1),
+         |j AS (
+         |  SELECT b.lang, b.n_tok,
+         |    CAST(CASE WHEN b.n_tok BETWEEN 30 AND 100000 THEN 1 ELSE 0 END
+         |       + CASE WHEN b.mlen_ppm BETWEEN 3000000 AND 5000000 THEN 1 ELSE 0 END
+         |       + CASE WHEN b.stop_ppm BETWEEN 50000 AND 400000 THEN 1 ELSE 0 END
+         |       + CASE WHEN a.top_tok * 1000000 // a.n_tokens <= 120000 THEN 1 ELSE 0 END
+         |       + CASE WHEN a.n_distinct * 1000000 // a.n_tokens >= 450000 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS n_passed
+         |  FROM b JOIN a ON b.doc_id = a.doc_id)
+         |SELECT lang, n_passed, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_total
+         |FROM j GROUP BY 1, 2""".stripMargin
+    },
   )
 }

@@ -68,6 +68,49 @@ object CorpusPrep {
         expr("n_distinct * 1000000 DIV n_tokens").as("distinct_ppm"))
   }
 
+  /** Gopher-gate pass counts for [[gopherGates]] — each document is run
+    * through five Rae-et-al.-style quality gates; thresholds are in
+    * exact ppm so the gate booleans hash-compare.
+    */
+  val GateStopWords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Gopher-style quality gate scorecard (q100) — the rule-based filter
+    * a production corpus actually ships (Rae et al. 2021 §A1.1): each
+    * document passes 0–5 independent gates (token count in range, mean
+    * token length sane, stopword ratio in the natural-language band, no
+    * dominant token, type-token ratio floor), rolled up per (lang,
+    * n_passed) with document and token mass — the table that decides
+    * where the keep/drop cut lands. Every gate is an exact integer
+    * comparison; the repetition signals reuse [[repetitionProfileFor]]'s
+    * pipeline and the join is doc-keyed.
+    */
+  def gopherGates(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = GateStopWords.map(w => s"'$w'").mkString(",")
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("char_total",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("mlen_ppm", expr("char_total * 1000000 DIV n_tok"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("long"))
+      .withColumn("stop_ppm", expr("n_stop * 1000000 DIV n_tok"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("mlen_ppm"), col("stop_ppm"))
+    val rep = repetitionProfile(spark, dir)
+      .select(col("doc_id"), col("top_tok_ppm"), col("distinct_ppm"))
+    base.join(rep, Seq("doc_id"))
+      .withColumn("n_passed",
+        expr("""CAST(CASE WHEN n_tok BETWEEN 30 AND 100000 THEN 1 ELSE 0 END
+               |   + CASE WHEN mlen_ppm BETWEEN 3000000 AND 5000000 THEN 1 ELSE 0 END
+               |   + CASE WHEN stop_ppm BETWEEN 50000 AND 400000 THEN 1 ELSE 0 END
+               |   + CASE WHEN top_tok_ppm <= 120000 THEN 1 ELSE 0 END
+               |   + CASE WHEN distinct_ppm >= 450000 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+      .groupBy(col("lang"), col("n_passed"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+  }
+
   /** Rarity-weighted top terms per document — the tf-idf shape with the
     * idf's corpus-size constant dropped (it cannot change the ranking):
     * score = tf · 10⁶ / df, top 3 terms per document, ties broken

@@ -433,6 +433,39 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher gates agree with a brute-force per-doc replay") {
+    import graft.operators.CorpusPrep
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.flatMap { case (_, lang, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      if (toks.length < 2) None else {
+        val nTok = toks.length.toLong
+        val mlen = text.replaceAll("\\s", "").length.toLong * 1000000L / nTok
+        val stop = toks.count(CorpusPrep.GateStopWords.contains).toLong * 1000000L / nTok
+        val topTok = toks.groupBy(identity).values.map(_.length).max.toLong * 1000000L / nTok
+        val distinct = toks.distinct.length.toLong * 1000000L / nTok
+        val passed =
+          (if (nTok >= 30 && nTok <= 100000) 1 else 0) +
+          (if (mlen >= 3000000 && mlen <= 5000000) 1 else 0) +
+          (if (stop >= 50000 && stop <= 400000) 1 else 0) +
+          (if (topTok <= 120000) 1 else 0) +
+          (if (distinct >= 450000) 1 else 0)
+        Some(((lang, passed.toLong), nTok))
+      }
+    }
+    val byKey = expected.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val rows = CorpusPrep.gopherGates(spark, sf).collect()
+    assert(rows.length == byKey.size)
+    rows.foreach { r =>
+      val (n, tok) = byKey((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == n, s"n_docs at ${(r.getString(0), r.getLong(1))}")
+      assert(r.getLong(3) == tok)
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
