@@ -142,6 +142,8 @@ object SparkEntry {
     "q98_retention_cohorts" -> (EventsOps.retentionCohorts _),
     "q99_ivf_derived_index" -> (Similarity.ivfDerivedHistogram _),
     "q100_gopher_gates" -> (CorpusPrep.gopherGates _),
+    "q101_cube_pricing" -> (Relational.cubePricing _),
+    "q102_ntile_quartiles" -> (Relational.ntileBalanceQuartiles _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1631,5 +1633,22 @@ object SparkEntry {
          |  CAST(SUM(n_tok) AS BIGINT) AS tok_total
          |FROM j GROUP BY 1, 2""".stripMargin
     },
+    "q101_cube_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  ${sumc("l_extendedprice")} AS revenue_c, COUNT(*) AS n_rows
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q102_ntile_quartiles" ->
+      s"""WITH q AS (
+         |  SELECT c_nationkey, ${cents("c_acctbal")} AS bal_c,
+         |    CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+         |      ORDER BY ${cents("c_acctbal")} DESC, c_custkey ASC) AS BIGINT)
+         |      AS quartile
+         |  FROM customer)
+         |SELECT c_nationkey, quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |  CAST(MAX(bal_c) AS BIGINT) AS max_bal_c,
+         |  CAST(MIN(bal_c) AS BIGINT) AS min_bal_c
+         |FROM q GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -167,6 +167,38 @@ object Relational {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Full CUBE over (returnflag, linestatus) (q101) — every grouping-set
+    * combination in one pass through Catalyst's Expand operator (one
+    * scan fanned out to 4 grouping sets with map-side combine), the
+    * missing sibling of q47's ROLLUP. `grouping_id` disambiguates the
+    * NULL-as-subtotal rows exactly as in the oracle's GROUPING().
+    */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(cents(col("l_extendedprice"))).as("revenue_c"),
+        count(lit(1)).as("n_rows"))
+
+  /** Quartile assignment per nation by account balance (q102) — `ntile`,
+    * the bucketing window function (distinct from rank/row_number: equal
+    * bucket SIZES, remainder to the leading buckets), rolled up per
+    * (nation, quartile) with exact cent bounds. Deterministic: the
+    * window order is total (balance cents desc, custkey asc).
+    */
+  def ntileBalanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(cents(col("c_acctbal")).desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        max(cents(col("c_acctbal"))).as("max_bal_c"),
+        min(cents(col("c_acctbal"))).as("min_bal_c"))
+  }
+
   /** TPC-H Q3-shaped shipping priority: top revenue orders not yet
     * shipped as of a cutoff — join + filtered agg + top-k, the classic
     * mid-complexity OLAP plan.

@@ -36,6 +36,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("cube emits all four grouping sets and a consistent grand total") {
+    val rows = graft.operators.Relational.cubePricing(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(byGid(3L).map(_.getAs[Long]("n_rows")).sum == total,
+      "grand-total grouping set covers every row")
+    assert(byGid(0L).map(_.getAs[Long]("n_rows")).sum == total,
+      "finest grouping set covers every row")
+  }
+
+  test("ntile quartiles are balanced within one row per nation") {
+    val rows = graft.operators.Relational.ntileBalanceQuartiles(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Long]("n_customers"),
+        r.getAs[Long]("max_bal_c"), r.getAs[Long]("min_bal_c")))
+    rows.groupBy(_._1).foreach { case (nation, qs) =>
+      val sizes = qs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"nation $nation: $sizes")
+      assert(qs.forall(q => q._4 >= q._5))
+      // quartile 1 holds the highest balances
+      val sorted = qs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi._5 >= lo._4 - 0,
+          s"nation $nation quartiles must be value-ordered")
+        case _ =>
+      }
+    }
+  }
+
   test("latest-per-group window agrees with max-join on keys") {
     val byJoin = operators.Relational.latestOrderPerCustomer(spark, sf)
       .select("o_custkey", "od_epoch").distinct().collect()
