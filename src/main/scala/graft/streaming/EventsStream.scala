@@ -164,6 +164,32 @@ object EventsStream {
         })
   }
 
+  /** Stream-stream interval join: every view paired with the same
+    * user's clicks landing within one hour AFTER it — the attribution
+    * join, and the one streaming operator family the rest of this
+    * package doesn't exercise. Both sides carry a 1 h watermark and the
+    * join condition bounds event time on both sides, so Spark can size
+    * and expire the join state (an unbounded-interval stream-stream
+    * join would hold every row forever); state is proportional to one
+    * watermark horizon per side, independent of stream length.
+    */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"), col("ts_ns").as("v_ts_ns"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"), col("ts_ns").as("c_ts_ns"))
+    v.join(c, expr(
+        """v_user = c_user AND
+          |c_ts > v_ts AND
+          |c_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (col("c_ts_ns") - col("v_ts_ns")).as("gap_ns"))
+  }
+
   /** Run a streaming DataFrame to completion against the files currently
     * in the source dir, into an in-memory table (test/dev harness —
     * production would use a durable sink + checkpoint location).

@@ -72,6 +72,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val dir = Files.createTempDirectory("graft-ssj")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.runToMemory(
+      EventsStream.viewClickAttribution(
+        EventsStream.read(spark, dir.toString),
+        EventsStream.read(spark, dir.toString)),
+      "stream_attrib")
+    try {
+      val streamed = spark.table("stream_attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select("user_id", "event_type", "event_id", "ts_ns")
+      val batch = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_ns").as("v_ns"))
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_ns").as("c_ns")), Seq("user_id"))
+        .filter(col("c_ns") > col("v_ns") &&
+          col("c_ns") <= col("v_ns") + lit(3600L * 1000000000L))
+        .collect()
+        // join output order: user_id, view_id, v_ns, click_id, c_ns
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+          r.getLong(4) - r.getLong(2)))
+        .toSet
+      assert(streamed.nonEmpty)
+      // append mode emits pairs whose join state the watermark has
+      // closed; with a drained single file the result is complete
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("stateful user activity via flatMapGroupsWithState matches batch totals") {
     val dir = Files.createTempDirectory("graft-state")
     Files.copy(Paths.get(s"$sf/events.parquet"),
