@@ -223,6 +223,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 cube plans one Expand with a single aggregation shuffle") {
+    val p = plan(Relational.cubePricing(spark, sf))
+    assert(p.contains("Expand"), s"grouping sets need Expand:\n${p.take(2000)}")
+    assert(shuffles(p) <= 1, s"one agg shuffle:\n${p.take(2000)}")
+    assertNoJoin(p, "cubePricing")
+  }
+
+  test("q102 ntile plans one window shuffle, no join") {
+    val p = plan(Relational.ntileBalanceQuartiles(spark, sf))
+    assertNoJoin(p, "ntileBalanceQuartiles")
+    assert(shuffles(p) <= 2, s"window + agg may shuffle:\n${p.take(2000)}")
+  }
+
+  test("q100 gopher gates join doc-keyed, never cartesian") {
+    val p = plan(graft.operators.CorpusPrep.gopherGates(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
