@@ -144,6 +144,7 @@ object SparkEntry {
     "q100_gopher_gates" -> (CorpusPrep.gopherGates _),
     "q101_cube_pricing" -> (Relational.cubePricing _),
     "q102_ntile_quartiles" -> (Relational.ntileBalanceQuartiles _),
+    "q103_session_conversion" -> (AsOf.sessionConversion _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1650,5 +1651,27 @@ object SparkEntry {
          |  CAST(MAX(bal_c) AS BIGINT) AS max_bal_c,
          |  CAST(MIN(bal_c) AS BIGINT) AS min_bal_c
          |FROM q GROUP BY 1, 2""".stripMargin,
+    // q46's gap sessionization rolled to sessions, then per start day:
+    // share of sessions containing a purchase
+    "q103_session_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        |l AS (SELECT *, lag(ts_ns) OVER
+        |        (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ns FROM e),
+        |b AS (SELECT *, CASE WHEN prev_ns IS NULL
+        |        OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, CAST(SUM(brk) OVER (
+        |        PARTITION BY user_id ORDER BY ts_ns, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM b),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    MIN(ts_ns // 86400000000000) AS start_day,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM s GROUP BY 1, 2)
+        |SELECT start_day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converting,
+        |  CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
+        |FROM sess GROUP BY 1""".stripMargin,
   )
 }

@@ -66,7 +66,20 @@ object AsOf {
     * session id = running count of gap-breaks per user. The classic
     * two-window formulation — no state machine, no UDF.
     */
-  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame =
+    sessionAssigned(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        sum(cents(col("value"))).as("value_c"))
+
+  /** Every event with its gap-sessionization `session_id` attached — the
+    * shared front half of [[sessionizeEvents]] and [[sessionConversion]]
+    * (one user-keyed shuffle, two in-partition windows).
+    */
+  private def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
     val gapNs = 30L * 60 * 1000000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
     val runningBreaks = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -76,11 +89,25 @@ object AsOf {
         when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("brk")).over(runningBreaks))
+  }
+
+  /** Per-day session conversion rate (q103) — the metric the funnel
+    * (q97) and sessionization (q46) exist to feed: sessions grouped by
+    * their start day, with the share that contain a purchase, in exact
+    * ppm. One extra aggregation over the shared session assignment; the
+    * day rollup is a tiny second shuffle.
+    */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    sessionAssigned(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
-        count(lit(1)).as("n_events"),
-        min(col("event_id")).as("first_event"),
-        max(col("event_id")).as("last_event"),
-        sum(cents(col("value"))).as("value_c"))
+        min(expr(s"ts_ns DIV $dayNs")).as("start_day"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .groupBy(col("start_day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converting"))
+      .withColumn("conv_ppm", expr("n_converting * 1000000 DIV n_sessions"))
   }
 }

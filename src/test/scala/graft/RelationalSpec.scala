@@ -66,6 +66,17 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("session conversion conserves q46's session count") {
+    val sessions = graft.operators.AsOf.sessionizeEvents(spark, sf).count()
+    val rows = graft.operators.AsOf.sessionConversion(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == sessions)
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converting"))
+      assert(c <= n)
+      assert(r.getAs[Long]("conv_ppm") == c * 1000000L / n)
+    }
+  }
+
   test("latest-per-group window agrees with max-join on keys") {
     val byJoin = operators.Relational.latestOrderPerCustomer(spark, sf)
       .select("o_custkey", "od_epoch").distinct().collect()
