@@ -1411,20 +1411,23 @@ object SparkEntry {
          |FROM j GROUP BY 1""".stripMargin,
     // every LSH candidate pair scored with the exact quantized cosine
     // of the two embeddings; agree = cos above the confirmation bar
-    "q93_semantic_agreement" ->
+    "q93_semantic_agreement" -> {
+      // zero-norm guard mirrors the Spark side (NULL, never Infinity)
+      val cosExpr =
+        s"""CASE WHEN a.n = 0 OR b.n = 0 THEN CAST(NULL AS BIGINT)
+           |    ELSE CAST(floor(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
+           |      * 1000000.0 / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))))
+           |      AS BIGINT) END""".stripMargin
       s"""WITH $lshPairsCtes,
          |e AS (SELECT vec_id, embedding,
          |  ${dotSql("embedding", "embedding")} AS n FROM embeddings)
          |SELECT p.doc_a, p.doc_b,
-         |  CAST(floor(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
-         |    * 1000000.0 / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))))
-         |    AS BIGINT) AS cos_ppm,
-         |  (CAST(floor(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
-         |    * 1000000.0 / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))))
-         |    AS BIGINT) >= ${graft.operators.Similarity.SemAgreePpm}) AS semantic_agree
+         |  $cosExpr AS cos_ppm,
+         |  ($cosExpr >= ${graft.operators.Similarity.SemAgreePpm}) AS semantic_agree
          |FROM lsh_pairs p
          |JOIN e a ON p.doc_a = a.vec_id
-         |JOIN e b ON p.doc_b = b.vec_id""".stripMargin,
+         |JOIN e b ON p.doc_b = b.vec_id""".stripMargin
+    },
     // q85's rarity scores folded into buckets, swept best-first against
     // a relative token budget; kept = whole buckets that fit
     "q94_token_budget" -> {

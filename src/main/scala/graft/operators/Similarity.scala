@@ -510,8 +510,12 @@ object Similarity {
       .select(col("vec_id").as("doc_b"), col("embedding").as("e_b"), col("n").as("n_b"))
       .join(broadcast(withA), Seq("doc_b"))
       .withColumn("dot_q", dotQ("e_a", "e_b"))
+      // zero-norm guard: a degenerate all-zero embedding must yield NULL,
+      // not an ANSI overflow abort from casting Infinity (same guard as
+      // the q76 centroid shift — the r5-ADVICE failure class)
       .withColumn("cos_ppm", expr(
-        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) END"))
       .withColumn("semantic_agree", col("cos_ppm") >= lit(SemAgreePpm))
       .select(col("doc_a"), col("doc_b"), col("cos_ppm"), col("semantic_agree"))
   }
