@@ -145,6 +145,7 @@ object SparkEntry {
     "q101_cube_pricing" -> (Relational.cubePricing _),
     "q102_ntile_quartiles" -> (Relational.ntileBalanceQuartiles _),
     "q103_session_conversion" -> (AsOf.sessionConversion _),
+    "q104_cross_source_dups" -> (Dedup.crossSourceDupMatrix _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1676,5 +1677,17 @@ object SparkEntry {
         |  CAST(SUM(converted) AS BIGINT) AS n_converting,
         |  CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
         |FROM sess GROUP BY 1""".stripMargin,
+    // q39's candidate pairs labeled with each side's source, rolled to
+    // the normalized (least, greatest) provenance matrix
+    "q104_cross_source_dups" ->
+      s"""WITH $lshPairsCtes,
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT LEAST(a.source, b.source) AS source_a,
+         |  GREATEST(a.source, b.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |FROM lsh_pairs p
+         |JOIN s a ON p.doc_a = a.doc_id
+         |JOIN s b ON p.doc_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
   )
 }

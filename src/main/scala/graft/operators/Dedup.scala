@@ -527,6 +527,32 @@ object Dedup {
           .cast("long").as("dropped_chars"))
   }
 
+  /** Cross-source near-duplicate matrix (q104) — provenance analysis
+    * for a multi-crawl corpus: for every (source, source) pair, how many
+    * LSH near-dup candidate pairs ([[lshCandidatePairs]]) connect them.
+    * The table that answers "which crawls copy each other" (mirror
+    * detection, ingest-order dedup priority); the diagonal measures
+    * internal duplication per crawl. Pair normalization (least/greatest
+    * of the two sources) makes the matrix orientation-free.
+    *
+    * Plan: the capped pair list broadcasts into two scans of `documents`
+    * for its source labels (q93's shape — the corpus is never shuffled),
+    * then one tiny (source × source) aggregation.
+    */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val withA = src
+      .select(col("doc_id").as("doc_a"), col("source").as("src_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    src
+      .select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** LSH recall audit (q96) — [[Similarity.annRecallAudit]]'s pattern
     * applied to the dedup family: how many of the exact n-gram-Jaccard
     * near-dup pairs ([[ngramJaccardPairs]], the ground truth the banded

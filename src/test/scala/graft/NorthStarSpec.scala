@@ -466,6 +466,26 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-source matrix conserves the candidate pair count") {
+    val pairs = Dedup.lshCandidatePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = Dedup.crossSourceDupMatrix(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_dup_pairs")).sum == pairs.length.toLong)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "matrix is orientation-free")
+      assert(r.getLong(2) == expected((r.getString(0), r.getString(1))))
+    }
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
