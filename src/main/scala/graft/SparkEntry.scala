@@ -146,6 +146,7 @@ object SparkEntry {
     "q102_ntile_quartiles" -> (Relational.ntileBalanceQuartiles _),
     "q103_session_conversion" -> (AsOf.sessionConversion _),
     "q104_cross_source_dups" -> (Dedup.crossSourceDupMatrix _),
+    "q105_simhash_pairs" -> (Dedup.simhashPairs _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1689,5 +1690,39 @@ object SparkEntry {
          |JOIN s a ON p.doc_a = a.doc_id
          |JOIN s b ON p.doc_b = b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    // q40's simhash as a CTE, byte-banded capped candidate pairs
+    // (bandPairs discipline), exact 32-bit hamming filter
+    "q105_simhash_pairs" -> {
+      val bandUnion = (0 until 4).map(b =>
+        s"  SELECT doc_id, $b AS band, (simhash >> ${8 * b}) & 255 AS k1 FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH tv AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS tv
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents) t),
+         |v AS (SELECT doc_id,
+         |${(0 until 32).map(b => s"  SUM(2 * ((tv >> $b) & 1) - 1) AS s$b").mkString(",\n")}
+         |  FROM tv GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST(${(0 until 32).map(b =>
+            s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM v),
+         |bands AS (
+         |$bandUnion),
+         |rk AS (SELECT doc_id, band, k1,
+         |  ROW_NUMBER() OVER (PARTITION BY band, k1 ORDER BY doc_id) AS rn
+         |  FROM bands),
+         |capped AS (SELECT doc_id, band, k1 FROM rk
+         |           WHERE rn <= ${graft.operators.Dedup.BandCap}),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM capped l JOIN capped r
+         |    ON l.band = r.band AND l.k1 = r.k1 AND l.doc_id < r.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN sig a ON c.doc_a = a.doc_id
+         |JOIN sig b ON c.doc_b = b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash))
+         |  <= ${graft.operators.Dedup.SimhashHammingMax}""".stripMargin
+    },
   )
 }

@@ -803,6 +803,41 @@ object Dedup {
 
   val SimhashBits = 32
 
+  /** Max hamming distance for a [[simhashPairs]] near-dup pair. With 4
+    * byte-bands over 32 bits, any pair within hamming ≤ 3 shares at
+    * least one intact band (pigeonhole), so banded candidate generation
+    * loses nothing at this radius.
+    */
+  val SimhashHammingMax = 3
+
+  /** SimHash near-dup pairs (q105) — the candidate-generation half q40's
+    * signatures exist for: signatures band into 4 bytes, docs sharing a
+    * byte bucket pair up (capped, join-free — [[bandPairs]]), and the
+    * exact hamming distance over the full 32 bits keeps pairs within
+    * [[SimhashHammingMax]]. The band structure makes the ≤3-bit radius
+    * exact, not approximate: a candidate can only be missed if all four
+    * bands differ, which needs ≥4 bit flips.
+    *
+    * Plan: signature aggregation + band window/agg + pair agg (the q39
+    * discipline), then the tiny pair list broadcasts into two signature
+    * scans for the exact distance.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(spark, dir)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        expr(s"shiftright(simhash, ${8 * b}) & 255").as("k1"), lit(0L).as("k2"))
+    }.reduce(_.unionAll(_))
+    val pairs = bandPairs(bands).select(col("doc_a"), col("doc_b"))
+    val withA = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= SimhashHammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** 32-bit SimHash: every token occurrence votes ±1 on each bit of its
     * md5-derived 32-bit value; bit b of the signature is 1 iff the vote
     * sum is positive. Computed as one explode + one groupBy with 32

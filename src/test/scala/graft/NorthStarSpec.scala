@@ -486,6 +486,29 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pairs match the brute-force hamming-radius set") {
+    val sigs = Dedup.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= Dedup.SimhashHammingMax
+    } yield (a, b) -> h.toLong).toMap
+    val rows = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    // every emitted pair is a true radius-3 pair with the exact distance;
+    // band buckets over BandCap truncate deterministically, so the op is
+    // a subset of the brute-force set, never a superset
+    rows.foreach { case (pair, h) =>
+      assert(truth.get(pair).contains(h), s"pair $pair hamming $h")
+    }
+    // the sf0.001 corpus is 500 docs; even with cap truncation the
+    // generator must recover the bulk of the radius-3 mass
+    assert(rows.size * 10 >= truth.size * 5,
+      s"recall too low: ${rows.size}/${truth.size}")
+  }
+
   test("containment catches a fragment symmetric jaccard misses") {
     import spark.implicits._
     val big = (1 to 20).map(i => s"w$i").mkString(" ") // 18 shingles
