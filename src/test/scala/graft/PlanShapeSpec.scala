@@ -242,6 +242,27 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q104/q105 pair consumers broadcast the capped pair list, never cartesian") {
+    Seq(
+      "crossSourceDupMatrix" -> Dedup.crossSourceDupMatrix(spark, sf),
+      "simhashPairs" -> Dedup.simhashPairs(spark, sf)
+    ).foreach { case (label, df) =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$label: pair list must broadcast:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$label: the corpus must never shuffle for the join:\n${p.take(2000)}")
+    }
+  }
+
+  test("q103 session conversion shuffles on the user key only") {
+    val p = plan(graft.operators.AsOf.sessionConversion(spark, sf))
+    assertNoJoin(p, "sessionConversion")
+    // user-keyed window+agg, then the tiny day rollup
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
