@@ -32,6 +32,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val spark = GraftSession.local(cpus.toInt)
+    // ERROR-only logging for the bench run: the driver keeps only a
+    // bounded tail of the combined output, and a single WARN with an
+    // attached physical plan (e.g. a codegen fallback) is multi-KB —
+    // enough to flood the capture and lose the contract line (the
+    // BENCH_r06 failure mode, 4th round of `parsed: null`)
+    spark.sparkContext.setLogLevel("ERROR")
     // absorb session/codegen warmup outside the measured window
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
@@ -77,7 +83,6 @@ object Bench {
         (if (detail) s""""warm_queries":${fmt(warm)},""" else "") +
         s""""failures":$coldFailures,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
     }
-    println(line(detail = false))
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line(detail = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -85,6 +90,10 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
+    // stop BEFORE printing so no executor/session shutdown chatter can
+    // land after it: the contract line is the absolute last stdout act
+    try spark.stop() catch { case _: Throwable => () }
+    println(line(detail = false))
+    System.out.flush()
   }
 }

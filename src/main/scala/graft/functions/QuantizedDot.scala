@@ -79,13 +79,17 @@ case class QuantizedDot(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_quantized_dot"
   val L2Name = "graft_quantized_l2"
+  val ArgmaxDotName = "graft_argmax_dot"
+  val DotTableName = "graft_dot_table"
+  val L2TableName = "graft_l2_table"
   val Md5PrefixName = "graft_md5_prefix"
   val WinnowName = "graft_winnow"
   val BloomBuildName = "graft_bloom_build"
   val BloomContainsName = "graft_bloom_contains"
 
   private val names =
-    Seq(DotName, L2Name, Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName)
+    Seq(DotName, L2Name, ArgmaxDotName, DotTableName, L2TableName,
+      Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName)
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -105,6 +109,9 @@ object GraftFunctions {
   private def builderOf(name: String): Seq[Expression] => Expression = name match {
     case DotName => exprs => QuantizedDot(exprs(0), exprs(1))
     case L2Name => exprs => QuantizedL2(exprs(0), exprs(1))
+    case ArgmaxDotName => exprs => QuantizedArgmaxDot(exprs(0), exprs(1))
+    case DotTableName => exprs => QuantizedDotTable(exprs(0), exprs(1))
+    case L2TableName => exprs => QuantizedL2Table(exprs(0), exprs(1))
     case Md5PrefixName => exprs =>
       Md5PrefixLong(exprs(0), intLit(exprs(1), Md5PrefixName, "nHex"))
     case WinnowName => exprs => WinnowedFingerprints(exprs(0),

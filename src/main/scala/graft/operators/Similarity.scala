@@ -90,29 +90,54 @@ object Similarity {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).toSeq
 
-  /** Per-row dot columns against every centroid literal plus the argmax
-    * bucket (max dot, lowest c_id tie-break — same order as the oracle's
-    * `ROW_NUMBER ... ORDER BY dot DESC, c_id ASC`). The centroids ride
-    * into whole-stage codegen as array literals: assignment is a pure
-    * projection — no join, no window, no shuffle, at any corpus size.
+  /** The centroid matrix as ONE `ARRAY<ARRAY<FLOAT>>` literal — the
+    * argument the [[graft.functions.QuantizedMatrixExpression]] family
+    * consumes. Constant plan footprint at any nlist: VERDICT r6 showed
+    * the previous per-centroid-column form (nlist literal-array dot
+    * expressions + an nlist-deep `when`-chain argmax) falls out of
+    * whole-stage codegen already at the derived nlist=45, and nlistFor
+    * ∝ √N makes that a 100×-scale cliff. One literal + one native loop
+    * expression keeps plan size, analyzer time, and generated-method
+    * size O(1) in the index width.
     */
-  private def withCentroidDots(df: DataFrame,
+  private def centMatrixLit(cents: Seq[(Long, Array[Float])]): Column =
+    typedLit(cents.map(_._2.toSeq))
+
+  /** Centroid ids (in matrix-row order) for mapping the expression's
+    * positional argmax back to a centroid id.
+    */
+  private def centIdsLit(cents: Seq[(Long, Array[Float])]): Column =
+    typedLit(cents.map(_._1))
+
+  /** Attach the argmax `bucket` (max quantized dot, lowest c_id
+    * tie-break — same order as the oracle's `ROW_NUMBER ... ORDER BY
+    * dot DESC, c_id ASC`) via the native
+    * [[graft.functions.QuantizedArgmaxDot]]: assignment is a pure
+    * projection — no join, no window, no shuffle, at any corpus size
+    * AND at any index width.
+    */
+  private def withBucket(df: DataFrame,
       cents: Seq[(Long, Array[Float])], embCol: String): DataFrame = {
-    // ONE Project for all nlist dot columns (a withColumn per centroid
-    // nests nlist Projects and analyzer time grows quadratically — at
-    // nlist=141 in the derived-index test that was seconds of planning)
-    val dotCols = cents.map { case (cid, arr) =>
-      expr(s"${graft.functions.GraftFunctions.DotName}($embCol, " +
-        s"array(${arr.map(v => s"CAST($v AS FLOAT)").mkString(",")}))").as(s"dot_c$cid")
-    }
-    val scored = df.select(col("*") +: dotCols: _*)
-    val best = greatest(cents.map { case (cid, _) => col(s"dot_c$cid") }: _*)
-    // foldRight: the FIRST (lowest) c_id reaching the max wins ties
-    val bucket = cents.map(_._1).foldRight(lit(-1L)) { case (cid, acc) =>
-      when(col(s"dot_c$cid") === best, lit(cid)).otherwise(acc)
-    }
-    scored.withColumn("bucket", bucket)
+    val asn = call_function(
+      graft.functions.GraftFunctions.ArgmaxDotName, col(embCol), centMatrixLit(cents))
+    df.withColumn("_asn_idx", asn.getField("bucket"))
+      // idx −1 (empty centroid set) must not hit ANSI element_at(…, 0)
+      .withColumn("bucket",
+        when(col("_asn_idx") < 0, lit(-1L))
+          .otherwise(element_at(centIdsLit(cents), (col("_asn_idx") + 1).cast("int"))))
+      .drop("_asn_idx")
   }
+
+  /** Probe ranking structs for a query-side embedding column: the
+    * native [[graft.functions.QuantizedDotTable]] zipped with centroid
+    * ids into (−dot, c_id) structs, ready for `sort_array` + `slice`.
+    */
+  private def probeRanking(cents: Seq[(Long, Array[Float])], embCol: String): Column =
+    zip_with(
+      call_function(graft.functions.GraftFunctions.DotTableName,
+        col(embCol), centMatrixLit(cents)),
+      centIdsLit(cents),
+      (d, cid) => struct((-d).as("negdot"), cid.as("c_id")))
 
   /** The corpus with its IVF bucket attached — (vec_id, embedding,
     * bucket) in one map-only pass, the input every IVF consumer wants
@@ -129,18 +154,22 @@ object Similarity {
     */
   def assignedEmbeddingsFor(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
     withFns(spark)
-    withCentroidDots(Tables.embeddings(spark, dir),
+    withBucket(Tables.embeddings(spark, dir),
       centroidLits(spark, dir, nlist), "embedding")
       .select(col("vec_id"), col("embedding"), col("bucket"))
   }
 
-  /** Corpus-sized assignment: one `count()` derives nlist via
-    * [[nlistFor]], then the same map-only projection — the production
-    * path for a corpus whose size isn't known at authoring time.
+  /** Corpus-sized assignment: nlist derives from the corpus row count
+    * via [[nlistFor]], then the same map-only projection — the
+    * production path for a corpus whose size isn't known at authoring
+    * time. The count comes from Parquet FOOTER metadata
+    * ([[Tables.rowCountFromFooters]]), cached per path — NOT a full
+    * `count()` scan job per call (the r6-VERDICT defect: at 100 TB a
+    * corpus pass just to size a knob is wasteful).
     */
   def assignedEmbeddingsAuto(spark: SparkSession, dir: String): DataFrame =
     assignedEmbeddingsFor(spark, dir,
-      nlistFor(Tables.embeddings(spark, dir).count()))
+      nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings")))
 
   /** Derived-width IVF index histogram (q99) — the PRODUCTION index
     * path under the correctness gate, not just a unit test: bucket
@@ -160,7 +189,7 @@ object Similarity {
 
   /** IVF bucket assignment: centroids are the first `IvfNlist` vectors
     * (deterministic seed set); every vector lands in the bucket of its
-    * max-dot-product centroid. Map-only: see [[withCentroidDots]].
+    * max-dot-product centroid. Map-only: see [[withBucket]].
     */
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
     assignedEmbeddings(spark, dir).select(col("vec_id"), col("bucket"))
@@ -175,13 +204,13 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val cents = centroidLits(spark, dir)
     val q = queries(emb).withColumn("n_q", normQ("q_emb"))
-    // probe selection is map-only too: rank the nlist centroid dots per
-    // query in one sort_array over (−dot, c_id) structs — dot DESC then
-    // c_id ASC, the same order the oracle's ROW_NUMBER uses
-    val probeStructs = array(cents.map { case (cid, _) =>
-      struct((-col(s"dot_c$cid")).as("negdot"), lit(cid).as("c_id"))
-    }: _*)
-    val probes = withCentroidDots(q, cents, "q_emb")
+    // probe selection is map-only too: one native dot-table against the
+    // centroid matrix, ranked by sort_array over (−dot, c_id) structs —
+    // dot DESC then c_id ASC, the same order the oracle's ROW_NUMBER
+    // uses. zip_with runs over the tiny query side only; plan size is
+    // O(1) in nlist.
+    val probeStructs = probeRanking(cents, "q_emb")
+    val probes = q
       .select(col("q_id"), col("q_emb"), col("n_q"),
         explode(slice(sort_array(probeStructs), 1, IvfNprobe)).as("p"))
       .select(col("q_id"), col("q_emb"), col("n_q"), col("p.c_id").as("bucket"))
@@ -272,24 +301,29 @@ object Similarity {
     * bucket argmax — [[PqSubspaces]]×[[PqK]] codegen'd 8-dim loops per
     * row against literal centroids, no join, no shuffle, at any N.
     */
-  /** Per-subspace distance ARRAYS against the codebook: one array column
-    * per subspace, all in a single Project (the 8×[[PqK]] distances as
-    * chained withColumns nested 128 Projects — most of q81's measured
-    * time was Catalyst analysis, not data). The codebook ids are 0..PqK-1
-    * in array order, so `array_position(d, array_min(d)) - 1` IS the
-    * argmin code with the oracle's first-lowest-id tie-break.
+  /** The m-th subspace codebook — each codebook entry's 8-dim slice —
+    * as ONE `ARRAY<ARRAY<FLOAT>>` literal for the native L2-table
+    * expression. Codebook ids are 0..k−1 in row order.
+    */
+  private def subCodebookLit(cents: Seq[(Long, Array[Float])], m: Int): Column =
+    typedLit(cents.map(_._2.slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq))
+
+  /** Per-subspace distance ARRAYS against the codebook: one native
+    * [[graft.functions.QuantizedL2Table]] column per subspace, all in a
+    * single Project — 8 expressions total at ANY codebook width k (the
+    * previous k-entry `array(l2(…), …)` literal chains grew the plan
+    * and the generated code ∝ k, the same derived-width cliff as the
+    * IVF argmax). The codebook ids are 0..k−1 in array order, so
+    * `array_position(d, array_min(d)) - 1` IS the argmin code with the
+    * oracle's first-lowest-id tie-break.
     */
   private def withPqDistanceArrays(df: DataFrame,
       cents: Seq[(Long, Array[Float])]): DataFrame = {
-    val l2 = graft.functions.GraftFunctions.L2Name
+    val l2t = graft.functions.GraftFunctions.L2TableName
     val dArrs = (0 until PqSubspaces).map { m =>
-      val sub = s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)"
-      val entries = cents.map { case (_, arr) =>
-        val centLit = arr.slice(m * PqSubDim, (m + 1) * PqSubDim)
-          .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
-        s"$l2($sub, $centLit)"
-      }.mkString("array(", ",", ")")
-      expr(entries).as(s"d_$m")
+      call_function(l2t,
+        slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+        subCodebookLit(cents, m)).as(s"d_$m")
     }
     df.select(col("*") +: dArrs: _*)
   }
@@ -343,7 +377,7 @@ object Similarity {
     val ivfCents = centroidLits(spark, dir, IvfNlist)
     val pqCents = centroidLits(spark, dir, PqK)
     withPqDistanceArrays(
-      withCentroidDots(Tables.embeddings(spark, dir), ivfCents, "embedding")
+      withBucket(Tables.embeddings(spark, dir), ivfCents, "embedding")
         .select(col("vec_id"), col("embedding"), col("bucket")),
       pqCents)
       .select(col("vec_id") +: col("bucket") +:
@@ -377,25 +411,19 @@ object Similarity {
     withFns(spark)
     val ivfCents = centroidLits(spark, dir, IvfNlist)
     val pqCents = centroidLits(spark, dir, PqK)
-    val l2 = graft.functions.GraftFunctions.L2Name
     val corpus = pqCodedCorpus(spark, dir)
     // probe selection: same map-only sort_array ranking as ivfKnn
     val q = queries(Tables.embeddings(spark, dir))
-    val probeStructs = array(ivfCents.map { case (cid, _) =>
-      struct((-col(s"dot_c$cid")).as("negdot"), lit(cid).as("c_id"))
-    }: _*)
-    // ADC lookup tables: lut_m[k+1] = ‖q_sub_m − c_{m,k}‖²_q, one array
-    // literal-expression per subspace, computed once per query row
+    val probeStructs = probeRanking(ivfCents, "q_emb")
+    // ADC lookup tables: lut_m[k+1] = ‖q_sub_m − c_{m,k}‖²_q — one
+    // native L2-table expression per subspace against the subspace
+    // codebook matrix, computed once per query row; plan O(1) in k
     val lutCols = (0 until PqSubspaces).map { m =>
-      val sub = s"slice(q_emb, ${m * PqSubDim + 1}, $PqSubDim)"
-      val entries = pqCents.map { case (_, arr) =>
-        val centLit = arr.slice(m * PqSubDim, (m + 1) * PqSubDim)
-          .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
-        s"$l2($sub, $centLit)"
-      }.mkString("array(", ",", ")")
-      expr(entries).as(s"lut_$m")
+      call_function(graft.functions.GraftFunctions.L2TableName,
+        slice(col("q_emb"), m * PqSubDim + 1, PqSubDim),
+        subCodebookLit(pqCents, m)).as(s"lut_$m")
     }
-    val probes = withCentroidDots(q, ivfCents, "q_emb")
+    val probes = q
       .select(col("q_id") +: col("q_emb") +:
         explode(slice(sort_array(probeStructs), 1, IvfNprobe)).as("p") +: Nil: _*)
       .select(col("q_id") +: col("p.c_id").as("bucket") +: lutCols: _*)
