@@ -1613,18 +1613,15 @@ object SparkEntry {
          |    len(list_filter(toks, t -> t IN ($stopList))) * 1000000
          |      // len(toks) AS stop_ppm
          |  FROM f),
-         |t0 AS (
-         |  SELECT doc_id, 't' AS kind, unnest(toks) AS vs FROM f
-         |  UNION ALL
-         |  SELECT doc_id, 'b' AS kind,
-         |    unnest(list_transform(range(1, len(toks)),
-         |      i -> toks[i] || ' ' || toks[i + 1])) AS vs
-         |  FROM f),
-         |c AS (SELECT doc_id, kind, vs, COUNT(*) AS cnt FROM t0 GROUP BY 1, 2, 3),
+         |t0 AS (SELECT doc_id, unnest(toks) AS vs FROM f),
+         |t AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(vs), 1, 15)) AS BIGINT) AS v
+         |      FROM t0),
+         |c AS (SELECT doc_id, v, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
          |a AS (SELECT doc_id,
-         |    CAST(SUM(CASE WHEN kind = 't' THEN cnt END) AS BIGINT) AS n_tokens,
-         |    CAST(MAX(CASE WHEN kind = 't' THEN cnt END) AS BIGINT) AS top_tok,
-         |    CAST(SUM(CASE WHEN kind = 't' THEN 1 END) AS BIGINT) AS n_distinct
+         |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(MAX(cnt) AS BIGINT) AS top_tok,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct
          |  FROM c GROUP BY 1),
          |j AS (
          |  SELECT b.lang, b.n_tok,

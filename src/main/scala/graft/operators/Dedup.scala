@@ -805,34 +805,52 @@ object Dedup {
 
   /** Max hamming distance for a [[simhashPairs]] near-dup pair. With 4
     * byte-bands over 32 bits, any pair within hamming ≤ 3 shares at
-    * least one intact band (pigeonhole), so banded candidate generation
-    * loses nothing at this radius.
+    * least one intact band (pigeonhole) — exact UP TO the [[BandCap]]
+    * truncation all banded generators apply: a qualifying pair whose
+    * shared intact bands all sit in over-cap buckets is still dropped.
+    * (The oracle caps identically, so the two engines agree; the cap is
+    * a recall bound, not a cross-engine drift.)
     */
   val SimhashHammingMax = 3
 
   /** SimHash near-dup pairs (q105) — the candidate-generation half q40's
     * signatures exist for: signatures band into 4 bytes, docs sharing a
-    * byte bucket pair up (capped, join-free — [[bandPairs]]), and the
-    * exact hamming distance over the full 32 bits keeps pairs within
-    * [[SimhashHammingMax]]. The band structure makes the ≤3-bit radius
-    * exact, not approximate: a candidate can only be missed if all four
-    * bands differ, which needs ≥4 bit flips.
+    * byte bucket pair up (capped, join-free — the [[bandPairs]]
+    * discipline), and the exact hamming distance over the full 32 bits
+    * keeps pairs within [[SimhashHammingMax]] (see its pigeonhole/cap
+    * contract).
     *
-    * Plan: signature aggregation + band window/agg + pair agg (the q39
-    * discipline), then the tiny pair list broadcasts into two signature
-    * scans for the exact distance.
+    * Plan: ONE pass over the signature aggregation — the 4 byte-band
+    * keys explode off a struct array (the [[bandKeysOfSig]] discipline;
+    * a 4-way union re-ran the aggregation per band), and the 32-bit
+    * signature itself rides through the capped bucket emission, so the
+    * exact-hamming step needs no join back to the signature relation at
+    * all: signature agg + band window + bucket pair agg, three keyed
+    * shuffles, zero joins.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhash(spark, dir)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        expr(s"shiftright(simhash, ${8 * b}) & 255").as("k1"), lit(0L).as("k2"))
-    }.reduce(_.unionAll(_))
-    val pairs = bandPairs(bands).select(col("doc_a"), col("doc_b"))
-    val withA = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      .join(broadcast(pairs), Seq("doc_a"))
-    sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      .join(broadcast(withA), Seq("doc_b"))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${8 * b}) & 255").as("k1"))
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.k1").as("k1"))
+    val w = Window.partitionBy(col("band"), col("k1")).orderBy(col("doc_id"))
+    bands
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BandCap)
+      .groupBy(col("band"), col("k1"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(docs, a -> transform(filter(docs, b -> b.doc_id > a.doc_id), " +
+          "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "a.simhash AS sh_a, b.simhash AS sh_b))))")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(min(col("p.sh_a")).as("sh_a"), min(col("p.sh_b")).as("sh_b"))
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .filter(col("hamming") <= SimhashHammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

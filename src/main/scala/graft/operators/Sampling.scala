@@ -191,7 +191,14 @@ object Sampling {
       .withColumn("cum_tok", sum(col("tok_total")).over(
         sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(grand))
-      .withColumn("kept", col("cum_tok") * lit(1000000L) <= lit(BudgetPpm) * col("grand"))
+      // cum_tok·1e6 overflows LongType past ~9.2e12 total tokens — and
+      // ANSI mode turns that into a query abort, while the oracle's
+      // HUGEINT widens silently: a 100 TB-scale cliff on one engine
+      // only. DECIMAL(38,0) widening keeps the comparison exact at any
+      // corpus size on both engines.
+      .withColumn("kept",
+        col("cum_tok").cast("decimal(38,0)") * lit(1000000L) <=
+          lit(BudgetPpm) * col("grand").cast("decimal(38,0)"))
       .select(col("score_bucket"), col("n_docs"), col("tok_total"),
         col("cum_tok"), col("kept"))
   }

@@ -243,17 +243,19 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q104/q105 pair consumers broadcast the capped pair list, never cartesian") {
-    Seq(
-      "crossSourceDupMatrix" -> Dedup.crossSourceDupMatrix(spark, sf),
-      "simhashPairs" -> Dedup.simhashPairs(spark, sf)
-    ).foreach { case (label, df) =>
-      val p = plan(df)
-      assert(p.contains("BroadcastHashJoin"),
-        s"$label: pair list must broadcast:\n${p.take(2000)}")
-      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
-        !p.contains("CartesianProduct"),
-        s"$label: the corpus must never shuffle for the join:\n${p.take(2000)}")
-    }
+    val p = plan(Dedup.crossSourceDupMatrix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"crossSourceDupMatrix: pair list must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"crossSourceDupMatrix: the corpus must never shuffle for the join:\n${p.take(2000)}")
+    // q105 carries the 32-bit signature through the capped bucket
+    // emission, so the exact-hamming step needs NO join back to the
+    // signature relation — the whole pipeline is keyed shuffles only
+    val p105 = plan(Dedup.simhashPairs(spark, sf))
+    assertNoJoin(p105, "simhashPairs")
+    assert(shuffles(p105) <= 4,
+      s"simhashPairs: expected ≤4 keyed shuffles:\n${p105.take(2000)}")
   }
 
   test("q103 session conversion shuffles on the user key only") {
