@@ -147,6 +147,8 @@ object SparkEntry {
     "q103_session_conversion" -> (AsOf.sessionConversion _),
     "q104_cross_source_dups" -> (Dedup.crossSourceDupMatrix _),
     "q105_simhash_pairs" -> (Dedup.simhashPairs _),
+    "q106_ivf_derived_search" -> (Similarity.ivfKnnAuto _),
+    "q107_pq_derived_codes" -> (Similarity.pqDerivedCodeHistogram _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1720,6 +1722,74 @@ object SparkEntry {
          |JOIN sig b ON c.doc_b = b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash))
          |  <= ${graft.operators.Dedup.SimhashHammingMax}""".stripMargin
+    },
+    // the derived-width SEARCH: nlist = max(16, round(√N)) and
+    // nprobe = max(4, round(√nlist)) recomputed in SQL — the q42
+    // pipeline with both production knobs under the gate
+    "q106_ivf_derived_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+         |       FROM e),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, q_emb, n_q, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.q_emb, q.n_q, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
+         |    FROM q, cents c) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |cand AS (
+         |  SELECT p.q_id, e.vec_id, p.n_q, e.n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN probes p ON asg.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |c AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |  FROM cand)
+         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |  FROM c) t
+         |WHERE rank <= 5""".stripMargin,
+    // the derived-width PQ codebook: k = max(16, round(√(N/4)))
+    // recomputed in SQL, then the q81 argmin per (vector, subspace),
+    // rolled up per (subspace, code)
+    "q107_pq_derived_codes" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |       FROM q),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk WHERE vec_id < kk.k),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |r AS (SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d)
+         |SELECT m AS subspace, c_id AS code, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM r WHERE rn = 1
+         |GROUP BY 1, 2""".stripMargin
     },
   )
 }

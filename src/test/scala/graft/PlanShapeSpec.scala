@@ -119,6 +119,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(Similarity.pqKFor(4000000) == 1000, "k ~ sqrt(N/4)")
   }
 
+  test("q106 derived-width ivf search keeps the q42 plan shape") {
+    // the production knobs (nlist=√N, nprobe=√nlist) must not change
+    // the plan: map-only assignment + broadcast probe join + one top-k
+    // window shuffle, same as the pinned graded query
+    val p = plan(Similarity.ivfKnnAuto(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus must meet only the broadcast probe join:\n${p.take(2000)}")
+    assert(shuffles(p) <= 1, s"expected ≤1 shuffle (rank window):\n${p.take(2000)}")
+  }
+
+  test("q107 derived-k pq histogram: map-only codes + one aggregation shuffle") {
+    val p = plan(Similarity.pqDerivedCodeHistogram(spark, sf))
+    assertNoJoin(p, "pqDerivedCodeHistogram")
+    assert(shuffles(p) <= 1,
+      s"expected ≤1 shuffle (subspace/code agg):\n${p.take(2000)}")
+  }
+
   test("q82 dup-span profile: window + agg, join-free, two shuffles") {
     val p = plan(Dedup.dupSpanProfile(spark, sf))
     assertNoJoin(p, "dupSpanProfile")
