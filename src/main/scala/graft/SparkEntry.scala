@@ -149,6 +149,7 @@ object SparkEntry {
     "q105_simhash_pairs" -> (Dedup.simhashPairs _),
     "q106_ivf_derived_search" -> (Similarity.ivfKnnAuto _),
     "q107_pq_derived_codes" -> (Similarity.pqDerivedCodeHistogram _),
+    "q108_ivfpq_derived_search" -> (Similarity.ivfPqSearchAuto _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1790,6 +1791,62 @@ object SparkEntry {
          |SELECT m AS subspace, c_id AS code, CAST(COUNT(*) AS BIGINT) AS n_vecs
          |FROM r WHERE rn = 1
          |GROUP BY 1, 2""".stripMargin
+    },
+    // the COMPLETE derived IVF-PQ search: the q83 ADC pipeline with
+    // nlist/nprobe/k all recomputed in SQL from the corpus size
+    "q108_ivfpq_derived_search" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+         |       FROM e),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |       FROM q),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk WHERE vec_id < kk.k),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, c_id AS code FROM (
+         |    SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT q_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id AS q_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c WHERE e.vec_id % 100 = 0) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |adc AS (
+         |  SELECT p.q_id, a.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+         |  FROM probes p
+         |  JOIN asg a ON a.bucket = p.bucket
+         |  JOIN code co ON co.vec_id = a.vec_id
+         |  JOIN d l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, neighbor_id, adc_q, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, adc_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin
     },
   )
 }

@@ -421,10 +421,11 @@ object Similarity {
     * This is the 100 TB index layout: 8 code bytes + 1 bucket id per
     * vector instead of 256 float bytes.
     */
-  private def pqCodedCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private def pqCodedCorpus(spark: SparkSession, dir: String,
+      nlist: Int = IvfNlist, k: Int = PqK): DataFrame = {
     withFns(spark)
-    val ivfCents = centroidLits(spark, dir, IvfNlist)
-    val pqCents = centroidLits(spark, dir, PqK)
+    val ivfCents = centroidLits(spark, dir, nlist)
+    val pqCents = centroidLits(spark, dir, k)
     withPqDistanceArrays(
       withBucket(Tables.embeddings(spark, dir), ivfCents, "embedding")
         .select(col("vec_id"), col("embedding"), col("bucket")),
@@ -456,11 +457,32 @@ object Similarity {
     * [[ivfKnn]] — but here the join output carries 8 longs per
     * candidate, not a 64-float embedding.
     */
-  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
+    ivfPqSearchFor(spark, dir, IvfNlist, IvfNprobe, PqK)
+
+  /** [[ivfPqSearch]] at derived index widths (q108) — the COMPLETE
+    * production IVF-PQ path under the correctness gate: nlist =
+    * [[nlistFor]](N), nprobe = [[nprobeFor]](nlist), codebook k =
+    * [[pqKFor]](N), every knob recomputed by the oracle in SQL. N from
+    * Parquet footer metadata, no scan.
+    */
+  def ivfPqSearchAuto(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val nlist = nlistFor(n)
+    ivfPqSearchFor(spark, dir, nlist, nprobeFor(nlist), pqKFor(n))
+  }
+
+  /** [[ivfPqSearch]] at explicit (nlist, nprobe, k) — identical plan
+    * shape at ANY width (matrix expressions keep every projection
+    * O(1)-sized): coded corpus never shuffles, probes + LUTs broadcast,
+    * one top-k window.
+    */
+  def ivfPqSearchFor(spark: SparkSession, dir: String,
+      nlist: Int, nprobe: Int, k: Int): DataFrame = {
     withFns(spark)
-    val ivfCents = centroidLits(spark, dir, IvfNlist)
-    val pqCents = centroidLits(spark, dir, PqK)
-    val corpus = pqCodedCorpus(spark, dir)
+    val ivfCents = centroidLits(spark, dir, nlist)
+    val pqCents = centroidLits(spark, dir, k)
+    val corpus = pqCodedCorpus(spark, dir, nlist, k)
     // probe selection: same map-only sort_array ranking as ivfKnn
     val q = queries(Tables.embeddings(spark, dir))
     val probeStructs = probeRanking(ivfCents, "q_emb")
@@ -474,7 +496,7 @@ object Similarity {
     }
     val probes = q
       .select(col("q_id") +: col("q_emb") +:
-        explode(slice(sort_array(probeStructs), 1, IvfNprobe)).as("p") +: Nil: _*)
+        explode(slice(sort_array(probeStructs), 1, nprobe)).as("p") +: Nil: _*)
       .select(col("q_id") +: col("p.c_id").as("bucket") +: lutCols: _*)
     // candidates: codes join broadcast probes on bucket; ADC is 8 array
     // lookups — element_at is 1-based, codes are codebook ids 0..PqK-1

@@ -130,6 +130,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 1, s"expected ≤1 shuffle (rank window):\n${p.take(2000)}")
   }
 
+  test("q108 derived-width ivf-pq search keeps the q83 plan shape") {
+    val p = plan(Similarity.ivfPqSearchAuto(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the coded corpus must never shuffle for the join:\n${p.take(2000)}")
+    assert(shuffles(p) <= 1, s"expected ≤1 shuffle:\n${p.take(2000)}")
+  }
+
   test("q107 derived-k pq histogram: map-only codes + one aggregation shuffle") {
     val p = plan(Similarity.pqDerivedCodeHistogram(spark, sf))
     assertNoJoin(p, "pqDerivedCodeHistogram")
