@@ -150,6 +150,7 @@ object SparkEntry {
     "q106_ivf_derived_search" -> (Similarity.ivfKnnAuto _),
     "q107_pq_derived_codes" -> (Similarity.pqDerivedCodeHistogram _),
     "q108_ivfpq_derived_search" -> (Similarity.ivfPqSearchAuto _),
+    "q109_kmeans_train" -> (Similarity.kmeansTrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1847,6 +1848,49 @@ object SparkEntry {
          |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
          |  FROM adc) t
          |WHERE rank <= 5""".stripMargin
+    },
+    // two Lloyd rounds replayed in SQL: exact-integer argmin assignment
+    // (dist ASC, c_id ASC ties), integer-mean update, final model report
+    "q109_kmeans_train" -> {
+      def distSql(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, len($a)), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, qe AS cq FROM q
+         |       WHERE vec_id < ${graft.operators.Similarity.IvfNlist}),
+         |a1 AS (SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT q.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${distSql("q.qe", "c.cq")}, c.c_id) AS rn
+         |    FROM q, c0 c) t
+         |  WHERE rn = 1),
+         |m1e AS (SELECT a1.bucket, p.pos,
+         |      CAST(FLOOR(CAST(SUM(q.qe[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |    FROM a1 JOIN q USING (vec_id),
+         |      (SELECT unnest(generate_series(1, 64)) AS pos) p
+         |    GROUP BY 1, 2),
+         |m1 AS (SELECT bucket AS c_id, list(m ORDER BY pos) AS cq
+         |       FROM m1e GROUP BY 1),
+         |a2 AS (SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT q.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${distSql("q.qe", "c.cq")}, c.c_id) AS rn
+         |    FROM q, m1 c) t
+         |  WHERE rn = 1),
+         |m2e AS (SELECT a2.bucket, p.pos,
+         |      CAST(COUNT(*) AS BIGINT) AS n,
+         |      CAST(FLOOR(CAST(SUM(q.qe[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |    FROM a2 JOIN q USING (vec_id),
+         |      (SELECT unnest(generate_series(1, 64)) AS pos) p
+         |    GROUP BY 1, 2)
+         |SELECT m2e.bucket,
+         |  CAST(MAX(m2e.n) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(m2e.m * m2e.m) AS BIGINT) AS norm_q,
+         |  CAST(SUM((m2e.m - m1e.m) * (m2e.m - m1e.m)) AS BIGINT) AS shift_q
+         |FROM m2e JOIN m1e ON m2e.bucket = m1e.bucket AND m2e.pos = m1e.pos
+         |GROUP BY 1""".stripMargin
     },
   )
 }

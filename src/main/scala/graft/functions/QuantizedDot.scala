@@ -82,13 +82,14 @@ object GraftFunctions {
   val ArgmaxDotName = "graft_argmax_dot"
   val DotTableName = "graft_dot_table"
   val L2TableName = "graft_l2_table"
+  val ArgminL2Name = "graft_argmin_l2"
   val Md5PrefixName = "graft_md5_prefix"
   val WinnowName = "graft_winnow"
   val BloomBuildName = "graft_bloom_build"
   val BloomContainsName = "graft_bloom_contains"
 
   private val names =
-    Seq(DotName, L2Name, ArgmaxDotName, DotTableName, L2TableName,
+    Seq(DotName, L2Name, ArgmaxDotName, DotTableName, L2TableName, ArgminL2Name,
       Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName)
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
@@ -112,6 +113,7 @@ object GraftFunctions {
     case ArgmaxDotName => exprs => QuantizedArgmaxDot(exprs(0), exprs(1))
     case DotTableName => exprs => QuantizedDotTable(exprs(0), exprs(1))
     case L2TableName => exprs => QuantizedL2Table(exprs(0), exprs(1))
+    case ArgminL2Name => exprs => QuantizedArgminL2(exprs(0), exprs(1))
     case Md5PrefixName => exprs =>
       Md5PrefixLong(exprs(0), intLit(exprs(1), Md5PrefixName, "nHex"))
     case WinnowName => exprs => WinnowedFingerprints(exprs(0),

@@ -306,6 +306,92 @@ object Similarity {
       .select(col("bucket"), col("n_vecs"), col("norm_new_q"), col("shift_cos_ppm"))
   }
 
+  /** Lloyd rounds for the audited k-means TRAINING loop (q109). */
+  val KmeansRounds = 2
+
+  /** Micro-quantized driver-side vector: ⌊v·1e6⌋ per element — the
+    * integer space every training round's centroids live in.
+    */
+  private def microsOf(a: Array[Float]): Seq[Long] =
+    a.map(v => math.floor(v.toDouble * 1.0e6).toLong).toSeq
+
+  /** Argmin-L2 bucket assignment against a micro-quantized centroid
+    * model via the native [[graft.functions.QuantizedArgminL2]] — the
+    * trained-model counterpart of [[withBucket]] (means are integer
+    * centroids, not input rows). Map-only at any model width.
+    */
+  private def withBucketMicro(df: DataFrame,
+      model: Seq[(Long, Seq[Long])], embCol: String): DataFrame = {
+    val asn = call_function(graft.functions.GraftFunctions.ArgminL2Name,
+      col(embCol), typedLit(model.map(_._2)))
+    df.withColumn("_asn_idx", asn.getField("bucket"))
+      .withColumn("bucket",
+        when(col("_asn_idx") < 0, lit(-1L))
+          .otherwise(element_at(typedLit(model.map(_._1)),
+            (col("_asn_idx") + 1).cast("int"))))
+      .drop("_asn_idx")
+  }
+
+  /** Element-wise micro-space bucket means of an assigned corpus:
+    * (bucket, pos, s=Σq, n, m=⌊s/n⌋) — the Lloyd update in exact
+    * integers (same shuffle shape as [[kmeansRefine]]: the (bucket,
+    * pos) partial aggregation collapses map-side, the exchange carries
+    * ≤ nlist×dims rows per input partition).
+    */
+  private def bucketMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vq", expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(col("vq")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m",
+        expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+
+  /** Iterated k-means TRAINING under the correctness gate (q109) — what
+    * [[kmeansRefine]] audits one step of, actually run for
+    * [[KmeansRounds]] Lloyd rounds: assign every vector to its nearest
+    * centroid (exact integer L2, lowest-id ties), recompute each
+    * bucket's integer-mean centroid, repeat; report the final model's
+    * per-bucket population, exact squared norm, and exact squared shift
+    * from the previous round's centroid. Every quantity is integer
+    * arithmetic end-to-end, so the whole TRAINING TRAJECTORY — not just
+    * one step — hash-compares against the oracle's SQL replay.
+    *
+    * Scale shape: the canonical distributed k-means — each round is one
+    * map-only assignment (model as a codegen literal, O(1) plan at any
+    * nlist) plus one O(nlist·dims)-shuffle mean aggregation; the k×d
+    * model (and nothing else) returns to the driver between rounds.
+    * Empty buckets drop out of the model exactly as in the standard
+    * algorithm, identically on both engines.
+    */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // round-0 model: the seed vectors in micro space (argmin-L2 against
+    // these equals QuantizedL2 argmin against the raw seeds)
+    var model: Seq[(Long, Seq[Long])] =
+      centroidLits(spark, dir, IvfNlist).map { case (cid, a) => cid -> microsOf(a) }
+    for (_ <- 1 until KmeansRounds)
+      model = bucketMeans(withBucketMicro(emb, model, "embedding"))
+        .select(col("bucket"), col("pos"), col("m")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+        .sortBy(_._1)
+    // final round stays distributed; the previous model joins back in as
+    // a broadcast literal relation for the shift column
+    val prevDf = model
+      .flatMap { case (cid, ms) => ms.zipWithIndex.map { case (m, i) => (cid, i, m) } }
+      .toDF("bucket", "pos", "m_prev")
+    bucketMeans(withBucketMicro(emb, model, "embedding"))
+      .join(broadcast(prevDf), Seq("bucket", "pos"))
+      .groupBy(col("bucket"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(expr("m * m")).as("norm_q"),
+        sum(expr("(m - m_prev) * (m - m_prev)")).as("shift_q"))
+  }
+
   val PqSubspaces = 8
   val PqSubDim = 8 // testdata embeddings are 64-dim
   val PqK = 16

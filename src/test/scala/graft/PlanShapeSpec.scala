@@ -140,6 +140,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 1, s"expected ≤1 shuffle:\n${p.take(2000)}")
   }
 
+  test("q109 kmeans training round: map-only assignment, O(k·d) shuffle, model broadcast") {
+    val p = plan(Similarity.kmeansTrain(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"only the k×d previous-model relation may join (broadcast):\n${p.take(2000)}")
+    // (bucket, pos) mean aggregation + final bucket rollup
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
   test("q107 derived-k pq histogram: map-only codes + one aggregation shuffle") {
     val p = plan(Similarity.pqDerivedCodeHistogram(spark, sf))
     assertNoJoin(p, "pqDerivedCodeHistogram")
