@@ -31,6 +31,9 @@ object Bench {
     val filters = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // harness runs land in the JSON-lines ledger too (second
+    // machine-readable channel next to the stdout contract line)
+    val blog = graft.util.StructuredLog.setup("bench").forModule("graft.Bench")
     val spark = GraftSession.local(cpus.toInt)
     // ERROR-only logging for the bench run: the driver keeps only a
     // bounded tail of the combined output, and a single WARN with an
@@ -53,6 +56,7 @@ object Bench {
           case e: Throwable =>
             failures += 1
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+            blog.error("query failed", "query" -> name, "error" -> e.toString.take(300))
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
@@ -83,6 +87,9 @@ object Bench {
         (if (detail) s""""warm_queries":${fmt(warm)},""" else "") +
         s""""failures":$coldFailures,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
     }
+    blog.info("bench complete", "sf" -> sfDir, "queries" -> selected.size,
+      "cold_sec" -> coldTotal, "warm_sec" -> warmTotal,
+      "failures" -> (coldFailures + warmFailures))
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line(detail = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

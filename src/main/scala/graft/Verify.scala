@@ -13,6 +13,9 @@ object Verify {
     val filters = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // harness runs land in the JSON-lines ledger too (same channel the
+    // pipeline binds — the driver gets a queryable record of the dump)
+    val vlog = graft.util.StructuredLog.setup("verify").forModule("graft.Verify")
     val spark = GraftSession.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter { case (name, _) =>
@@ -29,8 +32,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
         Option(e.getCause).foreach(c =>
           System.err.println(s"[verify]   cause: ${c.toString.take(500)}"))
+        vlog.error("query dump failed", "query" -> name,
+          "error" -> e.toString.take(300))
       }
     }
+    vlog.info("verify dump complete", "sf" -> sfDir, "out" -> outDir,
+      "queries" -> selected.size)
     // JSON string escape (shared with Versioning's sidecar) — a tab or CR
     // in builder-authored SQL would otherwise make the driver's json.load
     // fail and silently zero the round's correctness.

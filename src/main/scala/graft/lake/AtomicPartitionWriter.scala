@@ -63,8 +63,11 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     }
   }
 
-  /** Metastore partition sync (reference `jobs/utils/retry.py:110-111`). */
-  private def syncMetastore(table: String, tableDir: String, year: Int): Unit =
+  /** Metastore partition sync (reference `jobs/utils/retry.py:110-111`).
+    * Overridable so the crash matrix can kill the run between the commit
+    * rename and the ALTER TABLE (SURVEY §7.5 risk 1).
+    */
+  protected def syncMetastore(table: String, tableDir: String, year: Int): Unit =
     Catalog.syncPartition(spark, table, tableDir, year)
 
   /** Reap `_tmp`/`_old` leftovers from crashed runs (reference
@@ -81,5 +84,20 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     }
     reaped.foreach(fsOps.delete)
     reaped.toSeq
+  }
+
+  /** FS reap + metastore reconciliation for a registered table. A crash
+    * between the commit rename and the partition sync leaves the
+    * directory live but the catalog without (or with a stale) entry —
+    * the one divergence the FS-only [[repair]] cannot see. Reap first so
+    * `_tmp`/`_old` litter never enters partition discovery, then let
+    * `MSCK REPAIR` re-derive the partition index from the directory
+    * layout. Both halves are idempotent, so re-running after a crash
+    * mid-repair is safe.
+    */
+  def repair(tableDir: String, table: String): Seq[String] = {
+    val reaped = repair(tableDir)
+    Catalog.repair(spark, table)
+    reaped
   }
 }

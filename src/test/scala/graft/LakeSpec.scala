@@ -122,6 +122,40 @@ class LakeSpec extends AnyFunSuite {
     assert(fs.exists(s"$table/year=2025_old"))
   }
 
+  test("crash between commit rename and metastore sync: repair reconciles catalog with FS") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    w.write(writeDf(3), table, 2023)
+    Catalog.registerPartitionedParquet(spark, "lake_div_test", table)
+    assert(spark.table("lake_div_test").count() == 3)
+    // a writer killed between the commit rename and the ALTER TABLE —
+    // the one crash-matrix cell where FS and metastore diverge
+    val crashing = new AtomicPartitionWriter(fs, spark) {
+      override protected def syncMetastore(t: String, d: String, y: Int): Unit =
+        sys.error("killed between rename and ALTER TABLE")
+    }
+    intercept[RuntimeException] {
+      crashing.write(writeDf(9), table, 2024, table = Some("lake_div_test"))
+    }
+    // divergence: the partition is committed on FS but invisible via the catalog
+    assert(spark.read.parquet(s"$table/year=2024").count() == 9)
+    assert(spark.table("lake_div_test").count() == 3)
+    // a second crash, this time overwriting 2023 — leaves an _old backup too
+    intercept[RuntimeException] {
+      crashing.write(writeDf(5), table, 2023, table = Some("lake_div_test"))
+    }
+    assert(fs.exists(s"$table/year=2023_old"))
+    // the reconciling repair: reap litter, then re-derive the partition index
+    val reaped = w.repair(table, "lake_div_test").map(_.split('/').last)
+    assert(reaped == Seq("year=2023_old"))
+    assert(spark.table("lake_div_test").count() == 5 + 9)
+    // idempotent: a repeat (crash mid-repair) changes nothing
+    assert(w.repair(table, "lake_div_test").isEmpty)
+    assert(spark.table("lake_div_test").count() == 5 + 9)
+    spark.sql("DROP TABLE IF EXISTS lake_div_test")
+  }
+
   // --- Versioning (X3) ---
 
   test("versioning: metadata, newest-first order, retention, restore") {
