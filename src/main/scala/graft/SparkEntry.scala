@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, CorpusPrep, Dedup, EventsOps, Relational, Reshape, Sampling, Scalars, SetOps, Similarity, Sketches, TextOps}
+import graft.operators.{AsOf, CorpusPrep, Dedup, EventsOps, Relational, Reshape, Sampling, Scalars, SetOps, Similarity, Sketches, SkewJoin, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -151,6 +151,10 @@ object SparkEntry {
     "q107_pq_derived_codes" -> (Similarity.pqDerivedCodeHistogram _),
     "q108_ivfpq_derived_search" -> (Similarity.ivfPqSearchAuto _),
     "q109_kmeans_train" -> (Similarity.kmeansTrain _),
+    "q110_open_sessions" -> (AsOf.openSessionsAtPurchase _),
+    "q111_salted_segment" -> (SkewJoin.saltedSegmentRevenue _),
+    "q112_scd_intervals" -> (EventsOps.scdIntervals _),
+    "q113_grouping_sets" -> (Relational.groupingSetsPricing _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1892,5 +1896,51 @@ object SparkEntry {
          |FROM m2e JOIN m1e ON m2e.bucket = m1e.bucket AND m2e.pos = m1e.pos
          |GROUP BY 1""".stripMargin
     },
+    "q110_open_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events),
+         |l AS (SELECT *, lag(ts_ns) OVER
+         |        (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ns FROM e),
+         |b AS (SELECT *, CASE WHEN prev_ns IS NULL
+         |        OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, SUM(brk) OVER (
+         |        PARTITION BY user_id ORDER BY ts_ns, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM b),
+         |iv AS (SELECT user_id, session_id, MIN(ts_ns) AS s_start,
+         |         MAX(ts_ns) AS s_end FROM s GROUP BY 1, 2),
+         |p AS (SELECT event_id, ts_ns FROM e WHERE event_type = 'purchase')
+         |SELECT p.event_id, COUNT(*) AS open_sessions
+         |FROM p JOIN iv ON p.ts_ns BETWEEN iv.s_start AND iv.s_end
+         |GROUP BY 1""".stripMargin,
+    "q111_salted_segment" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events, ${sumc("value")} AS value_c
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1""".stripMargin,
+    "q112_scd_intervals" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         |l AS (SELECT *, lag(event_type) OVER
+         |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e),
+         |b AS (SELECT *, CASE WHEN prev_type IS NULL
+         |        OR prev_type <> event_type THEN 1 ELSE 0 END AS chg FROM l),
+         |v AS (SELECT *, CAST(SUM(chg) OVER (
+         |        PARTITION BY user_id ORDER BY ts_us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+         |      FROM b),
+         |r AS (SELECT user_id, version, MAX(event_type) AS state,
+         |        MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+         |      FROM v GROUP BY 1, 2)
+         |SELECT user_id, version, state, valid_from, n_events,
+         |  COALESCE(nxt - 1, 9223372036854775807) AS valid_to,
+         |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM (SELECT *, lead(valid_from) OVER (
+         |        PARTITION BY user_id ORDER BY valid_from) AS nxt FROM r)""".stripMargin,
+    "q113_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  ${sumc("l_extendedprice")} AS revenue_c, COUNT(*) AS n_rows
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
   )
 }

