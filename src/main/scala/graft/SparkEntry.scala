@@ -155,6 +155,7 @@ object SparkEntry {
     "q111_salted_segment" -> (SkewJoin.saltedSegmentRevenue _),
     "q112_scd_intervals" -> (EventsOps.scdIntervals _),
     "q113_grouping_sets" -> (Relational.groupingSetsPricing _),
+    "q114_multiset_ops" -> (SetOps.multisetOrderCustkeys _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1942,5 +1943,15 @@ object SparkEntry {
          |  ${sumc("l_extendedprice")} AS revenue_c, COUNT(*) AS n_rows
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+    "q114_multiset_ops" ->
+      s"""SELECT o_custkey, 'except_all' AS op FROM (
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         |  EXCEPT ALL
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         |UNION ALL
+         |SELECT o_custkey, 'intersect_all' AS op FROM (
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         |  INTERSECT ALL
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
   )
 }

@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * SQL clients can call `graft_quantized_dot` & co directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // conf-gated (spark.graft.rangeJoin.binSize): rescues plain
+    // point-in-interval theta joins from nested-loop plans
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

@@ -33,6 +33,19 @@ object SetOps {
       .union(Tables.supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey")))
       .distinct()
 
+  /** Multiset set algebra (q114) — `EXCEPT ALL` / `INTERSECT ALL`, the
+    * bag-semantics siblings of q23/q24's distinct forms and distinct
+    * physical operators in Spark (no dedup aggregation; multiplicities
+    * subtract/min instead). One row per EXCESS open order here, versus
+    * q23's one row per customer.
+    */
+  def multisetOrderCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val open = custkeysWithStatus(spark, dir, "O")
+    val fin = custkeysWithStatus(spark, dir, "F")
+    open.exceptAll(fin).withColumn("op", lit("except_all"))
+      .unionByName(open.intersectAll(fin).withColumn("op", lit("intersect_all")))
+  }
+
   /** Exact dedup on a projection (D1 — the reference's commented-out
     * `dropDuplicates`, promoted to a first-class operator; also the
     * baseline of the north-star dedup family).
