@@ -156,6 +156,8 @@ object SparkEntry {
     "q112_scd_intervals" -> (EventsOps.scdIntervals _),
     "q113_grouping_sets" -> (Relational.groupingSetsPricing _),
     "q114_multiset_ops" -> (SetOps.multisetOrderCustkeys _),
+    "q115_session_paths" -> (AsOf.sessionPaths _),
+    "q116_revenue_share" -> (Relational.regionRevenueShare _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1953,5 +1955,38 @@ object SparkEntry {
          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          |  INTERSECT ALL
          |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "q115_session_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events),
+         |l AS (SELECT *, lag(ts_ns) OVER
+         |        (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ns FROM e),
+         |b AS (SELECT *, CASE WHEN prev_ns IS NULL
+         |        OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, SUM(brk) OVER (
+         |        PARTITION BY user_id ORDER BY ts_ns, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM b),
+         |rn AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY user_id, session_id
+         |        ORDER BY ts_ns, event_id) AS rn FROM s),
+         |p AS (SELECT user_id, session_id,
+         |    COALESCE(MAX(CASE WHEN rn = 1 THEN event_type END), '-') AS e1,
+         |    COALESCE(MAX(CASE WHEN rn = 2 THEN event_type END), '-') AS e2,
+         |    COALESCE(MAX(CASE WHEN rn = 3 THEN event_type END), '-') AS e3
+         |  FROM rn WHERE rn <= 3 GROUP BY 1, 2)
+         |SELECT e1, e2, e3, COUNT(*) AS n_sessions FROM p GROUP BY 1, 2, 3""".stripMargin,
+    "q116_revenue_share" ->
+      s"""WITH a AS (
+         |  SELECT r_name, n_name, ${sumc("o_totalprice")} AS revenue_c
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY 1, 2)
+         |SELECT r_name, n_name, revenue_c,
+         |  CAST(CAST(revenue_c AS HUGEINT) * 1000000
+         |    // CAST(SUM(revenue_c) OVER (PARTITION BY r_name) AS HUGEINT) AS BIGINT)
+         |    AS share_ppm
+         |FROM a""".stripMargin,
   )
 }

@@ -116,6 +116,27 @@ object AsOf {
       .agg(count(lit(1)).as("open_sessions"))
   }
 
+  /** Session path analysis (q115) — the top-of-session event-type
+    * sequences product analytics reads entry behavior from: each
+    * session reduced to its first three event types (short sessions
+    * padded with '-'), counted per path. The per-position conditional
+    * `max(when(rn = k))` keeps the collapse a plain aggregation — no
+    * collect_list, whose ordering is not an engine-portable contract.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    def pos(k: Int) =
+      coalesce(max(when(col("rn") === k, col("event_type"))), lit("-")).as(s"e$k")
+    sessionAssigned(spark, dir)
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(pos(1), pos(2), pos(3))
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Per-day session conversion rate (q103) — the metric the funnel
     * (q97) and sessionization (q46) exist to feed: sessions grouped by
     * their start day, with the share that contain a purchase, in exact

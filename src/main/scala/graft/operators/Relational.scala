@@ -199,6 +199,29 @@ object Relational {
         sum(cents(col("l_extendedprice"))).as("revenue_c"),
         count(lit(1)).as("n_rows"))
 
+  /** Percent-of-total window (q116) — each nation's share of its
+    * region's revenue in exact ppm: a window aggregate OVER a grouped
+    * aggregate (the ratio_to_report idiom). The star join broadcasts
+    * every dimension, the groupBy is the only fact-scale shuffle, and
+    * the region window runs over the ~25-row aggregate.
+    */
+  def regionRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_c"))
+      .withColumn("region_total", sum(col("revenue_c")).over(w))
+      // ppm through DECIMAL(38): cents * 1e6 leaves Long range around
+      // petabyte-scale regional revenue (the q94 overflow class), and
+      // ANSI mode would abort, not wrap — widen first, DIV back to long
+      .withColumn("share_ppm",
+        expr("CAST(CAST(revenue_c AS DECIMAL(38,0)) * 1000000 DIV region_total AS BIGINT)"))
+      .drop("region_total")
+  }
+
   /** Quartile assignment per nation by account balance (q102) — `ntile`,
     * the bucketing window function (distinct from rank/row_number: equal
     * bucket SIZES, remainder to the leading buckets), rolled up per

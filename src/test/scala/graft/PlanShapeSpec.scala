@@ -337,6 +337,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoJoin(p, "groupingSetsPricing")
   }
 
+  test("q115 session paths shuffle on user-derived keys only, no join") {
+    val p = plan(graft.operators.AsOf.sessionPaths(spark, sf))
+    assertNoJoin(p, "sessionPaths")
+    // user window → session window/collapse → tiny path rollup
+    assert(shuffles(p) <= 3, s"expected ≤3 keyed shuffles:\n${p.take(2000)}")
+  }
+
+  test("q116 revenue share broadcasts dims; window runs over the aggregate") {
+    val p = plan(Relational.regionRevenueShare(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"dimensions must broadcast:\n${p.take(2000)}")
+    // fact agg shuffle + the ~25-row region window
+    assert(shuffles(p) <= 2, s"expected agg + window shuffles only:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
