@@ -158,6 +158,7 @@ object SparkEntry {
     "q114_multiset_ops" -> (SetOps.multisetOrderCustkeys _),
     "q115_session_paths" -> (AsOf.sessionPaths _),
     "q116_revenue_share" -> (Relational.regionRevenueShare _),
+    "q117_session_overlap" -> (AsOf.sessionOverlapMatrix _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1988,5 +1989,22 @@ object SparkEntry {
          |    // CAST(SUM(revenue_c) OVER (PARTITION BY r_name) AS HUGEINT) AS BIGINT)
          |    AS share_ppm
          |FROM a""".stripMargin,
+    "q117_session_overlap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+         |l AS (SELECT *, lag(ts_ns) OVER
+         |        (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ns FROM e),
+         |b AS (SELECT *, CASE WHEN prev_ns IS NULL
+         |        OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, SUM(brk) OVER (
+         |        PARTITION BY user_id ORDER BY ts_ns, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM b),
+         |iv AS (SELECT user_id, session_id, MIN(ts_ns) AS sa, MAX(ts_ns) AS ea
+         |       FROM s GROUP BY 1, 2)
+         |SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_overlaps
+         |FROM iv a JOIN iv b
+         |  ON a.user_id < b.user_id AND a.sa <= b.ea AND b.sa <= a.ea
+         |GROUP BY 1, 2""".stripMargin,
   )
 }

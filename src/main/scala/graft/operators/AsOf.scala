@@ -137,6 +137,26 @@ object AsOf {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Session concurrency matrix (q117) — the graded instance of
+    * [[RangeJoin.binnedIntervalOverlap]]: for each (user, user) pair,
+    * how many of their session intervals overlapped in time. The
+    * interval-interval self-join both sides event-scale; `ua < ub`
+    * orders each pair once.
+    */
+  def sessionOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val iv = sessionAssigned(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ns")).as("sa"), max(col("ts_ns")).as("ea"))
+    val a = iv.select(col("user_id").as("ua"), col("sa"), col("ea"))
+    val b = iv.select(col("user_id").as("ub"),
+      col("sa").as("sb"), col("ea").as("eb"))
+    RangeJoin.binnedIntervalOverlap(a, "sa", "ea", b, "sb", "eb",
+        binSize = 3600000000000L)
+      .filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   /** Per-day session conversion rate (q103) — the metric the funnel
     * (q97) and sessionization (q46) exist to feed: sessions grouped by
     * their start day, with the share that contain a purchase, in exact

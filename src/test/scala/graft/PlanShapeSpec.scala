@@ -352,6 +352,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"expected agg + window shuffles only:\n${p.take(2000)}")
   }
 
+  test("q117 interval overlap plans as an equi-join, never nested-loop") {
+    val p = plan(graft.operators.AsOf.sessionOverlapMatrix(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must stay an equi-join on the bin key:\n${p.take(2000)}")
+    assert(p.contains("Join"), s"bin equi-join expected:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

@@ -26,6 +26,22 @@ class RangeSamplingSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("binned interval overlap equals the naive theta join, one row per pair") {
+    // edge shapes: touching ends (inclusive), containment, identical
+    // intervals, negative domain, disjoint
+    val a = Seq((1L, 0L, 100L), (2L, 200L, 210L), (3L, -50L, -10L),
+      (4L, 500L, 500L), (5L, 90L, 260L)).toDF("aid", "sa", "ea")
+    val b = Seq((11L, 100L, 150L), (12L, 205L, 205L), (13L, -20L, 5L),
+      (14L, 501L, 600L), (15L, 0L, 1000L)).toDF("bid", "sb", "eb")
+    val binned = RangeJoin.binnedIntervalOverlap(a, "sa", "ea", b, "sb", "eb", 64L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = a.join(b, $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(binned.sorted == naive.sorted, "same pairs, no duplicates from shared bins")
+    assert(binned.size == binned.toSet.size)
+    assert(naive.nonEmpty)
+  }
+
   test("events-to-session range join reproduces session membership") {
     // intervals = each user's sessions (from the sessionize operator's
     // first/last event times); every event must land in exactly one
