@@ -6,10 +6,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
-/** Catalyst rewrite of point-in-interval theta joins into binned
-  * equi-joins — [[graft.operators.RangeJoin.binnedPointInInterval]]
-  * promoted from a library call to an optimizer rule, so a PLAIN
-  * user-written `p BETWEEN s AND e` join is rescued at plan time.
+/** Catalyst rewrite of range theta joins into binned equi-joins — the
+  * [[graft.operators.RangeJoin]] operators (point-in-interval AND
+  * interval-overlap) promoted from library calls to an optimizer rule,
+  * so a PLAIN user-written `p BETWEEN s AND e` or
+  * `sA <= eB AND sB <= eA` join is rescued at plan time.
   *
   * Spark plans a pure range condition as BroadcastNestedLoopJoin (small
   * side) or CartesianProduct (two large sides) — O(|P|·|I|) and
@@ -108,25 +109,51 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     val leftIsPoint = boundPair(j.left, j.right)
     val pick = leftIsPoint.map((_, true)).orElse(boundPair(j.right, j.left).map((_, false)))
+    val lit = Literal(b, LongType)
+    def div(x: Expression) = new IntegralDivide(asLong(x), lit)
+    // Sequence is TimeZoneAwareExpression: resolution demands a zone
+    // even for integral inputs, so bind the session one explicitly
+    def explodeBins(s: Expression, e: Expression, child: LogicalPlan, name: String) = {
+      val attr = AttributeReference(name, LongType, nullable = false)()
+      (attr, Generate(Explode(Sequence(div(s), div(e), None,
+        Some(conf.sessionLocalTimeZone))), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(attr), child = child))
+    }
+
     pick.map { case ((p, s, e), pointOnLeft) =>
       val pointPlan = if (pointOnLeft) j.left else j.right
       val ivPlan = if (pointOnLeft) j.right else j.left
-      val lit = Literal(b, LongType)
-      val binP = Alias(new IntegralDivide(asLong(p), lit), "__graft_bin_p")()
+      val binP = Alias(div(p), "__graft_bin_p")()
       val newPoint = Project(pointPlan.output :+ binP, pointPlan)
-      val binIv = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
-      // Sequence is TimeZoneAwareExpression: resolution demands a zone
-      // even for integral inputs, so bind the session one explicitly
-      val seq = Sequence(
-        new IntegralDivide(asLong(s), lit), new IntegralDivide(asLong(e), lit),
-        None, Some(conf.sessionLocalTimeZone))
-      val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(binIv), child = ivPlan)
+      val (binIv, gen) = explodeBins(s, e, ivPlan, "__graft_bin_iv")
       val cond = And(EqualTo(binP.toAttribute, binIv), j.condition.get)
       val joined =
         if (pointOnLeft) Join(newPoint, gen, Inner, Some(cond), j.hint)
         else Join(gen, newPoint, Inner, Some(cond), j.hint)
       Project(j.output, joined)
+    }.orElse {
+      // interval-OVERLAP shape: sL <= eR AND sR <= eL — one upper bound
+      // in each direction. Both sides explode over their bin ranges and
+      // the pair is anchored to greatest(sL div b, sR div b): that bin
+      // provably lies in both exploded ranges whenever the two
+      // inequalities hold (monotone truncating division; the argument
+      // needs nothing else, so even degenerate e < s inputs stay exact),
+      // and anchoring emits each matching pair exactly once.
+      val uppers = bounds.filterNot(_.lower)
+      (for {
+        u1 <- uppers if from(j.left)(u1.point) && from(j.right)(u1.bound) &&
+          integral(u1.point) && integral(u1.bound)
+        u2 <- uppers if from(j.right)(u2.point) && from(j.left)(u2.bound) &&
+          integral(u2.point) && integral(u2.bound)
+      } yield (u1.point, u2.bound, u2.point, u1.bound)).headOption.map {
+        case (sL, eL, sR, eR) =>
+          val (binL, genL) = explodeBins(sL, eL, j.left, "__graft_bin_l")
+          val (binR, genR) = explodeBins(sR, eR, j.right, "__graft_bin_r")
+          val anchor = Greatest(Seq(div(sL), div(sR)))
+          val cond = And(And(EqualTo(binL, binR), EqualTo(binL, anchor)),
+            j.condition.get)
+          Project(j.output, Join(genL, genR, Inner, Some(cond), j.hint))
+      }
     }
   }
 }

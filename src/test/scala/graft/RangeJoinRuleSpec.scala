@@ -87,6 +87,34 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-overlap theta join rewrites with the anchor-bin dedup") {
+    val a = (0L until 80L).map(i => (i, i * 11 % 500, i * 11 % 500 + (i % 5) * 17))
+      .toDF("aid", "sa", "ea")
+    val b = (0L until 70L).map(i => (i, i * 13 % 480, i * 13 % 480 + (i % 4) * 21))
+      .toDF("bid", "sb", "eb")
+    def q = a.join(b, $"sa" <= $"eb" && $"sb" <= $"ea")
+    val baseline = rows(q)
+    withBin(16) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"overlap join must become an equi-join:\n${p.take(2000)}")
+      assert(rows(q) == baseline, "same pairs, exactly once each")
+    }
+  }
+
+  test("overlap rewrite stays exact with strict bounds and residual conjuncts") {
+    val a = (0L until 60L).map(i => (i, i * 7 % 300, i * 7 % 300 + 25)).toDF("aid", "sa", "ea")
+    val b = (0L until 50L).map(i => (i, i * 9 % 280, i * 9 % 280 + 15)).toDF("bid", "sb", "eb")
+    def q = a.join(b, $"sa" < $"eb" && $"sb" < $"ea" && $"aid" % 2 === $"bid" % 2 - $"bid" % 2)
+    // note: aid%2 === bid%2-bid%2 is aid%2===0, single-side — not an equi key across sides
+    val baseline = rows(q)
+    withBin(16) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+      assert(rows(q) == baseline)
+    }
+  }
+
   test("int-typed columns are cast and rewritten") {
     val ip = (0 until 300).map(i => (i, i)).toDF("pid", "ts") // IntegerType
     val iv = (0 until 30).map(i => (i, i * 9, i * 9 + 12)).toDF("iid", "s", "e")
