@@ -159,6 +159,7 @@ object SparkEntry {
     "q115_session_paths" -> (AsOf.sessionPaths _),
     "q116_revenue_share" -> (Relational.regionRevenueShare _),
     "q117_session_overlap" -> (AsOf.sessionOverlapMatrix _),
+    "q118_hard_negatives" -> (Similarity.hardNegativeMining _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2006,5 +2007,29 @@ object SparkEntry {
          |FROM iv a JOIN iv b
          |  ON a.user_id < b.user_id AND a.sa <= b.ea AND b.sa <= a.ea
          |GROUP BY 1, 2""".stripMargin,
+    "q118_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label,
+         |    ${dotSql("embedding", "embedding")} AS n_emb
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label,
+         |        n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |s AS (
+         |  SELECT q_id, e.vec_id,
+         |    CAST(floor(CAST(${dotSql("q_emb", "embedding")} AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm,
+         |    CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS same
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, same
+         |        ORDER BY cos_ppm DESC, vec_id ASC) AS rn FROM s)
+         |SELECT q_id,
+         |  MAX(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
+         |  MAX(CASE WHEN same = 1 THEN cos_ppm END) AS pos_cos_ppm,
+         |  MAX(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
+         |  MAX(CASE WHEN same = 0 THEN cos_ppm END) AS neg_cos_ppm,
+         |  MAX(CASE WHEN same = 1 THEN cos_ppm END)
+         |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
+         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
   )
 }

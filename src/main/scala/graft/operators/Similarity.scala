@@ -62,6 +62,46 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos_ppm"), col("rank"))
   }
 
+  /** Hard-negative mining (q118) — contrastive training pairs, the
+    * embedding-side op an embedding-model training pipeline runs over
+    * its corpus: for each query vector (the deterministic every-100th
+    * subset), the best SAME-label neighbor (the positive) and the best
+    * DIFFERENT-label neighbor (the hard negative) by quantized cosine,
+    * plus the ppm margin between them — the rows a triplet/InfoNCE loss
+    * consumes and the margin histogram curricula are built from. Same
+    * broadcast-queries shape as [[bruteForceKnn]] (the corpus never
+    * shuffles for the join); one window pass ranks both classes via the
+    * (q_id, same-label) partition key.
+    */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        normQ("embedding").as("n_emb"))
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), normQ("embedding").as("n_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("same"))
+      .orderBy(col("cos_ppm").desc, col("vec_id").asc)
+    emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dot_q", dotQ("q_emb", "embedding"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("same",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("same") === 1, col("vec_id"))).as("pos_id"),
+        max(when(col("same") === 1, col("cos_ppm"))).as("pos_cos_ppm"),
+        max(when(col("same") === 0, col("vec_id"))).as("neg_id"),
+        max(when(col("same") === 0, col("cos_ppm"))).as("neg_cos_ppm"))
+      .withColumn("margin_ppm", col("pos_cos_ppm") - col("neg_cos_ppm"))
+  }
+
   val IvfNlist = 16
   val IvfNprobe = 4
 

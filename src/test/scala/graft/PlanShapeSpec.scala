@@ -352,6 +352,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"expected agg + window shuffles only:\n${p.take(2000)}")
   }
 
+  test("q118 hard negatives broadcast queries; corpus never shuffles for the join") {
+    val p = plan(Similarity.hardNegativeMining(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must not shuffle for the join:\n${p.take(2000)}")
+  }
+
   test("q117 interval overlap plans as an equi-join, never nested-loop") {
     val p = plan(graft.operators.AsOf.sessionOverlapMatrix(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
