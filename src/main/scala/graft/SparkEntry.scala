@@ -160,6 +160,7 @@ object SparkEntry {
     "q116_revenue_share" -> (Relational.regionRevenueShare _),
     "q117_session_overlap" -> (AsOf.sessionOverlapMatrix _),
     "q118_hard_negatives" -> (Similarity.hardNegativeMining _),
+    "q119_epoch_mix_plan" -> (Sampling.epochMixPlan _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2031,5 +2032,29 @@ object SparkEntry {
          |  MAX(CASE WHEN same = 1 THEN cos_ppm END)
          |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
          |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q119_epoch_mix_plan" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST(len(regexp_extract_all(text,
+         |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |pl AS (SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS tok_total FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS grand_total,
+         |      COUNT(*) AS n_langs FROM pl),
+         |a AS (SELECT lang, n_docs, tok_total,
+         |    grand_total * ${graft.operators.Sampling.MixBudgetX} // n_langs AS target_tok
+         |  FROM pl, t),
+         |e AS (SELECT *,
+         |    least(CAST(${graft.operators.Sampling.MaxEpochsPpm} AS BIGINT),
+         |      CAST(CAST(target_tok AS HUGEINT) * 1000000 // tok_total AS BIGINT))
+         |      AS epochs_ppm
+         |  FROM a)
+         |SELECT lang, n_docs, tok_total, target_tok, epochs_ppm,
+         |  CAST(CAST(tok_total AS HUGEINT) * epochs_ppm // 1000000 AS BIGINT)
+         |    AS served_tok,
+         |  target_tok
+         |    - CAST(CAST(tok_total AS HUGEINT) * epochs_ppm // 1000000 AS BIGINT)
+         |    AS unmet_tok
+         |FROM e""".stripMargin,
   )
 }

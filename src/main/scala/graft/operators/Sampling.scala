@@ -112,6 +112,44 @@ object Sampling {
         col("share_ppm"), col("weight_ppm"), col("kept_tokens"))
   }
 
+  /** Budget multiplier and epoch cap for [[epochMixPlan]]. */
+  val MixBudgetX = 3L
+  val MaxEpochsPpm = 4000000L
+
+  /** Data-constrained mixing plan (q119) — the UP-sampling complement
+    * of [[mixWeights]] (which only down-samples): a token budget of
+    * [[MixBudgetX]]× the corpus is split equally across languages, and
+    * each language serves its target by repeating its data, capped at
+    * [[MaxEpochsPpm]] (4 epochs — the "repeating helps up to ~4 passes"
+    * regime of data-constrained scaling, Muennighoff et al. 2023).
+    * Single-pass allocation: a capped language's unmet target is
+    * reported, not redistributed (the redistribution loop is a driver
+    * decision, not a per-row one). Exact-integer ppm; the epoch ratio
+    * widened through DECIMAL so target·1e6 survives petabyte token
+    * counts under ANSI.
+    */
+  def epochMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"),
+        regexp_count(col("text"), lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"))
+          .cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+    val totals = perLang.agg(
+      sum(col("tok_total")).as("grand_total"), count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("target_tok",
+        expr(s"grand_total * $MixBudgetX DIV n_langs"))
+      .withColumn("epochs_ppm", expr(
+        s"least(CAST($MaxEpochsPpm AS BIGINT), " +
+          "CAST(CAST(target_tok AS DECIMAL(38,0)) * 1000000 DIV tok_total AS BIGINT))"))
+      .withColumn("served_tok", expr(
+        "CAST(CAST(tok_total AS DECIMAL(38,0)) * epochs_ppm DIV 1000000 AS BIGINT)"))
+      .withColumn("unmet_tok", expr("target_tok - served_tok"))
+      .select(col("lang"), col("n_docs"), col("tok_total"), col("target_tok"),
+        col("epochs_ppm"), col("served_tok"), col("unmet_tok"))
+  }
+
   /** Output shards for a training-data write. */
   val Shards = 64L
 
