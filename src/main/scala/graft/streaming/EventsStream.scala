@@ -164,6 +164,49 @@ object EventsStream {
         })
   }
 
+  final case class ScdRun(st: String, from_us: Long, version: Long, n: Long)
+  final case class ScdClosed(user_id: Long, version: Long, state: String,
+      valid_from: Long, valid_to: Long, n_events: Long)
+
+  /** Streaming twin of the batch SCD2 build (q112): per-user keyed state
+    * holds ONLY the open run (state label, start, version, row count);
+    * each state CHANGE emits the closed interval `[valid_from,
+    * new.ts_us - 1]` in append mode — exactly the batch rows with
+    * `is_current = 0`, under in-order arrival. Rows are event-time
+    * sorted inside each group call; cross-batch late events are subject
+    * to the same forward-only caveat as the funnel twin (a late row
+    * cannot reopen a closed interval), the documented trade for
+    * one-run-sized state.
+    */
+  def scdProgress(events: DataFrame): org.apache.spark.sql.Dataset[ScdClosed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[ScdRun]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          val out = Seq.newBuilder[ScdClosed]
+          var cur = state.getOption.orNull
+          sorted.foreach { case (_, et, ts, _) =>
+            if (cur == null) cur = ScdRun(et, ts, 1L, 1L)
+            else if (et == cur.st) cur = cur.copy(n = cur.n + 1)
+            else {
+              out += ScdClosed(userId, cur.version, cur.st, cur.from_us, ts - 1, cur.n)
+              cur = ScdRun(et, ts, cur.version + 1, 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+        })
+  }
+
   /** Stream-stream interval join: every view paired with the same
     * user's clicks landing within one hour AFTER it — the attribution
     * join, and the one streaming operator family the rest of this

@@ -72,6 +72,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD twin emits exactly the batch build's closed intervals") {
+    val dir = Files.createTempDirectory("graft-scd")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.runToMemory(
+      EventsStream.scdProgress(EventsStream.read(spark, dir.toString)).toDF(),
+      "stream_scd")
+    try {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val streamed = spark.table("stream_scd")
+        .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+        .collect().map(key).toSet
+      import org.apache.spark.sql.functions.col
+      val batch = graft.operators.EventsOps.scdIntervals(spark, sf)
+        .filter(col("is_current") === 0)
+        .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
+        .collect().map(key).toSet
+      assert(streamed == batch, "closed intervals must match the batch SCD2 build")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val dir = Files.createTempDirectory("graft-ssj")
     Files.copy(Paths.get(s"$sf/events.parquet"),
