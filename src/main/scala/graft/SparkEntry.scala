@@ -161,6 +161,7 @@ object SparkEntry {
     "q117_session_overlap" -> (AsOf.sessionOverlapMatrix _),
     "q118_hard_negatives" -> (Similarity.hardNegativeMining _),
     "q119_epoch_mix_plan" -> (Sampling.epochMixPlan _),
+    "q120_ivf_hard_negatives" -> (Similarity.ivfHardNegativeMining _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2056,5 +2057,39 @@ object SparkEntry {
          |    - CAST(CAST(tok_total AS HUGEINT) * epochs_ppm // 1000000 AS BIGINT)
          |    AS unmet_tok
          |FROM e""".stripMargin,
+    "q120_ivf_hard_negatives" ->
+      s"""WITH $ivfCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+         |        l.label AS q_label, e.n_emb AS n_q
+         |      FROM e JOIN lab l ON l.vec_id = e.vec_id
+         |      WHERE e.vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, q_emb, q_label, n_q, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.q_emb, q.q_label, q.n_q, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
+         |    FROM q, cents c) t
+         |  WHERE rk <= ${graft.operators.Similarity.IvfNprobe}),
+         |cand AS (
+         |  SELECT p.q_id, e.vec_id,
+         |    CAST(floor(CAST(${dotSql("p.q_emb", "e.embedding")} AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(p.n_q AS DOUBLE)) * sqrt(CAST(e.n_emb AS DOUBLE)))) AS BIGINT)
+         |      AS cos_ppm,
+         |    CASE WHEN l.label = p.q_label THEN 1 ELSE 0 END AS same
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN lab l ON l.vec_id = e.vec_id
+         |  JOIN probes p ON asg.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, same
+         |        ORDER BY cos_ppm DESC, vec_id ASC) AS rn FROM cand)
+         |SELECT q_id,
+         |  MAX(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
+         |  MAX(CASE WHEN same = 1 THEN cos_ppm END) AS pos_cos_ppm,
+         |  MAX(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
+         |  MAX(CASE WHEN same = 0 THEN cos_ppm END) AS neg_cos_ppm,
+         |  MAX(CASE WHEN same = 1 THEN cos_ppm END)
+         |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
+         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
   )
 }

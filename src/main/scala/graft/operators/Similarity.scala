@@ -102,6 +102,52 @@ object Similarity {
       .withColumn("margin_ppm", col("pos_cos_ppm") - col("neg_cos_ppm"))
   }
 
+  /** IVF-accelerated hard-negative mining (q120) — [[hardNegativeMining]]
+    * moved onto the index (q42's probe shape): candidates come only from
+    * the query's [[IvfNprobe]] probed buckets, so the mining cost is the
+    * probed fraction of the corpus instead of all of it — the production
+    * path at corpus scale, with q118's exact form kept as its recall
+    * audit (the q41/q42/q90 pattern). Each corpus vector lives in ONE
+    * bucket and probes are distinct, so no pair appears twice. A probe
+    * set can lack one class entirely (a genuinely unreachable positive/
+    * negative at this nprobe): that side stays NULL — the honest index
+    * answer, and the oracle reproduces it.
+    */
+  def ivfHardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val cents = centroidLits(spark, dir, IvfNlist)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), normQ("embedding").as("n_q"))
+    val probes = q
+      .select(col("q_id"), col("q_emb"), col("q_label"), col("n_q"),
+        explode(slice(sort_array(probeRanking(cents, "q_emb")), 1, IvfNprobe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("q_label"), col("n_q"),
+        col("p.c_id").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("same"))
+      .orderBy(col("cos_ppm").desc, col("vec_id").asc)
+    withBucket(emb, cents, "embedding")
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("n_emb", normQ("embedding"))
+      .withColumn("dot_q", dotQ("q_emb", "embedding"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("same",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("same") === 1, col("vec_id"))).as("pos_id"),
+        max(when(col("same") === 1, col("cos_ppm"))).as("pos_cos_ppm"),
+        max(when(col("same") === 0, col("vec_id"))).as("neg_id"),
+        max(when(col("same") === 0, col("cos_ppm"))).as("neg_cos_ppm"))
+      .withColumn("margin_ppm", col("pos_cos_ppm") - col("neg_cos_ppm"))
+  }
+
   val IvfNlist = 16
   val IvfNprobe = 4
 

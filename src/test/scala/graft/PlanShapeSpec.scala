@@ -360,6 +360,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must not shuffle for the join:\n${p.take(2000)}")
   }
 
+  test("q120 ivf mining keeps the q42 shape: probes broadcast, corpus never shuffles") {
+    val p = plan(Similarity.ivfHardNegativeMining(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast onto the bucket key:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus must not shuffle for the join:\n${p.take(2000)}")
+  }
+
   test("q117 interval overlap plans as an equi-join, never nested-loop") {
     val p = plan(graft.operators.AsOf.sessionOverlapMatrix(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
