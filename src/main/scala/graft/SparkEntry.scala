@@ -162,6 +162,7 @@ object SparkEntry {
     "q118_hard_negatives" -> (Similarity.hardNegativeMining _),
     "q119_epoch_mix_plan" -> (Sampling.epochMixPlan _),
     "q120_ivf_hard_negatives" -> (Similarity.ivfHardNegativeMining _),
+    "q121_mining_agreement" -> (Similarity.miningAgreementAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2009,30 +2010,7 @@ object SparkEntry {
          |FROM iv a JOIN iv b
          |  ON a.user_id < b.user_id AND a.sa <= b.ea AND b.sa <= a.ea
          |GROUP BY 1, 2""".stripMargin,
-    "q118_hard_negatives" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, label,
-         |    ${dotSql("embedding", "embedding")} AS n_emb
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label,
-         |        n_emb AS n_q
-         |      FROM e WHERE vec_id % 100 = 0),
-         |s AS (
-         |  SELECT q_id, e.vec_id,
-         |    CAST(floor(CAST(${dotSql("q_emb", "embedding")} AS DOUBLE) * 1000000.0 /
-         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm,
-         |    CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS same
-         |  FROM e, q WHERE e.vec_id <> q.q_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, same
-         |        ORDER BY cos_ppm DESC, vec_id ASC) AS rn FROM s)
-         |SELECT q_id,
-         |  MAX(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
-         |  MAX(CASE WHEN same = 1 THEN cos_ppm END) AS pos_cos_ppm,
-         |  MAX(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
-         |  MAX(CASE WHEN same = 0 THEN cos_ppm END) AS neg_cos_ppm,
-         |  MAX(CASE WHEN same = 1 THEN cos_ppm END)
-         |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
-         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q118_hard_negatives" -> q118Sql,
     "q119_epoch_mix_plan" ->
       s"""WITH d AS (SELECT lang,
          |    CAST(len(regexp_extract_all(text,
@@ -2057,7 +2035,23 @@ object SparkEntry {
          |    - CAST(CAST(tok_total AS HUGEINT) * epochs_ppm // 1000000 AS BIGINT)
          |    AS unmet_tok
          |FROM e""".stripMargin,
-    "q120_ivf_hard_negatives" ->
+    "q120_ivf_hard_negatives" -> q120Sql,
+    "q121_mining_agreement" ->
+      s"""WITH bf AS (SELECT q_id, pos_id AS bf_pos, neg_id AS bf_neg
+         |  FROM ($q118Sql) bfq),
+         |iv AS (SELECT q_id, pos_id AS ivf_pos, neg_id AS ivf_neg
+         |  FROM ($q120Sql) ivq)
+         |SELECT COUNT(*) AS n_queries,
+         |  CAST(SUM(CASE WHEN bf_pos IS NOT DISTINCT FROM ivf_pos
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS pos_agree,
+         |  CAST(SUM(CASE WHEN bf_neg IS NOT DISTINCT FROM ivf_neg
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS neg_agree,
+         |  CAST(SUM(CASE WHEN ivf_neg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS neg_found
+         |FROM bf JOIN iv USING (q_id)""".stripMargin,
+  )
+
+  private lazy val q120Sql =
       s"""WITH $ivfCte,
          |lab AS (SELECT vec_id, label FROM embeddings),
          |q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb,
@@ -2090,6 +2084,30 @@ object SparkEntry {
          |  MAX(CASE WHEN same = 0 THEN cos_ppm END) AS neg_cos_ppm,
          |  MAX(CASE WHEN same = 1 THEN cos_ppm END)
          |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
-         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
-  )
+         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
+
+  private lazy val q118Sql =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label,
+         |    ${dotSql("embedding", "embedding")} AS n_emb
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label,
+         |        n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |s AS (
+         |  SELECT q_id, e.vec_id,
+         |    CAST(floor(CAST(${dotSql("q_emb", "embedding")} AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm,
+         |    CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS same
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, same
+         |        ORDER BY cos_ppm DESC, vec_id ASC) AS rn FROM s)
+         |SELECT q_id,
+         |  MAX(CASE WHEN same = 1 THEN vec_id END) AS pos_id,
+         |  MAX(CASE WHEN same = 1 THEN cos_ppm END) AS pos_cos_ppm,
+         |  MAX(CASE WHEN same = 0 THEN vec_id END) AS neg_id,
+         |  MAX(CASE WHEN same = 0 THEN cos_ppm END) AS neg_cos_ppm,
+         |  MAX(CASE WHEN same = 1 THEN cos_ppm END)
+         |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
+         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
 }

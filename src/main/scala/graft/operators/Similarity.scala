@@ -148,6 +148,26 @@ object Similarity {
       .withColumn("margin_ppm", col("pos_cos_ppm") - col("neg_cos_ppm"))
   }
 
+  /** Mining agreement audit (q121) — the q90-style audit for the
+    * mining pair: per query, does the index path ([[ivfHardNegativeMining]])
+    * pick the SAME positive/negative as the exact brute force
+    * ([[hardNegativeMining]])? Null-safe equality, so "both paths found
+    * nothing" counts as agreement and a probe-missed side counts as
+    * disagreement; `neg_found` separates coverage from agreement.
+    */
+  def miningAgreementAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bf = hardNegativeMining(spark, dir)
+      .select(col("q_id"), col("pos_id").as("bf_pos"), col("neg_id").as("bf_neg"))
+    val ivf = ivfHardNegativeMining(spark, dir)
+      .select(col("q_id"), col("pos_id").as("ivf_pos"), col("neg_id").as("ivf_neg"))
+    bf.join(ivf, Seq("q_id"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("bf_pos") <=> col("ivf_pos"), 1L).otherwise(0L)).as("pos_agree"),
+        sum(when(col("bf_neg") <=> col("ivf_neg"), 1L).otherwise(0L)).as("neg_agree"),
+        sum(when(col("ivf_neg").isNotNull, 1L).otherwise(0L)).as("neg_found"))
+  }
+
   val IvfNlist = 16
   val IvfNprobe = 4
 
