@@ -90,7 +90,27 @@ object ScaleRehearsal {
     }
     evs.repartition(16).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
-    println(s"[scale] wrote ${factor}x documents+embeddings+events to $out")
+
+    // relational fact tables: orders/lineitem replicate with shifted
+    // order keys (the join key stays consistent across the two tables,
+    // so orders ⋈ lineitem behaves identically per replica); customer
+    // keys are NOT shifted — the dimension stays fixed while facts grow,
+    // which is the real warehouse scale shape (10× orders per customer)
+    val rawOrders = spark.read.parquet(s"$src/orders.parquet")
+    replicate(rawOrders, factor) { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * IdShift))
+    }.repartition(16).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val rawLineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    replicate(rawLineitem, factor) { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdShift))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // dimensions: copied unscaled (region/nation/customer/supplier/part)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[scale] wrote ${factor}x documents+embeddings+events+orders+lineitem " +
+      s"(+unscaled dims) to $out")
   }
 
   /** How often each dedup-family cap actually truncates: the 100 TB
