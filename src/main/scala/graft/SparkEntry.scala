@@ -163,6 +163,7 @@ object SparkEntry {
     "q119_epoch_mix_plan" -> (Sampling.epochMixPlan _),
     "q120_ivf_hard_negatives" -> (Similarity.ivfHardNegativeMining _),
     "q121_mining_agreement" -> (Similarity.miningAgreementAudit _),
+    "q122_rank_family" -> (Relational.rankFamilyBalance _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2049,6 +2050,21 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN ivf_neg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS neg_found
          |FROM bf JOIN iv USING (q_id)""".stripMargin,
+    "q122_rank_family" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+         |    ${cents("c_acctbal")} // 10000 AS bal_c FROM customer),
+         |r AS (SELECT *,
+         |    CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY bal_c DESC)
+         |      AS BIGINT) AS rnk,
+         |    CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY bal_c DESC)
+         |      AS BIGINT) AS drnk,
+         |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n_part,
+         |    COUNT(*) OVER (PARTITION BY c_nationkey, bal_c) AS n_peers
+         |  FROM c)
+         |SELECT c_custkey, c_nationkey, bal_c, rnk, drnk,
+         |  (rnk - 1) * 1000000 // greatest(n_part - 1, 1) AS prank_ppm,
+         |  (rnk - 1 + n_peers) * 1000000 // n_part AS cume_ppm
+         |FROM r""".stripMargin,
   )
 
   private lazy val q120Sql =

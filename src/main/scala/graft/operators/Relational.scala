@@ -222,6 +222,41 @@ object Relational {
       .drop("region_total")
   }
 
+  /** Ranking-family coverage (q122) — `rank` and `dense_rank` (the two
+    * gap-aware siblings row_number/ntile don't cover), per nation over
+    * exact balance cents, with percent-rank and cume-dist re-derived in
+    * EXACT integer ppm from (rank, peer count, partition count) rather
+    * than the native double-valued functions — the doubles' last-ulp
+    * behavior is not an engine contract, integer division is. Ranking
+    * runs over hundred-dollar balance BANDS, not raw cents: cent
+    * balances are all-distinct in this data (rank would collapse to
+    * row_number, graded already), while bands tie in ~284 groups, so
+    * rank and dense_rank genuinely diverge.
+    */
+  def rankFamilyBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("bal_c").desc)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("c_nationkey"))
+    val peers = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"), col("bal_c"))
+    Tables.customer(spark, dir)
+      .withColumn("bal0_c", cents(col("c_acctbal")))
+      // trunc-toward-zero on BOTH engines (Spark DIV ≡ DuckDB //),
+      // which matters: balances go negative
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("bal0_c DIV 10000").as("bal_c"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("n_part", count(lit(1)).over(part))
+      .withColumn("n_peers", count(lit(1)).over(peers))
+      // exact ppm: percent_rank = (rank-1)/(n-1); cume_dist = (rank-1+peers)/n
+      .withColumn("prank_ppm",
+        expr("(rnk - 1) * 1000000 DIV greatest(n_part - 1, CAST(1 AS BIGINT))"))
+      .withColumn("cume_ppm", expr("(rnk - 1 + n_peers) * 1000000 DIV n_part"))
+      .select(col("c_custkey"), col("c_nationkey"), col("bal_c"),
+        col("rnk"), col("drnk"), col("prank_ppm"), col("cume_ppm"))
+  }
+
   /** Quartile assignment per nation by account balance (q102) — `ntile`,
     * the bucketing window function (distinct from rank/row_number: equal
     * bucket SIZES, remainder to the leading buckets), rolled up per
