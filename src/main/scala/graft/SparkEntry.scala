@@ -164,6 +164,7 @@ object SparkEntry {
     "q120_ivf_hard_negatives" -> (Similarity.ivfHardNegativeMining _),
     "q121_mining_agreement" -> (Similarity.miningAgreementAudit _),
     "q122_rank_family" -> (Relational.rankFamilyBalance _),
+    "q123_topk_aggregate" -> (Similarity.bruteForceKnnAgg _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -585,27 +586,10 @@ object SparkEntry {
          |SELECT doc_id, CAST(${(0 until 32).map(b =>
             s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
          |FROM v""".stripMargin,
-    "q41_knn_bruteforce" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n_emb
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
-         |      FROM e WHERE vec_id % 100 = 0),
-         |s AS (
-         |  SELECT q_id, e.vec_id, n_q, n_emb,
-         |    ${dotSql("q_emb", "embedding")} AS dot_q
-         |  FROM e, q WHERE e.vec_id <> q.q_id),
-         |c AS (
-         |  SELECT q_id, vec_id,
-         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
-         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
-         |  FROM s)
-         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
-         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
-         |  FROM c) t
-         |WHERE rank <= 5""".stripMargin,
+    "q41_knn_bruteforce" -> q41Sql,
+    // the aggregate formulation is result-identical by contract: the
+    // oracle IS q41's (same scoring, same total order, same k)
+    "q123_topk_aggregate" -> q41Sql,
     "q42_knn_ivf" ->
       s"""WITH $ivfCte,
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
@@ -2101,6 +2085,28 @@ object SparkEntry {
          |  MAX(CASE WHEN same = 1 THEN cos_ppm END)
          |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
          |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
+
+  private lazy val q41Sql =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n_emb
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |s AS (
+         |  SELECT q_id, e.vec_id, n_q, n_emb,
+         |    ${dotSql("q_emb", "embedding")} AS dot_q
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |c AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |  FROM s)
+         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |  FROM c) t
+         |WHERE rank <= 5""".stripMargin
 
   private lazy val q118Sql =
       s"""WITH e AS (

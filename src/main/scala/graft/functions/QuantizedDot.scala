@@ -87,10 +87,11 @@ object GraftFunctions {
   val WinnowName = "graft_winnow"
   val BloomBuildName = "graft_bloom_build"
   val BloomContainsName = "graft_bloom_contains"
+  val TopKName = "graft_topk"
 
   private val names =
     Seq(DotName, L2Name, ArgmaxDotName, DotTableName, L2TableName, ArgminL2Name,
-      Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName)
+      Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName, TopKName)
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -131,6 +132,8 @@ object GraftFunctions {
     case BloomContainsName => exprs =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))
+    case TopKName => exprs =>
+      BoundedTopK(exprs(0), exprs(1), intLit(exprs(2), TopKName, "k"))
   }
 
   /** The injectable descriptions for [[GraftExtensions]]. */

@@ -168,6 +168,33 @@ object Similarity {
         sum(when(col("ivf_neg").isNotNull, 1L).otherwise(0L)).as("neg_found"))
   }
 
+  /** Brute-force kNN through the bounded top-k AGGREGATE (q123) —
+    * result-identical to [[bruteForceKnn]] (same scoring, same
+    * (score desc, id asc) total order, oracle shared), but the plan is
+    * an ObjectHashAggregate pair instead of shuffle-everything + window
+    * sort: the partial phase prunes every map task's candidates to k
+    * rows per query BEFORE the exchange, so shuffle volume is
+    * ≤ k·|queries|·maps instead of |queries|·|corpus| — the difference
+    * that decides per-query ranking cost at corpus scale.
+    */
+  def bruteForceKnnAgg(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normQ("embedding").as("n_emb"))
+    val q = queries(Tables.embeddings(spark, dir))
+      .withColumn("n_q", normQ("q_emb"))
+    emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dot_q", dotQ("q_emb", "embedding"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
+      .groupBy(col("q_id"))
+      .agg(expr(s"${graft.functions.GraftFunctions.TopKName}(cos_ppm, vec_id, 5)")
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_ppm"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   val IvfNlist = 16
   val IvfNprobe = 4
 

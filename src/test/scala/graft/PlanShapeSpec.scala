@@ -369,6 +369,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must not shuffle for the join:\n${p.take(2000)}")
   }
 
+  test("q123 topk aggregate plans a partial/final ObjectHashAggregate pair") {
+    val p = plan(Similarity.bruteForceKnnAgg(spark, sf))
+    // the point of the aggregate: candidates prune to k per query per
+    // map task BEFORE the exchange — window top-k would shuffle them all
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"partial + final aggregate expected:\n${p.take(2000)}")
+    assert(p.contains("partial_graft_topk") || p.contains("partial_boundedtopk") ||
+      p.contains("Partial"), s"map-side partial phase expected:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"no window sort:\n${p.take(2000)}")
+  }
+
   test("q117 interval overlap plans as an equi-join, never nested-loop") {
     val p = plan(graft.operators.AsOf.sessionOverlapMatrix(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
