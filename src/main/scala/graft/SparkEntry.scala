@@ -165,6 +165,7 @@ object SparkEntry {
     "q121_mining_agreement" -> (Similarity.miningAgreementAudit _),
     "q122_rank_family" -> (Relational.rankFamilyBalance _),
     "q123_topk_aggregate" -> (Similarity.bruteForceKnnAgg _),
+    "q124_positional_window" -> (Relational.positionalWindowExtrema _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2049,6 +2050,21 @@ object SparkEntry {
          |  (rnk - 1) * 1000000 // greatest(n_part - 1, 1) AS prank_ppm,
          |  (rnk - 1 + n_peers) * 1000000 // n_part AS cume_ppm
          |FROM r""".stripMargin,
+    "q124_positional_window" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+         |    ${cents("c_acctbal")} AS bal_c FROM customer),
+         |w AS (SELECT c_nationkey,
+         |    FIRST_VALUE(bal_c) OVER win AS top_bal,
+         |    NTH_VALUE(bal_c, 2) OVER win AS second_bal,
+         |    LAST_VALUE(bal_c) OVER win AS bottom_bal
+         |  FROM c
+         |  WINDOW win AS (PARTITION BY c_nationkey
+         |    ORDER BY bal_c DESC, c_custkey ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT c_nationkey, MAX(top_bal) AS top_bal,
+         |  MAX(second_bal) AS second_bal, MAX(bottom_bal) AS bottom_bal,
+         |  COUNT(*) AS n_customers
+         |FROM w GROUP BY 1""".stripMargin,
   )
 
   private lazy val q120Sql =

@@ -257,6 +257,33 @@ object Relational {
         col("rnk"), col("drnk"), col("prank_ppm"), col("cume_ppm"))
   }
 
+  /** Value-positional window functions (q124) — `first_value` /
+    * `last_value` / `nth_value`, the family q122's ranks don't cover,
+    * over an EXPLICIT unbounded-both-ways frame: the default
+    * ORDER-BY frame ends at the current row, which silently turns
+    * last_value into "this row" — the classic trap, avoided identically
+    * on both engines. Total order (balance cents desc, custkey asc), so
+    * every positional read is deterministic; the per-nation constants
+    * collapse to one row per nation.
+    */
+  def positionalWindowExtrema(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("bal_c").desc, col("c_custkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+      .withColumn("top_bal", first(col("bal_c")).over(w))
+      .withColumn("second_bal", nth_value(col("bal_c"), 2).over(w))
+      .withColumn("bottom_bal", last(col("bal_c")).over(w))
+      .groupBy(col("c_nationkey"))
+      .agg(max(col("top_bal")).as("top_bal"),
+        max(col("second_bal")).as("second_bal"),
+        max(col("bottom_bal")).as("bottom_bal"),
+        count(lit(1)).as("n_customers"))
+  }
+
   /** Quartile assignment per nation by account balance (q102) — `ntile`,
     * the bucketing window function (distinct from rank/row_number: equal
     * bucket SIZES, remainder to the leading buckets), rolled up per
