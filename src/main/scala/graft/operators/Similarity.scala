@@ -412,9 +412,11 @@ object Similarity {
     * audited step keeps the query deterministic and oracle-checkable.
     *
     * Numerics: elements are quantized to integer micros BEFORE any
-    * aggregation, so sums are exact and order-free; the mean is a single
-    * deterministic IEEE divide + floor on identical longs in both
-    * engines (same discipline as [[graft.operators.Determinism]]).
+    * aggregation, so sums are exact and order-free; the mean is exact
+    * integer floor division ⌊s/n⌋ on identical longs in both engines
+    * (same discipline as [[graft.operators.Determinism]]) — valid at
+    * any sum magnitude, unlike a double round-trip which loses the
+    * contract past 2^53.
     *
     * Scale: `posexplode` fans each vector into dim rows, but the
     * (bucket, pos) partial aggregation collapses them map-side — the
@@ -431,7 +433,7 @@ object Similarity {
     val dims = elems.groupBy(col("bucket"), col("pos"))
       .agg(sum(col("vq")).as("sum_q"), count(lit(1)).as("n"))
       .withColumn("mean_q",
-        expr("CAST(floor(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        expr("CAST((sum_q DIV n) - (CASE WHEN sum_q % n <> 0 AND sum_q < 0 THEN 1 ELSE 0 END) AS BIGINT)"))
     val seed = emb.filter(col("vec_id") < IvfNlist)
       .select(col("vec_id").as("bucket"), posexplode(col("embedding")).as(Seq("pos", "cv")))
       .withColumn("cq", expr("CAST(floor(CAST(cv AS DOUBLE) * 1000000.0) AS BIGINT)"))
@@ -491,8 +493,11 @@ object Similarity {
       .withColumn("vq", expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"))
       .groupBy(col("bucket"), col("pos"))
       .agg(sum(col("vq")).as("s"), count(lit(1)).as("n"))
+      // exact ⌊s/n⌋ in integer arithmetic (DIV truncates toward zero;
+      // adjust negative non-exact quotients) — a double round-trip
+      // would silently diverge once |s| exceeds 2^53
       .withColumn("m",
-        expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        expr("CAST((s DIV n) - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0 END) AS BIGINT)"))
 
   /** Iterated k-means TRAINING under the correctness gate (q109) — what
     * [[kmeansRefine]] audits one step of, actually run for

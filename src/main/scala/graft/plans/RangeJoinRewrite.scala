@@ -68,8 +68,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (e.dataType == LongType) e else Cast(e, LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val binSize = scala.util.Try(
-      conf.getConfString(BinSizeKey, "").toLong).toOption.filter(_ > 0)
+    val raw = conf.getConfString(BinSizeKey, "")
+    val binSize = scala.util.Try(raw.toLong).toOption.filter(_ > 0)
+    // The user opted in; a typo ("1h", "0") silently yielding the
+    // nested-loop plan the rule exists to prevent is the worst outcome
+    // — warn loudly instead of treating it as unset.
+    if (raw.nonEmpty && binSize.isEmpty) {
+      logWarning(s"$BinSizeKey='$raw' is not a positive integral bin size " +
+        "(units of the point column); range-join rewrite DISABLED — " +
+        "range joins will plan as nested-loop/cartesian.")
+    }
     binSize match {
       case None => plan
       case Some(b) => plan.transformUp {

@@ -78,15 +78,24 @@ object ScaleRehearsal {
     embs.repartition(8).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
-    // events: replicas get disjoint user/event id spaces and keep their
-    // timestamps — per-user behavior (funnels, sessions, as-of joins)
-    // is unchanged, there is just 10× of it, which is the scale shape
+    // events: user_id stays in the ORIGINAL customer key space — the
+    // dimension is copied unscaled below, and shifting user_id would
+    // make every replica's events join zero customers, understating
+    // fact-dim join cost by 1/factor (orders keep o_custkey unshifted
+    // for exactly this reason). Per-user stream structure is preserved
+    // by shifting each replica one full time EPOCH instead: the same
+    // users re-enact their month k spans later, so sessions/funnels/
+    // as-of joins see 10× independent sessions, not 10 stacked copies
+    // of each event at one instant.
     // raw read, not Tables.events: preserve the stored ts representation
     // (nanos-as-long) bit-for-bit across replicas
     val rawEvents = spark.read.parquet(s"$src/events.parquet")
+    val tsRange = rawEvents.agg(min(col("ts")), max(col("ts"))).first()
+    val epochNs = tsRange.getLong(1) - tsRange.getLong(0) +
+      2L * 86400L * 1000000000L // span + 2-day gap > any session timeout
     val evs = replicate(rawEvents, factor) { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * IdShift))
-        .withColumn("user_id", col("user_id") + lit(k * IdShift))
+        .withColumn("ts", col("ts") + lit(k * epochNs))
     }
     evs.repartition(16).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
