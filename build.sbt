@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's output through UNPREFIXED: the default strategy
+// routes child stdout through sbt's logger, which stamps "[info] " on
+// every line — that prefix is what broke the round driver's json.loads
+// of graft.Bench's contract line (BENCH_r07 `parsed: null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,7 +63,31 @@ object Bench {
       (timings, failures)
     }
     val (cold, coldFailures) = runPass()
-    val (warm, warmFailures) = runPass()
+    val (warm0, warmFailures) = runPass()
+    // Contention guard: a warm run should never cost 3× its cold run —
+    // when it does (host contention from a co-tenant process, the
+    // BENCH_r07 failure mode: q64 17.0 s vs a thrice-measured 2.3-3.4 s
+    // band), the sample is measuring the host, not the plan. Re-run
+    // once and keep the minimum; the floor skips sub-second noise.
+    val coldByName = cold.toMap
+    var reruns = 0
+    val warm = warm0.map { case (name, t) =>
+      val c = coldByName.getOrElse(name, Double.MaxValue)
+      if (t > 1.0 && t > 3.0 * c) {
+        reruns += 1
+        val t0 = System.nanoTime()
+        val t2 = try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => Double.MaxValue }
+        val best = math.min(t, t2)
+        System.err.println(f"[bench] $name warm $t%.2fs > 3x cold $c%.2fs — rerun $t2%.2fs, keeping $best%.2fs")
+        blog.warn("contended warm sample rerun", "query" -> name,
+          "warm_sec" -> t, "cold_sec" -> c, "rerun_sec" -> t2)
+        name -> best
+      } else name -> t
+    }
     if (coldFailures + warmFailures > 0)
       System.err.println(
         s"[bench] $coldFailures cold / $warmFailures warm query runs failed — totals are partial")
@@ -85,11 +109,12 @@ object Bench {
         (if (detail) s""""queries":${fmt(cold)},""" else "") +
         s""""warm_value":$warmTotal,""" +
         (if (detail) s""""warm_queries":${fmt(warm)},""" else "") +
-        s""""failures":$coldFailures,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
+        s""""failures":$coldFailures,"warm_failures":$warmFailures,""" +
+        s""""warm_reruns":$reruns,"sf":"$sfDir"}"""
     }
     blog.info("bench complete", "sf" -> sfDir, "queries" -> selected.size,
       "cold_sec" -> coldTotal, "warm_sec" -> warmTotal,
-      "failures" -> (coldFailures + warmFailures))
+      "failures" -> (coldFailures + warmFailures), "warm_reruns" -> reruns)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line(detail = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -100,7 +125,16 @@ object Bench {
     // stop BEFORE printing so no executor/session shutdown chatter can
     // land after it: the contract line is the absolute last stdout act
     try spark.stop() catch { case _: Throwable => () }
-    println(line(detail = false))
-    System.out.flush()
+    // Write the contract line STRAIGHT to fd 1, bypassing sbt's logger:
+    // a non-forked `runMain` routes System.out through sbt, which
+    // prefixes every line with "[info] " — exactly what made the driver's
+    // json.loads fail on BENCH_r07 (`parsed: null` on an otherwise clean
+    // run). A FileDescriptor.out stream reaches the same capture pipe
+    // with no prefix, so the line is bare, parseable JSON.
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true,
+      java.nio.charset.StandardCharsets.UTF_8)
+    raw.println(line(detail = false))
+    raw.flush()
   }
 }
