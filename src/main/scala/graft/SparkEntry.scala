@@ -166,6 +166,7 @@ object SparkEntry {
     "q122_rank_family" -> (Relational.rankFamilyBalance _),
     "q123_topk_aggregate" -> (Similarity.bruteForceKnnAgg _),
     "q124_positional_window" -> (Relational.positionalWindowExtrema _),
+    "q125_capped_overlap" -> (AsOf.sessionOverlapMatrixCapped _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2070,6 +2071,38 @@ object SparkEntry {
          |  MAX(second_bal) AS second_bal, MAX(bottom_bal) AS bottom_bal,
          |  COUNT(*) AS n_customers
          |FROM w GROUP BY 1""".stripMargin,
+    // q117 through the per-bin cap: intervals explode over hour bins,
+    // each bin keeps the OverlapBinCap smallest (user, session) rows
+    // (row_number — the same deterministic-smallest-ids rule as every
+    // banded dedup bucket), pairs anchor to the intersection's first
+    // bin exactly as q117. // on non-negative ns == DIV.
+    "q125_capped_overlap" -> {
+      val b = 3600000000000L
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+         |l AS (SELECT *, lag(ts_ns) OVER
+         |        (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ns FROM e),
+         |br AS (SELECT *, CASE WHEN prev_ns IS NULL
+         |        OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, SUM(brk) OVER (
+         |        PARTITION BY user_id ORDER BY ts_ns, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM br),
+         |iv AS (SELECT user_id, session_id, MIN(ts_ns) AS sa, MAX(ts_ns) AS ea
+         |       FROM s GROUP BY 1, 2),
+         |bins AS (SELECT user_id, session_id, sa, ea,
+         |    unnest(generate_series(sa // $b, ea // $b)) AS bin FROM iv),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bin
+         |    ORDER BY user_id, session_id) AS rn FROM bins),
+         |c AS (SELECT * FROM ranked
+         |      WHERE rn <= ${graft.operators.RangeJoin.OverlapBinCap})
+         |SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS n_overlaps
+         |FROM c a JOIN c b ON a.bin = b.bin
+         |  AND a.user_id < b.user_id
+         |  AND a.sa <= b.ea AND b.sa <= a.ea
+         |  AND a.bin = greatest(a.sa, b.sa) // $b
+         |GROUP BY 1, 2""".stripMargin
+    },
   )
 
   private lazy val q120Sql =
