@@ -42,6 +42,32 @@ class RangeSamplingSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("capped interval overlap: dormant cap equals uncapped; binding cap bounds pairs deterministically") {
+    // dense hour: 200 identical intervals share one bin — uncapped
+    // pairing is 200*199/2 = 19900, the cap must bound it to C(64,2)
+    val h = 3600L
+    val dense = (0L until 200L).map(i => (i, 10L, 20L)).toDF("id", "s", "e")
+      .select(struct($"id").as("iid"), $"s", $"e")
+    val capped = RangeJoin.cappedIntervalOverlapSelf(dense, "iid", "s", "e", h)
+      .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(1).getLong(0)))
+    assert(capped.length == 64 * 63 / 2, "cap^2 pair bound per bin")
+    // deterministic smallest-id survivorship
+    assert(capped.flatMap(p => Seq(p._1, p._2)).toSet == (0L until 64L).toSet)
+    // sparse shape: cap dormant, equals the uncapped form pair-for-pair
+    val iv = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 7200L, 7300L),
+      (4L, 95L, 4000L), (5L, 3999L, 7250L), (6L, 9000L, 9001L))
+      .toDF("id", "s", "e").select(struct($"id").as("iid"), $"s", $"e")
+    val got = RangeJoin.cappedIntervalOverlapSelf(iv, "iid", "s", "e", h)
+      .select($"id_a.id", $"id_b.id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = iv.select($"iid.id".as("ia"), $"s".as("sa"), $"e".as("ea"))
+    val b = iv.select($"iid.id".as("ib"), $"s".as("sb"), $"e".as("eb"))
+    val naive = a.join(b, $"ia" < $"ib" && $"sa" <= $"eb" && $"sb" <= $"ea")
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == naive.sorted, "dormant cap is exact, one row per pair")
+    assert(got.size == got.toSet.size && naive.nonEmpty)
+  }
+
   test("events-to-session range join reproduces session membership") {
     // intervals = each user's sessions (from the sessionize operator's
     // first/last event times); every event must land in exactly one
