@@ -169,6 +169,7 @@ object SparkEntry {
     "q125_capped_overlap" -> (AsOf.sessionOverlapMatrixCapped _),
     "q126_media_decode" -> ((s, d) => graft.multimodal.Multimodal.decodeMedia(
       graft.multimodal.Multimodal.mediaBytesFromDocuments(s, d))),
+    "q127_stream_scd_parity" -> (graft.streaming.EventsStream.scdClosedDrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2167,6 +2168,28 @@ object SparkEntry {
          |  CAST(octet_length(c) AS BIGINT) AS size_bytes
          |FROM hb""".stripMargin
     },
+    // the batch SCD2 history (q112's CTEs) restricted to CLOSED
+    // intervals — exactly the rows the streaming state machine emits on
+    // a drained source; valid_to = next version's start − 1
+    "q127_stream_scd_parity" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         |l AS (SELECT *, lag(event_type) OVER
+         |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e),
+         |b AS (SELECT *, CASE WHEN prev_type IS NULL
+         |        OR prev_type <> event_type THEN 1 ELSE 0 END AS chg FROM l),
+         |v AS (SELECT *, CAST(SUM(chg) OVER (
+         |        PARTITION BY user_id ORDER BY ts_us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+         |      FROM b),
+         |r AS (SELECT user_id, version, MAX(event_type) AS state,
+         |        MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+         |      FROM v GROUP BY 1, 2)
+         |SELECT user_id, version, state, valid_from, nxt - 1 AS valid_to,
+         |  n_events
+         |FROM (SELECT *, lead(valid_from) OVER (
+         |        PARTITION BY user_id ORDER BY valid_from) AS nxt FROM r)
+         |WHERE nxt IS NOT NULL""".stripMargin,
   )
 
   private lazy val q120Sql =

@@ -207,6 +207,37 @@ object EventsStream {
         })
   }
 
+  private val drainCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The streaming SCD2 twin DRAINED under the correctness gate (q127):
+    * runs [[scdProgress]] over the events file to completion and returns
+    * the emitted closed intervals as a batch DataFrame. This is the one
+    * place a streaming operator's OUTPUT (not a spec assertion about it)
+    * is hash-compared against the DuckDB oracle — the oracle computes
+    * the batch SCD2 history and keeps the `is_current = 0` rows, which
+    * are exactly what the state machine must have emitted; any
+    * divergence between the streaming state transitions and the batch
+    * window semantics fails CORRECTNESS, not just `sbt test`.
+    *
+    * Deterministic because the single source file drains in one ordered
+    * micro-batch per group (rows event-time sorted inside the group
+    * call); the cross-batch arrival caveats stay where the specs
+    * exercise them.
+    */
+  def scdClosedDrain(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_q127_scd_${drainCounter.incrementAndGet()}"
+    // the file source takes a directory: stage the single events file
+    // into a fresh one (the streaming ingest boundary a production
+    // deployment would already have)
+    val stage = java.nio.file.Files.createTempDirectory("graft_q127_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val q = runToMemory(scdProgress(read(spark, stage.toString)).toDF(), name)
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stream-stream interval join: every view paired with the same
     * user's clicks landing within one hour AFTER it — the attribution
     * join, and the one streaming operator family the rest of this
