@@ -170,6 +170,7 @@ object SparkEntry {
     "q126_media_decode" -> ((s, d) => graft.multimodal.Multimodal.decodeMedia(
       graft.multimodal.Multimodal.mediaBytesFromDocuments(s, d))),
     "q127_stream_scd_parity" -> (graft.streaming.EventsStream.scdClosedDrain _),
+    "q128_kmeans_hash_seeded" -> (Similarity.kmeansTrainSeeded _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1856,49 +1857,19 @@ object SparkEntry {
     },
     // two Lloyd rounds replayed in SQL: exact-integer argmin assignment
     // (dist ASC, c_id ASC ties), integer-mean update, final model report
-    "q109_kmeans_train" -> {
-      def distSql(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, len($a)), " +
-          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
-         |    FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, qe AS cq FROM q
-         |       WHERE vec_id < ${graft.operators.Similarity.IvfNlist}),
-         |a1 AS (SELECT vec_id, c_id AS bucket FROM (
-         |    SELECT q.vec_id, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${distSql("q.qe", "c.cq")}, c.c_id) AS rn
-         |    FROM q, c0 c) t
-         |  WHERE rn = 1),
-         |m1e AS (SELECT a1.bucket, p.pos,
-         |      CAST(SUM(q.qe[p.pos]) // COUNT(*) - (CASE WHEN SUM(q.qe[p.pos]) % COUNT(*) <> 0
-         |        AND SUM(q.qe[p.pos]) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
-         |    FROM a1 JOIN q USING (vec_id),
-         |      (SELECT unnest(generate_series(1, 64)) AS pos) p
-         |    GROUP BY 1, 2),
-         |m1 AS (SELECT bucket AS c_id, list(m ORDER BY pos) AS cq
-         |       FROM m1e GROUP BY 1),
-         |a2 AS (SELECT vec_id, c_id AS bucket FROM (
-         |    SELECT q.vec_id, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${distSql("q.qe", "c.cq")}, c.c_id) AS rn
-         |    FROM q, m1 c) t
-         |  WHERE rn = 1),
-         |m2e AS (SELECT a2.bucket, p.pos,
-         |      CAST(COUNT(*) AS BIGINT) AS n,
-         |      CAST(SUM(q.qe[p.pos]) // COUNT(*) - (CASE WHEN SUM(q.qe[p.pos]) % COUNT(*) <> 0
-         |        AND SUM(q.qe[p.pos]) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
-         |    FROM a2 JOIN q USING (vec_id),
-         |      (SELECT unnest(generate_series(1, 64)) AS pos) p
-         |    GROUP BY 1, 2)
-         |SELECT m2e.bucket,
-         |  CAST(MAX(m2e.n) AS BIGINT) AS n_vecs,
-         |  CAST(SUM(m2e.m * m2e.m) AS BIGINT) AS norm_q,
-         |  CAST(SUM((m2e.m - m1e.m) * (m2e.m - m1e.m)) AS BIGINT) AS shift_q
-         |FROM m2e JOIN m1e ON m2e.bucket = m1e.bucket AND m2e.pos = m1e.pos
-         |GROUP BY 1""".stripMargin
-    },
+    "q109_kmeans_train" -> kmeansTrainSql(
+      s"""c0 AS (SELECT vec_id AS c_id, qe AS cq FROM q
+         |       WHERE vec_id < ${graft.operators.Similarity.IvfNlist}),""".stripMargin),
+    // same trajectory replay, hash-sampled round-0 seeds (q48's md5
+    // bucket rule ranks the corpus; first nlist win) — immune to a
+    // prefix-skewed id layout
+    "q128_kmeans_hash_seeded" -> kmeansTrainSql(
+      s"""c0 AS (SELECT vec_id AS c_id, qe AS cq FROM (
+         |    SELECT vec_id, qe, ROW_NUMBER() OVER (ORDER BY
+         |        CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+         |          AS BIGINT) % 1000000, vec_id) AS rk
+         |    FROM q) t
+         |  WHERE rk <= ${graft.operators.Similarity.IvfNlist}),""".stripMargin),
     "q110_open_sessions" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events),
@@ -2191,6 +2162,53 @@ object SparkEntry {
          |        PARTITION BY user_id ORDER BY valid_from) AS nxt FROM r)
          |WHERE nxt IS NOT NULL""".stripMargin,
   )
+
+  /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by
+    * the round-0 seed CTE (must define `c0(c_id, cq)` over `q`): shared
+    * by q109 (first-nlist-ids seeding) and q128 (hash-sampled seeding)
+    * so the trajectory replay cannot drift between the two.
+    */
+  private def kmeansTrainSql(c0Cte: String): String = {
+    def distSql(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def meanSql =
+      s"""CAST(SUM(q.qe[p.pos]) // COUNT(*) - (CASE WHEN SUM(q.qe[p.pos]) % COUNT(*) <> 0
+         |        AND SUM(q.qe[p.pos]) < 0 THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+       |    FROM embeddings),
+       |$c0Cte
+       |a1 AS (SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT q.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${distSql("q.qe", "c.cq")}, c.c_id) AS rn
+       |    FROM q, c0 c) t
+       |  WHERE rn = 1),
+       |m1e AS (SELECT a1.bucket, p.pos, $meanSql AS m
+       |    FROM a1 JOIN q USING (vec_id),
+       |      (SELECT unnest(generate_series(1, 64)) AS pos) p
+       |    GROUP BY 1, 2),
+       |m1 AS (SELECT bucket AS c_id, list(m ORDER BY pos) AS cq
+       |       FROM m1e GROUP BY 1),
+       |a2 AS (SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT q.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${distSql("q.qe", "c.cq")}, c.c_id) AS rn
+       |    FROM q, m1 c) t
+       |  WHERE rn = 1),
+       |m2e AS (SELECT a2.bucket, p.pos,
+       |      CAST(COUNT(*) AS BIGINT) AS n, $meanSql AS m
+       |    FROM a2 JOIN q USING (vec_id),
+       |      (SELECT unnest(generate_series(1, 64)) AS pos) p
+       |    GROUP BY 1, 2)
+       |SELECT m2e.bucket,
+       |  CAST(MAX(m2e.n) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(m2e.m * m2e.m) AS BIGINT) AS norm_q,
+       |  CAST(SUM((m2e.m - m1e.m) * (m2e.m - m1e.m)) AS BIGINT) AS shift_q
+       |FROM m2e JOIN m1e ON m2e.bucket = m1e.bucket AND m2e.pos = m1e.pos
+       |GROUP BY 1""".stripMargin
+  }
 
   private lazy val q120Sql =
       s"""WITH $ivfCte,

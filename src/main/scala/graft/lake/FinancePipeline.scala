@@ -55,6 +55,43 @@ class FinancePipeline(
       }
     }
 
+  /** The reference's cron orchestration (its DAG runs the cycle on a
+    * fixed schedule with catchup OFF) as a thin driver loop — the last
+    * sliver of T1 not already covered by `Trigger.AvailableNow`
+    * streaming ingest: run one full cycle, sleep out the REMAINDER of
+    * the interval, repeat. A cycle that overruns its interval starts
+    * the next one immediately and the missed ticks are simply gone
+    * (catchup-off semantics: the marker ledger makes every cycle
+    * incremental, so there is nothing to "backfill" — the next tick
+    * picks up whatever is pending). Alerts stay on the constructor's
+    * alert hook (log-only by default).
+    *
+    * `sleeper` and `onTick` are injectable so a spec can drive ticks
+    * synchronously and land late files between them; `maxTicks` bounds
+    * the loop (production passes Long.MaxValue).
+    */
+  def runForever(
+      intervalMs: Long,
+      maxTicks: Long = Long.MaxValue,
+      sleeper: Long => Unit = Thread.sleep,
+      onTick: (Long, Seq[YearResult]) => Unit = (_, _) => ()): Unit = {
+    require(intervalMs > 0, "interval must be positive")
+    var tick = 0L
+    while (tick < maxTicks) {
+      val t0 = config.clock()
+      val results = run()
+      slog.foreach(_.info("tick complete", "tick" -> tick,
+        "years" -> results.size,
+        "committed" -> results.count(_.committed)))
+      onTick(tick, results)
+      tick += 1
+      if (tick < maxTicks) {
+        val wait = intervalMs - (config.clock() - t0)
+        if (wait > 0) sleeper(wait)
+      }
+    }
+  }
+
   private def runYear(year: Int, files: Seq[String]): YearResult = {
     log.info(s"processing year=$year files=${files.size}")
     slog.foreach(_.info("processing year", "year" -> year, "files" -> files.size))

@@ -35,9 +35,22 @@ object Similarity {
   private def withFns(spark: SparkSession): Unit =
     graft.functions.GraftFunctions.ensureRegistered(spark)
 
-  /** The deterministic query subset: every 100th vector. */
+  /** The deterministic query subset: every 100th vector. NOTE this set
+    * grows WITH the corpus — the graded searches therefore measure
+    * (queries × per-query cost), a workload that doubles along both
+    * axes as data grows. [[queriesBudget]] is the serving-shaped
+    * alternative for scale rehearsals.
+    */
   private def queries(df: DataFrame): DataFrame =
     df.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Fixed-budget query subset: the first `budget` vector ids, the same
+    * ids at every corpus scale — isolates PER-QUERY search cost in
+    * rehearsals (corpus grows 100×, query traffic does not).
+    */
+  private def queriesBudget(df: DataFrame, budget: Long): DataFrame =
+    df.filter(col("vec_id") < budget)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   /** Brute-force cosine top-k (k=5) — the exact baseline every ANN
@@ -360,11 +373,13 @@ object Similarity {
     * ranking O(1)-sized): map-only assignment + broadcast probe join +
     * one top-k window.
     */
-  def ivfKnnFor(spark: SparkSession, dir: String, nlist: Int, nprobe: Int): DataFrame = {
+  def ivfKnnFor(spark: SparkSession, dir: String, nlist: Int, nprobe: Int,
+      queryBudget: Option[Long] = None): DataFrame = {
     withFns(spark)
     val emb = Tables.embeddings(spark, dir)
     val cents = centroidLits(spark, dir, nlist)
-    val q = queries(emb).withColumn("n_q", normQ("q_emb"))
+    val qBase = queryBudget.fold(queries(emb))(b => queriesBudget(emb, b))
+    val q = qBase.withColumn("n_q", normQ("q_emb"))
     // probe selection is map-only too: one native dot-table against the
     // centroid matrix, ranked by sort_array over (−dot, c_id) structs —
     // dot DESC then c_id ASC, the same order the oracle's ROW_NUMBER
@@ -516,14 +531,50 @@ object Similarity {
     * Empty buckets drop out of the model exactly as in the standard
     * algorithm, identically on both engines.
     */
-  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainFrom(spark, dir,
+      centroidLits(spark, dir, IvfNlist).map { case (cid, a) => cid -> microsOf(a) })
+
+  /** Hash-sampled seed selection (q128's round 0) — the q48 discipline
+    * applied to seeding: rank vectors by (md5-prefix bucket, vec_id)
+    * and take the first nlist. The first-nlist-ids seeding kmeansTrain
+    * uses is deterministic but PREFIX-BIASED: a corpus whose leading
+    * ids share a shard/source (the usual ingest order at 100 TB) seeds
+    * every centroid inside one region and Lloyd starts from a degenerate
+    * model. Hash order is uniform over the corpus regardless of id
+    * layout, equally deterministic, and reproducible in SQL.
+    */
+  def hashSeeds(spark: SparkSession, dir: String,
+      nlist: Int = IvfNlist): Seq[(Long, Array[Float])] = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.embeddings(spark, dir)
+      .withColumn("hb", Sampling.hashBucket("vec_id"))
+      .orderBy(col("hb"), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).toSeq
+  }
+
+  /** q109 with hash-sampled seeding (q128): identical Lloyd trajectory
+    * contract, different (skew-immune) round-0 model. Grading both
+    * pins the full trajectory for each seeding rule.
+    */
+  def kmeansTrainSeeded(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainFrom(spark, dir,
+      hashSeeds(spark, dir, IvfNlist).map { case (cid, a) => cid -> microsOf(a) })
+
+  private def kmeansTrainFrom(spark: SparkSession, dir: String,
+      seeds: Seq[(Long, Seq[Long])]): DataFrame = {
     withFns(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     // round-0 model: the seed vectors in micro space (argmin-L2 against
-    // these equals QuantizedL2 argmin against the raw seeds)
-    var model: Seq[(Long, Seq[Long])] =
-      centroidLits(spark, dir, IvfNlist).map { case (cid, a) => cid -> microsOf(a) }
+    // these equals QuantizedL2 argmin against the raw seeds); model rows
+    // stay sorted by centroid id — argmin ties resolve to the lowest id
+    // on both engines
+    var model: Seq[(Long, Seq[Long])] = seeds
     for (_ <- 1 until KmeansRounds)
       model = bucketMeans(withBucketMicro(emb, model, "embedding"))
         .select(col("bucket"), col("pos"), col("m")).collect()
@@ -716,13 +767,15 @@ object Similarity {
     * one top-k window.
     */
   def ivfPqSearchFor(spark: SparkSession, dir: String,
-      nlist: Int, nprobe: Int, k: Int): DataFrame = {
+      nlist: Int, nprobe: Int, k: Int,
+      queryBudget: Option[Long] = None): DataFrame = {
     withFns(spark)
     val ivfCents = centroidLits(spark, dir, nlist)
     val pqCents = centroidLits(spark, dir, k)
     val corpus = pqCodedCorpus(spark, dir, nlist, k)
     // probe selection: same map-only sort_array ranking as ivfKnn
-    val q = queries(Tables.embeddings(spark, dir))
+    val q = queryBudget.fold(queries(Tables.embeddings(spark, dir)))(b =>
+      queriesBudget(Tables.embeddings(spark, dir), b))
     val probeStructs = probeRanking(ivfCents, "q_emb")
     // ADC lookup tables: lut_m[k+1] = ‖q_sub_m − c_{m,k}‖²_q — one
     // native L2-table expression per subspace against the subspace

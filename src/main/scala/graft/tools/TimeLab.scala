@@ -44,6 +44,26 @@ object TimeLab {
       spark.stop()
       return
     }
+    // `annbudget` mode: per-query serving cost at a FIXED query budget
+    // (1000 queries regardless of corpus size) through the derived-knob
+    // searches — the production scaling claim the graded q106/q108
+    // cannot make because their query set grows with the corpus.
+    if (args.length > 1 && args(1) == "annbudget") {
+      import graft.operators.Similarity
+      val n = Tables.embeddings(spark, dir).count()
+      val nlist = Similarity.nlistFor(n)
+      val nprobe = Similarity.nprobeFor(nlist)
+      val k = Similarity.pqKFor(n)
+      println(s"[timelab] corpus n=$n derived nlist=$nlist nprobe=$nprobe k=$k")
+      for (_ <- 1 to 2) {
+        cnt("ivf search 1000q", Similarity.ivfKnnFor(spark, dir, nlist, nprobe,
+          queryBudget = Some(1000L)))
+        cnt("ivfpq search 1000q", Similarity.ivfPqSearchFor(spark, dir, nlist, nprobe, k,
+          queryBudget = Some(1000L)))
+      }
+      spark.stop()
+      return
+    }
     // `pq` mode: localize q83's cost — coded corpus, probe side, full
     // search, and the search without its top-k window
     if (args.length > 1 && args(1) == "pq") {

@@ -94,6 +94,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${cfg.stagingDir}/year=2024").count() == 7)
   }
 
+  test("runForever: two ticks, late file lands in tick 2, catchup-off pacing") {
+    val (pipe, cfg, fs) = setup()
+    putCsv(fs, cfg, 2024, "finance_2024.csv", goodCsv)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val perTick = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Boolean)]]
+    pipe.runForever(
+      intervalMs = 60000L,
+      maxTicks = 3,
+      sleeper = sleeps += _,
+      onTick = (tick, results) => {
+        perTick += results.map(r => (r.year, r.committed))
+        // the late file lands while the loop sleeps after tick 0
+        if (tick == 0L)
+          putCsv(fs, cfg, 2024, "finance_2024_late.csv", goodCsv)
+      })
+    // tick 0 ingests the initial file; tick 1 picks up ONLY the late
+    // file (ledger-incremental, nothing re-done); tick 2 is a no-op
+    assert(perTick.toSeq == Seq(
+      Seq((2024, true)), Seq((2024, true)), Seq.empty))
+    // catchup-off pacing: one sleep between consecutive ticks, each at
+    // most the interval (cycle time subtracted, never negative)
+    assert(sleeps.size == 2)
+    assert(sleeps.forall(s => s > 0 && s <= 60000L))
+    // the rebuild left exactly one committed partition (late file only)
+    assert(spark.read.parquet(s"${cfg.stagingDir}/year=2024").count() == 7)
+  }
+
   test("DQ gate severities match the reference matrix") {
     import spark.implicits._
     val good = Seq(

@@ -11,8 +11,23 @@ import graft.serving.ThriftServing
   * JDBC — the exact client path the reference dashboard uses
   * (`dashboard/services/hive_gpt.py:34-41`).
   */
-class ThriftServingSpec extends AnyFunSuite {
+class ThriftServingSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark = GraftSession.local(4)
+
+  // ONE endpoint for the whole suite: HiveThriftServer2 registers
+  // JVM-global state and cannot be restarted after stop() in the same
+  // process — a second startWithContext never accepts connections
+  private lazy val endpoint = ThriftServing.start(spark, port = 0)
+  override def afterAll(): Unit = endpoint.close()
+
+  private def connect(): java.sql.Connection = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    // the server's services come up asynchronously after start returns
+    retry(20, 500) {
+      DriverManager.getConnection(endpoint.jdbcUrl, "anonymous", "")
+    }
+  }
 
   test("JDBC client reads engine catalog tables over thrift") {
     // a persistent external table, not a temp view: thrift serves each
@@ -22,13 +37,8 @@ class ThriftServingSpec extends AnyFunSuite {
     spark.sql(
       "CREATE TABLE nation_served USING PARQUET " +
         "LOCATION '/root/testdata/sf0.001/nation.parquet'")
-    val endpoint = ThriftServing.start(spark, port = 0)
-    try {
-      Class.forName("org.apache.hive.jdbc.HiveDriver")
-      // the server's services come up asynchronously after start returns
-      val conn = retry(20, 500) {
-        DriverManager.getConnection(endpoint.jdbcUrl, "anonymous", "")
-      }
+    locally {
+      val conn = connect()
       try {
         val rs = conn.createStatement().executeQuery(
           "SELECT n_regionkey, count(*) AS n FROM nation_served " +
@@ -43,7 +53,106 @@ class ThriftServingSpec extends AnyFunSuite {
           .takeWhile(_.next()).map(_.getString(2)).toList
         assert(tables.contains("nation_served"))
       } finally conn.close()
-    } finally endpoint.close()
+    }
+  }
+
+  test("a representative query slice returns identical rows over JDBC and in-process") {
+    val sf = "/root/testdata/sf0.001"
+    Seq("lineitem", "orders", "customer", "nation", "documents").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_served")
+      spark.sql(s"CREATE TABLE ${t}_served USING PARQUET LOCATION '$sf/$t.parquet'")
+    }
+    // every query ORDER BY-deterministic with only atomic output columns
+    // (arrays would compare by engine-specific rendering); the slice
+    // covers windows, CUBE/GROUPING SETS, set ops, lateral explode, and
+    // every class of GraftExtensions-injected native function — serving
+    // parity proves the extensions resolve in the thrift-spawned session
+    val slice = Seq(
+      // window: per-order top line by price
+      """SELECT l_orderkey, l_linenumber FROM (
+        |  SELECT l_orderkey, l_linenumber, row_number() OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) rn
+        |  FROM lineitem_served) WHERE rn = 1
+        |ORDER BY l_orderkey LIMIT 50""".stripMargin,
+      // CUBE with null-grouping rows
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity * 100) AS BIGINT) AS q_c
+        |FROM lineitem_served GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      // GROUPING SETS + GROUPING id
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM orders_served
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+      // broadcast dim join + agg
+      """SELECT n_name, count(*) AS n,
+        |  CAST(sum(c_acctbal * 100) AS BIGINT) AS bal_c
+        |FROM customer_served JOIN nation_served ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      // rank family over a dim
+      """SELECT c_custkey, rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS r,
+        |  dense_rank() OVER (ORDER BY c_mktsegment) AS dr
+        |FROM customer_served ORDER BY r LIMIT 40""".stripMargin,
+      // lag + running sum frame
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_k,
+        |  CAST(sum(o_totalprice * 100) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+        |FROM orders_served ORDER BY o_custkey, o_orderkey LIMIT 60""".stripMargin,
+      // set op
+      """SELECT o_custkey FROM orders_served WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders_served WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey LIMIT 50""".stripMargin,
+      // SUM(CASE) pivot shape
+      """SELECT o_custkey,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+        |FROM orders_served GROUP BY o_custkey ORDER BY o_custkey LIMIT 50""".stripMargin,
+      // native scalar: md5-prefix hash bucketing
+      """SELECT graft_md5_prefix(CAST(o_orderkey AS STRING), 8) % 1000 AS hb,
+        |  count(*) AS n
+        |FROM orders_served GROUP BY 1 ORDER BY n DESC, hb LIMIT 20""".stripMargin,
+      // native aggregate: bounded top-k, array reduced to atomic outputs
+      """SELECT o_custkey,
+        |  aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + x.score) AS score_sum,
+        |  aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + x.id) AS id_sum,
+        |  size(tk) AS k FROM (
+        |  SELECT o_custkey, graft_topk(CAST(o_totalprice * 100 AS BIGINT), o_orderkey, 3) AS tk
+        |  FROM orders_served GROUP BY o_custkey)
+        |ORDER BY o_custkey LIMIT 50""".stripMargin,
+      // native generator input: winnowed fingerprints, exploded to atoms
+      """SELECT doc_id, fp, count(*) AS n FROM (
+        |  SELECT doc_id, explode(graft_winnow(text, 8, 4)) AS fp
+        |  FROM documents_served WHERE doc_id < 40)
+        |GROUP BY doc_id, fp ORDER BY doc_id, fp LIMIT 80""".stripMargin,
+      // positional window values with explicit frame
+      """SELECT c_nationkey,
+        |  first_value(c_custkey) OVER w AS top_c,
+        |  nth_value(c_custkey, 2) OVER w AS second_c
+        |FROM customer_served
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, top_c, second_c LIMIT 60""".stripMargin)
+    locally {
+      val conn = connect()
+      try {
+        slice.zipWithIndex.foreach { case (sql, i) =>
+          val local = spark.sql(sql).collect().map(r =>
+            (0 until r.length).map(j => String.valueOf(r.get(j))).mkString(""))
+          val rs = conn.createStatement().executeQuery(sql)
+          val n = rs.getMetaData.getColumnCount
+          val served = Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString(""))
+            .toArray
+          assert(served.toSeq == local.toSeq,
+            s"slice query #$i diverged over thrift:\n$sql")
+          assert(local.nonEmpty, s"slice query #$i returned no rows:\n$sql")
+        }
+      } finally conn.close()
+    }
   }
 
   private def retry[A](attempts: Int, sleepMs: Long)(f: => A): A =
