@@ -171,6 +171,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.mediaBytesFromDocuments(s, d))),
     "q127_stream_scd_parity" -> (graft.streaming.EventsStream.scdClosedDrain _),
     "q128_kmeans_hash_seeded" -> (Similarity.kmeansTrainSeeded _),
+    "q129_stream_funnel_parity" -> (graft.streaming.EventsStream.funnelDrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2161,6 +2162,30 @@ object SparkEntry {
          |FROM (SELECT *, lead(valid_from) OVER (
          |        PARTITION BY user_id ORDER BY valid_from) AS nxt FROM r)
          |WHERE nxt IS NOT NULL""".stripMargin,
+    // q97's per-user stage CTE, ungrouped — exactly the one snapshot
+    // per user the drained streaming funnel machine emits
+    "q129_stream_funnel_parity" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        |t1 AS (SELECT user_id, MIN(ts_ns) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts_ns) AS t2
+        |       FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_ns > t1.t1
+        |         AND e.ts_ns <= t1.t1 + ${graft.operators.EventsOps.FunnelWindowNs} GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(e.ts_ns) AS t3
+        |       FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_ns > t2.t2
+        |         AND e.ts_ns <= t2.t2 + ${graft.operators.EventsOps.FunnelWindowNs} GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |       WHEN t2.t2 IS NOT NULL THEN 2
+        |       WHEN t1.t1 IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS stage
+        |FROM u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

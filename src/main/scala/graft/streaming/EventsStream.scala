@@ -224,19 +224,35 @@ object EventsStream {
     * call); the cross-batch arrival caveats stay where the specs
     * exercise them.
     */
-  def scdClosedDrain(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_q127_scd_${drainCounter.incrementAndGet()}"
+  private def drainToTable(spark: SparkSession, dir: String,
+      tag: String)(build: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_${tag}_${drainCounter.incrementAndGet()}"
     // the file source takes a directory: stage the single events file
     // into a fresh one (the streaming ingest boundary a production
     // deployment would already have)
-    val stage = java.nio.file.Files.createTempDirectory("graft_q127_src")
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val q = runToMemory(scdProgress(read(spark, stage.toString)).toDF(), name)
+    val q = runToMemory(build(read(spark, stage.toString)), name)
     q.stop()
     spark.table(name)
   }
+
+  def scdClosedDrain(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, dir, "q127_scd")(ev => scdProgress(ev).toDF())
+
+  /** The streaming FUNNEL twin drained under the correctness gate
+    * (q129) — the second `flatMapGroupsWithState` machine graded the
+    * q127 way: one drained micro-batch emits exactly one snapshot per
+    * user, whose stage must equal the batch funnel's (q97's per-user
+    * CTE). Greedy first-view/first-qualifying-click/-purchase
+    * transitions match the batch min-aggregation semantics under
+    * in-order arrival; ties at equal timestamps are settled by the
+    * strict `>` window bounds on both engines.
+    */
+  def funnelDrain(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, dir, "q129_funnel")(ev => funnelProgress(ev).toDF())
 
   /** Stream-stream interval join: every view paired with the same
     * user's clicks landing within one hour AFTER it — the attribution

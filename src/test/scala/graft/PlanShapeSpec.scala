@@ -387,6 +387,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"bin equi-join expected:\n${p.take(2000)}")
   }
 
+  test("q125 capped overlap is a join-free bounded-bucket pipeline") {
+    val p = plan(graft.operators.AsOf.sessionOverlapMatrixCapped(spark, sf))
+    // the whole point of the cap: NO join operator at all — pairs form
+    // inside each bin's collect_list, like every banded dedup bucket
+    assertNoJoin(p, "cappedIntervalOverlap")
+    // session agg + bin window/agg (shared partitioning) + pair agg
+    assert(shuffles(p) <= 4, s"expected ≤4 shuffles:\n${p.take(2000)}")
+  }
+
+  test("q126 media decode never shuffles: generation and parse are map-only") {
+    val media = graft.multimodal.Multimodal.mediaBytesFromDocuments(spark, sf)
+    val p = plan(graft.multimodal.Multimodal.decodeMedia(media))
+    assertNoJoin(p, "decodeMedia")
+    assert(shuffles(p) == 0, s"decode must be a pure scan pipeline:\n${p.take(2000)}")
+  }
+
   test("q03 top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topkOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
