@@ -172,6 +172,7 @@ object SparkEntry {
     "q127_stream_scd_parity" -> (graft.streaming.EventsStream.scdClosedDrain _),
     "q128_kmeans_hash_seeded" -> (Similarity.kmeansTrainSeeded _),
     "q129_stream_funnel_parity" -> (graft.streaming.EventsStream.funnelDrain _),
+    "q130_trigram_quality" -> (TextOps.charTrigramQuality _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2186,6 +2187,26 @@ object SparkEntry {
         |LEFT JOIN t1 ON u.user_id = t1.user_id
         |LEFT JOIN t2 ON u.user_id = t2.user_id
         |LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin,
+    // unsmoothed char-trigram frequency model over the md5 train split,
+    // per-doc mean frequency in exact HUGEINT-widened ppm; unseen
+    // trigrams contribute 0 via the left join
+    "q130_trigram_quality" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+        |tri AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, length(text) - 2), i -> substr(text, i, 3))) AS tg
+        |  FROM d),
+        |train AS (SELECT tg, COUNT(*) AS n_tg FROM tri
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 1000000 < 800000
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tg) AS BIGINT) AS n_total FROM train),
+        |p AS (SELECT t.doc_id,
+        |    CAST(CAST(COALESCE(m.n_tg, 0) AS HUGEINT) * 1000000
+        |      // (SELECT n_total FROM tot) AS BIGINT) AS ppm
+        |  FROM tri t LEFT JOIN train m USING (tg))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+        |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_freq_ppm
+        |FROM p GROUP BY 1""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

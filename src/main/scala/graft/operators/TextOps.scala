@@ -267,6 +267,48 @@ object TextOps {
   /** Per-document winnow profile (q63): fingerprint count and range.
     * Docs too short to fingerprint (< k+w-1 normalized chars) drop out.
     */
+  /** Char-trigram frequency quality score (q130) — an integer-exact
+    * perplexity PROXY: how "ordinary" each document's character
+    * sequences are under a model trained on the train split (q48's md5
+    * hash rule, < 0.8). No logarithms — a log-likelihood would hang the
+    * cross-engine contract on libm's last ulp — instead each trigram
+    * contributes its train-corpus frequency in exact ppm, and the score
+    * is the per-document mean. Garbage text, wrong-alphabet content,
+    * and byte noise sit at the bottom of the distribution exactly as
+    * with a real LM perplexity filter; thresholds compose with the
+    * Gopher gates (q100).
+    *
+    * Scale shape: the trigram explode is linear in corpus chars (the
+    * tokenization cost class); the model table is bounded by the
+    * trigram VOCABULARY (≤ charset³ — thousands at 100 TB, not
+    * corpus-sized), so the score join broadcasts and the whole query is
+    * scan + one bounded-key aggregation + map-side join + per-doc
+    * aggregation. Trigrams unseen in training contribute 0 (left join),
+    * the honest unsmoothed answer.
+    */
+  def charTrigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val tris = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
+    val model = tris
+      .filter(Sampling.hashBucket("doc_id") < 800000L)
+      .groupBy(col("tg")).agg(count(lit(1)).as("n_tg"))
+    val totalDf = model.agg(sum(col("n_tg")).as("n_total"))
+    tris
+      .join(broadcast(model), Seq("tg"), "left_outer")
+      .na.fill(0L, Seq("n_tg"))
+      .crossJoin(broadcast(totalDf))
+      // DECIMAL-widened ppm: n_tg * 1e6 overflows BIGINT at corpus scale
+      .withColumn("ppm",
+        expr("CAST(CAST(n_tg AS DECIMAL(38,0)) * 1000000 DIV n_total AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("ppm")).as("ppm_sum"))
+      .select(col("doc_id"), col("n_tri"),
+        expr("ppm_sum DIV n_tri").as("avg_freq_ppm"))
+  }
+
   def winnowProfile(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     Tables.documents(spark, dir)
