@@ -227,14 +227,22 @@ object EventsStream {
   private def drainToTable(spark: SparkSession, dir: String,
       tag: String)(build: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_${tag}_${drainCounter.incrementAndGet()}"
-    // the file source takes a directory: stage the single events file
-    // into a fresh one (the streaming ingest boundary a production
-    // deployment would already have)
-    val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
-    val q = runToMemory(build(read(spark, stage.toString)), name)
+    // the file source takes a directory. A directory-shaped table
+    // (Spark-written part files) streams as-is; a single-file table is
+    // staged into a fresh directory (the streaming ingest boundary a
+    // production deployment would already have). Copying a DIRECTORY
+    // with Files.copy silently copies only the empty dir entry — the
+    // stream then drains zero files and the parity gate "passes" on
+    // nothing.
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
+        java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+        stage.toString
+      }
+    val q = runToMemory(build(read(spark, streamDir)), name)
     q.stop()
     spark.table(name)
   }
