@@ -138,13 +138,17 @@ object Multimodal {
     val n = bytes.length
     if (n >= 16 && be32(bytes, 0) == 0x89504E47L && be32(bytes, 4) == 0x0D0A1A0AL) {
       var pos = 8
-      while (pos + 8 <= n) {
+      var done = false
+      while (!done && pos + 8 <= n) {
         val clen = be32(bytes, pos)
         if (ascii(bytes, pos + 4, 4) == "IHDR" && pos + 16 <= n)
           return Some(MediaHeader(id, "png",
             Some(be32(bytes, pos + 8)), Some(be32(bytes, pos + 12)),
             None, None, n.toLong))
-        pos += (8L + clen + 4L).toInt
+        // a corrupt length (u32, up to 4 GiB) must not wrap the position
+        // into a loop — bytes are untrusted at a 100 TB ingest boundary
+        if (clen > n.toLong) done = true
+        else pos += (8L + clen + 4L).toInt
       }
       None
     } else if (n >= 4 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
@@ -168,12 +172,15 @@ object Multimodal {
       var pos = 12
       var rate: Option[Long] = None
       var dataBytes: Option[Long] = None
-      while (pos + 8 <= n) {
+      var done = false
+      while (!done && pos + 8 <= n) {
         val cid = ascii(bytes, pos, 4)
         val clen = le32(bytes, pos + 4)
         if (cid == "fmt " && pos + 16 <= n) rate = Some(le32(bytes, pos + 12))
         if (cid == "data") dataBytes = Some(clen)
-        pos += (8L + clen + (clen & 1L)).toInt // RIFF chunks pad to even
+        // corrupt u32 length: stop the walk, keep whatever parsed
+        if (clen > n.toLong) done = true
+        else pos += (8L + clen + (clen & 1L)).toInt // RIFF chunks pad to even
       }
       for (r <- rate; d <- dataBytes)
         yield MediaHeader(id, "wav", None, None, Some(r),

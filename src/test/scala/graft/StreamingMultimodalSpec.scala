@@ -255,6 +255,21 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseMediaHeader(4L, Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.parseMediaHeader(5L, realPng.take(12)).isEmpty)
     assert(Multimodal.parseMediaHeader(6L, Array.empty[Byte]).isEmpty)
+
+    // hostile chunk lengths (u32 near-max) must terminate, not wrap the
+    // walk position into an infinite loop
+    val evilPng = realPng.clone()
+    // first chunk length := 0xFFFFFFFF (bytes 8..11 big-endian)
+    evilPng(8) = 0xFF.toByte; evilPng(9) = 0xFF.toByte
+    evilPng(10) = 0xFF.toByte; evilPng(11) = 0xFF.toByte
+    // IHDR type also clobbered? no — keep type, so the IHDR arm still
+    // matches first and returns; clobber the TYPE too to force the walk
+    evilPng(12) = 'J'.toByte
+    assert(Multimodal.parseMediaHeader(7L, evilPng).isEmpty)
+    val evilWav: Array[Byte] =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      ("junk".getBytes ++ Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+    assert(Multimodal.parseMediaHeader(8L, evilWav).isEmpty)
   }
 
   test("generated media bytes decode to their embedded geometry, distributed") {
