@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Relational, Similarity}
@@ -385,6 +386,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"overlap join must stay an equi-join on the bin key:\n${p.take(2000)}")
     assert(p.contains("Join"), s"bin equi-join expected:\n${p.take(2000)}")
+  }
+
+  test("runtime bloom filter injects into a selective fact-dim shuffle join") {
+    // the 100 TB lever the plan-shape suite otherwise can't see: when a
+    // dim side is filtered selectively and the fact side shuffles, Spark
+    // builds a bloom filter over the dim keys and pushes a might_contain
+    // probe into the fact scan — rows for absent keys never reach the
+    // exchange. Thresholds are sized for production scans, so the test
+    // lowers the application-side floor to observe the mechanism at sf
+    // scale; a `def` plan per conf flip (QueryExecution caches).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def joined = {
+        val orders = graft.sources.Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.sources.Tables.lineitem(spark, sf)
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      }
+      val p = plan(joined)
+      assert(p.contains("bloom_filter_agg"),
+        s"dim side must build the runtime bloom filter:\n${p.take(2000)}")
+      assert(p.toLowerCase.contains("might_contain"),
+        s"fact side must probe it before the exchange:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q125 capped overlap is a join-free bounded-bucket pipeline") {
