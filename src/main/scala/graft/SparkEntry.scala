@@ -173,6 +173,7 @@ object SparkEntry {
     "q128_kmeans_hash_seeded" -> (Similarity.kmeansTrainSeeded _),
     "q129_stream_funnel_parity" -> (graft.streaming.EventsStream.funnelDrain _),
     "q130_trigram_quality" -> (TextOps.charTrigramQuality _),
+    "q131_priority_sample" -> ((s, d) => Sampling.prioritySample(s, d)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2207,6 +2208,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
         |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_freq_ppm
         |FROM p GROUP BY 1""".stripMargin,
+    // priority sampling: k smallest hash*1e6/weight quotients, doc_id
+    // tie-break; same md5-prefix hash as every split/sample query
+    "q131_priority_sample" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    * 1000000 // n_chars AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority ASC, doc_id ASC LIMIT 100""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -50,6 +50,32 @@ object Sampling {
     sampleByHash(Tables.documents(spark, dir), "doc_id", 0.1)
       .select(col("doc_id"), col("lang"))
 
+  /** Deterministic WEIGHTED sample (q131) — priority / sequential
+    * Poisson sampling (Ohlsson 1998; Duffield et al. 2007): each item
+    * gets priority = hash / weight and the k smallest priorities win,
+    * so inclusion probability rises with weight while the hash keeps
+    * selection deterministic and key-stable — the weighted sibling of
+    * [[sampleByHash]], in pure integers (hash scaled by 1e6 before the
+    * division so the quotient keeps 6 significant digits; no
+    * u^(1/w) floats to drift cross-engine).
+    *
+    * Scale: priority is a map-side expression; "k smallest" is a
+    * global top-k, which Spark executes as TakeOrderedAndProject —
+    * per-partition heaps of k, then a k-row merge on the driver. No
+    * shuffle of the corpus at any size. Weighted by n_chars here: the
+    * curation use is token-mass-proportional corpus subsampling.
+    */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(CAST(doc_id AS STRING), 8)" +
+          " * 1000000 DIV n_chars").as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** q49: split distribution — counts per split per language. */
   def splitDistribution(spark: SparkSession, dir: String): DataFrame =
     split(Tables.documents(spark, dir), "doc_id")

@@ -105,6 +105,26 @@ class RangeSamplingSpec extends AnyFunSuite {
     assert(s1.subsetOf(s3))
   }
 
+  test("priority sample biases toward heavy docs, deterministic, top-k plan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val k = 250
+    val s1 = Sampling.prioritySample(spark, sf, k)
+    // TakeOrderedAndProject, not a global sort: per-partition heaps of k
+    assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val picked = s1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picked.length == k)
+    // weight bias: the char-mass of the sample beats a uniform draw
+    val meanAll = docs.agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .collect()(0).getDouble(0)
+    val meanPicked = picked.map(_._2).sum.toDouble / k
+    assert(meanPicked > meanAll,
+      s"weighted sample mean $meanPicked must exceed corpus mean $meanAll")
+    // key-stable: identical selection on re-run
+    val s2 = Sampling.prioritySample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s2.toSeq == picked.toSeq)
+  }
+
   test("split covers every row exactly once with sane proportions") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val sp = Sampling.split(docs, "doc_id")
