@@ -174,6 +174,7 @@ object SparkEntry {
     "q129_stream_funnel_parity" -> (graft.streaming.EventsStream.funnelDrain _),
     "q130_trigram_quality" -> (TextOps.charTrigramQuality _),
     "q131_priority_sample" -> ((s, d) => Sampling.prioritySample(s, d)),
+    "q132_ivf_incremental_ingest" -> (Similarity.ivfIncrementalIngest _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2216,6 +2217,40 @@ object SparkEntry {
         |    * 1000000 // n_chars AS priority
         |FROM documents WHERE n_chars > 0
         |ORDER BY priority ASC, doc_id ASC LIMIT 100""".stripMargin,
+    // both md5 splits assigned to the pinned centroid model (argmax
+    // dot, dot DESC / c_id ASC ties — the ivfCte rule); per bucket:
+    // members, arrivals, growth ppm, mean arrival dot (truncating
+    // division with the negative adjustment = exact floor)
+    "q132_ivf_incremental_ingest" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |b AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |          WHERE vec_id < ${graft.operators.Similarity.IvfNlist}),
+         |a AS (SELECT vec_id, c_id AS bucket, d AS dot_q FROM (
+         |    SELECT e.vec_id, c.c_id, ${dotSql("c.c_emb", "e.embedding")} AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |j AS (SELECT a.bucket, b.hb, a.dot_q FROM a JOIN b USING (vec_id)
+         |      WHERE b.hb < 800000 OR b.hb >= 900000)
+         |SELECT bucket,
+         |  CAST(SUM(CASE WHEN hb < 800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_index,
+         |  CAST(SUM(CASE WHEN hb >= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CASE WHEN SUM(CASE WHEN hb < 800000 THEN 1 ELSE 0 END) = 0 THEN NULL
+         |    ELSE CAST(SUM(CASE WHEN hb >= 900000 THEN 1 ELSE 0 END) * 1000000
+         |      // SUM(CASE WHEN hb < 800000 THEN 1 ELSE 0 END) AS BIGINT) END AS growth_ppm,
+         |  CASE WHEN SUM(CASE WHEN hb >= 900000 THEN 1 ELSE 0 END) = 0 THEN NULL
+         |    ELSE CAST(
+         |      SUM(CASE WHEN hb >= 900000 THEN dot_q END)
+         |        // SUM(CASE WHEN hb >= 900000 THEN 1 ELSE 0 END)
+         |      - (CASE WHEN SUM(CASE WHEN hb >= 900000 THEN dot_q END)
+         |          % SUM(CASE WHEN hb >= 900000 THEN 1 ELSE 0 END) <> 0
+         |        AND SUM(CASE WHEN hb >= 900000 THEN dot_q END) < 0
+         |        THEN 1 ELSE 0 END) AS BIGINT) END AS mean_dot_new_q
+         |FROM j GROUP BY 1""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -274,6 +274,51 @@ object Similarity {
       .drop("_asn_idx")
   }
 
+  /** Incremental IVF index ingest report (q132) — the index-LIFECYCLE
+    * op between training (q109/q128) and serving (q42/q106): a fresh
+    * crawl batch (the ≥ 0.9 md5 split, q89's incremental discipline)
+    * is assigned to the EXISTING centroid model alongside the index
+    * members (the < 0.8 split), and the report says what the ingest
+    * did to each bucket — member count, arrival count, growth in exact
+    * ppm, and the mean quantized dot of arrivals to their centroid
+    * (how well the old model still fits the new data; a dropping mean
+    * is the re-train signal).
+    *
+    * One map-only argmax pass over both splits ([[withBucket]]'s
+    * native expression yields bucket AND dot in one evaluation), one
+    * aggregation — no join, no corpus shuffle, O(nlist) output. Mean
+    * dot uses truncating division with the negative adjustment (exact
+    * floor, both engines); the BIGINT dot sum is safe while a bucket
+    * holds ≤ ~1.4e5 members (|dot_q| ≤ 64·1e12), which the √N nlist
+    * derivation guarantees with two orders of margin.
+    */
+  def ivfIncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val cents = centroidLits(spark, dir, IvfNlist)
+    val hb = Sampling.hashBucket("vec_id")
+    val asn = call_function(
+      graft.functions.GraftFunctions.ArgmaxDotName, col("embedding"), centMatrixLit(cents))
+    Tables.embeddings(spark, dir)
+      .withColumn("side",
+        when(hb < 800000L, lit(0)).when(hb >= 900000L, lit(1)))
+      .filter(col("side").isNotNull)
+      .withColumn("_a", asn)
+      .withColumn("bucket",
+        element_at(centIdsLit(cents), (col("_a.bucket") + 1).cast("int")))
+      .withColumn("dot_q", col("_a.dot"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_index"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("side") === 1, col("dot_q"))).as("sum_new"))
+      .select(col("bucket"), col("n_index"), col("n_new"),
+        expr("CASE WHEN n_index = 0 THEN NULL " +
+          "ELSE CAST(n_new * 1000000 DIV n_index AS BIGINT) END").as("growth_ppm"),
+        expr("CASE WHEN n_new = 0 THEN NULL " +
+          "ELSE CAST((sum_new DIV n_new) - (CASE WHEN sum_new % n_new <> 0 " +
+          "AND sum_new < 0 THEN 1 ELSE 0 END) AS BIGINT) END").as("mean_dot_new_q"))
+  }
+
   /** Probe ranking structs for a query-side embedding column: the
     * native [[graft.functions.QuantizedDotTable]] zipped with centroid
     * ids into (−dot, c_id) structs, ready for `sort_array` + `slice`.
