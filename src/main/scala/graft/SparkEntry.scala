@@ -175,6 +175,9 @@ object SparkEntry {
     "q130_trigram_quality" -> (TextOps.charTrigramQuality _),
     "q131_priority_sample" -> ((s, d) => Sampling.prioritySample(s, d)),
     "q132_ivf_incremental_ingest" -> (Similarity.ivfIncrementalIngest _),
+    "q133_stream_attribution" -> ((s, d) =>
+      graft.streaming.EventsStream.attributionDrain(s, d)
+        .select("user_id", "view_id", "click_id", "gap_us")),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2251,6 +2254,18 @@ object SparkEntry {
          |        AND SUM(CASE WHEN hb >= 900000 THEN dot_q END) < 0
          |        THEN 1 ELSE 0 END) AS BIGINT) END AS mean_dot_new_q
          |FROM j GROUP BY 1""".stripMargin,
+    // batch replay of the stream-stream attribution join: compare AND
+    // report in µs (the q112 lesson — raw ns never crosses engines)
+    "q133_stream_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts_us AS v_us
+        |      FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us
+        |      FROM e WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, c_us - v_us AS gap_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c_us > v_us AND c_us <= v_us + 3600000000""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

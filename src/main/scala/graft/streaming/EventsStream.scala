@@ -225,7 +225,7 @@ object EventsStream {
     * exercise them.
     */
   private def drainToTable(spark: SparkSession, dir: String,
-      tag: String)(build: DataFrame => DataFrame): DataFrame = {
+      tag: String)(build: String => DataFrame): DataFrame = {
     val name = s"graft_${tag}_${drainCounter.incrementAndGet()}"
     // the file source takes a directory. A directory-shaped table
     // (Spark-written part files) streams as-is; a single-file table is
@@ -242,13 +242,13 @@ object EventsStream {
         java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
         stage.toString
       }
-    val q = runToMemory(build(read(spark, streamDir)), name)
+    val q = runToMemory(build(streamDir), name)
     q.stop()
     spark.table(name)
   }
 
   def scdClosedDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q127_scd")(ev => scdProgress(ev).toDF())
+    drainToTable(spark, dir, "q127_scd")(d => scdProgress(read(spark, d)).toDF())
 
   /** The streaming FUNNEL twin drained under the correctness gate
     * (q129) — the second `flatMapGroupsWithState` machine graded the
@@ -260,7 +260,22 @@ object EventsStream {
     * strict `>` window bounds on both engines.
     */
   def funnelDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q129_funnel")(ev => funnelProgress(ev).toDF())
+    drainToTable(spark, dir, "q129_funnel")(d => funnelProgress(read(spark, d)).toDF())
+
+  /** The stream-stream interval join drained under the correctness
+    * gate (q133) — the last streaming operator family that was
+    * spec-only: [[viewClickAttribution]] over two independent streaming
+    * reads of the same drained source, hash-compared against the batch
+    * interval join. Inner stream-stream joins emit each match exactly
+    * once as both sides arrive, so a full drain yields the complete
+    * batch answer; the join compares MICROSECOND timestamps (the
+    * stream's `ts` column) while the gap is exact nanoseconds — the
+    * oracle mirrors both precisions explicitly.
+    */
+  def attributionDrain(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, dir, "q133_attr") { d =>
+      viewClickAttribution(read(spark, d), read(spark, d))
+    }
 
   /** Stream-stream interval join: every view paired with the same
     * user's clicks landing within one hour AFTER it — the attribution
@@ -285,7 +300,11 @@ object EventsStream {
           |c_ts > v_ts AND
           |c_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin))
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
-        (col("c_ts_ns") - col("v_ts_ns")).as("gap_ns"))
+        (col("c_ts_ns") - col("v_ts_ns")).as("gap_ns"),
+        // per-side µs truncation BEFORE subtracting: the cross-engine
+        // gap (DuckDB reads the ns parquet rounded to µs, so a raw ns
+        // difference is engine-specific in its last three digits)
+        (expr("c_ts_ns DIV 1000") - expr("v_ts_ns DIV 1000")).as("gap_us"))
   }
 
   /** Run a streaming DataFrame to completion against the files currently
