@@ -523,4 +523,71 @@ class NorthStarSpec extends AnyFunSuite {
     assert(c(0).getLong(3) == 1000000L, "fragment direction is total containment")
     assert(c(0).getLong(2) < 500000L)
   }
+
+  test("trigram quality: Scala replay of the frequency model matches the operator") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.length >= 3)
+    def hb(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+    def tris(t: String): Seq[String] = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val model = scala.collection.mutable.Map.empty[String, Long]
+    docs.filter(d => hb(d._1) < 800000L).foreach(d =>
+      tris(d._2).foreach(tg => model(tg) = model.getOrElse(tg, 0L) + 1L))
+    val total = model.values.sum
+    val expected = docs.map { case (id, t) =>
+      val ppms = tris(t).map(tg => model.getOrElse(tg, 0L) * 1000000L / total)
+      id -> (ppms.length.toLong, ppms.sum / ppms.length)
+    }.toMap
+    val got = graft.operators.TextOps.charTrigramQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("ivf incremental ingest: Scala replay of split assignment and growth") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def hb(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+    val cents = emb.filter(_._1 < Similarity.IvfNlist).sortBy(_._1)
+    def dotQ(a: Array[Float], b: Array[Float]): Long =
+      (0 until math.min(a.length, b.length)).map(i =>
+        math.floor(a(i).toDouble * b(i).toDouble * 1.0e12).toLong).sum
+    def assign(v: Array[Float]): (Long, Long) = {
+      // strictly-greater argmax = first best index, lowest c_id on ties
+      var best = Long.MinValue; var bid = -1L
+      cents.foreach { case (cid, c) =>
+        val d = dotQ(v, c); if (d > best) { best = d; bid = cid }
+      }
+      (bid, best)
+    }
+    val sides = emb.flatMap { case (id, v) =>
+      val h = hb(id)
+      if (h < 800000L) Some((assign(v), 0)) else if (h >= 900000L) Some((assign(v), 1)) else None
+    }
+    val expected = sides.groupBy(_._1._1).map { case (bucket, xs) =>
+      val nIdx = xs.count(_._2 == 0).toLong
+      val nNew = xs.count(_._2 == 1).toLong
+      val growth = if (nIdx == 0) None else Some(nNew * 1000000L / nIdx)
+      val meanDot = if (nNew == 0) None else {
+        val sum = xs.filter(_._2 == 1).map(_._1._2).sum
+        Some(Math.floorDiv(sum, nNew))
+      }
+      bucket -> (nIdx, nNew, growth, meanDot)
+    }
+    val got = Similarity.ivfIncrementalIngest(spark, sf).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toMap
+    assert(got == expected)
+  }
 }
