@@ -3,8 +3,7 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -38,21 +37,18 @@ case class BoundedTopK(
     score: Expression, id: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "graft_topk: k must be positive")
 
-  // Analysis-time gate: a SQL caller passing a non-BIGINT score/id
-  // would otherwise surface as an executor-side ClassCastException.
-  override def checkInputDataTypes(): TypeCheckResult = {
-    if (score.dataType != LongType)
-      TypeCheckResult.TypeCheckFailure(
-        s"graft_topk: score must be BIGINT, got ${score.dataType.catalogString}")
-    else if (id.dataType != LongType)
-      TypeCheckResult.TypeCheckFailure(
-        s"graft_topk: id must be BIGINT, got ${id.dataType.catalogString}")
-    else TypeCheckResult.TypeCheckSuccess
-  }
+  // Analysis-time gate: narrower integral score/id widen to BIGINT via
+  // implicit cast; a non-coercible type (DOUBLE, STRING under ANSI)
+  // fails resolution instead of surfacing as an executor-side
+  // ClassCastException.
+  // (AbstractDataType is private[sql]; the inferred Seq[LongType.type]
+  // conforms to the parent signature)
+  override def inputTypes = Seq(LongType, LongType)
 
   override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
     new java.util.TreeSet[(Long, Long)](BoundedTopK.Ord)
