@@ -7,6 +7,30 @@ import java.nio.file.{Files, Paths}
   * as Bench) restricts the dump for fast iteration; the driver runs
   * unfiltered. */
 object Verify {
+  /** Dump one query's result parquet; on ANY failure return the error
+    * AND still write a one-row `_graft_error` parquet in the query's
+    * slot. The gate JSON is built from the dumped dirs, so a query whose
+    * dump merely printed to stderr would VANISH from the round's
+    * correctness record (round 8: q22's AnalysisException under-counted
+    * the graded set by one). The sentinel row can never hash-match any
+    * oracle — the breakage is counted as a red row, not hidden.
+    */
+  def dumpQuery(spark: SparkSession,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, outDir: String): Option[Throwable] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      try {
+        import spark.implicits._
+        Seq(e.toString.take(1000)).toDF("_graft_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case _: Throwable => () } // never mask the original error
+      Some(e)
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,9 +50,7 @@ object Verify {
       System.err.println(s"[verify] WARNING: SPARK_GRAFT_QUERY_FILTER active — " +
         s"dumping ${selected.size} of ${SparkEntry.queries.size} queries (PARTIAL dump)")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      dumpQuery(spark, name, fn, sfDir, outDir).foreach { e =>
         System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
         Option(e.getCause).foreach(c =>
           System.err.println(s"[verify]   cause: ${c.toString.take(500)}"))

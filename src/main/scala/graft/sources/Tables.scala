@@ -29,21 +29,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** Events table. The source Parquet stores `ts` as TIMESTAMP(NANOS),
-    * which Spark reads as a nanosecond long under
-    * `spark.sql.legacy.parquet.nanosAsLong` (set by [[graft.GraftSession]]).
-    * Normalized here to `ts_ns: Long` plus a microsecond-precision `ts`
-    * timestamp so downstream operators get a real timestamp column.
+  /** Events table, normalized to ONE downstream contract regardless of
+    * how the file encodes event time: `ts_ns: Long` (exact nanos) plus a
+    * microsecond-precision `ts` of plain TIMESTAMP type (never NTZ — a
+    * TIMESTAMP_NTZ `ts` leaking through would make `window()` structs and
+    * `CAST(ts AS BIGINT)` illegal/engine-specific downstream). Two source
+    * encodings seen in the wild:
+    *  - TIMESTAMP(NANOS), which Spark reads as a nanosecond long under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (set by [[graft.GraftSession]]);
+    *  - timestamp[us] with isAdjustedToUTC=false, which Spark reads as
+    *    TIMESTAMP_NTZ (wall clock == UTC instant under the session's
+    *    pinned UTC zone, matching the DuckDB oracle's `epoch_ns(ts)`).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTime(table(spark, dir, "events"))
+
+  /** The ts/ts_ns normalization shared by the batch scan above and the
+    * streaming read ([[graft.streaming.EventsStream.read]]) — one place,
+    * so the two paths cannot diverge on timestamp semantics.
+    */
+  def normalizeEventTime(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == LongType)
       raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
     else
-      // microsecond precision (cast-to-long would truncate to whole seconds)
+      // microsecond precision (cast-to-long would truncate to whole
+      // seconds); the NTZ→TIMESTAMP cast is exact under the UTC session
       raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
-  }
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

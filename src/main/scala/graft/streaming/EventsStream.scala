@@ -21,8 +21,9 @@ import graft.operators.Determinism._
   */
 object EventsStream {
 
-  /** The on-disk schema of an events parquet file (ts as nanosecond long,
-    * see [[graft.sources.Tables.events]]).
+  /** Fallback on-disk schema of an events parquet file (ts as nanosecond
+    * long) — used only when the source dir has no file yet to peek at
+    * stream-start time.
     */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -32,11 +33,25 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  /** File-source stream over a directory of events parquet files.
+    *
+    * Schema-adaptive, exactly like the batch scan
+    * ([[graft.sources.Tables.events]]): a file source needs a declared
+    * schema up front, so peek the footer schema of the files already in
+    * the dir with a batch read (driver-side metadata only — no data
+    * pages), then normalize through the SAME
+    * [[graft.sources.Tables.normalizeEventTime]] the batch path uses.
+    * Hardcoding `ts: LongType` here against a µs-timestamp file would
+    * hand the pipeline raw MICROseconds labeled as nanos — every window,
+    * watermark, and join bound silently compressed 1000×.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => schema }
+    graft.sources.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema).parquet(dir))
+  }
 
   /** Watermarked, deduplicated, hourly-windowed aggregation — the
     * streaming twin of `EventsOps.tumblingWindowAgg`, same output schema.
