@@ -178,6 +178,7 @@ object SparkEntry {
     "q133_stream_attribution" -> ((s, d) =>
       graft.streaming.EventsStream.attributionDrain(s, d)
         .select("user_id", "view_id", "click_id", "gap_us")),
+    "q134_media_byte_hist" -> (graft.multimodal.Multimodal.mediaByteHistogram _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -187,6 +188,46 @@ object SparkEntry {
   // DuckDB SUM(BIGINT) widens to HUGEINT; cast back so the result schema
   // matches Spark's LongType sums exactly.
   private def sumc(e: String): String = s"CAST(SUM(${cents(e)}) AS BIGINT)"
+
+  /** Structurally-real media blob assembly (PNG/JPEG/WAV from the
+    * documents corpus) shared by the q126 decode and q134 byte-histogram
+    * oracles — must stay byte-identical to
+    * [[graft.multimodal.Multimodal.mediaBytesFromDocuments]].
+    */
+  private val mediaBlobCtes: String =
+    """g AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |    doc_id % 640 + 64 AS w, doc_id % 480 + 48 AS h,
+      |    8000 + (doc_id % 8) * 4000 AS rate,
+      |    encode(text) AS p, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |blob AS (
+      |  SELECT doc_id, m,
+      |    CASE WHEN m = 0 THEN
+      |      unhex('89504E470D0A1A0A') || unhex('0000000D') || unhex('49484452') ||
+      |      unhex(lpad(hex(w), 8, '0')) || unhex(lpad(hex(h), 8, '0')) ||
+      |      unhex('0806000000') || unhex('D0D0D0D0') ||
+      |      unhex(lpad(hex(n), 8, '0')) || unhex('49444154') || p || unhex('D0D0D0D0') ||
+      |      unhex('00000000') || unhex('49454E44') || unhex('D0D0D0D0')
+      |    WHEN m = 1 THEN
+      |      unhex('FFD8') || unhex('FFE000104A46494600010100000100010000') ||
+      |      unhex('FFC0001108') || unhex(lpad(hex(h), 4, '0')) ||
+      |      unhex(lpad(hex(w), 4, '0')) || unhex('03012200021101031101') || p
+      |    ELSE
+      |      unhex('52494646') ||
+      |      unhex(concat(substr(lpad(hex(36 + n), 8, '0'), 7, 2), substr(lpad(hex(36 + n), 8, '0'), 5, 2),
+      |        substr(lpad(hex(36 + n), 8, '0'), 3, 2), substr(lpad(hex(36 + n), 8, '0'), 1, 2))) ||
+      |      unhex('57415645') || unhex('666D7420') || unhex('10000000') ||
+      |      unhex('0100') || unhex('0100') ||
+      |      unhex(concat(substr(lpad(hex(rate), 8, '0'), 7, 2), substr(lpad(hex(rate), 8, '0'), 5, 2),
+      |        substr(lpad(hex(rate), 8, '0'), 3, 2), substr(lpad(hex(rate), 8, '0'), 1, 2))) ||
+      |      unhex(concat(substr(lpad(hex(rate * 2), 8, '0'), 7, 2), substr(lpad(hex(rate * 2), 8, '0'), 5, 2),
+      |        substr(lpad(hex(rate * 2), 8, '0'), 3, 2), substr(lpad(hex(rate * 2), 8, '0'), 1, 2))) ||
+      |      unhex('0200') || unhex('1000') || unhex('64617461') ||
+      |      unhex(concat(substr(lpad(hex(n), 8, '0'), 7, 2), substr(lpad(hex(n), 8, '0'), 5, 2),
+      |        substr(lpad(hex(n), 8, '0'), 3, 2), substr(lpad(hex(n), 8, '0'), 1, 2))) || p
+      |    END AS c
+      |  FROM g)""".stripMargin
 
   // --- north-star oracle fragments (documents / embeddings) ---
   private val toks = """regexp_split_to_array(trim(text), '\s+')"""
@@ -2100,39 +2141,7 @@ object SparkEntry {
       def leN(off: Int, len: Int) =
         (0 until len).map(i => s"substr(hx, ${(off + len - 2 - i) * 2 + 1}, 2)")
           .mkString("CAST(concat('0x', ", ", ", ") AS BIGINT)")
-      s"""WITH g AS (
-         |  SELECT doc_id, doc_id % 3 AS m,
-         |    doc_id % 640 + 64 AS w, doc_id % 480 + 48 AS h,
-         |    8000 + (doc_id % 8) * 4000 AS rate,
-         |    encode(text) AS p, octet_length(encode(text)) AS n
-         |  FROM documents),
-         |blob AS (
-         |  SELECT doc_id, m,
-         |    CASE WHEN m = 0 THEN
-         |      unhex('89504E470D0A1A0A') || unhex('0000000D') || unhex('49484452') ||
-         |      unhex(lpad(hex(w), 8, '0')) || unhex(lpad(hex(h), 8, '0')) ||
-         |      unhex('0806000000') || unhex('D0D0D0D0') ||
-         |      unhex(lpad(hex(n), 8, '0')) || unhex('49444154') || p || unhex('D0D0D0D0') ||
-         |      unhex('00000000') || unhex('49454E44') || unhex('D0D0D0D0')
-         |    WHEN m = 1 THEN
-         |      unhex('FFD8') || unhex('FFE000104A46494600010100000100010000') ||
-         |      unhex('FFC0001108') || unhex(lpad(hex(h), 4, '0')) ||
-         |      unhex(lpad(hex(w), 4, '0')) || unhex('03012200021101031101') || p
-         |    ELSE
-         |      unhex('52494646') ||
-         |      unhex(concat(substr(lpad(hex(36 + n), 8, '0'), 7, 2), substr(lpad(hex(36 + n), 8, '0'), 5, 2),
-         |        substr(lpad(hex(36 + n), 8, '0'), 3, 2), substr(lpad(hex(36 + n), 8, '0'), 1, 2))) ||
-         |      unhex('57415645') || unhex('666D7420') || unhex('10000000') ||
-         |      unhex('0100') || unhex('0100') ||
-         |      unhex(concat(substr(lpad(hex(rate), 8, '0'), 7, 2), substr(lpad(hex(rate), 8, '0'), 5, 2),
-         |        substr(lpad(hex(rate), 8, '0'), 3, 2), substr(lpad(hex(rate), 8, '0'), 1, 2))) ||
-         |      unhex(concat(substr(lpad(hex(rate * 2), 8, '0'), 7, 2), substr(lpad(hex(rate * 2), 8, '0'), 5, 2),
-         |        substr(lpad(hex(rate * 2), 8, '0'), 3, 2), substr(lpad(hex(rate * 2), 8, '0'), 1, 2))) ||
-         |      unhex('0200') || unhex('1000') || unhex('64617461') ||
-         |      unhex(concat(substr(lpad(hex(n), 8, '0'), 7, 2), substr(lpad(hex(n), 8, '0'), 5, 2),
-         |        substr(lpad(hex(n), 8, '0'), 3, 2), substr(lpad(hex(n), 8, '0'), 1, 2))) || p
-         |    END AS c
-         |  FROM g),
+      s"""WITH $mediaBlobCtes,
          |hb AS (SELECT doc_id, m, c, hex(c) AS hx FROM blob)
          |SELECT doc_id AS media_id,
          |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
@@ -2266,6 +2275,22 @@ object SparkEntry {
         |SELECT v.user_id, view_id, click_id, c_us - v_us AS gap_us
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND c_us > v_us AND c_us <= v_us + 3600000000""".stripMargin,
+    // the content-feature pass replayed from the hexed blob: per-byte
+    // high nibble = one hex char, counted into 16 bins, exact integer
+    // ppm of the payload length (same floor division as the Scala side)
+    "q134_media_byte_hist" -> {
+      val bins = (0 until 16).map { i =>
+        val c = f"$i%X"
+        s"""CAST(SUM(CASE WHEN substr(hx, (i-1)*2+1, 1) = '$c' THEN 1 ELSE 0 END)
+           |    * 1000000 // MAX(n) AS BIGINT) AS h${f"$i%02d"}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $mediaBlobCtes,
+         |hb AS (SELECT doc_id, hex(c) AS hx, octet_length(c) AS n FROM blob),
+         |nib AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS i FROM hb)
+         |SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS size_bytes,
+         |$bins
+         |FROM nib GROUP BY doc_id""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

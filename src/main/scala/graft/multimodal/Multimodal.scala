@@ -15,11 +15,11 @@ import graft.sources.Tables
   * Container-header metadata decode is REAL and dependency-free:
   * [[parseMediaHeader]] reads PNG IHDR, JPEG SOF0-SOF3, and RIFF/WAV
   * fmt/data chunks with plain byte arithmetic ([[decodeMedia]] runs it
-  * partition-parallel, graded as q126). Only pixel/sample-level feature
-  * extraction — a model runtime's job — remains a clearly-marked
-  * deterministic fake ([[extractFeatures]]); its Spark-side plumbing
-  * (schema, batch shape, partition-parallel execution, no driver
-  * collect) is real and tested.
+  * partition-parallel, graded as q126). Content-level feature
+  * extraction is real too — [[extractFeatures]] computes the payload
+  * MD5 and an exact-integer byte histogram, oracle-gated as q134; a
+  * model runtime (CLIP/wav2vec) would slot into the same
+  * `mapPartitions` boundary when one exists in the deployment.
   */
 object Multimodal {
 
@@ -190,10 +190,10 @@ object Multimodal {
 
   /** Distributed header decode: [[parseMediaHeader]] over every row's
     * bytes, partition-parallel, no driver collect. Unparseable rows
-    * survive as fmt='unknown' with NULL fields. This replaces the old
-    * decode STUB for metadata extraction — it reads the actual bytes;
-    * only pixel/sample-level work (a model runtime's job) remains
-    * behind [[extractFeatures]].
+    * survive as fmt='unknown' with NULL fields. It reads the actual
+    * bytes, as does the content-feature pass ([[extractFeatures]],
+    * q134); a model-runtime embedding would extend the latter's
+    * `mapPartitions` boundary.
     */
   def decodeMedia(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -209,16 +209,20 @@ object Multimodal {
 
   final case class MediaFeature(
       media_id: Long, size_bytes: Long, content_md5: String,
-      feat: Array[Float])
+      hist_ppm: Array[Long])
 
-  /** Feature extraction seam — the ONE remaining stub: a real
-    * implementation hands each partition's batch of byte arrays to a
-    * model runtime (CLIP/wav2vec embeddings); none exists in this
-    * environment, so the fake derives a deterministic 8-dim feature
-    * from the md5 of the payload so tests can assert exact values.
-    * Container-header METADATA extraction is no longer stubbed — see
-    * [[decodeMedia]]. Runs partition-parallel via `mapPartitions`,
-    * never on the driver.
+  /** Content-level feature extraction over the raw payload bytes — REAL
+    * and oracle-gated (q134): per media row, the full-payload MD5 plus a
+    * 16-bin byte histogram (bucket = high nibble) in exact integer ppm
+    * of the payload length. The histogram is the classic cheap content
+    * signature (format/compression discrimination, corruption and
+    * truncation detection — encrypted/compressed payloads are near-flat,
+    * text is letter-heavy) and, unlike a model embedding, is exactly
+    * replayable by the DuckDB oracle from the hexed blob.
+    *
+    * A model runtime (CLIP/wav2vec) slots in at exactly this boundary —
+    * same `mapPartitions` batch shape, same (id, bytes) → (id, vector)
+    * contract, partition-parallel, bytes never visit the driver.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -228,16 +232,33 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
-          // === stubbed codec boundary: replace with real decode ===
           md.reset()
-          val digest = md.digest(bytes)
-          val hex = digest.map("%02x".format(_)).mkString
-          val feat = Array.tabulate(8)(i =>
-            ((digest(i) & 0xFF) / 255.0f))
-          MediaFeature(id, bytes.length.toLong, hex, feat)
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          val counts = new Array[Long](16)
+          var i = 0
+          while (i < bytes.length) {
+            counts((bytes(i) >> 4) & 0xF) += 1L
+            i += 1
+          }
+          val n = math.max(bytes.length.toLong, 1L)
+          MediaFeature(id, bytes.length.toLong, hex,
+            counts.map(c => c * 1000000L / n))
         }
       }
     out.toDF()
+  }
+
+  /** q134 projection: the byte-histogram features flattened to scalar
+    * columns (h00..h15 ppm) for the hash-compare gate. `content_md5` is
+    * deliberately NOT projected — the oracle's DuckDB build has no
+    * BLOB md5 to replay it; the histogram is the payload-sensitive gate,
+    * and the md5 contract is spec-asserted instead.
+    */
+  def mediaByteHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(mediaBytesFromDocuments(spark, dir))
+    val hist = (0 until 16).map(i =>
+      element_at(col("hist_ppm"), i + 1).as(f"h$i%02d"))
+    feats.select(col("media_id") +: col("size_bytes") +: hist: _*)
   }
 
   /** Frame sampling for video-typed rows: one row per sampled frame

@@ -170,7 +170,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(math.abs(out.mean_c - sum.toDouble / out.n) < 1e-9)
   }
 
-  test("multimodal: binary payload + typed metadata, deterministic stub feature extraction") {
+  test("multimodal: binary payload + typed metadata, content feature extraction") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     assert(media.schema("content").dataType ==
       org.apache.spark.sql.types.BinaryType)
@@ -183,16 +183,28 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(feats.count() == media.count())
     val row = feats.filter(org.apache.spark.sql.functions.col("media_id") === 0)
       .collect()(0)
-    // deterministic: md5 of the payload bytes, 8-dim feature in [0,1]
+    // content_md5 really is the payload md5 (cross-checked against the
+    // codegen'd builtin, which hashes the same bytes)
     assert(row.getString(2).length == 32)
-    val feat = row.getSeq[Float](3)
-    assert(feat.length == 8)
-    assert(feat.forall(f => f >= 0f && f <= 1f))
-    // run twice → identical (no randomness in the stub)
+    import org.apache.spark.sql.functions.{col, md5}
+    val mismatched = Multimodal.extractFeatures(media)
+      .join(media.select(col("media_id"),
+        md5(col("content")).as("expect_md5")), Seq("media_id"))
+      .filter(col("content_md5") =!= col("expect_md5"))
+    assert(mismatched.count() == 0)
+    // 16-bin byte histogram in exact ppm: floor division loses < 16 ppm
+    // total, never exceeds 1e6
+    val hist = row.getSeq[Long](3)
+    assert(hist.length == 16)
+    assert(hist.forall(_ >= 0L))
+    val total = hist.sum
+    assert(total <= 1000000L && total > 1000000L - 16L, s"ppm total $total")
+    // run twice → identical (deterministic)
     val again = Multimodal.extractFeatures(media)
       .filter(org.apache.spark.sql.functions.col("media_id") === 0)
       .collect()(0)
     assert(again.getString(2) == row.getString(2))
+    assert(again.getSeq[Long](3) == hist)
   }
 
   test("frame sampling and resize planning are metadata-only") {
