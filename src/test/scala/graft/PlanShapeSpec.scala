@@ -300,6 +300,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"simhashPairs: expected ≤4 keyed shuffles:\n${p105.take(2000)}")
   }
 
+  test("q134 byte histogram is map-only: no join, no shuffle, bytes stay in partition") {
+    val p = plan(graft.multimodal.Multimodal.mediaByteHistogram(spark, sf))
+    assertNoJoin(p, "mediaByteHistogram")
+    assert(shuffles(p) == 0 && !p.contains("Exchange"),
+      s"feature extraction must never move the payload bytes:\n${p.take(2000)}")
+  }
+
   test("q103 session conversion shuffles on the user key only") {
     val p = plan(graft.operators.AsOf.sessionConversion(spark, sf))
     assertNoJoin(p, "sessionConversion")
