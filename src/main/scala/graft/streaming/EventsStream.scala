@@ -257,8 +257,25 @@ object EventsStream {
         java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
         stage.toString
       }
-    val q = runToMemory(build(streamDir), name)
-    q.stop()
+    // Drained queries emit everything they will ever emit in the DATA
+    // micro-batches: the flatMapGroupsWithState twins emit per batch,
+    // and an INNER stream-stream join emits each match as both sides
+    // arrive. The no-data micro-batches Spark then schedules exist only
+    // to advance the watermark and EVICT state — for a drain-and-stop
+    // harness that is pure state-store commit I/O (measured ~2× on
+    // q133 at sf0.1). Disable them for the drain's duration only;
+    // windowed-agg streams (whose append OUTPUT does ride the
+    // watermark) do not go through this helper.
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = runToMemory(build(streamDir), name)
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
     spark.table(name)
   }
 
