@@ -179,6 +179,7 @@ object SparkEntry {
       graft.streaming.EventsStream.attributionDrain(s, d)
         .select("user_id", "view_id", "click_id", "gap_us")),
     "q134_media_byte_hist" -> (graft.multimodal.Multimodal.mediaByteHistogram _),
+    "q135_kmv_distinct" -> (Sketches.kmvDistinctChecked _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2291,6 +2292,26 @@ object SparkEntry {
          |$bins
          |FROM nib GROUP BY doc_id""".stripMargin
     },
+    // KMV distinct sketch replay: same md5-prefix hash as every
+    // split/sample query, k smallest distinct values, (k-1)*2^32/h_k;
+    // undersized sketch (n_kept < k) IS the exact distinct-hash set
+    "q135_kmv_distinct" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT DISTINCT
+         |    CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS hv FROM sh),
+         |mink AS (SELECT hv FROM h ORDER BY hv ASC LIMIT ${graft.operators.Sketches.KmvK}),
+         |s AS (SELECT MAX(hv) AS h_k, COUNT(*) AS n_kept FROM mink),
+         |ex AS (SELECT COUNT(DISTINCT sh) AS exact_ndv FROM sh),
+         |est AS (SELECT CAST(${graft.operators.Sketches.KmvK} AS BIGINT) AS k,
+         |    CAST(n_kept AS BIGINT) AS n_kept, h_k,
+         |    CAST(CASE WHEN n_kept < ${graft.operators.Sketches.KmvK} THEN n_kept
+         |      ELSE (n_kept - 1) * 4294967296 // greatest(h_k, 1) END AS BIGINT) AS est_ndv,
+         |    CAST(exact_ndv AS BIGINT) AS exact_ndv
+         |  FROM s, ex)
+         |SELECT k, n_kept, h_k, est_ndv, exact_ndv,
+         |  CAST(abs(est_ndv - exact_ndv) * 1000000 // exact_ndv AS BIGINT) AS err_ppm,
+         |  (abs(est_ndv - exact_ndv) * 1000000 // exact_ndv) <= 100000 AS kmv_ok
+         |FROM est""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

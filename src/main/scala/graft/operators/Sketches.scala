@@ -134,6 +134,52 @@ object Sketches {
     }.toDF("token", "n", "rank", "cms_ok")
   }
 
+  /** Sketch size for [[kmvDistinctChecked]]: standard error ≈ 1/√(k−2)
+    * ≈ 3.1 %.
+    */
+  val KmvK = 1024
+
+  /** KMV (k-minimum-values) distinct sketch with an exact audit (q135)
+    * — the one NDV estimator that is exactly replayable cross-engine:
+    * hash every token through the engine-wide md5-prefix hash (32-bit
+    * space, the same value DuckDB computes from hex algebra), keep the
+    * k smallest DISTINCT hash values, and estimate
+    * NDV ≈ (k−1)·2³² / h₍ₖ₎. Unlike HLL (q55's opaque binary buffer)
+    * the sketch IS a k-row value set: unionable by re-taking the min-k
+    * of a union (the shard-merge a 100 TB profiler needs), diffable,
+    * and hash-comparable.
+    *
+    * Plan shape: one vocabulary-bounded distinct (map-side partial
+    * dedup does most of the work), then bottom-k as
+    * TakeOrderedAndProject (per-partition heaps, q03/q131's plan — the
+    * corpus never globally sorts). The exact NDV audit rides the same
+    * distinct. `kmv_ok` asserts the estimate landed within 10 %
+    * (≈3.2σ) of the exact count — deterministic on both engines, so a
+    * hash/estimator drift fails the gate rather than wobbling.
+    */
+  def kmvDistinctChecked(spark: SparkSession, dir: String): DataFrame = {
+    // sketched key: the 3-token shingle — the dedup family's unit and
+    // the one high-cardinality string space in the corpus (the synthetic
+    // token vocabulary itself is tiny, which would leave the estimator
+    // branch dormant)
+    val sh = Dedup.shingles(Tables.documents(spark, dir))
+    val hashes = sh.select(
+      expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 8)").as("hv"))
+      .distinct()
+    val sketch = hashes.orderBy(col("hv").asc).limit(KmvK)
+      .agg(max(col("hv")).as("h_k"), count(lit(1)).as("n_kept"))
+    val exact = sh.agg(countDistinct(col("sh")).as("exact_ndv"))
+    sketch.crossJoin(exact) // two single rows — trivial join
+      .withColumn("est_ndv",
+        when(col("n_kept") < KmvK, col("n_kept")) // undersized: sketch IS the set
+          .otherwise(expr("(n_kept - 1) * 4294967296 DIV greatest(h_k, 1)")))
+      .withColumn("err_ppm",
+        expr("abs(est_ndv - exact_ndv) * 1000000 DIV exact_ndv"))
+      .select(lit(KmvK.toLong).as("k"), col("n_kept"), col("h_k"),
+        col("est_ndv"), col("exact_ndv"), col("err_ppm"),
+        (col("err_ppm") <= 100000L).as("kmv_ok"))
+  }
+
   /** `percentile_approx` accuracy knob for [[quantileSketchChecked]]:
     * rank error ≤ n / accuracy.
     */

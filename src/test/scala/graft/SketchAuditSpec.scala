@@ -81,6 +81,45 @@ class SketchAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q135 kmv distinct: estimator exercised, audit green, plan is TakeOrdered") {
+    val row = graft.operators.Sketches.kmvDistinctChecked(spark, sf).collect()(0)
+    val (nKept, est, exact, ok) =
+      (row.getLong(1), row.getLong(3), row.getLong(4), row.getBoolean(6))
+    assert(ok, s"kmv_ok false: est $est vs exact $exact")
+    // the estimator branch must actually run (a tiny key space would
+    // leave it dormant and the audit vacuous)
+    assert(nKept == graft.operators.Sketches.KmvK.toLong, s"sketch undersized: $nKept")
+    assert(est != exact, "estimate should differ from exact (it is an estimate)")
+    // bottom-k must plan as TakeOrderedAndProject (per-partition heaps),
+    // never a global sort of the hash space
+    val p = graft.operators.Sketches.kmvDistinctChecked(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("kmv sketch is mergeable: min-k over unioned shard sketches == whole-corpus sketch") {
+    import org.apache.spark.sql.functions._
+    val k = graft.operators.Sketches.KmvK
+    val sh = graft.operators.Dedup.shingles(
+      graft.sources.Tables.documents(spark, sf))
+    val hashes = sh.select(expr(
+      s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 8)").as("hv"))
+    // shard by doc-hash parity, sketch each shard, merge = min-k of union
+    val shardSketches = Seq(0, 1).map { par =>
+      graft.operators.Dedup.shingles(
+          graft.sources.Tables.documents(spark, sf))
+        .filter(col("doc_id") % 2 === par)
+        .select(expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 8)").as("hv"))
+        .distinct().orderBy(col("hv").asc).limit(k)
+    }
+    val merged = shardSketches.reduce(_ unionAll _)
+      .distinct().orderBy(col("hv").asc).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val whole = hashes.distinct().orderBy(col("hv").asc).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == whole, "shard-merge must reproduce the whole-corpus sketch")
+  }
+
   test("q75 heavy hitters: k rows, audit green, counts exact") {
     val rows = Sketches.heavyHittersChecked(spark, sf).collect()
     assert(rows.length == Sketches.HeavyHittersK)
