@@ -88,15 +88,32 @@ object ScaleRehearsal {
     // as-of joins see 10× independent sessions, not 10 stacked copies
     // of each event at one instant.
     // raw read, not Tables.events: preserve the stored ts representation
-    // (nanos-as-long) bit-for-bit across replicas
+    // (int64 nanos OR µs NTZ timestamp — see Tables.normalizeEventTime)
+    // bit-for-bit across replicas; an NTZ column written back stays
+    // isAdjustedToUTC=false µs, so the rehearsal corpus keeps the same
+    // encoding hazards as the source it scales
     val rawEvents = spark.read.parquet(s"$src/events.parquet")
-    val tsRange = rawEvents.agg(min(col("ts")), max(col("ts"))).first()
-    val epochNs = tsRange.getLong(1) - tsRange.getLong(0) +
-      2L * 86400L * 1000000000L // span + 2-day gap > any session timeout
-    val evs = replicate(rawEvents, factor) { (df, k) =>
-      df.withColumn("event_id", col("event_id") + lit(k * IdShift))
-        .withColumn("ts", col("ts") + lit(k * epochNs))
-    }
+    val gapUs = 2L * 86400L * 1000000L // 2-day gap > any session timeout
+    val evs =
+      if (rawEvents.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType) {
+        val tsRange = rawEvents.agg(min(col("ts")), max(col("ts"))).first()
+        val epochNs = tsRange.getLong(1) - tsRange.getLong(0) + gapUs * 1000L
+        replicate(rawEvents, factor) { (df, k) =>
+          df.withColumn("event_id", col("event_id") + lit(k * IdShift))
+            .withColumn("ts", col("ts") + lit(k * epochNs))
+        }
+      } else {
+        val tsRange = rawEvents
+          .agg(min(unix_micros(col("ts").cast("timestamp"))),
+            max(unix_micros(col("ts").cast("timestamp")))).first()
+        val epochUs = tsRange.getLong(1) - tsRange.getLong(0) + gapUs
+        replicate(rawEvents, factor) { (df, k) =>
+          df.withColumn("event_id", col("event_id") + lit(k * IdShift))
+            .withColumn("ts",
+              expr(s"timestampadd(MICROSECOND, ${k * epochUs}L, ts)"))
+        }
+      }
     evs.repartition(16).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
