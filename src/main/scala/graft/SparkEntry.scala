@@ -180,6 +180,7 @@ object SparkEntry {
         .select("user_id", "view_id", "click_id", "gap_us")),
     "q134_media_byte_hist" -> (graft.multimodal.Multimodal.mediaByteHistogram _),
     "q135_kmv_distinct" -> (Sketches.kmvDistinctChecked _),
+    "q136_split_leakage" -> (Dedup.splitLeakageMatrix _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2312,6 +2313,25 @@ object SparkEntry {
          |  CAST(abs(est_ndv - exact_ndv) * 1000000 // exact_ndv AS BIGINT) AS err_ppm,
          |  (abs(est_ndv - exact_ndv) * 1000000 // exact_ndv) <= 100000 AS kmv_ok
          |FROM est""".stripMargin,
+    // LSH near-dup pairs labeled by the q49 hash split on both ends,
+    // rolled up to the orientation-free (split, split) matrix — the
+    // off-diagonal cells are evaluation leakage
+    "q136_split_leakage" ->
+      s"""WITH $lshPairsCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN hb < 800000 THEN 'train' WHEN hb < 900000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        % 1000000 AS hb FROM documents) t)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  COUNT(*) AS n_pairs,
+         |  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+         |FROM lsh_pairs p
+         |JOIN sp a ON p.doc_a = a.doc_id
+         |JOIN sp b ON p.doc_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -553,6 +553,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** Near-dup split-leakage matrix (q136) — the audit run before any
+    * training job ships its splits: exact dedup keeps hash splits
+    * disjoint by construction, but a NEAR-duplicate of a test document
+    * sitting in train leaks evaluation signal anyway (the
+    * memorization-vs-generalization confound exact dedup can't see).
+    * Count every LSH candidate pair ([[lshCandidatePairs]]) by the
+    * (split, split) cell it lands in — the off-diagonal cells are the
+    * leaks, and a curation pass quarantines the train-side member of
+    * each.
+    *
+    * Plan: q104's provenance-matrix shape — the capped pair list
+    * broadcasts into two scans of the corpus for split labels
+    * (re-derived from the md5 bucket, not stored); the corpus never
+    * shuffles, and the matrix is at most a handful of rows at any
+    * corpus size.
+    */
+  def splitLeakageMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val splits = Sampling.split(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("split"))
+    val withA = splits
+      .select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    splits
+      .select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+  }
+
   /** LSH recall audit (q96) — [[Similarity.annRecallAudit]]'s pattern
     * applied to the dedup family: how many of the exact n-gram-Jaccard
     * near-dup pairs ([[ngramJaccardPairs]], the ground truth the banded
