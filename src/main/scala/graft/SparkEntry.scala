@@ -181,6 +181,7 @@ object SparkEntry {
     "q134_media_byte_hist" -> (graft.multimodal.Multimodal.mediaByteHistogram _),
     "q135_kmv_distinct" -> (Sketches.kmvDistinctChecked _),
     "q136_split_leakage" -> (Dedup.splitLeakageMatrix _),
+    "q137_stream_dedup_replay" -> (graft.streaming.EventsStream.dedupReplayDrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2332,6 +2333,12 @@ object SparkEntry {
          |JOIN sp a ON p.doc_a = a.doc_id
          |JOIN sp b ON p.doc_b = b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    // exactly-once under replay: the doubled stream deduped by event_id
+    // must reduce to the single-copy aggregate — which is just the
+    // batch aggregate of the events table
+    "q137_stream_dedup_replay" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sumc("value")} AS value_c
+         |FROM events GROUP BY 1""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

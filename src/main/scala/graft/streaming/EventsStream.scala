@@ -309,6 +309,56 @@ object EventsStream {
       viewClickAttribution(read(spark, d), read(spark, d))
     }
 
+  /** Exactly-once under replay, drained under the correctness gate
+    * (q137): the same events file staged TWICE into the source dir —
+    * the at-least-once delivery every file-based ingest must survive
+    * (a re-uploaded batch, a retried distcp, a replayed queue segment).
+    * `maxFilesPerTrigger=1` forces the copies through separate
+    * micro-batches so the dedup state (not same-batch collapse) does
+    * the work; `dropDuplicatesWithinWatermark` on event_id reduces the
+    * doubled stream back to one copy, and the drained rows are
+    * batch-aggregated per event_type and hash-compared against the
+    * single-copy batch aggregate. Rows of the replayed copy arriving
+    * behind the watermark are dropped as late — which for a replay IS
+    * the exactly-once semantics (a late duplicate must not re-count).
+    */
+  def dedupReplayDrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Determinism._
+    val name = s"graft_q137_dedup_${drainCounter.incrementAndGet()}"
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_q137_src")
+    def stageCopy(tag: String): Unit =
+      if (java.nio.file.Files.isDirectory(src)) {
+        java.nio.file.Files.list(src).forEach { p =>
+          val f = p.getFileName.toString
+          if (f.endsWith(".parquet"))
+            java.nio.file.Files.copy(p, stage.resolve(s"${tag}_$f"))
+        }
+      } else java.nio.file.Files.copy(src, stage.resolve(s"$tag.parquet"))
+    stageCopy("a"); stageCopy("b")
+    val fileSchema = spark.read.parquet(stage.toString).schema
+    val stream = graft.sources.Tables.normalizeEventTime(
+      spark.readStream.schema(fileSchema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString))
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = runToMemory(deduped, name)
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+  }
+
   /** Stream-stream interval join: every view paired with the same
     * user's clicks landing within one hour AFTER it — the attribution
     * join, and the one streaming operator family the rest of this

@@ -132,6 +132,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replayed stream deduplicates to the single-copy totals; without dedup it double-counts") {
+    import org.apache.spark.sql.functions._
+    // with dedup: the q137 drain equals the batch aggregate
+    val deduped = EventsStream.dedupReplayDrain(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.Determinism.cents(col("value"))).as("value_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(deduped == batch, "replay must reduce to exactly one copy")
+    // teeth: the same doubled staging WITHOUT dropDuplicates counts 2×
+    val dir = Files.createTempDirectory("graft-replay-raw")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val q = EventsStream.runToMemory(
+      EventsStream.read(spark, dir.toString)
+        .select(col("event_id"), col("event_type")),
+      "replay_raw")
+    try {
+      val n = spark.table("replay_raw").count()
+      val single = graft.sources.Tables.events(spark, sf).count()
+      assert(n == 2 * single, s"raw replay should double-count: $n vs $single")
+    } finally q.stop()
+  }
+
   test("stateful user activity via flatMapGroupsWithState matches batch totals") {
     val dir = Files.createTempDirectory("graft-state")
     Files.copy(Paths.get(s"$sf/events.parquet"),
