@@ -182,6 +182,7 @@ object SparkEntry {
     "q135_kmv_distinct" -> (Sketches.kmvDistinctChecked _),
     "q136_split_leakage" -> (Dedup.splitLeakageMatrix _),
     "q137_stream_dedup_replay" -> (graft.streaming.EventsStream.dedupReplayDrain _),
+    "q138_semantic_leakage" -> (Dedup.semanticSplitLeakageMatrix _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2339,6 +2340,35 @@ object SparkEntry {
     "q137_stream_dedup_replay" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sumc("value")} AS value_c
          |FROM events GROUP BY 1""".stripMargin,
+    // q52's capped bucketed cosine pairs, both ends labeled by the hash
+    // split on vec_id, rolled up to the same matrix as q136
+    "q138_semantic_leakage" ->
+      s"""WITH $ivfCte,
+         |ea AS (
+         |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id),
+         |capped AS (SELECT * FROM ea WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE CAST(floor(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE) * 1000000.0 /
+         |    (sqrt(CAST(a.n_emb AS DOUBLE)) * sqrt(CAST(b.n_emb AS DOUBLE)))) AS BIGINT) >= 400000),
+         |sp AS (SELECT vec_id,
+         |    CASE WHEN hb < 800000 THEN 'train' WHEN hb < 900000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT vec_id,
+         |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        % 1000000 AS hb FROM embeddings) t)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  COUNT(*) AS n_pairs,
+         |  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+         |FROM p
+         |JOIN sp a ON p.id_a = a.vec_id
+         |JOIN sp b ON p.id_b = b.vec_id
+         |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

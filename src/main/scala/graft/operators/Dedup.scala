@@ -569,16 +569,39 @@ object Dedup {
     * shuffles, and the matrix is at most a handful of rows at any
     * corpus size.
     */
-  def splitLeakageMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lshCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val splits = Sampling.split(Tables.documents(spark, dir), "doc_id")
-      .select(col("doc_id"), col("split"))
+  def splitLeakageMatrix(spark: SparkSession, dir: String): DataFrame =
+    pairSplitMatrix(
+      lshCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b")),
+      Sampling.split(Tables.documents(spark, dir), "doc_id")
+        .select(col("doc_id").as("id"), col("split")),
+      "doc_a", "doc_b")
+
+  /** Semantic twin of [[splitLeakageMatrix]] (q138): the same leakage
+    * matrix over EMBEDDING-space near-dup pairs (q52's capped
+    * IVF-bucketed cosine generator). Lexical LSH misses a paraphrase
+    * whose shingles all changed; the embedding pair generator is the
+    * detector for exactly that class, so a split audit needs both
+    * matrices before a training run ships.
+    */
+  def semanticSplitLeakageMatrix(spark: SparkSession, dir: String): DataFrame =
+    pairSplitMatrix(
+      embeddingNearDupBucketed(spark, dir).select(col("id_a"), col("id_b")),
+      Sampling.split(Tables.embeddings(spark, dir), "vec_id")
+        .select(col("vec_id").as("id"), col("split")),
+      "id_a", "id_b")
+
+  /** The shared (pair, split) rollup: label both pair ends from the
+    * split relation (pairs broadcast into two label scans — the corpus
+    * never shuffles), then the orientation-free (split, split) matrix.
+    */
+  private def pairSplitMatrix(pairs: DataFrame, splits: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
     val withA = splits
-      .select(col("doc_id").as("doc_a"), col("split").as("split_a"))
-      .join(broadcast(pairs), Seq("doc_a"))
+      .select(col("id").as(aCol), col("split").as("split_a"))
+      .join(broadcast(pairs), Seq(aCol))
     splits
-      .select(col("doc_id").as("doc_b"), col("split").as("split_b"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .select(col("id").as(bCol), col("split").as("split_b"))
+      .join(broadcast(withA), Seq(bCol))
       .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
         greatest(col("split_a"), col("split_b")).as("split_hi"))
       .agg(count(lit(1)).as("n_pairs"))

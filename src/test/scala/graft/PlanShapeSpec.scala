@@ -300,13 +300,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"simhashPairs: expected ≤4 keyed shuffles:\n${p105.take(2000)}")
   }
 
-  test("q136 split leakage broadcasts the pair list into both label scans") {
-    val p = plan(Dedup.splitLeakageMatrix(spark, sf))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"splitLeakageMatrix: both pair-list joins must broadcast:\n${p.take(2000)}")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
-      !p.contains("CartesianProduct"),
-      s"splitLeakageMatrix: the corpus must never shuffle for the join:\n${p.take(2000)}")
+  test("q136/q138 leakage matrices broadcast the pair list into both label scans") {
+    for ((label, df) <- Seq(
+        "splitLeakageMatrix" -> Dedup.splitLeakageMatrix(spark, sf),
+        "semanticSplitLeakageMatrix" -> Dedup.semanticSplitLeakageMatrix(spark, sf))) {
+      val p = plan(df)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"$label: both pair-list joins must broadcast:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$label: the corpus must never shuffle for the join:\n${p.take(2000)}")
+    }
   }
 
   test("q134 byte histogram is map-only: no join, no shuffle, bytes stay in partition") {
