@@ -101,12 +101,13 @@ class EventsEncodingSpec extends AnyFunSuite {
         rows(EventsOps.tumblingWindowAgg(spark, d)), s"q21 vs q22 on $d")
   }
 
-  test("streaming drains (q127/q129/q133 paths) are encoding-invariant") {
+  test("streaming drains (q127/q129/q133/q137 paths) are encoding-invariant") {
     assertTwins("scdClosedDrain", EventsStream.scdClosedDrain)
     assertTwins("funnelDrain", EventsStream.funnelDrain)
     assertTwins("attributionDrain",
       (s, d) => EventsStream.attributionDrain(s, d)
         .select("user_id", "view_id", "click_id", "gap_us"))
+    assertTwins("dedupReplayDrain", EventsStream.dedupReplayDrain)
   }
 
   test("drained stream-stream join row count equals the batch interval join") {
