@@ -296,6 +296,44 @@ object SparkEntry {
        |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
        |    FROM e, cents c) t
        |  WHERE rk = 1)""".stripMargin
+  // capped IVF-bucketed cosine near-dup pairs (q52's generator), with
+  // the threshold applied — ONE definition of "embedding near-dup
+  // pair", shared by q52 and the q138 leakage matrix so the two oracles
+  // cannot drift on the cap, the quantized dot, or the threshold
+  private val cosPairsCtes =
+    s"""$ivfCte,
+       |ea AS (
+       |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
+       |  FROM e JOIN asg ON e.vec_id = asg.vec_id),
+       |capped AS (SELECT * FROM ea WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
+       |cos_pairs AS (
+       |  SELECT id_a, id_b, cos_ppm FROM (
+       |    SELECT p.id_a, p.id_b,
+       |      CAST(floor(CAST(p.dq AS DOUBLE) * 1000000.0 /
+       |        (sqrt(CAST(p.n_a AS DOUBLE)) * sqrt(CAST(p.n_b AS DOUBLE)))) AS BIGINT) AS cos_ppm
+       |    FROM (
+       |      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${dotSql("a.embedding", "b.embedding")} AS dq,
+       |        a.n_emb AS n_a, b.n_emb AS n_b
+       |      FROM capped a JOIN capped b
+       |        ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p) q
+       |  WHERE cos_ppm >= ${graft.operators.Dedup.EmbNearDupPpm})""".stripMargin
+  // train/val/test assignment of an id column by md5 bucket — the ONE
+  // replay of Sampling.split's rule, shared by the q136/q138 leakage
+  // oracles (thresholds derived from the same constants as the Scala
+  // side's defaults)
+  private def splitRelSql(table: String, idCol: String): String = {
+    import graft.operators.Sampling
+    val t1 = (Sampling.DefaultTrainRate * Sampling.Buckets).toLong
+    val t2 = ((Sampling.DefaultTrainRate + Sampling.DefaultValRate) * Sampling.Buckets).toLong
+    s"""SELECT $idCol,
+       |    CASE WHEN hb < $t1 THEN 'train' WHEN hb < $t2 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT $idCol,
+       |      CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % ${Sampling.Buckets} AS hb FROM $table) t""".stripMargin
+  }
   // minhash → bands → capped buckets → candidate pairs — the full q39
   // pipeline as CTEs, shared by q39 itself and q70's component closure.
   // The tail (everything after the shared shingle CTE) is separate so
@@ -679,24 +717,8 @@ object SparkEntry {
     // buckets bounded to EmbBucketCap smallest vec_ids — mirrors the
     // deterministic truncation in Dedup.embeddingNearDupBucketedFor
     "q52_embed_neardup_bucketed" ->
-      s"""WITH $ivfCte,
-         |ea AS (
-         |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket,
-         |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
-         |  FROM e JOIN asg ON e.vec_id = asg.vec_id),
-         |capped AS (SELECT * FROM ea WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
-         |p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${dotSql("a.embedding", "b.embedding")} AS dq,
-         |    a.n_emb AS n_a, b.n_emb AS n_b
-         |  FROM capped a JOIN capped b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b,
-         |  CAST(floor(CAST(dq AS DOUBLE) * 1000000.0 /
-         |    (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) AS cos_ppm
-         |FROM p
-         |WHERE CAST(floor(CAST(dq AS DOUBLE) * 1000000.0 /
-         |    (sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT) >= 400000""".stripMargin,
+      s"""WITH $cosPairsCtes
+         |SELECT id_a, id_b, cos_ppm FROM cos_pairs""".stripMargin,
     // exact COUNT(DISTINCT) per column is the hash target; the hll_ok_*
     // booleans are TRUE on the oracle side — if Spark's HLL estimate ever
     // drifts past 3·rsd of exact, the hash mismatches and the round fails
@@ -2320,12 +2342,7 @@ object SparkEntry {
     // off-diagonal cells are evaluation leakage
     "q136_split_leakage" ->
       s"""WITH $lshPairsCtes,
-         |sp AS (SELECT doc_id,
-         |    CASE WHEN hb < 800000 THEN 'train' WHEN hb < 900000 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |        % 1000000 AS hb FROM documents) t)
+         |sp AS (${splitRelSql("documents", "doc_id")})
          |SELECT least(a.split, b.split) AS split_lo,
          |  greatest(a.split, b.split) AS split_hi,
          |  COUNT(*) AS n_pairs,
@@ -2343,29 +2360,13 @@ object SparkEntry {
     // q52's capped bucketed cosine pairs, both ends labeled by the hash
     // split on vec_id, rolled up to the same matrix as q136
     "q138_semantic_leakage" ->
-      s"""WITH $ivfCte,
-         |ea AS (
-         |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket,
-         |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
-         |  FROM e JOIN asg ON e.vec_id = asg.vec_id),
-         |capped AS (SELECT * FROM ea WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
-         |p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM capped a JOIN capped b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE CAST(floor(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE) * 1000000.0 /
-         |    (sqrt(CAST(a.n_emb AS DOUBLE)) * sqrt(CAST(b.n_emb AS DOUBLE)))) AS BIGINT) >= 400000),
-         |sp AS (SELECT vec_id,
-         |    CASE WHEN hb < 800000 THEN 'train' WHEN hb < 900000 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT vec_id,
-         |      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |        % 1000000 AS hb FROM embeddings) t)
+      s"""WITH $cosPairsCtes,
+         |sp AS (${splitRelSql("embeddings", "vec_id")})
          |SELECT least(a.split, b.split) AS split_lo,
          |  greatest(a.split, b.split) AS split_hi,
          |  COUNT(*) AS n_pairs,
          |  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
-         |FROM p
+         |FROM cos_pairs p
          |JOIN sp a ON p.id_a = a.vec_id
          |JOIN sp b ON p.id_b = b.vec_id
          |GROUP BY 1, 2""".stripMargin,

@@ -40,6 +40,12 @@ object Dedup {
   /** Max vectors compared per IVF bucket (smallest vec_ids win). */
   val EmbBucketCap = 2048
 
+  /** Cosine threshold (ppm) above which an embedding pair counts as a
+    * near-duplicate — shared by q51/q52's generators and the q138
+    * leakage oracle so the definition of "near-dup pair" cannot drift.
+    */
+  val EmbNearDupPpm = 400000L
+
   /** Distinct k-token shingle ARRAY per document (k=3, 1-based indexing so
     * the same expression is portable to the oracle dialect), with the
     * shingle count alongside — so downstream pair joins can carry `n_sh`
@@ -321,7 +327,7 @@ object Dedup {
       .withColumn("cos_ppm", expr(
         s"CAST(floor(CAST($dot(emb_a, emb_b) AS DOUBLE) * 1000000.0 / " +
           "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
-      .filter(col("cos_ppm") >= 400000)
+      .filter(col("cos_ppm") >= EmbNearDupPpm)
       .select(col("id_a"), col("id_b"), col("cos_ppm"))
   }
 
@@ -363,7 +369,7 @@ object Dedup {
       .withColumn("cos_ppm", expr(
         s"CAST(floor(CAST($dot(emb_a, emb_b) AS DOUBLE) * 1000000.0 / " +
           "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
-      .filter(col("cos_ppm") >= 400000)
+      .filter(col("cos_ppm") >= EmbNearDupPpm)
       .select(col("id_a"), col("id_b"), col("cos_ppm"))
   }
 

@@ -15,6 +15,13 @@ object Sampling {
 
   val Buckets = 1000000L
 
+  /** Default split boundaries: train < 0.8, val < 0.9, test above —
+    * shared with the oracle replays (SparkEntry.splitRelSql) so the
+    * split rule is defined once.
+    */
+  val DefaultTrainRate = 0.8
+  val DefaultValRate = 0.1
+
   /** Stable per-key bucket in [0, 1e6): md5 of the key column's string
     * form, first 8 hex chars, mod 1e6 — via the native
     * [[graft.functions.Md5PrefixLong]] (same value as the oracle's
@@ -34,7 +41,8 @@ object Sampling {
     * 2=test with the given ppm-exact boundaries.
     */
   def split(df: DataFrame, keyCol: String,
-      trainRate: Double = 0.8, valRate: Double = 0.1): DataFrame = {
+      trainRate: Double = DefaultTrainRate,
+      valRate: Double = DefaultValRate): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val b = hashBucket(keyCol)
     val t1 = (trainRate * Buckets).toLong

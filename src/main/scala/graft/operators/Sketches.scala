@@ -158,6 +158,7 @@ object Sketches {
     * hash/estimator drift fails the gate rather than wobbling.
     */
   def kmvDistinctChecked(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     // sketched key: the 3-token shingle — the dedup family's unit and
     // the one high-cardinality string space in the corpus (the synthetic
     // token vocabulary itself is tiny, which would leave the estimator

@@ -250,33 +250,45 @@ object EventsStream {
     // stream then drains zero files and the parity gate "passes" on
     // nothing.
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) None
       else {
         val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
         java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
-        stage.toString
+        Some(stage)
       }
-    // Drained queries emit everything they will ever emit in the DATA
-    // micro-batches: the flatMapGroupsWithState twins emit per batch,
-    // and an INNER stream-stream join emits each match as both sides
-    // arrive. The no-data micro-batches Spark then schedules exist only
-    // to advance the watermark and EVICT state — for a drain-and-stop
-    // harness that is pure state-store commit I/O (measured ~2× on
-    // q133 at sf0.1). Disable them for the drain's duration only;
-    // windowed-agg streams (whose append OUTPUT does ride the
-    // watermark) do not go through this helper.
+    try
+      withNoDataBatchesDisabled(spark) {
+        val q = runToMemory(build(staged.map(_.toString).getOrElse(src.toString)), name)
+        q.stop()
+      }
+    finally staged.foreach { stage =>
+      // the memory sink holds the drained rows; the staging is disposable
+      java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+    spark.table(name)
+  }
+
+  /** Drained queries emit everything they will ever emit in the DATA
+    * micro-batches: the flatMapGroupsWithState twins emit per batch, an
+    * INNER stream-stream join emits each match as both sides arrive,
+    * and streaming dedup passes each first-seen row through. The
+    * no-data micro-batches Spark then schedules exist only to advance
+    * the watermark and EVICT state — for a drain-and-stop harness that
+    * is pure state-store commit I/O (measured ~2× on q133 at sf0.1).
+    * Disable them for the drain's duration only; windowed-agg streams
+    * (whose append OUTPUT does ride the watermark) do not use this.
+    */
+  private def withNoDataBatchesDisabled[A](spark: SparkSession)(f: => A): A = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try {
-      val q = runToMemory(build(streamDir), name)
-      q.stop()
-    } finally prev match {
+    try f
+    finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-    spark.table(name)
   }
 
   def scdClosedDrain(spark: SparkSession, dir: String): DataFrame =
@@ -324,50 +336,69 @@ object EventsStream {
     * per event_type and hash-compared against the single-copy batch
     * aggregate. Rows of the replayed copy arriving behind the watermark
     * are dropped as late — which for a replay IS the exactly-once
-    * semantics (a late duplicate must not re-count). Output is one copy
-    * of every event under ANY batch grouping (in-batch collapse or
-    * cross-batch state), so file-ordering quirks cannot change the
-    * result.
+    * semantics (a late duplicate must not re-count).
+    *
+    * The staged copies get explicit, strictly ordered modification
+    * times (copy A older than copy B): the file source orders batches
+    * by mtime, and same-millisecond copies could otherwise interleave
+    * A/B files across micro-batches — leaving both copies of some part
+    * file behind a watermark advanced by batch 1 and dropping BOTH as
+    * late (an undercount, not a dedup). With the pinned ordering batch
+    * 1 is exactly copy A and the result is copy A's rows under every
+    * run.
     */
   def dedupReplayDrain(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Determinism._
     val name = s"graft_q137_dedup_${drainCounter.incrementAndGet()}"
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val stage = java.nio.file.Files.createTempDirectory("graft_q137_src")
-    def stageCopy(tag: String): Long =
+    val t0 = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000L)
+    val t1 = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60000L)
+    def stageCopy(tag: String, mtime: java.nio.file.attribute.FileTime): Long =
       if (java.nio.file.Files.isDirectory(src)) {
-        var n = 0L
-        java.nio.file.Files.list(src).forEach { p =>
-          val f = p.getFileName.toString
-          if (f.endsWith(".parquet")) {
-            java.nio.file.Files.copy(p, stage.resolve(s"${tag}_$f"))
-            n += 1
+        val listing = java.nio.file.Files.list(src)
+        try {
+          var n = 0L
+          listing.forEach { p =>
+            val f = p.getFileName.toString
+            if (f.endsWith(".parquet")) {
+              val dst = stage.resolve(s"${tag}_$f")
+              java.nio.file.Files.copy(p, dst)
+              java.nio.file.Files.setLastModifiedTime(dst, mtime)
+              n += 1
+            }
           }
-        }
-        n
+          n
+        } finally listing.close()
       } else {
-        java.nio.file.Files.copy(src, stage.resolve(s"$tag.parquet"))
+        val dst = stage.resolve(s"$tag.parquet")
+        java.nio.file.Files.copy(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst, mtime)
         1L
       }
-    val filesPerCopy = stageCopy("a"); stageCopy("b")
-    val fileSchema = spark.read.parquet(stage.toString).schema
-    val stream = graft.sources.Tables.normalizeEventTime(
-      spark.readStream.schema(fileSchema)
-        .option("maxFilesPerTrigger", filesPerCopy.toString)
-        .parquet(stage.toString))
-    val deduped = stream
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select(col("event_id"), col("event_type"), col("value"))
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    val filesPerCopy = stageCopy("a", t0); stageCopy("b", t1)
     try {
-      val q = runToMemory(deduped, name)
-      q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      val fileSchema = spark.read.parquet(stage.toString).schema
+      val stream = graft.sources.Tables.normalizeEventTime(
+        spark.readStream.schema(fileSchema)
+          .option("maxFilesPerTrigger", filesPerCopy.toString)
+          .parquet(stage.toString))
+      val deduped = stream
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+      withNoDataBatchesDisabled(spark) {
+        val q = runToMemory(deduped, name)
+        q.stop()
+      }
+    } finally {
+      // the memory sink holds the drained rows; the staging is disposable
+      val files = java.nio.file.Files.list(stage)
+      try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally files.close()
+      java.nio.file.Files.deleteIfExists(stage)
     }
     spark.table(name)
       .groupBy(col("event_type"))

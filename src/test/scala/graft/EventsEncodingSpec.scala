@@ -54,10 +54,14 @@ class EventsEncodingSpec extends AnyFunSuite {
     (ns.toString, ntz.toString)
   }
 
-  private def rows(df: DataFrame): Set[Seq[Any]] = {
+  /** Multiset of rows (row → multiplicity): a Set would collapse
+    * duplicate rows and miss an encoding-dependent duplication bug.
+    */
+  private def rows(df: DataFrame): Map[Seq[Any], Int] = {
     val cols = df.columns.sorted.toIndexedSeq
     df.select(cols.map(col): _*).collect()
-      .map(r => cols.indices.map(r.get)).toSet
+      .map(r => cols.indices.map(r.get))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
   }
 
   private def assertTwins(name: String, f: (org.apache.spark.sql.SparkSession, String) => DataFrame): Unit = {
