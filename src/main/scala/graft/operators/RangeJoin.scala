@@ -88,6 +88,30 @@ object RangeJoin {
     * uncapped form. Per-bin shuffle state is O(cap²) at ANY corpus
     * density — that is the 100 TB survival property.
     *
+    * Execution (round-10 shape): one rank window enforces the cap, then
+    * survivors pair via a codegen'd merge join on the bin equi-key —
+    * the collect_list + higher-order-function transform the round-9
+    * form paid on EVERY bin (1.4–3.7× the uncapped twin while the cap
+    * sat dormant) is gone entirely:
+    *
+    *  - rank window: shuffle by bin, sort (bin, id), `row_number ≤ cap`
+    *    — per-bin survivors are the cap smallest ids, exactly the old
+    *    survivorship rule, and the window's per-partition buffering is
+    *    the same state bound the old form carried;
+    *  - both join inputs are projections of the SAME ranked relation,
+    *    canonically identical below the bin exchange, so AQE
+    *    materializes that shuffle once and reuses it (asserted by the
+    *    plan-shape spec at runtime); the (bin, id) sort order already
+    *    satisfies the merge join's bin-key requirement — no re-sort;
+    *  - merge-join pin, never broadcast: the ranked relation is the
+    *    full bin-bounded data — broadcasting it is wrong at scale, and
+    *    a broadcast build side would recompute the whole upstream
+    *    instead of reusing the shared exchange;
+    *  - join fan-in stays ≤ cap² pair candidates per bin (both sides
+    *    rank-filtered before the join) — the same bounded-bucket
+    *    property, now in whole-stage codegen instead of interpreted
+    *    array lambdas.
+    *
     * Output: (`id_a`, `id_b`, `__bin`-free) pair rows, `id_a` < `id_b`.
     */
   def cappedIntervalOverlapSelf(
@@ -97,20 +121,18 @@ object RangeJoin {
     val binned = iv.withColumn("__bin",
       explode(sequence(expr(s"$startCol DIV $binSize"), expr(s"$endCol DIV $binSize"))))
     val w = Window.partitionBy(col("__bin")).orderBy(col(idCol))
-    binned
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
-      .groupBy(col("__bin"))
-      .agg(collect_list(struct(
-        col(idCol).as("id"), col(startCol).as("s"), col(endCol).as("e"))).as("items"))
-      .filter(size(col("items")) >= 2)
-      .select(col("__bin"), explode(expr(
-        "flatten(transform(items, a -> transform(filter(items, b -> b.id > a.id), " +
-          "b -> struct(a.id AS id_a, b.id AS id_b, a.s AS sa, a.e AS ea, " +
-          "b.s AS sb, b.e AS eb))))")).as("p"))
-      .filter(col("p.sa") <= col("p.eb") && col("p.sb") <= col("p.ea"))
+    val ranked = binned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+    val a = ranked.select(col("__bin"), col(idCol).as("__ida"),
+      col(startCol).as("__sa"), col(endCol).as("__ea"))
+    val b = ranked.select(col("__bin"), col(idCol).as("__idb"),
+      col(startCol).as("__sb"), col(endCol).as("__eb"))
+    a.hint("merge").join(b.hint("merge"), Seq("__bin"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(col("__sa") <= col("__eb") && col("__sb") <= col("__ea"))
       .filter(col("__bin") ===
-        greatest(expr(s"p.sa DIV $binSize"), expr(s"p.sb DIV $binSize")))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        greatest(expr(s"__sa DIV $binSize"), expr(s"__sb DIV $binSize")))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
   }
 }

@@ -44,11 +44,29 @@ object EventsStream {
     * Hardcoding `ts: LongType` here against a µs-timestamp file would
     * hand the pipeline raw MICROseconds labeled as nanos — every window,
     * watermark, and join bound silently compressed 1000×.
+    *
+    * The peek needs at least one file present: an empty/missing dir
+    * falls back to the int64-nanos default schema, which is WRONG if
+    * µs-NTZ files land later (the exact 1000× hazard above, with no
+    * signal). The fallback therefore logs a loud warning; callers that
+    * stage files before starting the stream — as every drain in this
+    * repo does — never hit it. A stream cannot re-peek once built (the
+    * source schema is fixed at plan time), so pre-staging is the
+    * contract, not a suggestion.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val fileSchema =
       try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => schema }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          System.err.println(
+            s"[EventsStream.read] WARNING: schema peek of '$dir' failed " +
+              s"(${e.getMessage.takeWhile(_ != '\n')}); falling back to the " +
+              "int64-nanos default schema. If microsecond-timestamp files " +
+              "arrive later they will be misread 1000× — stage at least one " +
+              "file before starting the stream.")
+          schema
+      }
     graft.sources.Tables.normalizeEventTime(
       spark.readStream.schema(fileSchema).parquet(dir))
   }
@@ -279,6 +297,15 @@ object EventsStream {
     * is pure state-store commit I/O (measured ~2× on q133 at sf0.1).
     * Disable them for the drain's duration only; windowed-agg streams
     * (whose append OUTPUT does ride the watermark) do not use this.
+    *
+    * Scope caveat: this flips a SESSION-wide SQL conf for the drain's
+    * duration. Any OTHER streaming query running concurrently on the
+    * same SparkSession that needs no-data batches (an append-mode
+    * windowed agg waiting on the watermark to emit finals) would be
+    * silently starved during that window. The drains in this repo run
+    * strictly sequentially, so the constraint is moot here; if drains
+    * ever run concurrently with other streams, give them a cloned
+    * session (`spark.newSession()`) so the conf flip is isolated.
     */
   private def withNoDataBatchesDisabled[A](spark: SparkSession)(f: => A): A = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -379,6 +406,11 @@ object EventsStream {
         1L
       }
     val filesPerCopy = stageCopy("a", t0); stageCopy("b", t1)
+    // a directory-shaped source with zero *.parquet files would pass
+    // maxFilesPerTrigger=0 to the file source — an invalid option whose
+    // failure points nowhere near the real problem (an empty source)
+    require(filesPerCopy > 0,
+      s"dedupReplayDrain: no *.parquet files under $src — nothing to replay")
     try {
       val fileSchema = spark.read.parquet(stage.toString).schema
       val stream = graft.sources.Tables.normalizeEventTime(

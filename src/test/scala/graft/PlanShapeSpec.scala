@@ -444,13 +444,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q125 capped overlap is a join-free bounded-bucket pipeline") {
-    val p = plan(graft.operators.AsOf.sessionOverlapMatrixCapped(spark, sf))
-    // the whole point of the cap: NO join operator at all — pairs form
-    // inside each bin's collect_list, like every banded dedup bucket
-    assertNoJoin(p, "cappedIntervalOverlap")
-    // session agg + bin window/agg (shared partitioning) + pair agg
-    assert(shuffles(p) <= 4, s"expected ≤4 shuffles:\n${p.take(2000)}")
+  test("q125 capped overlap: rank-capped codegen merge join, no array pairing") {
+    // round-10 shape: the cap is a rank window (≤ cap survivors per
+    // bin), pairing is a codegen merge join on the bin equi-key — the
+    // round-9 collect_list + interpreted array-lambda bucket cost 1.4×
+    // the uncapped twin even with the cap dormant, and is banned here.
+    val df = graft.operators.AsOf.sessionOverlapMatrixCapped(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay on the bin equi-key:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"), s"pairs must merge-join:\n${p.take(2000)}")
+    // the ranked relation is the full bin-bounded data — broadcast
+    // would be wrong at scale and recomputes the upstream to boot
+    assert(!p.contains("BroadcastHashJoin"),
+      s"full-data side must not broadcast:\n${p.take(2000)}")
+    assert(p.contains("row_number"), s"cap must rank by id:\n${p.take(2000)}")
+    assert(!p.contains("collect_list"),
+      s"no array pairing — that is the dormant-cap overhead:\n${p.take(2000)}")
+    // both join sides are canonically identical below the bin exchange —
+    // AQE must materialize that shuffle once and reuse it, or the join
+    // pays 2× upstream compute
+    df.collect() // finalize THIS QueryExecution's adaptive plan (a
+    // write/count action would plan a fresh QueryExecution instead)
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"), fin.take(500))
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"),
+      s"bin exchange must be reused across the join sides:\n${fin.take(3000)}")
   }
 
   test("q126 media decode never shuffles: generation and parse are map-only") {
