@@ -183,6 +183,9 @@ object SparkEntry {
     "q136_split_leakage" -> (Dedup.splitLeakageMatrix _),
     "q137_stream_dedup_replay" -> (graft.streaming.EventsStream.dedupReplayDrain _),
     "q138_semantic_leakage" -> (Dedup.semanticSplitLeakageMatrix _),
+    "q139_kmv_derived" -> (Sketches.kmvDistinctDerived _),
+    "q140_curation_endgame" ->
+      (graft.operators.CurationPipeline.endgameReport _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -334,6 +337,27 @@ object SparkEntry {
        |      CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT)
        |        % ${Sampling.Buckets} AS hb FROM $table) t""".stripMargin
   }
+  // KMV distinct replay at sketch size k, graded at boundPpm — shared
+  // by the pinned-k oracle (q135) and its derived-k twin (q139) so the
+  // estimator algebra cannot diverge between the two
+  private def kmvSql(k: Int, boundPpm: Long): String =
+    s"""WITH $shingleCte,
+       |h AS (SELECT DISTINCT
+       |    CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS hv FROM sh),
+       |mink AS (SELECT hv FROM h ORDER BY hv ASC LIMIT $k),
+       |s AS (SELECT MAX(hv) AS h_k, COUNT(*) AS n_kept FROM mink),
+       |ex AS (SELECT COUNT(DISTINCT sh) AS exact_ndv FROM sh),
+       |est AS (SELECT CAST($k AS BIGINT) AS k,
+       |    CAST(n_kept AS BIGINT) AS n_kept, h_k,
+       |    CAST(CASE WHEN n_kept < $k THEN n_kept
+       |      ELSE (n_kept - 1) * 4294967296 // greatest(h_k, 1) END AS BIGINT) AS est_ndv,
+       |    CAST(exact_ndv AS BIGINT) AS exact_ndv
+       |  FROM s, ex)
+       |SELECT k, n_kept, h_k, est_ndv, exact_ndv,
+       |  CAST(abs(est_ndv - exact_ndv) * 1000000 // exact_ndv AS BIGINT) AS err_ppm,
+       |  (abs(est_ndv - exact_ndv) * 1000000 // exact_ndv) <= $boundPpm AS kmv_ok
+       |FROM est""".stripMargin
+
   // minhash → bands → capped buckets → candidate pairs — the full q39
   // pipeline as CTEs, shared by q39 itself and q70's component closure.
   // The tail (everything after the shared shingle CTE) is separate so
@@ -2321,22 +2345,91 @@ object SparkEntry {
     // split/sample query, k smallest distinct values, (k-1)*2^32/h_k;
     // undersized sketch (n_kept < k) IS the exact distinct-hash set
     "q135_kmv_distinct" ->
-      s"""WITH $shingleCte,
-         |h AS (SELECT DISTINCT
-         |    CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS hv FROM sh),
-         |mink AS (SELECT hv FROM h ORDER BY hv ASC LIMIT ${graft.operators.Sketches.KmvK}),
-         |s AS (SELECT MAX(hv) AS h_k, COUNT(*) AS n_kept FROM mink),
-         |ex AS (SELECT COUNT(DISTINCT sh) AS exact_ndv FROM sh),
-         |est AS (SELECT CAST(${graft.operators.Sketches.KmvK} AS BIGINT) AS k,
-         |    CAST(n_kept AS BIGINT) AS n_kept, h_k,
-         |    CAST(CASE WHEN n_kept < ${graft.operators.Sketches.KmvK} THEN n_kept
-         |      ELSE (n_kept - 1) * 4294967296 // greatest(h_k, 1) END AS BIGINT) AS est_ndv,
-         |    CAST(exact_ndv AS BIGINT) AS exact_ndv
-         |  FROM s, ex)
-         |SELECT k, n_kept, h_k, est_ndv, exact_ndv,
-         |  CAST(abs(est_ndv - exact_ndv) * 1000000 // exact_ndv AS BIGINT) AS err_ppm,
-         |  (abs(est_ndv - exact_ndv) * 1000000 // exact_ndv) <= 100000 AS kmv_ok
-         |FROM est""".stripMargin,
+      kmvSql(graft.operators.Sketches.KmvK, 100000L),
+    // derived-k twin: k = ⌈1/ε²⌉+2 from the target error, bound ≈ 3.2σ
+    "q139_kmv_derived" ->
+      kmvSql(
+        graft.operators.Sketches.kmvKFor(graft.operators.Sketches.KmvTargetRelErr),
+        graft.operators.Sketches.kmvBoundPpm(graft.operators.Sketches.KmvTargetRelErr)),
+    // the composed endgame: q95's removed set + scrub profile, then
+    // q94's bucket sweep re-run over the SURVIVORS' scrubbed mass —
+    // four statuses, exact token mass before/after the full chain
+    "q140_curation_endgame" -> {
+      import graft.operators.Sampling.{BudgetBucketWidth, BudgetPpm}
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+         |comp AS (SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+         |         FROM reach GROUP BY doc),
+         |mm AS (
+         |  SELECT comp.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY comp.component
+         |      ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rk
+         |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id),
+         |removed AS (SELECT doc_id FROM mm WHERE rk > 1),
+         |ztk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |zp AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(toks) - 2),
+         |        i -> {'pos': i,
+         |              'sh': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})) AS u
+         |    FROM ztk WHERE len(toks) >= 3) q),
+         |zh AS (SELECT doc_id, pos,
+         |      CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS shash FROM zp),
+         |zdd AS (SELECT doc_id, pos,
+         |      MIN(doc_id) OVER (PARTITION BY shash)
+         |        <> MAX(doc_id) OVER (PARTITION BY shash) AS dup
+         |    FROM zh),
+         |zcov AS (SELECT DISTINCT doc_id, pos + off AS tp
+         |         FROM zdd, (SELECT unnest([0, 1, 2]) AS off) o
+         |         WHERE dup),
+         |za AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+         |       FROM zcov GROUP BY 1),
+         |t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS grand FROM t),
+         |d AS (SELECT doc_id,
+         |      grand // COUNT(*) OVER (PARTITION BY token) AS idf_x
+         |    FROM t, g),
+         |scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |    CAST(SUM(idf_x) // COUNT(*) AS BIGINT) // $BudgetBucketWidth
+         |      AS score_bucket
+         |  FROM d GROUP BY 1),
+         |base AS (
+         |  SELECT s.doc_id, s.n_tok, s.score_bucket,
+         |    (r.doc_id IS NOT NULL) AS removed,
+         |    COALESCE(za.n_covered, 0) AS n_covered,
+         |    s.n_tok - COALESCE(za.n_covered, 0) AS n_scrubbed
+         |  FROM scored s
+         |  LEFT JOIN removed r ON s.doc_id = r.doc_id
+         |  LEFT JOIN za ON s.doc_id = za.doc_id),
+         |b AS (SELECT score_bucket, CAST(SUM(n_scrubbed) AS BIGINT) AS tok_total
+         |      FROM base WHERE NOT removed GROUP BY 1),
+         |gt AS (SELECT CAST(SUM(n_scrubbed) AS BIGINT) AS grand
+         |       FROM base WHERE NOT removed),
+         |keptb AS (SELECT score_bucket,
+         |    (SUM(tok_total) OVER (ORDER BY score_bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+         |      <= $BudgetPpm * (SELECT grand FROM gt)) AS kept
+         |  FROM b)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_before,
+         |  CAST(SUM(tok_after) AS BIGINT) AS tok_after
+         |FROM (
+         |  SELECT base.doc_id, base.n_tok,
+         |    CASE WHEN base.removed THEN 'removed_dup'
+         |         WHEN NOT COALESCE(k.kept, FALSE) THEN 'removed_budget'
+         |         WHEN base.n_covered > 0 THEN 'kept_trimmed'
+         |         ELSE 'kept_clean' END AS status,
+         |    CASE WHEN base.removed OR NOT COALESCE(k.kept, FALSE) THEN 0
+         |         ELSE base.n_scrubbed END AS tok_after
+         |  FROM base LEFT JOIN keptb k ON base.score_bucket = k.score_bucket) led
+         |GROUP BY 1""".stripMargin
+    },
     // LSH near-dup pairs labeled by the q49 hash split on both ends,
     // rolled up to the orientation-free (split, split) matrix — the
     // off-diagonal cells are evaluation leakage

@@ -36,6 +36,8 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     try {
       df.write.mode("overwrite").parquet(tmp)
       swap(tmp, fin, old)
+      // metastore sync BEFORE deleting the backup: a crash during the
+      // sync must leave `_old` for recovery (crash-matrix contract)
       table.foreach(syncMetastore(_, tableDir, year))
       if (fsOps.exists(old)) fsOps.delete(old)
       fin
@@ -43,6 +45,63 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
       case e: Throwable =>
         if (fsOps.exists(tmp)) fsOps.delete(tmp)
         throw e
+    }
+  }
+
+  /** The same swap protocol for an arbitrary `col=value` partition
+    * directory (no metastore sync — callers with a registered table use
+    * [[write]]). The `_tmp`/`_old` suffix discipline is shared, so
+    * [[repair]] reaps crashed runs of EITHER entry point. Used by the
+    * curation endgame to commit `split=train/val/test` atomically.
+    */
+  def writePartitionDir(df: DataFrame, tableDir: String,
+      partDir: String): String = {
+    val tmp = s"$tableDir/${partDir}_tmp"
+    val fin = s"$tableDir/$partDir"
+    val old = s"$tableDir/${partDir}_old"
+    try {
+      df.write.mode("overwrite").parquet(tmp)
+      swap(tmp, fin, old)
+      if (fsOps.exists(old)) fsOps.delete(old)
+      fin
+    } catch {
+      case e: Throwable =>
+        if (fsOps.exists(tmp)) fsOps.delete(tmp)
+        throw e
+    }
+  }
+
+  /** Commit a WHOLE partitioned relation atomically per partition:
+    * `df` is written ONCE via `partitionBy(partCol)` into a `_tmp`
+    * staging dir (one pipeline evaluation however many partitions
+    * exist — per-partition [[writePartitionDir]] calls would recompute
+    * the upstream once per partition), then every staged
+    * `partCol=value` directory is swapped into place through the same
+    * backup-rename protocol. Atomicity is PER PARTITION, as with every
+    * other entry point here: a crash mid-commit leaves each partition
+    * either old or new plus `_tmp`/`_old` litter that [[repair]] reaps
+    * (the staging dir's `_tmp` suffix makes it reapable too). Returns
+    * committed paths keyed by partition value.
+    */
+  def commitPartitioned(df: DataFrame, tableDir: String,
+      partCol: String): Map[String, String] = {
+    val staging = s"$tableDir/${partCol}_stage_tmp"
+    try {
+      df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
+      val parts = fsOps.fs
+        .listStatus(new org.apache.hadoop.fs.Path(staging))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$partCol="))
+        .sorted
+      parts.map { p =>
+        val fin = s"$tableDir/$p"
+        swap(s"$staging/$p", fin, s"$tableDir/${p}_old")
+        if (fsOps.exists(s"$tableDir/${p}_old")) fsOps.delete(s"$tableDir/${p}_old")
+        p.stripPrefix(s"$partCol=") -> fin
+      }.toMap
+    } finally {
+      if (fsOps.exists(staging)) fsOps.delete(staging)
     }
   }
 

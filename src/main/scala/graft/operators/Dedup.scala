@@ -653,17 +653,28 @@ object Dedup {
     * only — tiny, broadcast. Nothing new shuffles beyond the two
     * constituent pipelines.
     */
-  def curationDelta(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-    val covered = dupSpanScrub(spark, dir).select(col("doc_id"), col("n_covered"))
-    val removed = dedupComponents(spark, dir)
+  /** The removal set of [[dedupSurvivors]]' rule — every non-survivor
+    * member of a near-dup cluster, as bare `doc_id` rows. Tiny next to
+    * the corpus (cluster members only), so its consumers broadcast it.
+    * Shared by q95's delta and the composed endgame
+    * ([[CurationPipeline.endgameLedger]]) so the removal rule cannot
+    * drift between the report and the committed corpus.
+    */
+  def nonSurvivors(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
         Seq("doc_id"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("component"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)))
       .filter(col("rk") > 1)
+      .select(col("doc_id"))
+
+  def curationDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val covered = dupSpanScrub(spark, dir).select(col("doc_id"), col("n_covered"))
+    val removed = nonSurvivors(spark, dir)
       .select(col("doc_id"), lit(true).as("removed"))
     docs
       .join(covered, Seq("doc_id"), "left_outer")

@@ -139,6 +139,30 @@ object Sketches {
     */
   val KmvK = 1024
 
+  /** Target relative (standard) error for the DERIVED-k KMV twin
+    * (q139) — the knob a user actually holds. The pinned [[KmvK]] form
+    * (q135) stays as the fixed-seed oracle, the q106/q108 posture
+    * applied to the last pinned sketch size.
+    */
+  val KmvTargetRelErr = 0.05
+
+  /** KMV size for a target standard error ε ≈ 1/√(k−2):
+    * k = ⌈1/ε²⌉ + 2 — the [[bloomBitsFor]] pattern (size the sketch
+    * from the guarantee, never a constant), floored so an absurdly
+    * loose target still keeps a non-degenerate sketch. ε = 5% → k=402;
+    * ε = 1% → k=10 002. The sketch is k values whatever the corpus
+    * size — deriving k costs nothing at 100 TB.
+    */
+  def kmvKFor(relErr: Double): Int =
+    math.max(64, math.ceil(1.0 / (relErr * relErr)).toInt + 2)
+
+  /** Gate bound for a KMV estimate at target error `relErr`: ~3.2σ in
+    * ppm — the same confidence [[KmvK]]'s fixed 10% bound encodes
+    * (3.2/√1022 ≈ 10%).
+    */
+  def kmvBoundPpm(relErr: Double): Long =
+    math.ceil(3.2 * relErr * 1000000.0).toLong
+
   /** KMV (k-minimum-values) distinct sketch with an exact audit (q135)
     * — the one NDV estimator that is exactly replayable cross-engine:
     * hash every token through the engine-wide md5-prefix hash (32-bit
@@ -157,7 +181,20 @@ object Sketches {
     * (≈3.2σ) of the exact count — deterministic on both engines, so a
     * hash/estimator drift fails the gate rather than wobbling.
     */
-  def kmvDistinctChecked(spark: SparkSession, dir: String): DataFrame = {
+  def kmvDistinctChecked(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinctCheckedK(spark, dir, KmvK, boundPpm = 100000L)
+
+  /** Derived-k twin (q139): k sized from [[KmvTargetRelErr]] via
+    * [[kmvKFor]], graded against the matching [[kmvBoundPpm]] — the
+    * production posture (hold the error target, derive the knob), with
+    * q135's pinned k kept as the fixed-seed oracle.
+    */
+  def kmvDistinctDerived(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinctCheckedK(spark, dir,
+      kmvKFor(KmvTargetRelErr), kmvBoundPpm(KmvTargetRelErr))
+
+  private def kmvDistinctCheckedK(spark: SparkSession, dir: String,
+      k: Int, boundPpm: Long): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // sketched key: the 3-token shingle — the dedup family's unit and
     // the one high-cardinality string space in the corpus (the synthetic
@@ -167,18 +204,18 @@ object Sketches {
     val hashes = sh.select(
       expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 8)").as("hv"))
       .distinct()
-    val sketch = hashes.orderBy(col("hv").asc).limit(KmvK)
+    val sketch = hashes.orderBy(col("hv").asc).limit(k)
       .agg(max(col("hv")).as("h_k"), count(lit(1)).as("n_kept"))
     val exact = sh.agg(countDistinct(col("sh")).as("exact_ndv"))
     sketch.crossJoin(exact) // two single rows — trivial join
       .withColumn("est_ndv",
-        when(col("n_kept") < KmvK, col("n_kept")) // undersized: sketch IS the set
+        when(col("n_kept") < k, col("n_kept")) // undersized: sketch IS the set
           .otherwise(expr("(n_kept - 1) * 4294967296 DIV greatest(h_k, 1)")))
       .withColumn("err_ppm",
         expr("abs(est_ndv - exact_ndv) * 1000000 DIV exact_ndv"))
-      .select(lit(KmvK.toLong).as("k"), col("n_kept"), col("h_k"),
+      .select(lit(k.toLong).as("k"), col("n_kept"), col("h_k"),
         col("est_ndv"), col("exact_ndv"), col("err_ppm"),
-        (col("err_ppm") <= 100000L).as("kmv_ok"))
+        (col("err_ppm") <= boundPpm).as("kmv_ok"))
   }
 
   /** `percentile_approx` accuracy knob for [[quantileSketchChecked]]:
