@@ -91,6 +91,44 @@ object Bench {
     if (coldFailures + warmFailures > 0)
       System.err.println(
         s"[bench] $coldFailures cold / $warmFailures warm query runs failed — totals are partial")
+    // ANN serving budget (round-9 verdict item 4): the √N production
+    // claim is carried by the FIXED-budget measurement (1000 queries
+    // through the derived-knob searches, whatever the corpus size) —
+    // the graded q106/q108 can't make it because their query set grows
+    // with the corpus. Re-measured every bench run as a contract field
+    // instead of an ad-hoc TimeLab invocation. Two samples, warm kept
+    // (serving cost is steady-state); skipped under a query filter
+    // (scale-rehearsal runs measure their own subset).
+    case class AnnBudget(n: Long, nlist: Int, nprobe: Int, k: Int,
+      ivfColdSec: Double, ivfWarmSec: Double,
+      ivfpqColdSec: Double, ivfpqWarmSec: Double)
+    val annBudget: Option[AnnBudget] = if (filters.nonEmpty) None else try {
+      import graft.operators.Similarity
+      val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+      val nlist = Similarity.nlistFor(n)
+      val nprobe = Similarity.nprobeFor(nlist)
+      val k = Similarity.pqKFor(n)
+      def sample(df: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def ivf() = sample(Similarity.ivfKnnFor(spark, sfDir, nlist, nprobe,
+        queryBudget = Some(1000L)))
+      def ivfpq() = sample(Similarity.ivfPqSearchFor(spark, sfDir, nlist, nprobe, k,
+        queryBudget = Some(1000L)))
+      val (ic, pc) = (ivf(), ivfpq())
+      val (iw, pw) = (ivf(), ivfpq())
+      Some(AnnBudget(n, nlist, nprobe, k, ic, iw, pc, pw))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ann budget measurement failed: ${e.toString.take(300)}")
+        blog.error("ann budget failed", "error" -> e.toString.take(300))
+        None
+    }
+    // headline per-query serving cost: the warm full IVF-PQ search over
+    // the 1000-query budget, in ms/query
+    val annMsPerQ = annBudget.map(b => b.ivfpqWarmSec * 1000.0 / 1000.0)
     def fmt(rs: Seq[(String, Double)], scale: Int = 9): String =
       rs.map { case (k, v) =>
         "\"" + k + "\":" + BigDecimal(v)
@@ -110,7 +148,19 @@ object Bench {
         s""""warm_value":$warmTotal,""" +
         (if (detail) s""""warm_queries":${fmt(warm)},""" else "") +
         s""""failures":$coldFailures,"warm_failures":$warmFailures,""" +
-        s""""warm_reruns":$reruns,"sf":"$sfDir"}"""
+        s""""warm_reruns":$reruns,""" +
+        // per-query ANN serving cost at the fixed 1000-query budget —
+        // one compact number on stdout (the bounded-tail constraint);
+        // the sidecar carries the full breakdown
+        annMsPerQ.map(v => s""""ann_ms_per_q":${f"$v%.2f"},""").getOrElse("") +
+        (if (detail) annBudget.map(b =>
+          s""""ann_budget":{"n":${b.n},"nlist":${b.nlist},"nprobe":${b.nprobe},""" +
+            s""""k":${b.k},"ivf_cold_sec":${f"${b.ivfColdSec}%.3f"},""" +
+            s""""ivf_warm_sec":${f"${b.ivfWarmSec}%.3f"},""" +
+            s""""ivfpq_cold_sec":${f"${b.ivfpqColdSec}%.3f"},""" +
+            s""""ivfpq_warm_sec":${f"${b.ivfpqWarmSec}%.3f"}},""").getOrElse("")
+         else "") +
+        s""""sf":"$sfDir"}"""
     }
     blog.info("bench complete", "sf" -> sfDir, "queries" -> selected.size,
       "cold_sec" -> coldTotal, "warm_sec" -> warmTotal,

@@ -231,5 +231,13 @@ object ScaleRehearsal {
       .filter(col("hit")).count()
     println(f"[caps] bloom-auto n=$nFps bits=$bits measured_fpr=${hits.toDouble / probes}%.5f " +
       s"target=${graft.operators.Sketches.BloomTargetFpr}")
+
+    // derived-k KMV (q139): ε = 1/√(k−2) is corpus-size invariant, but
+    // the realized draw at this NDV must stay inside the graded bound
+    val kmv = graft.operators.Sketches.kmvDistinctDerived(spark, dir).first()
+    println(s"[caps] kmv-derived k=${kmv.getLong(0)} est_ndv=${kmv.getLong(3)} " +
+      s"exact_ndv=${kmv.getLong(4)} err_ppm=${kmv.getLong(5)} " +
+      s"bound_ppm=${graft.operators.Sketches.kmvBoundPpm(
+        graft.operators.Sketches.KmvTargetRelErr)} ok=${kmv.getBoolean(6)}")
   }
 }

@@ -472,6 +472,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bin exchange must be reused across the join sides:\n${fin.take(3000)}")
   }
 
+  test("q140 endgame ledger: tiny sets broadcast, corpus never cartesians") {
+    val p = plan(graft.operators.CurationPipeline.endgameLedger(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"composed chain must stay equi-keyed:\n${p.take(2000)}")
+    // single-row scalar attaches (each constituent pipeline's `grand`
+    // aggregate) plan as BroadcastNestedLoopJoin BuildRight Cross by
+    // design; what the lock bans is a CONDITIONED nested loop — a theta
+    // join over two data-sized sides
+    "BroadcastNestedLoopJoin.*".r.findAllIn(p).foreach { m =>
+      assert(m.contains("BuildRight, Cross"),
+        s"only broadcast scalar cross attaches may nested-loop: $m")
+    }
+    // the removal set and the kept-bucket relation are cluster/bucket
+    // sized — they must reach the corpus as broadcasts, never shuffles
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"removed + keptBuckets must broadcast:\n${p.take(2000)}")
+  }
+
   test("q126 media decode never shuffles: generation and parse are map-only") {
     val media = graft.multimodal.Multimodal.mediaBytesFromDocuments(spark, sf)
     val p = plan(graft.multimodal.Multimodal.decodeMedia(media))

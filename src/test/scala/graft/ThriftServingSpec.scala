@@ -155,6 +155,59 @@ class ThriftServingSpec extends AnyFunSuite
     }
   }
 
+  test("media features and a drained streaming table serve over JDBC") {
+    val sf = "/root/testdata/sf0.001"
+    // q134's extractor is engine-side mapPartitions (bytes never leave
+    // the executors); serving exposes its RESULT relationally — the
+    // drain → commit → serve shape a production media pipeline has
+    val mediaDir = java.nio.file.Files
+      .createTempDirectory("graft-media-served").toString
+    graft.multimodal.Multimodal.mediaByteHistogram(spark, sf)
+      .write.mode("overwrite").parquet(mediaDir)
+    spark.sql("DROP TABLE IF EXISTS media_served")
+    spark.sql(s"CREATE TABLE media_served USING PARQUET LOCATION '$mediaDir'")
+    // the streaming SCD drain (q127's machine), committed then served:
+    // memory-sink drains are session-local temp views, invisible to the
+    // thrift-spawned sessions — a served stream is a committed table
+    val scdDir = java.nio.file.Files
+      .createTempDirectory("graft-scd-served").toString
+    graft.streaming.EventsStream.scdClosedDrain(spark, sf)
+      .write.mode("overwrite").parquet(scdDir)
+    spark.sql("DROP TABLE IF EXISTS scd_served")
+    spark.sql(s"CREATE TABLE scd_served USING PARQUET LOCATION '$scdDir'")
+    val queries = Seq(
+      // media histogram columns straight off the committed features
+      """SELECT media_id, size_bytes, h00, h07, h15 FROM media_served
+        |ORDER BY media_id LIMIT 40""".stripMargin,
+      // aggregation over the feature table (histogram mass sanity)
+      """SELECT count(*) AS n, CAST(sum(size_bytes) AS BIGINT) AS bytes,
+        |  CAST(sum(h00 + h15) AS BIGINT) AS edge_mass
+        |FROM media_served""".stripMargin,
+      // the drained SCD intervals, ordered and windowed over JDBC
+      """SELECT user_id, version, state, valid_from, valid_to, n_events
+        |FROM scd_served ORDER BY user_id, version LIMIT 60""".stripMargin,
+      """SELECT user_id, count(*) AS n_closed,
+        |  CAST(max(valid_to - valid_from) AS BIGINT) AS longest_us
+        |FROM scd_served GROUP BY user_id ORDER BY user_id LIMIT 40""".stripMargin)
+    locally {
+      val conn = connect()
+      try {
+        queries.zipWithIndex.foreach { case (sql, i) =>
+          val local = spark.sql(sql).collect().map(r =>
+            (0 until r.length).map(j => String.valueOf(r.get(j))).mkString(""))
+          val rs = conn.createStatement().executeQuery(sql)
+          val n = rs.getMetaData.getColumnCount
+          val served = Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString(""))
+            .toArray
+          assert(served.toSeq == local.toSeq,
+            s"round-9 surface query #$i diverged over thrift:\n$sql")
+          assert(local.nonEmpty, s"round-9 surface query #$i returned no rows:\n$sql")
+        }
+      } finally conn.close()
+    }
+  }
+
   private def retry[A](attempts: Int, sleepMs: Long)(f: => A): A =
     try f catch {
       case e: Throwable if attempts > 1 =>
