@@ -186,6 +186,8 @@ object SparkEntry {
     "q139_kmv_derived" -> (Sketches.kmvDistinctDerived _),
     "q140_curation_endgame" ->
       (graft.operators.CurationPipeline.endgameReport _),
+    "q141_denylist_scrub" -> (TextOps.denylistScrub _),
+    "q142_kmv_shard_merge" -> (Sketches.kmvShardMerge _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2429,6 +2431,49 @@ object SparkEntry {
          |         ELSE base.n_scrubbed END AS tok_after
          |  FROM base LEFT JOIN keptb k ON base.score_bucket = k.score_bucket) led
          |GROUP BY 1""".stripMargin
+    },
+    // denylist membership folded into one scan; verdict boundary in
+    // exact integer ppm
+    "q141_denylist_scrub" -> {
+      val dl = graft.operators.TextOps.Denylist
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         |d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(toks, t -> t IN ($dl))) AS BIGINT) AS n_flagged
+         |  FROM tk WHERE len(toks) > 0)
+         |SELECT source,
+         |  CASE WHEN n_flagged * 1000000 // n_tok > ${graft.operators.TextOps.DenyBlockPpm}
+         |         THEN 'block'
+         |       WHEN n_flagged > 0 THEN 'scrub' ELSE 'clean' END AS verdict,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(SUM(n_flagged) AS BIGINT) AS flagged_total
+         |FROM d GROUP BY 1, 2""".stripMargin
+    },
+    // per-source min-k sketches re-min-k'd vs the direct global sketch:
+    // hash-equal rows prove the merge algebra exactly
+    "q142_kmv_shard_merge" -> {
+      val k = graft.operators.Sketches.kmvKFor(
+        graft.operators.Sketches.KmvTargetRelErr)
+      s"""WITH $shingleCte,
+         |h AS (SELECT DISTINCT source,
+         |    CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS hv FROM sh),
+         |ps AS (SELECT DISTINCT hv FROM (
+         |    SELECT hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv ASC) AS rn
+         |    FROM h) t
+         |  WHERE rn <= $k),
+         |mk AS (SELECT hv FROM ps ORDER BY hv ASC LIMIT $k),
+         |gd AS (SELECT DISTINCT hv FROM h),
+         |gk AS (SELECT hv FROM gd ORDER BY hv ASC LIMIT $k),
+         |u AS (
+         |  SELECT 'merged' AS side, MAX(hv) AS h_k, COUNT(*) AS n_kept FROM mk
+         |  UNION ALL
+         |  SELECT 'global' AS side, MAX(hv) AS h_k, COUNT(*) AS n_kept FROM gk)
+         |SELECT side, CAST($k AS BIGINT) AS k, CAST(n_kept AS BIGINT) AS n_kept,
+         |  h_k,
+         |  CAST(CASE WHEN n_kept < $k THEN n_kept
+         |    ELSE (n_kept - 1) * 4294967296 // greatest(h_k, 1) END AS BIGINT) AS est_ndv
+         |FROM u""".stripMargin
     },
     // LSH near-dup pairs labeled by the q49 hash split on both ends,
     // rolled up to the orientation-free (split, split) matrix — the

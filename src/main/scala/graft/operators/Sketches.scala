@@ -193,6 +193,47 @@ object Sketches {
     kmvDistinctCheckedK(spark, dir,
       kmvKFor(KmvTargetRelErr), kmvBoundPpm(KmvTargetRelErr))
 
+  /** KMV shard-merge algebra under the gate (q142) — the property that
+    * makes KMV the 100 TB profiler's NDV sketch: min-k sketches built
+    * INDEPENDENTLY per shard (here: per source) merge by re-taking the
+    * min-k of their union, and the merged sketch equals the sketch
+    * built over the whole corpus EXACTLY — min-k(∪ min-k(Sᵢ)) =
+    * min-k(∪ Sᵢ), since any globally k-smallest value is necessarily
+    * k-smallest within its own shard. The round-9 spec asserted this on
+    * a toy relation; this grades it on the corpus, against the oracle,
+    * with the derived k. Output: one row per side (merged / global)
+    * with h_k, n_kept, and the estimate — hash-equal rows ⇒ the merge
+    * is exact, and DuckDB replays both sides independently.
+    *
+    * Plan: per-shard min-k is a rank window over the distinct hashes
+    * (shard-local, the distributed step); the union of survivors is
+    * shards×k rows — driver-scale — so the global re-take is free.
+    */
+  def kmvShardMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val k = kmvKFor(KmvTargetRelErr)
+    val hashed = Dedup.shingles(Tables.documents(spark, dir))
+      .select(col("source"),
+        expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 8)").as("hv"))
+      .distinct()
+    def sketchOf(hv: DataFrame, side: String): DataFrame =
+      hv.orderBy(col("hv").asc).limit(k)
+        .agg(max(col("hv")).as("h_k"), count(lit(1)).as("n_kept"))
+        .select(lit(side).as("side"), lit(k.toLong).as("k"),
+          col("n_kept"), col("h_k"),
+          when(col("n_kept") < k, col("n_kept"))
+            .otherwise(expr("(n_kept - 1) * 4294967296 DIV greatest(h_k, 1)"))
+            .as("est_ndv"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hv").asc)
+    val perShard = hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("hv")).distinct() // cross-shard duplicate hashes collapse
+    sketchOf(perShard, "merged")
+      .unionAll(sketchOf(hashed.select(col("hv")).distinct(), "global"))
+  }
+
   private def kmvDistinctCheckedK(spark: SparkSession, dir: String,
       k: Int, boundPpm: Long): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)

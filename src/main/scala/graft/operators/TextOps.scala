@@ -440,4 +440,48 @@ object TextOps {
       .filter(col("score_ppm") >= WinnowScorePpm)
       .select(col("doc_a"), col("doc_b"), col("score_ppm"))
   }
+
+  /** Denylist for [[denylistScrub]]. In production this is a loaded
+    * wordlist (NSFW/toxicity/blocked-entity terms) broadcast to the
+    * scan; here a fixed slice of the synthetic vocabulary so the
+    * detector branch actually exercises. The mechanism — broadcast
+    * membership filter inside a single corpus scan — is the scale
+    * contract; the list contents are config.
+    */
+  val Denylist: Seq[String] = Seq("customer", "stream", "vector")
+
+  /** Flagged-mass share (ppm of a doc's tokens) above which the doc is
+    * blocked outright rather than scrubbed.
+    */
+  val DenyBlockPpm = 100000L
+
+  /** Denylisted-term scrub (q141) — the safety/content-filtering stage
+    * of a curation pipeline (wordlist blocking), distinct from the
+    * STATISTICAL quality gates (q34/q100): per document, count tokens
+    * on the denylist, then verdict `block` (flagged share above
+    * [[DenyBlockPpm]]), `scrub` (any hit — the doc survives minus its
+    * flagged tokens), or `clean`; rolled up per (source, verdict) with
+    * exact token mass. Integer ppm throughout, so the verdict boundary
+    * is bit-stable cross-engine.
+    *
+    * Plan: one corpus scan, the denylist folded into the row predicate
+    * (a literal IN-list here; a broadcast join for a list too large to
+    * inline) — no shuffle before the tiny (source × verdict) rollup.
+    */
+  def denylistScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_flagged",
+        size(filter(col("toks"), t => t.isin(Denylist: _*))).cast("long"))
+      .withColumn("flag_ppm", expr("n_flagged * 1000000 DIV n_tok"))
+      .withColumn("verdict",
+        when(col("flag_ppm") > DenyBlockPpm, lit("block"))
+          .when(col("n_flagged") > 0, lit("scrub"))
+          .otherwise(lit("clean")))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(col("n_flagged")).as("flagged_total"))
 }
