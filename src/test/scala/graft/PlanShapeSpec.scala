@@ -490,6 +490,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"removed + keptBuckets must broadcast:\n${p.take(2000)}")
   }
 
+  test("q141 denylist scrub: one scan, membership in the row predicate, one rollup shuffle") {
+    val p = plan(graft.operators.TextOps.denylistScrub(spark, sf))
+    assertNoJoin(p, "denylistScrub")
+    assert(shuffles(p) <= 1, s"only the rollup may shuffle:\n${p.take(2000)}")
+  }
+
   test("q126 media decode never shuffles: generation and parse are map-only") {
     val media = graft.multimodal.Multimodal.mediaBytesFromDocuments(spark, sf)
     val p = plan(graft.multimodal.Multimodal.decodeMedia(media))
