@@ -188,6 +188,7 @@ object SparkEntry {
       (graft.operators.CurationPipeline.endgameReport _),
     "q141_denylist_scrub" -> (TextOps.denylistScrub _),
     "q142_kmv_shard_merge" -> (Sketches.kmvShardMerge _),
+    "q143_value_drift_ks" -> (EventsOps.valueDriftKs _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2475,6 +2476,33 @@ object SparkEntry {
          |    ELSE (n_kept - 1) * 4294967296 // greatest(h_k, 1) END AS BIGINT) AS est_ndv
          |FROM u""".stripMargin
     },
+    // exact two-sample KS in integer ppm over per-(type, cents) counts;
+    // HUGEINT widening mirrors the Spark side's DECIMAL(38,0)
+    "q143_value_drift_ks" ->
+      s"""WITH e AS (SELECT event_type, (event_id % 2 = 0) AS in_a,
+         |    ${cents("value")} AS v_c FROM events),
+         |c AS (SELECT event_type, v_c,
+         |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM e GROUP BY 1, 2),
+         |w AS (SELECT event_type,
+         |    SUM(c_a) OVER (PARTITION BY event_type ORDER BY v_c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         |    SUM(c_b) OVER (PARTITION BY event_type ORDER BY v_c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         |    SUM(c_a) OVER (PARTITION BY event_type) AS n_a,
+         |    SUM(c_b) OVER (PARTITION BY event_type) AS n_b
+         |  FROM c)
+         |SELECT event_type, n_a, n_b, ks_ppm,
+         |  CAST(ks_ppm AS HUGEINT) * ks_ppm * n_a * n_b >
+         |    CAST(${graft.operators.EventsOps.DriftKsCritSq1e12} AS HUGEINT) * (n_a + n_b)
+         |    AS drifted
+         |FROM (
+         |  SELECT event_type, CAST(MAX(n_a) AS BIGINT) AS n_a,
+         |    CAST(MAX(n_b) AS BIGINT) AS n_b,
+         |    CAST(MAX(abs(CAST(cum_a AS HUGEINT) * 1000000 // n_a
+         |      - CAST(cum_b AS HUGEINT) * 1000000 // n_b)) AS BIGINT) AS ks_ppm
+         |  FROM w GROUP BY 1) t""".stripMargin,
     // LSH near-dup pairs labeled by the q49 hash split on both ends,
     // rolled up to the orientation-free (split, split) matrix — the
     // off-diagonal cells are evaluation leakage

@@ -208,4 +208,60 @@ object EventsOps {
       .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+
+  /** c²·10¹² for the KS critical value at α ≈ 0.05 (c = 1.36): the
+    * test D > c·√((n_a+n_b)/(n_a·n_b)) squares to the all-integer
+    * ks_ppm²·n_a·n_b > c²·10¹²·(n_a+n_b) — the sample-size-aware
+    * significance test with no square root and no float, so the flag
+    * is bit-stable cross-engine at every n.
+    */
+  val DriftKsCritSq1e12 = 1849600000000L
+
+  /** Two-sample KS value-drift detector per event type (q143) — the
+    * distribution-drift check a standing ingest runs between a
+    * reference sample and fresh data ("did the value distribution
+    * move?"), the numeric sibling of q92's token-TV divergence. The
+    * two samples here are the deterministic even/odd `event_id` halves
+    * (self-drift: a calibration reading that SHOULD be un-drifted — a
+    * real deployment feeds yesterday/today). The statistic is the
+    * classical KS distance, computed exactly in integer ppm:
+    * D = max over observed values of |CDF_a − CDF_b|.
+    *
+    * Distributed shape: one aggregation to per-(type, value-cents)
+    * counts — the relation is bounded by VALUE CARDINALITY per type,
+    * not row count, which is what makes exact KS feasible at 100 TB —
+    * then running/total sums as two window passes over the SAME
+    * per-type partitioning (one shuffle), and a tiny per-type max. The
+    * ppm arithmetic is DECIMAL(38,0)-widened like q94: cum·10⁶
+    * overflows BIGINT past ~9.2e12 rows per type, and ANSI mode turns
+    * that into an abort on one engine only.
+    */
+  def valueDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("event_id") % 2 === 0).as("in_a"),
+        cents(col("value")).as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum_a", sum(col("c_a")).over(cum))
+      .withColumn("cum_b", sum(col("c_b")).over(cum))
+      .withColumn("n_a", sum(col("c_a")).over(byType))
+      .withColumn("n_b", sum(col("c_b")).over(byType))
+      .withColumn("d_ppm", expr(
+        "CAST(abs(CAST(cum_a AS DECIMAL(38,0)) * 1000000 DIV n_a - " +
+          "CAST(cum_b AS DECIMAL(38,0)) * 1000000 DIV n_b) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("d_ppm")).as("ks_ppm"))
+      // α≈0.05 significance, squared into integers (see the constant);
+      // DECIMAL(38,0) holds ks_ppm²·n_a·n_b ≤ 10³⁶ at 10¹² rows/side
+      .withColumn("drifted", expr(
+        "CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * n_a * n_b > " +
+          s"CAST($DriftKsCritSq1e12 AS DECIMAL(38,0)) * (n_a + n_b)"))
+  }
 }

@@ -496,6 +496,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 1, s"only the rollup may shuffle:\n${p.take(2000)}")
   }
 
+  test("q143 ks drift: cardinality-bounded counts, shared type partitioning, no join") {
+    val p = plan(graft.operators.EventsOps.valueDriftKs(spark, sf))
+    assertNoJoin(p, "valueDriftKs")
+    // count agg on (type, cents) + one window exchange on type; the
+    // final per-type max reuses the window partitioning
+    assert(shuffles(p) <= 2, s"expected ≤2 shuffles:\n${p.take(2000)}")
+  }
+
   test("q126 media decode never shuffles: generation and parse are map-only") {
     val media = graft.multimodal.Multimodal.mediaBytesFromDocuments(spark, sf)
     val p = plan(graft.multimodal.Multimodal.decodeMedia(media))
