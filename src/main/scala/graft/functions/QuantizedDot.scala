@@ -88,10 +88,12 @@ object GraftFunctions {
   val BloomBuildName = "graft_bloom_build"
   val BloomContainsName = "graft_bloom_contains"
   val TopKName = "graft_topk"
+  val CharNgramsName = "graft_char_ngrams"
 
   private val names =
     Seq(DotName, L2Name, ArgmaxDotName, DotTableName, L2TableName, ArgminL2Name,
-      Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName, TopKName)
+      Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName, TopKName,
+      CharNgramsName)
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
@@ -134,6 +136,8 @@ object GraftFunctions {
         exprs(0), exprs(1))
     case TopKName => exprs =>
       BoundedTopK(exprs(0), exprs(1), intLit(exprs(2), TopKName, "k"))
+    case CharNgramsName => exprs =>
+      CharNgrams(exprs(0), intLit(exprs(1), CharNgramsName, "n"))
   }
 
   /** The injectable descriptions for [[GraftExtensions]]. */

@@ -288,10 +288,15 @@ object TextOps {
     */
   def charTrigramQuality(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // native one-pass generator: value-identical to
+    // transform(sequence(1, length-2), i -> substring(text, i, 3)) but
+    // O(len) instead of O(len²) — each substring(text, i, …) re-walks
+    // the UTF-8 prefix to find codepoint i, and BOTH sides of this
+    // query explode every position of every document
     val tris = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
+        s"${graft.functions.GraftFunctions.CharNgramsName}(text, 3)")).as("tg"))
     val model = tris
       .filter(Sampling.hashBucket("doc_id") < 800000L)
       .groupBy(col("tg")).agg(count(lit(1)).as("n_tg"))
