@@ -189,6 +189,10 @@ object SparkEntry {
     "q141_denylist_scrub" -> (TextOps.denylistScrub _),
     "q142_kmv_shard_merge" -> (Sketches.kmvShardMerge _),
     "q143_value_drift_ks" -> (EventsOps.valueDriftKs _),
+    "q144_pii_scrub" -> (TextOps.piiRedactionReport _),
+    "q145_edit_verify" -> (Dedup.lshEditVerify _),
+    "q146_value_outliers" -> (EventsOps.valueOutliersMad _),
+    "q147_stream_sessions" -> (graft.streaming.EventsStream.sessionizeDrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2536,6 +2540,123 @@ object SparkEntry {
          |JOIN sp a ON p.id_a = a.vec_id
          |JOIN sp b ON p.id_b = b.vec_id
          |GROUP BY 1, 2""".stripMargin,
+    // deterministic contact-card derivation + redaction replayed in
+    // RE2; the scrubbed TEXT is under the gate via the md5-prefix sum
+    "q144_pii_scrub" -> {
+      import graft.operators.TextOps.{PiiEmailRe, PiiPhoneRe, PiiIpv4Re}
+      s"""WITH contacts AS (
+         |  SELECT c_mktsegment,
+         |    concat(c_name, ' (', c_mktsegment, ') contact cust',
+         |      CAST(c_custkey AS VARCHAR), '@example.com or +1-555-',
+         |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+         |      ' last seen 10.', CAST(c_custkey % 256 AS VARCHAR),
+         |      '.', CAST((c_custkey * 7) % 256 AS VARCHAR),
+         |      '.', CAST((c_custkey * 13) % 256 AS VARCHAR)) AS text
+         |  FROM customer),
+         |s AS (
+         |  SELECT c_mktsegment, text,
+         |    CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(text, '$PiiIpv4Re')) AS BIGINT) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      text, '$PiiEmailRe', '<EMAIL>', 'g'),
+         |      '$PiiPhoneRe', '<PHONE>', 'g'),
+         |      '$PiiIpv4Re', '<IP>', 'g') AS scrubbed
+         |  FROM contacts)
+         |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_emails) AS BIGINT) AS emails,
+         |  CAST(SUM(n_phones) AS BIGINT) AS phones,
+         |  CAST(SUM(n_ips) AS BIGINT) AS ips,
+         |  CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+         |  CAST(SUM(length(scrubbed)) AS BIGINT) AS chars_after,
+         |  CAST(SUM(CAST(concat('0x', substr(md5(scrubbed), 1, 12)) AS BIGINT))
+         |    AS BIGINT) AS fp_sum
+         |FROM s GROUP BY 1""".stripMargin
+    },
+    // q39's capped candidates re-checked by exact bounded Levenshtein
+    // over the shared normalized-prefix relation
+    "q145_edit_verify" -> {
+      import graft.operators.Dedup.{EditVerifyPrefix, EditDupPpm}
+      s"""WITH $lshPairsCtes,
+         |norm AS (SELECT doc_id,
+         |    substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+         |      1, $EditVerifyPrefix) AS t
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b, CAST(p.n_bands AS BIGINT) AS n_bands,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+         |  CAST((greatest(length(a.t), length(b.t), 1) - levenshtein(a.t, b.t))
+         |    * 1000000 // greatest(length(a.t), length(b.t), 1) AS BIGINT) AS sim_ppm,
+         |  (greatest(length(a.t), length(b.t), 1) - levenshtein(a.t, b.t))
+         |    * 1000000 // greatest(length(a.t), length(b.t), 1) >= $EditDupPpm
+         |    AS is_dup
+         |FROM lsh_pairs p
+         |JOIN norm a ON p.doc_a = a.doc_id
+         |JOIN norm b ON p.doc_b = b.doc_id""".stripMargin
+    },
+    // doubled median/MAD order statistics over the per-(type, cents)
+    // count relation — every boundary an integer comparison
+    "q146_value_outliers" -> {
+      val madK = graft.operators.EventsOps.MadK
+      s"""WITH c AS (SELECT event_type, ${cents("value")} AS v_c,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+         |m1 AS (SELECT event_type, v_c,
+         |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM c),
+         |med AS (SELECT event_type,
+         |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN v_c END)
+         |      + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v_c END) AS med2_c,
+         |    CAST(MAX(n) AS BIGINT) AS n
+         |  FROM m1 GROUP BY 1),
+         |d AS (SELECT c.event_type, abs(c.v_c * 2 - med.med2_c) AS dev2,
+         |    CAST(SUM(c.cnt) AS BIGINT) AS cnt
+         |  FROM c JOIN med ON c.event_type = med.event_type GROUP BY 1, 2),
+         |m2 AS (SELECT event_type, dev2,
+         |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev2
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM d),
+         |mad AS (SELECT event_type,
+         |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev2 END)
+         |      + MIN(CASE WHEN cum >= (n + 2) // 2 THEN dev2 END) AS mad2_c
+         |  FROM m2 GROUP BY 1)
+         |SELECT d.event_type, MAX(med.n) AS n,
+         |  CAST(MAX(med.med2_c) AS BIGINT) AS med2_c,
+         |  CAST(MAX(mad.mad2_c) AS BIGINT) AS mad2_c,
+         |  CAST(SUM(CASE WHEN d.dev2 * 2 > $madK * mad.mad2_c
+         |    THEN d.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(SUM(CASE WHEN d.dev2 * 2 > $madK * mad.mad2_c
+         |    THEN d.cnt ELSE 0 END) * 1000000 // MAX(med.n) AS BIGINT)
+         |    AS outlier_ppm
+         |FROM d
+         |JOIN mad ON d.event_type = mad.event_type
+         |JOIN med ON d.event_type = med.event_type
+         |GROUP BY 1""".stripMargin
+    },
+    // batch gaps-and-islands replay of streaming session_window: merge
+    // while the next event lands within the gap INCLUSIVE (break only
+    // at diff > gap — boundary pinned by SessionDrainSpec), close when
+    // the end-of-input watermark reaches the window end (<=) — both
+    // boundaries in exact epoch micros
+    "q147_stream_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |    ${cents("value")} AS v_c FROM events),
+         |l AS (SELECT *, lag(tus) OVER
+         |    (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+         |b AS (SELECT *, CASE WHEN prev IS NULL
+         |    OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, SUM(brk) OVER (
+         |    PARTITION BY user_id ORDER BY tus, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+         |g AS (SELECT user_id, MIN(tus) AS session_start_us,
+         |    MAX(tus) + 1800000000 AS session_end_us,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(SUM(v_c) AS BIGINT) AS value_c
+         |  FROM s GROUP BY user_id, sid),
+         |m AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
+         |SELECT user_id, session_start_us, session_end_us, n_events, value_c
+         |FROM g, m WHERE session_end_us <= max_us""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -261,6 +261,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Normalized-text prefix length for [[lshEditVerify]]'s edit-distance
+    * pass. Levenshtein is O(len²) per pair; bounding both sides to a
+    * fixed prefix bounds per-pair verification cost at any document
+    * length — the standard budget for a DP-based verifier in a
+    * candidate-verify pipeline.
+    */
+  val EditVerifyPrefix = 256
+
+  /** Edit-similarity floor (ppm of the longer prefix) above which a
+    * verified candidate pair is confirmed a near-duplicate.
+    */
+  val EditDupPpm = 600000L
+
+  /** Edit-distance verification of the LSH candidates (q145) — the
+    * VERIFY stage of the candidate-verify near-dup pipeline: MinHash
+    * banding (q39) proposes, and an exact bounded Levenshtein over the
+    * normalized text prefixes confirms or rejects each pair. LSH alone
+    * admits false positives (band collisions); shipping a dedup decision
+    * off a raw candidate is how unrelated documents get merged, so
+    * production pipelines always re-check candidates with a direct
+    * similarity — this operator is that check, with similarity
+    * `sim_ppm = (maxlen − lev) · 10⁶ / maxlen` and verdict at
+    * [[EditDupPpm]].
+    *
+    * Scale shape: the expensive O(prefix²) DP runs ONLY on the
+    * band-capped candidate set — never all pairs — and each candidate
+    * costs a bounded [[EditVerifyPrefix]]² regardless of document
+    * length. The pair list BROADCASTS into the two corpus text lookups
+    * (the q136 posture: the corpus is scanned, never shuffled, for a
+    * pair-list join); a deployment whose candidate set outgrows the
+    * broadcast budget drops the two hints and pays keyed shuffles
+    * instead — the verification cost model is unchanged.
+    */
+  def lshEditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshCandidatePairs(spark, dir)
+    val norm = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(lower(regexp_replace(trim(col("text")), "\\s+", " ")),
+          1, EditVerifyPrefix).as("t"))
+    norm.select(col("doc_id").as("doc_b"), col("t").as("t_b"))
+      .join(broadcast(
+        norm.select(col("doc_id").as("doc_a"), col("t").as("t_a"))
+          .join(broadcast(pairs), Seq("doc_a"))), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("len_max",
+        greatest(length(col("t_a")), length(col("t_b")), lit(1)).cast("long"))
+      .withColumn("sim_ppm", expr("(len_max - lev) * 1000000 DIV len_max"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("lev"),
+        col("sim_ppm"), (col("sim_ppm") >= EditDupPpm).as("is_dup"))
+  }
+
   /** Incremental near-dup screen (q89) — the LSH complement of q61's
     * exact incremental dedup: which documents of an incoming batch (the
     * ≥ 0.9 hash split, a fresh crawl) NEAR-duplicate the existing corpus

@@ -264,4 +264,89 @@ object EventsOps {
         "CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * n_a * n_b > " +
           s"CAST($DriftKsCritSq1e12 AS DECIMAL(38,0)) * (n_a + n_b)"))
   }
+
+  /** Outlier threshold multiplier for [[valueOutliersMad]]: a value is an
+    * outlier when |x − median| > [[MadK]] · MAD (the classical robust
+    * z-score gate at k=3, without the 1.4826 normal-consistency constant
+    * — the flag is a pure order-statistic rule, so it stays exact in
+    * integers).
+    */
+  val MadK = 3L
+
+  /** Robust per-type outlier gate via median/MAD, all in exact integers
+    * (q146) — the numeric-anomaly sibling of the KS drift detector
+    * (q143): where q143 asks "did the distribution move between two
+    * samples?", this asks "which rows are anomalous against their own
+    * group?", the gate a standing ingest uses to quarantine corrupt
+    * amounts without letting the outliers themselves poison the
+    * threshold (mean/stddev would; median/MAD do not).
+    *
+    * Exactness: medians interpolate at even counts, which would put a
+    * float on the comparison boundary — instead every statistic is
+    * DOUBLED and kept integral. `med2` = v_lo + v_hi where lo/hi are the
+    * two middle order-statistic positions (equal when n is odd), so
+    * med2 = 2·median exactly; deviations are measured as
+    * dev2 = |2v − med2| (still integer cents), and `mad2` = 2·MAD in
+    * dev2-units by the same two-position rule. The outlier test
+    * dev > k·MAD becomes the all-integer 2·dev2 > k·mad2 — bit-stable
+    * cross-engine with no float and no interpolation.
+    *
+    * Distributed shape (the q143 posture): every order statistic is
+    * computed over the per-(type, value-cents) COUNT relation — bounded
+    * by value cardinality, not row count — via one cumulative-sum window
+    * per pass and a per-type min-search for the positions. The per-type
+    * med2/mad2 relations are group-cardinality-sized and broadcast back;
+    * no window ever runs over raw rows.
+    */
+  def valueOutliersMad(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("cnt"))
+
+    // doubled weighted median of `vCol` (weight `cnt`) per event_type:
+    // cumulative counts locate the two middle positions lo=(n+1) div 2,
+    // hi=(n+2) div 2; the answer is v[lo] + v[hi] (one row counted twice
+    // when n is odd).
+    def doubledMedian(rel: DataFrame, vCol: String, out: String): DataFrame = {
+      val byType = Window.partitionBy(col("event_type"))
+      val cum = byType.orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rel
+        .withColumn("cum", sum(col("cnt")).over(cum))
+        .withColumn("n", sum(col("cnt")).over(byType))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) DIV 2"), col(vCol))).as("v_lo"),
+          min(when(col("cum") >= expr("(n + 2) DIV 2"), col(vCol))).as("v_hi"),
+          max(col("n")).as("n"))
+        .select(col("event_type"), (col("v_lo") + col("v_hi")).as(out),
+          col("n"))
+    }
+
+    val med = doubledMedian(counts, "v_c", "med2_c")
+    val dev = counts
+      .join(broadcast(med.select(col("event_type"), col("med2_c"))),
+        Seq("event_type"))
+      .withColumn("dev2", abs(col("v_c") * 2L - col("med2_c")))
+      .groupBy(col("event_type"), col("dev2"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = doubledMedian(dev, "dev2", "mad2_c")
+      .select(col("event_type"), col("mad2_c"))
+
+    dev
+      .join(broadcast(mad), Seq("event_type"))
+      .join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("med2_c")).as("med2_c"),
+        max(col("mad2_c")).as("mad2_c"),
+        sum(when(col("dev2") * 2L > lit(MadK) * col("mad2_c"), col("cnt"))
+          .otherwise(0L)).as("n_outliers"))
+      // DECIMAL(38,0)-widened like q143: n_outliers·10⁶ overflows BIGINT
+      // past ~9.2e12 rows per type
+      .withColumn("outlier_ppm", expr(
+        "CAST(CAST(n_outliers AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+  }
 }

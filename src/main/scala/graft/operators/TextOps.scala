@@ -489,4 +489,78 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tok_total"),
         sum(col("n_flagged")).as("flagged_total"))
+
+  /** PII patterns for [[piiScrub]]. Deliberately written in the regex
+    * subset Java (Spark) and RE2 (DuckDB, the oracle) evaluate
+    * identically — character classes, bounded repetition, `\b`, no
+    * lookaround — so redaction is bit-stable cross-engine. In
+    * production these are a maintained pattern pack; the three here
+    * (email, NANP-style phone, dotted-quad IPv4) are the canonical
+    * trio every corpus-scrub pass starts from.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\+1-\\d{3}-\\d{4}"
+  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-row PII detection + redaction: appends match counts (taken
+    * BEFORE redaction) and the scrubbed text with each PII class
+    * replaced by its placeholder. Email runs first so its digits/dots
+    * can't be re-matched as phone/IP fragments. Pure codegen'd
+    * `regexp_extract_all`/`regexp_replace` — per-row work, no shuffle,
+    * no UDF: at 100 TB this is a map stage fused into the scan.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(PiiEmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PiiPhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(PiiIpv4Re), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"),
+          PiiIpv4Re, "<IP>"))
+
+  /** PII redaction report (q144) — the safety-scrub stage of a curation
+    * pipeline, graded end-to-end: a contact-card corpus is derived
+    * deterministically from `customer` (name + synthetic email, phone,
+    * last-seen IP, all functions of `c_custkey`, so the oracle derives
+    * the identical corpus and the redactor has real matches to find),
+    * [[piiScrub]] redacts it, and the rollup carries a per-segment sum
+    * of a 48-bit fingerprint of every scrubbed row — the redacted TEXT
+    * itself is under the hash gate, not just the match counts.
+    *
+    * Plan: one scan of `customer`, all per-row (derive → count → redact
+    * → fingerprint) fused into the scan stage, one tiny rollup shuffle
+    * on `c_mktsegment`.
+    */
+  def piiRedactionReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val contacts = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"),
+        concat(
+          col("c_name"), lit(" ("), col("c_mktsegment"),
+          lit(") contact cust"), col("c_custkey").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("c_custkey") % 10000L).cast("string"), 4, "0"),
+          lit(" last seen 10."), (col("c_custkey") % 256L).cast("string"),
+          lit("."), ((col("c_custkey") * 7L) % 256L).cast("string"),
+          lit("."), ((col("c_custkey") * 13L) % 256L).cast("string"))
+          .as("text"))
+    piiScrub(contacts, "text")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("emails"),
+        sum(col("n_phones")).as("phones"),
+        sum(col("n_ips")).as("ips"),
+        sum(length(col("text")).cast("long")).as("chars_before"),
+        sum(length(col("scrubbed")).cast("long")).as("chars_after"),
+        sum(expr(
+          s"${graft.functions.GraftFunctions.Md5PrefixName}(scrubbed, 12)"))
+          .as("fp_sum"))
+  }
 }

@@ -258,7 +258,8 @@ object EventsStream {
     * exercise them.
     */
   private def drainToTable(spark: SparkSession, dir: String,
-      tag: String)(build: String => DataFrame): DataFrame = {
+      tag: String, rideWatermark: Boolean = false)(
+      build: String => DataFrame): DataFrame = {
     val name = s"graft_${tag}_${drainCounter.incrementAndGet()}"
     // the file source takes a directory. A directory-shaped table
     // (Spark-written part files) streams as-is; a single-file table is
@@ -275,11 +276,17 @@ object EventsStream {
         java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
         Some(stage)
       }
+    // append-mode WINDOWED aggregations (session/tumbling) emit on
+    // watermark advancement, which happens in the no-data batch after
+    // the last data batch — those drains must RIDE the watermark, not
+    // suppress it; the state-machine/join/dedup drains emit in the data
+    // batches and skip the no-data commit I/O (see the scaladoc below)
+    def run(): Unit = {
+      val q = runToMemory(build(staged.map(_.toString).getOrElse(src.toString)), name)
+      q.stop()
+    }
     try
-      withNoDataBatchesDisabled(spark) {
-        val q = runToMemory(build(staged.map(_.toString).getOrElse(src.toString)), name)
-        q.stop()
-      }
+      if (rideWatermark) run() else withNoDataBatchesDisabled(spark)(run())
     finally staged.foreach { stage =>
       // the memory sink holds the drained rows; the staging is disposable
       java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
@@ -332,6 +339,34 @@ object EventsStream {
     */
   def funnelDrain(spark: SparkSession, dir: String): DataFrame =
     drainToTable(spark, dir, "q129_funnel")(d => funnelProgress(read(spark, d)).toDF())
+
+  /** Streaming sessionization drained under the correctness gate (q147)
+    * — the built-in `session_window` aggregation (the one streaming
+    * window family q127/q129/q133/q137 did not yet grade) in append
+    * mode with a ZERO watermark delay: by end-of-input the watermark
+    * sits at max event time, and exactly the sessions whose window end
+    * (last event + gap) the watermark has passed are finalized and
+    * emitted — the CLOSED-session set. Sessions still inside their gap
+    * at end-of-input remain open, as they would on a live stream. The
+    * oracle replays batch gaps-and-islands sessionization and keeps
+    * sessions closed by the same watermark rule, so the window-merge
+    * boundary semantics (exact-gap arrivals MERGE; close at
+    * end <= watermark — both pinned by SessionDrainSpec fixtures that
+    * hit the boundaries the testdata never does) are hash-graded.
+    * Boundaries are emitted as epoch micros (`unix_micros` /
+    * `epoch_us`), the exact event-time unit both engines share.
+    */
+  def sessionizeDrain(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, dir, "q147_sess", rideWatermark = true) { d =>
+      read(spark, d)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
+        .select(
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("user_id"), col("n_events"), col("value_c"))
+    }
 
   /** The stream-stream interval join drained under the correctness
     * gate (q133) — the last streaming operator family that was

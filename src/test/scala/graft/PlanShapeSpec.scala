@@ -602,4 +602,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Expand"),
       s"exact NDV must use the narrow pair pipeline, not Expand:\n${p.take(2000)}")
   }
+
+  test("q144 pii scrub: derive/count/redact fuse into the scan, one rollup shuffle") {
+    val p = plan(graft.operators.TextOps.piiRedactionReport(spark, sf))
+    assertNoJoin(p, "piiRedactionReport")
+    assert(shuffles(p) <= 1, s"only the segment rollup may shuffle:\n${p.take(2000)}")
+  }
+
+  test("q145 edit verify broadcasts the pair list into both text lookups") {
+    val p = plan(Dedup.lshEditVerify(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both pair-list joins must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the corpus must never shuffle for the verification join:\n${p.take(2000)}")
+  }
+
+  test("q146 mad outliers: order statistics run over the count relation only") {
+    val p = plan(graft.operators.EventsOps.valueOutliersMad(spark, sf))
+    // per-type med/mad relations attach via broadcast — the corpus-sized
+    // count relation is never shuffled for a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stat lookups must broadcast:\n${p.take(2000)}")
+  }
 }
