@@ -193,6 +193,7 @@ object SparkEntry {
     "q145_edit_verify" -> (Dedup.lshEditVerify _),
     "q146_value_outliers" -> (EventsOps.valueOutliersMad _),
     "q147_stream_sessions" -> (graft.streaming.EventsStream.sessionizeDrain _),
+    "q148_zorder_layout" -> (graft.lake.ZOrder.layoutAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2657,6 +2658,46 @@ object SparkEntry {
          |m AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
          |SELECT user_id, session_start_us, session_end_us, n_events, value_c
          |FROM g, m WHERE session_end_us <= max_us""".stripMargin,
+    // identical integer grid/interleave arithmetic replayed in SQL; the
+    // z-term constants come from ONE Scala definition (ZOrder.zValueSql)
+    "q148_zorder_layout" -> {
+      import graft.lake.ZOrder
+      val gmax = (1L << ZOrder.ZBits) - 1
+      val top = ZOrder.ZBits - 2 * ZOrder.ChunkBitsPerDim
+      val ztop = 2 * ZOrder.ZBits - 2 * ZOrder.ChunkBitsPerDim
+      val np = ZOrder.AuditProbes
+      s"""WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+         |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS d FROM orders),
+         |b AS (SELECT MIN(ok) AS oklo, MAX(ok) AS okhi, MIN(ck) AS cklo,
+         |    MAX(ck) AS ckhi, MIN(d) AS dlo, MAX(d) AS dhi FROM o),
+         |g AS (SELECT ck, d,
+         |    (ok - oklo) * $gmax // (okhi - oklo + 1) AS nok,
+         |    (ck - cklo) * $gmax // (ckhi - cklo + 1) AS nx,
+         |    (d - dlo) * $gmax // (dhi - dlo + 1) AS ny
+         |  FROM o, b),
+         |zv AS (SELECT ck, d, nok, nx, ny,
+         |    ${ZOrder.zValueSql("nx", "ny")} AS z FROM g),
+         |ch AS (SELECT layout, chunk, MIN(ck) AS ckmin, MAX(ck) AS ckmax,
+         |    MIN(d) AS dmin, MAX(d) AS dmax FROM (
+         |    SELECT 'natural' AS layout, nok >> $top AS chunk, ck, d FROM zv
+         |    UNION ALL SELECT 'bykey', nx >> $top, ck, d FROM zv
+         |    UNION ALL SELECT 'zorder', z >> $ztop, ck, d FROM zv) u
+         |  GROUP BY 1, 2),
+         |p AS (SELECT
+         |    cklo + (i * (ckhi - cklo + 1)) // $np AS p_cklo,
+         |    cklo + ((i + 1) * (ckhi - cklo + 1)) // $np - 1 AS p_ckhi,
+         |    dlo + (i * 97) % greatest(dhi - dlo - 29, 1) AS p_dlo,
+         |    dlo + (i * 97) % greatest(dhi - dlo - 29, 1) + 29 AS p_dhi
+         |  FROM (SELECT unnest(generate_series(0, ${np - 1})) AS i) s, b)
+         |SELECT layout, CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN ckmin <= p_ckhi AND ckmax >= p_cklo
+         |    AND dmin <= p_dhi AND dmax >= p_dlo THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS scanned,
+         |  CAST(SUM(CASE WHEN ckmin <= p_ckhi AND ckmax >= p_cklo
+         |    AND dmin <= p_dhi AND dmax >= p_dlo THEN 1 ELSE 0 END)
+         |    * 1000000 // (COUNT(DISTINCT chunk) * $np) AS BIGINT) AS scan_ppm
+         |FROM ch, p GROUP BY 1""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

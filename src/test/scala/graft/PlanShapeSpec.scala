@@ -626,4 +626,16 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"stat lookups must broadcast:\n${p.take(2000)}")
   }
+
+  test("q148 layout audit: bounds broadcast, one scan, keyed chunk shuffles only") {
+    val p = plan(graft.lake.ZOrder.layoutAudit(spark, sf))
+    // the 1-row bounds relation and the 32-row probe relation attach via
+    // broadcast; the fact is never shuffled for a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"fact must never shuffle for a join:\n${p.take(2000)}")
+    // chunk-stats agg + the distinct-and-sum rollup over the
+    // metadata-sized chunk relation
+    assert(shuffles(p) <= 3, s"expected ≤3 keyed shuffles:\n${p.take(2000)}")
+  }
 }
