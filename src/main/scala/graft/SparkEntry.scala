@@ -194,6 +194,8 @@ object SparkEntry {
     "q146_value_outliers" -> (EventsOps.valueOutliersMad _),
     "q147_stream_sessions" -> (graft.streaming.EventsStream.sessionizeDrain _),
     "q148_zorder_layout" -> (graft.lake.ZOrder.layoutAudit _),
+    "q149_referential_audit" ->
+      (graft.quality.DataQuality.referentialAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2697,6 +2699,46 @@ object SparkEntry {
          |    AND dmin <= p_dhi AND dmax >= p_dlo THEN 1 ELSE 0 END)
          |    * 1000000 // (COUNT(DISTINCT chunk) * $np) AS BIGINT) AS scan_ppm
          |FROM ch, p GROUP BY 1""".stripMargin
+    },
+    // both FK directions per edge over the child's key-count relation;
+    // the stale-dim cut replays DataQuality.referentialAudit's 90% rule
+    "q149_referential_audit" -> {
+      def edgeSql(edge: String, childTable: String, key: String,
+          parentRel: String, pkey: String): String =
+        s"""SELECT '$edge' AS edge, a.n_rows, a.n_keys, a.orphan_rows,
+           |  a.orphan_keys,
+           |  CAST(a.orphan_rows * 1000000 // a.n_rows AS BIGINT) AS orphan_ppm,
+           |  u.unref_parent
+           |FROM (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |    CAST(COALESCE(SUM(CASE WHEN pk IS NULL THEN cnt END), 0)
+           |      AS BIGINT) AS orphan_rows,
+           |    CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS orphan_keys
+           |  FROM (SELECT $key AS k, COUNT(*) AS cnt FROM $childTable
+           |        WHERE $key IS NOT NULL GROUP BY 1) kc
+           |  LEFT JOIN (SELECT DISTINCT $pkey AS pk FROM $parentRel p0) p
+           |    ON k = pk) a,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS unref_parent
+           |   FROM (SELECT DISTINCT $pkey AS pk FROM $parentRel p1) p
+           |   WHERE NOT EXISTS (
+           |     SELECT 1 FROM (SELECT DISTINCT $key AS k FROM $childTable
+           |                    WHERE $key IS NOT NULL) kk
+           |     WHERE kk.k = p.pk)) u""".stripMargin
+      val stale = "(SELECT * FROM customer WHERE c_custkey <= " +
+        "(SELECT MAX(c_custkey) * 9 // 10 FROM customer))"
+      Seq(
+        edgeSql("orders->customer_stale", "orders", "o_custkey",
+          stale, "c_custkey"),
+        edgeSql("events->customer_stale", "events", "user_id",
+          stale, "c_custkey"),
+        edgeSql("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("customer->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("nation->region", "nation", "n_regionkey",
+          "region", "r_regionkey")).mkString("\nUNION ALL\n")
     },
   )
 

@@ -148,4 +148,68 @@ object DataQuality {
       checkTotalTolerance(df, totalCol, amountCols),
       checkRemainingMonotonic(df, totalCol)))
   }
+
+  /** One referential edge's audit — both directions of the FK check a
+    * warehouse load gate runs: child rows whose key misses the parent
+    * (orphans), and parent keys no child references (dead members /
+    * coverage). Works over the child's KEY-COUNT relation, never the
+    * raw child rows: one distinct-key aggregation, one join against the
+    * parent key set (broadcast when the parent is a dimension), and a
+    * key-level anti join for coverage — the shape that survives a
+    * fact×fact edge (lineitem→orders) at 100 TB.
+    */
+  def edgeAudit(edge: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String,
+      broadcastParent: Boolean = true): DataFrame = {
+    val kc = child.select(col(key).as("k")).filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val pk0 = parent.select(col(pkey).as("pk")).distinct()
+    val pk = if (broadcastParent) broadcast(pk0) else pk0
+    val joined = kc.join(pk, col("k") === col("pk"), "left")
+    val unref = pk0.join(kc, col("pk") === col("k"), "left_anti")
+      .agg(count(lit(1)).as("unref_parent"))
+    joined.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      coalesce(sum(when(col("pk").isNull, col("cnt"))), lit(0L))
+        .as("orphan_rows"),
+      sum(when(col("pk").isNull, 1L).otherwise(0L)).as("orphan_keys"))
+      .withColumn("orphan_ppm", expr(
+        "CAST(CAST(orphan_rows AS DECIMAL(38,0)) * 1000000 DIV n_rows AS BIGINT)"))
+      .crossJoin(broadcast(unref))
+      .select(lit(edge).as("edge"), col("n_rows"), col("n_keys"),
+        col("orphan_rows"), col("orphan_keys"), col("orphan_ppm"),
+        col("unref_parent"))
+  }
+
+  /** Referential-integrity audit across the schema's FK edges (q149) —
+    * the cross-TABLE data-quality family the per-table gate above does
+    * not cover. The two customer edges audit against a STALE dimension
+    * (keys ≤ 90% of the observed max — the late-arriving-dimension
+    * scenario that actually produces orphans in a warehouse: facts
+    * arrive referencing members the dim load hasn't caught up to), so
+    * the orphan branch is exercised with real non-zero counts; the
+    * remaining edges audit the live tables and certify clean. Dims
+    * broadcast; the fact×fact edge goes through the key-level shuffle
+    * path.
+    */
+  def referentialAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.sources.Tables
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val maxCk = customer.agg(max(col("c_custkey"))).head.getLong(0)
+    val stale = customer.filter(col("c_custkey") <= lit(maxCk * 9L / 10L))
+    edgeAudit("orders->customer_stale", orders, "o_custkey",
+      stale, "c_custkey")
+      .unionAll(edgeAudit("events->customer_stale",
+        Tables.events(spark, dir), "user_id", stale, "c_custkey"))
+      .unionAll(edgeAudit("lineitem->orders",
+        Tables.lineitem(spark, dir), "l_orderkey", orders, "o_orderkey",
+        broadcastParent = false))
+      .unionAll(edgeAudit("customer->nation", customer, "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .unionAll(edgeAudit("nation->region", Tables.nation(spark, dir),
+        "n_regionkey", Tables.region(spark, dir), "r_regionkey"))
+  }
 }

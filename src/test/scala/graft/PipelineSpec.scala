@@ -168,4 +168,38 @@ class PipelineSpec extends AnyFunSuite {
     val r = DataQuality.checkRemainingMonotonic(inYear)
     assert(!r.passed && r.messages.exists(_.contains("2024-03")))
   }
+
+  test("q149 edge audit counts orphans and coverage exactly (brute-forced)") {
+    import spark.implicits._
+    // child references keys 1..6 (5 twice, 6 three times); parent holds
+    // 1..4 and two dead members 8, 9 → orphan rows {5,5,6,6,6},
+    // orphan keys {5,6}, unreferenced {8,9}
+    val child = Seq(1L, 2L, 3L, 4L, 5L, 5L, 6L, 6L, 6L).toDF("k")
+    val parent = Seq(1L, 2L, 3L, 4L, 8L, 9L).toDF("pk")
+    val r = DataQuality.edgeAudit("t", child, "k", parent, "pk").head()
+    assert(r.getAs[Long]("n_rows") == 9L)
+    assert(r.getAs[Long]("n_keys") == 6L)
+    assert(r.getAs[Long]("orphan_rows") == 5L)
+    assert(r.getAs[Long]("orphan_keys") == 2L)
+    assert(r.getAs[Long]("orphan_ppm") == 5L * 1000000L / 9L)
+    assert(r.getAs[Long]("unref_parent") == 2L)
+    // null child keys are excluded from the audit, not counted as orphans
+    val withNull = child.union(Seq[Option[Long]](None).toDF("k"))
+    val r2 = DataQuality.edgeAudit("t", withNull, "k", parent, "pk").head()
+    assert(r2.getAs[Long]("n_rows") == 9L &&
+      r2.getAs[Long]("orphan_rows") == 5L)
+  }
+
+  test("q149 full audit: stale-dim edges orphan, live edges certify clean") {
+    val rows = DataQuality.referentialAudit(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("edge") -> r).toMap
+    assert(rows.keySet.size == 5)
+    // the late-arriving-dimension scenario produces real orphans on the
+    // orders edge (custkeys above the 90% cut)
+    assert(rows("orders->customer_stale").getAs[Long]("orphan_rows") > 0)
+    // live schema edges are referentially clean
+    assert(rows("customer->nation").getAs[Long]("orphan_rows") == 0)
+    assert(rows("nation->region").getAs[Long]("orphan_rows") == 0)
+    assert(rows("lineitem->orders").getAs[Long]("orphan_rows") == 0)
+  }
 }
