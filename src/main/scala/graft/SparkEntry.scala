@@ -196,6 +196,7 @@ object SparkEntry {
     "q148_zorder_layout" -> (graft.lake.ZOrder.layoutAudit _),
     "q149_referential_audit" ->
       (graft.quality.DataQuality.referentialAudit _),
+    "q150_skipindex_audit" -> (graft.lake.ZOrder.skipIndexAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2739,6 +2740,44 @@ object SparkEntry {
           "nation", "n_nationkey"),
         edgeSql("nation->region", "nation", "n_regionkey",
           "region", "r_regionkey")).mkString("\nUNION ALL\n")
+    },
+    // minmax vs exact-membership (dictionary) pruning for point probes
+    // on the unclustered key — same grid chunking as q148's natural
+    // layout, probes by the same 977-stride rule
+    "q150_skipindex_audit" -> {
+      import graft.lake.ZOrder
+      val gmax = (1L << ZOrder.ZBits) - 1
+      val top = ZOrder.ZBits - 2 * ZOrder.ChunkBitsPerDim
+      val np = ZOrder.PointProbes
+      s"""WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders),
+         |b AS (SELECT MIN(ok) AS oklo, MAX(ok) AS okhi,
+         |    MIN(ck) AS cklo, MAX(ck) AS ckhi FROM o),
+         |g AS (SELECT ck,
+         |    ((ok - oklo) * $gmax // (okhi - oklo + 1)) >> $top AS chunk
+         |  FROM o, b),
+         |st AS (SELECT chunk, MIN(ck) AS ckmin, MAX(ck) AS ckmax,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM g GROUP BY 1),
+         |mem AS (SELECT DISTINCT chunk, ck FROM g),
+         |p AS (SELECT i AS probe, cklo + (i * 977) % (ckhi - cklo + 1) AS pck
+         |  FROM (SELECT unnest(generate_series(0, ${np - 1})) AS i) s, b),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS all_chunks,
+         |    CAST(SUM(n_rows) AS BIGINT) AS all_rows FROM st),
+         |mm AS (SELECT 'minmax' AS method,
+         |    CAST(COUNT(*) AS BIGINT) AS scanned_chunks,
+         |    CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS scanned_rows
+         |  FROM st, p WHERE ckmin <= pck AND pck <= ckmax),
+         |dc AS (SELECT 'dictionary' AS method,
+         |    CAST(COUNT(*) AS BIGINT) AS scanned_chunks,
+         |    CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS scanned_rows
+         |  FROM (SELECT DISTINCT probe, chunk FROM mem JOIN p ON ck = pck) h
+         |  JOIN st USING (chunk)),
+         |u AS (SELECT * FROM mm UNION ALL SELECT * FROM dc)
+         |SELECT method, scanned_chunks, scanned_rows,
+         |  CAST(scanned_chunks * 1000000 // (all_chunks * $np) AS BIGINT)
+         |    AS chunk_ppm,
+         |  CAST(scanned_rows * 1000000 // (all_rows * $np) AS BIGINT)
+         |    AS row_ppm
+         |FROM u, tot""".stripMargin
     },
   )
 

@@ -168,6 +168,70 @@ object ZOrder {
         s"scanned * 1000000 DIV (n_chunks * $AuditProbes)"))
   }
 
+  /** Point-probe workload size for [[skipIndexAudit]]. */
+  val PointProbes = 32
+
+  /** Skip-index audit (q150) — the POINT-LOOKUP sibling of the q148
+    * range audit: for an equality predicate on an UNCLUSTERED key,
+    * min/max footer stats barely prune (a few hundred random keys per
+    * file span nearly the whole domain), while exact per-file key
+    * membership — what a Parquet dictionary page or bloom filter gives
+    * the planner — skips every file that lacks the key. This audit
+    * measures both against the same arrival-order chunking (the q148
+    * `natural` layout) and a [[PointProbes]]-point deterministic probe
+    * workload, reporting chunk AND row scan fractions per method.
+    *
+    * Distributed shape: chunk stats are one aggregation; the membership
+    * relation is distinct (chunk, key) — the true cardinality of the
+    * dictionary metadata a lake actually stores — and probes attach by
+    * key equi-join (never a scan of the fact). Metadata-scale at any
+    * corpus size.
+    */
+  def skipIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val b = orders.agg(
+      min(col("ok")).as("oklo"), max(col("ok")).as("okhi"),
+      min(col("ck")).as("cklo"), max(col("ck")).as("ckhi"))
+    val topShift = ZBits - 2 * ChunkBitsPerDim
+    val chunked = orders.crossJoin(broadcast(b))
+      .withColumn("chunk", shiftright(gridCoord(col("ok"), col("oklo"),
+        col("okhi") - col("oklo") + 1L), topShift))
+    val stats = chunked.groupBy(col("chunk"))
+      .agg(min(col("ck")).as("ckmin"), max(col("ck")).as("ckmax"),
+        count(lit(1)).as("n_rows"))
+    val members = chunked.select(col("chunk"), col("ck")).distinct()
+    val probes = spark.range(PointProbes).crossJoin(broadcast(b))
+      .select(col("id").as("probe"),
+        (col("cklo") + (col("id") * 977L) %
+          (col("ckhi") - col("cklo") + 1L)).as("pck"))
+    val totals = stats.agg(
+      count(lit(1)).as("all_chunks"), sum(col("n_rows")).as("all_rows"))
+    val minmax = stats.crossJoin(broadcast(probes))
+      .filter(col("ckmin") <= col("pck") && col("pck") <= col("ckmax"))
+      .agg(count(lit(1)).as("scanned_chunks"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("scanned_rows"))
+      .select(lit("minmax").as("method"), col("scanned_chunks"),
+        col("scanned_rows"))
+    val dict = members
+      .join(broadcast(probes), col("ck") === col("pck"))
+      .select(col("probe"), col("chunk")).distinct()
+      .join(stats, Seq("chunk"))
+      .agg(count(lit(1)).as("scanned_chunks"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("scanned_rows"))
+      .select(lit("dictionary").as("method"), col("scanned_chunks"),
+        col("scanned_rows"))
+    minmax.unionAll(dict)
+      .crossJoin(broadcast(totals))
+      // DECIMAL-widened ppm: scanned_rows·10⁶ summed over the probe set
+      // overflows BIGINT past ~3e11 rows
+      .select(col("method"), col("scanned_chunks"), col("scanned_rows"),
+        expr("CAST(CAST(scanned_chunks AS DECIMAL(38,0)) * 1000000 DIV " +
+          s"(all_chunks * $PointProbes) AS BIGINT)").as("chunk_ppm"),
+        expr("CAST(CAST(scanned_rows AS DECIMAL(38,0)) * 1000000 DIV " +
+          s"(all_rows * $PointProbes) AS BIGINT)").as("row_ppm"))
+  }
+
   /** Per-file min/max extent report for a written table: the footer
     * stats a scan planner would prune on, reconstructed via
     * `input_file_name`. Used by the spec to prove z-written files have

@@ -208,6 +208,51 @@ class ThriftServingSpec extends AnyFunSuite
     }
   }
 
+  test("round-10 audit and session tables serve over JDBC") {
+    val sf = "/root/testdata/sf0.001"
+    // commit-then-serve, as with the round-9 surface: the layout audit,
+    // the referential audit, and the drained session-window table
+    def commit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$name-served").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$dir'")
+    }
+    commit("layout_served", graft.lake.ZOrder.layoutAudit(spark, sf))
+    commit("refaudit_served",
+      graft.quality.DataQuality.referentialAudit(spark, sf))
+    commit("sessions_served",
+      graft.streaming.EventsStream.sessionizeDrain(spark, sf))
+    val queries = Seq(
+      """SELECT layout, n_chunks, scanned, scan_ppm FROM layout_served
+        |ORDER BY layout""".stripMargin,
+      """SELECT edge, orphan_rows, orphan_ppm, unref_parent
+        |FROM refaudit_served ORDER BY edge""".stripMargin,
+      // the closed sessions, windowed over JDBC
+      """SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(session_end_us - session_start_us) AS BIGINT) AS longest_us
+        |FROM sessions_served GROUP BY user_id
+        |ORDER BY user_id LIMIT 40""".stripMargin)
+    locally {
+      val conn = connect()
+      try {
+        queries.zipWithIndex.foreach { case (sql, i) =>
+          val local = spark.sql(sql).collect().map(r =>
+            (0 until r.length).map(j => String.valueOf(r.get(j))).mkString(""))
+          val rs = conn.createStatement().executeQuery(sql)
+          val n = rs.getMetaData.getColumnCount
+          val served = Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString(""))
+            .toArray
+          assert(served.toSeq == local.toSeq,
+            s"round-10 surface query #$i diverged over thrift:\n$sql")
+          assert(local.nonEmpty, s"round-10 surface query #$i returned no rows:\n$sql")
+        }
+      } finally conn.close()
+    }
+  }
+
   private def retry[A](attempts: Int, sleepMs: Long)(f: => A): A =
     try f catch {
       case e: Throwable if attempts > 1 =>
