@@ -197,6 +197,8 @@ object SparkEntry {
     "q149_referential_audit" ->
       (graft.quality.DataQuality.referentialAudit _),
     "q150_skipindex_audit" -> (graft.lake.ZOrder.skipIndexAudit _),
+    "q151_export_manifest" ->
+      (graft.operators.TrainingExport.exportManifest _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2778,6 +2780,38 @@ object SparkEntry {
          |  CAST(scanned_rows * 1000000 // (all_rows * $np) AS BIGINT)
          |    AS row_ppm
          |FROM u, tot""".stripMargin
+    },
+    // survivors → closed-form packing → hash sharding, replayed end to
+    // end; the shard rule mirrors Sampling.hashBucket on 'source:seq'
+    "q151_export_manifest" -> {
+      val b = graft.operators.CorpusPrep.PackBudget
+      val sh = graft.operators.Sampling.Shards
+      val bk = graft.operators.Sampling.Buckets
+      s"""WITH f AS (SELECT doc_id, source,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY 1),
+         |s AS (SELECT f.source, CAST(SUM(f.n_tokens) AS BIGINT) AS total
+         |  FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
+         |  GROUP BY 1 HAVING SUM(f.n_tokens) > 0),
+         |q AS (SELECT source, total, (total + $b - 1) // $b AS n_seqs FROM s),
+         |e AS (SELECT source, total, n_seqs,
+         |    unnest(generate_series(0, n_seqs - 1)) AS seq FROM q),
+         |t AS (SELECT source, seq,
+         |    CASE WHEN seq < n_seqs - 1 THEN $b
+         |         ELSE total - (n_seqs - 1) * $b END AS n_tok,
+         |    CAST(concat('0x', substr(md5(source || ':' ||
+         |      CAST(seq AS VARCHAR)), 1, 8)) AS BIGINT) % $bk % $sh AS shard
+         |  FROM e),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_seqs FROM t)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_tok) * 1000000 // (COUNT(*) * $b) AS BIGINT) AS fill_ppm,
+         |  CAST(COUNT(*) * $sh * 1000000 // MAX(total_seqs) AS BIGINT)
+         |    AS load_ppm
+         |FROM t, tot GROUP BY 1""".stripMargin
     },
   )
 
