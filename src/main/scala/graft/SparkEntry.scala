@@ -199,6 +199,8 @@ object SparkEntry {
     "q150_skipindex_audit" -> (graft.lake.ZOrder.skipIndexAudit _),
     "q151_export_manifest" ->
       (graft.operators.TrainingExport.exportManifest _),
+    "q152_stream_left_attrib" ->
+      (graft.streaming.EventsStream.attributionOuterDrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2813,6 +2815,31 @@ object SparkEntry {
          |    AS load_ppm
          |FROM t, tot GROUP BY 1""".stripMargin
     },
+    // q133's batch interval join, plus the null rows the OUTER drain
+    // may emit: exactly the unmatched views whose full join window the
+    // end-of-input watermark has passed. The watermark is the MIN over
+    // BOTH sides' watermark nodes (each side's max event time,
+    // ms-floored — Spark tracks event-time stats in milliseconds), so a
+    // click side that ends early holds every later view window open
+    "q152_stream_left_attrib" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts_us AS v_us
+        |      FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us
+        |      FROM e WHERE event_type = 'click'),
+        |m AS (SELECT v.user_id, v.view_id, c.click_id, c_us - v_us AS gap_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |    AND c_us > v_us AND c_us <= v_us + 3600000000),
+        |mx AS (SELECT least((SELECT MAX(v_us) FROM v),
+        |    (SELECT MAX(c_us) FROM c)) // 1000 * 1000 AS wm_us)
+        |SELECT user_id, view_id, click_id, gap_us, TRUE AS matched FROM m
+        |UNION ALL
+        |SELECT v.user_id, v.view_id, -1 AS click_id, -1 AS gap_us,
+        |  FALSE AS matched
+        |FROM v, mx
+        |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+        |  AND v_us + 3600000000 < wm_us""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

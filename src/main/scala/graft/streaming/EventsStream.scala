@@ -383,6 +383,50 @@ object EventsStream {
       viewClickAttribution(read(spark, d), read(spark, d))
     }
 
+  /** LEFT OUTER stream-stream attribution drained under the gate (q152)
+    * — the hardest Structured Streaming join semantics, and a distinct
+    * contract from q133's inner join: matches emit as both sides
+    * arrive, but an UNMATCHED view may only emit its null row once the
+    * watermark proves no qualifying click can still arrive (view-side
+    * state older than the join window is evicted as unmatched). Drained
+    * with zero watermark delay and watermark-riding no-data batches, so
+    * by end-of-input exactly the views whose full join window the
+    * watermark has passed have emitted null rows; views still inside
+    * their window at end-of-input remain open, as on a live stream.
+    * The oracle replays the batch left join with the closure rule the
+    * SessionDrainSpec fixtures pin: the global watermark is the MIN
+    * over both sides' nodes (each side's max event time, floored to
+    * milliseconds — Spark tracks event-time stats in ms), and a window
+    * closes only STRICTLY below it; an early-ending click side holds
+    * every later view window open. Nullable columns are coalesced to
+    * −1 sentinels so the hash gate never compares engine-specific null
+    * renderings.
+    */
+  def viewClickAttributionOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"), col("ts_ns").as("v_ts_ns"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"), col("ts_ns").as("c_ts_ns"))
+    v.join(c, expr(
+        """v_user = c_user AND
+          |c_ts > v_ts AND
+          |c_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin), "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(expr("c_ts_ns DIV 1000") - expr("v_ts_ns DIV 1000"),
+          lit(-1L)).as("gap_us"),
+        col("click_id").isNotNull.as("matched"))
+  }
+
+  def attributionOuterDrain(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, dir, "q152_attr", rideWatermark = true) { d =>
+      viewClickAttributionOuter(read(spark, d), read(spark, d))
+    }
+
   /** Exactly-once under replay, drained under the correctness gate
     * (q137): the same events file staged TWICE into the source dir —
     * the at-least-once delivery every file-based ingest must survive

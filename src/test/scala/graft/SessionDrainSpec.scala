@@ -57,6 +57,69 @@ class SessionDrainSpec extends AnyFunSuite {
     assert(u1.head.getAs[Long]("session_end_us") == (T0 + GapMs) * 1000L)
   }
 
+  private def stageTyped(rows: Seq[(Long, Long, Int, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attrspec").toString
+    rows.map { case (eid, tsMs, tsMicros, uid, tpe) =>
+      val ts = new Timestamp(tsMs)
+      ts.setNanos(ts.getNanos + tsMicros * 1000)
+      (eid, ts, uid, tpe, 1.00, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  val HourMs = 3600L * 1000L
+
+  test("q152: a view emits its null row once BOTH sides' watermarks pass its window") {
+    // u1's view window ends t0+1h; click-side watermark reaches t0+2h,
+    // view-side t0+3h → global (min) watermark t0+2h passes the window
+    val dir = stageTyped(Seq(
+      (1L, T0, 0, 1L, "view"),
+      (2L, T0 + 3 * HourMs, 0, 2L, "view"),
+      (3L, T0 + 2 * HourMs, 0, 2L, "click")))
+    val rows = EventsStream.attributionOuterDrain(spark, dir).collect()
+    val u1 = rows.filter(_.getAs[Long]("view_id") == 1L)
+    assert(u1.length == 1 && !u1.head.getAs[Boolean]("matched"),
+      s"closed unmatched view must emit a null row: ${rows.mkString(",")}")
+    // u2's view window (ends t0+4h) is still open at watermark t0+2h
+    assert(!rows.exists(_.getAs[Long]("view_id") == 2L))
+  }
+
+  test("q152: an early-ending click side holds every later view window open") {
+    // click-side watermark stalls at t0+30min < u1's window end t0+1h
+    val dir = stageTyped(Seq(
+      (1L, T0, 0, 1L, "view"),
+      (2L, T0 + 3 * HourMs, 0, 2L, "view"),
+      (3L, T0 + HourMs / 2, 0, 2L, "click")))
+    val rows = EventsStream.attributionOuterDrain(spark, dir).collect()
+    assert(rows.isEmpty,
+      s"no window is closed under the min-watermark rule: ${rows.mkString(",")}")
+  }
+
+  test("q152: window end exactly AT the watermark stays open (strict <), µs floor to ms") {
+    // click max lands 500 µs past u1's window end; the ms-floored
+    // watermark truncates back to exactly the window end, and the
+    // strict < closure keeps the view open — this fixture discriminates
+    // BOTH the flooring and the strictness the oracle encodes
+    val dir = stageTyped(Seq(
+      (1L, T0, 0, 1L, "view"),
+      (2L, T0 + 3 * HourMs, 0, 2L, "view"),
+      (3L, T0 + HourMs, 500, 3L, "click")))
+    val rows = EventsStream.attributionOuterDrain(spark, dir).collect()
+    assert(rows.isEmpty,
+      s"end == floored watermark must stay open: ${rows.mkString(",")}")
+    // one millisecond later the window closes
+    val dir2 = stageTyped(Seq(
+      (1L, T0, 0, 1L, "view"),
+      (2L, T0 + 3 * HourMs, 0, 2L, "view"),
+      (3L, T0 + HourMs + 1, 0, 3L, "click")))
+    val rows2 = EventsStream.attributionOuterDrain(spark, dir2).collect()
+    assert(rows2.exists(r => r.getAs[Long]("view_id") == 1L &&
+      !r.getAs[Boolean]("matched")),
+      s"end < watermark must close: ${rows2.mkString(",")}")
+  }
+
   test("drained sessions equal the batch gaps-and-islands closed set at sf0.001") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
