@@ -201,6 +201,10 @@ object SparkEntry {
       (graft.operators.TrainingExport.exportManifest _),
     "q152_stream_left_attrib" ->
       (graft.streaming.EventsStream.attributionOuterDrain _),
+    "q153_jsonl_roundtrip" -> (graft.sources.JsonLake.roundtripAudit _),
+    "q154_trade_pagerank" -> (graft.operators.GraphOps.tradePagerank _),
+    "q155_stratified_alloc" -> (Sampling.stratifiedAlloc _),
+    "q156_compaction_plan" -> (graft.lake.Compaction.planRowsAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2840,6 +2844,95 @@ object SparkEntry {
         |FROM v, mx
         |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
         |  AND v_us + 3600000000 < wm_us""".stripMargin,
+    // round-trip identity: Spark aggregates the JSONL READ-BACK, the
+    // oracle the parquet table the export started from — equality IS
+    // the fidelity claim
+    "q153_jsonl_roundtrip" ->
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(SUM(length(text)) AS BIGINT) AS len_sum,
+        |  CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS text_fp_sum
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // integer fixed-point damped PageRank, the iteration unrolled as
+    // chained CTEs — exact arithmetic contract in GraphOps.pagerank
+    "q154_trade_pagerank" -> {
+      import graft.operators.GraphOps.{PrDampPct, PrIters, PrScale}
+      val iters = (1 to PrIters).map { i =>
+        s"""r$i AS (SELECT e2.dst AS node,
+           |    t.tele + ($PrDampPct * SUM((r.rank_q * e2.w) // e2.out_w)) // 100
+           |      AS rank_q
+           |  FROM e2 JOIN r${i - 1} r ON e2.src = r.node, t
+           |  GROUP BY e2.dst, t.tele)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pr AS (SELECT l_suppkey AS s, o_custkey AS c, COUNT(*) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |ed AS (SELECT s * 2 AS src, c * 2 + 1 AS dst, w FROM pr
+         |  UNION ALL SELECT c * 2 + 1, s * 2, w FROM pr),
+         |outw AS (SELECT src, SUM(w) AS out_w FROM ed GROUP BY 1),
+         |e2 AS (SELECT ed.src, ed.dst, ed.w, outw.out_w
+         |       FROM ed JOIN outw USING (src)),
+         |t AS (SELECT ($PrScale // COUNT(*)) AS base,
+         |    (15 * ($PrScale // COUNT(*))) // 100 AS tele FROM outw),
+         |r0 AS (SELECT src AS node, t.base AS rank_q FROM outw, t),
+         |$iters
+         |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+         |    AS node_type,
+         |  node // 2 AS node_key, CAST(rank_q AS BIGINT) AS rank_q
+         |FROM r$PrIters""".stripMargin
+    },
+    // largest-remainder quota allocation + rank-by-stable-hash
+    // selection; same md5-prefix order as the Spark side
+    "q155_stratified_alloc" -> {
+      import graft.operators.Sampling.AllocPct
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |s AS (SELECT lang, source, COUNT(*) AS n_docs FROM d GROUP BY 1, 2),
+         |tot AS (SELECT SUM(n_docs) AS n_total,
+         |    (SUM(n_docs) * $AllocPct) // 100 AS k FROM s),
+         |fa AS (SELECT lang, source, n_docs,
+         |    (t.k * n_docs) // t.n_total AS floor_a,
+         |    (t.k * n_docs) % t.n_total AS rem, t.k AS k FROM s, tot t),
+         |al AS (SELECT lang, source, n_docs,
+         |    floor_a + CASE WHEN ROW_NUMBER() OVER
+         |        (ORDER BY rem DESC, lang, source)
+         |      <= k - SUM(floor_a) OVER () THEN 1 ELSE 0 END AS alloc
+         |  FROM fa),
+         |rk AS (SELECT doc_id, lang, source,
+         |    ROW_NUMBER() OVER (PARTITION BY lang, source
+         |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+         |        1, 12)) AS BIGINT), doc_id) AS rn
+         |  FROM d),
+         |sel AS (SELECT rk.lang, rk.source, COUNT(*) AS n_sel,
+         |    SUM(doc_id) AS sel_id_sum
+         |  FROM rk JOIN al ON rk.lang = al.lang AND rk.source = al.source
+         |    AND rk.rn <= al.alloc
+         |  GROUP BY 1, 2)
+         |SELECT al.lang, al.source, CAST(al.n_docs AS BIGINT) AS n_docs,
+         |  CAST(al.alloc AS BIGINT) AS alloc,
+         |  CAST(COALESCE(sel.n_sel, 0) AS BIGINT) AS n_sel,
+         |  CAST(COALESCE(sel.sel_id_sum, 0) AS BIGINT) AS sel_id_sum
+         |FROM al LEFT JOIN sel
+         |  ON al.lang = sel.lang AND al.source = sel.source""".stripMargin
+    },
+    // the oracle PREDICTS the fragmented table's listing (files =
+    // distinct portable-hash shards, rows per year) and replays the
+    // shared ceil-div planning law
+    "q156_compaction_plan" -> {
+      import graft.lake.Compaction.{RowsPerFileTarget, SmallFileShards}
+      val target =
+        s"greatest(1, (COUNT(*) + $RowsPerFileTarget - 1) // $RowsPerFileTarget)"
+      s"""WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % $SmallFileShards AS shard
+         |  FROM orders)
+         |SELECT y AS year, CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_files,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST($target AS BIGINT) AS target_files,
+         |  COUNT(DISTINCT shard) > $target AS worth_compacting
+         |FROM o GROUP BY 1""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

