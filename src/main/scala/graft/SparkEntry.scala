@@ -205,6 +205,8 @@ object SparkEntry {
     "q154_trade_pagerank" -> (graft.operators.GraphOps.tradePagerank _),
     "q155_stratified_alloc" -> (Sampling.stratifiedAlloc _),
     "q156_compaction_plan" -> (graft.lake.Compaction.planRowsAudit _),
+    "q157_lexical_topk" -> (graft.operators.Retrieval.lexicalTopK _),
+    "q158_rrf_fusion" -> (graft.operators.Retrieval.rrfFusion _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -257,6 +259,32 @@ object SparkEntry {
 
   // --- north-star oracle fragments (documents / embeddings) ---
   private val toks = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** Lexical inverted-index CTEs shared by q157 and q158's sparse side:
+    * hashed distinct shingles per doc (the q37-family relation), idf
+    * with relative-df admission, posting join, ranked results in
+    * `lex(q_id, doc_id, score, rank)`. Mirrors
+    * [[graft.operators.Retrieval.lexicalTopKFor]] exactly.
+    */
+  private lazy val lexCtes = {
+    import graft.operators.Retrieval.LexDfFloor
+    s"""$shingleCte,
+       |lsh AS (SELECT doc_id, $shashSql AS shash FROM sh),
+       |lterm AS (SELECT shash, (n * 1000000) // df AS idf
+       |  FROM (SELECT shash, COUNT(*) AS df FROM lsh GROUP BY 1) d,
+       |       (SELECT COUNT(*) AS n FROM documents) nn
+       |  WHERE df <= greatest($LexDfFloor, n // 100)),
+       |lpost AS (SELECT lsh.doc_id, lsh.shash, lterm.idf
+       |  FROM lsh JOIN lterm USING (shash)),
+       |lsc AS (SELECT lq.q_id, lpost.doc_id, SUM(lpost.idf) AS score
+       |  FROM (SELECT doc_id AS q_id, shash FROM lpost
+       |        WHERE doc_id % 100 = 0) lq
+       |  JOIN lpost USING (shash)
+       |  WHERE lpost.doc_id <> lq.q_id GROUP BY 1, 2),
+       |lex AS (SELECT q_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank FROM lsc)""".stripMargin
+  }
   // distinct 3-token shingles, 1-based indexing — mirrors Dedup.shingles
   private val shingleList =
     s"list_distinct(list_transform(generate_series(1, len(toks) - 2), " +
@@ -2933,6 +2961,40 @@ object SparkEntry {
          |  COUNT(DISTINCT shard) > $target AS worth_compacting
          |FROM o GROUP BY 1""".stripMargin
     },
+    // inverted-index tf·idf with 1%-df term admission; same bounded
+    // top-k total order as graft_topk (score DESC, id ASC)
+    "q157_lexical_topk" -> {
+      import graft.operators.Retrieval.LexK
+      s"""WITH $lexCtes
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         |  CAST(score AS BIGINT) AS score
+         |FROM lex WHERE rank <= $LexK""".stripMargin
+    },
+    // reciprocal-rank fusion of the lexical (q157) and dense (q41)
+    // top-k lists — 10⁶ // (60 + rank) per list, −1 sentinels
+    "q158_rrf_fusion" -> {
+      import graft.operators.Retrieval.{LexK, RrfK0}
+      s"""WITH $knnCtes,
+         |$lexCtes,
+         |sem AS (SELECT q_id, vec_id AS doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS rank FROM c),
+         |l5 AS (SELECT q_id, doc_id, rank FROM lex WHERE rank <= $LexK),
+         |s5 AS (SELECT q_id, doc_id, rank FROM sem WHERE rank <= $LexK),
+         |u AS (SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+         |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         |    CAST(COALESCE(l.rank, -1) AS BIGINT) AS lex_rank,
+         |    CAST(COALESCE(s.rank, -1) AS BIGINT) AS sem_rank,
+         |    CAST(COALESCE(1000000 // ($RrfK0 + l.rank), 0)
+         |      + COALESCE(1000000 // ($RrfK0 + s.rank), 0) AS BIGINT) AS rrf_ppm
+         |  FROM l5 l FULL OUTER JOIN s5 s
+         |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+         |SELECT q_id, doc_id, lex_rank, sem_rank, rrf_ppm, fused_rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_ppm DESC, doc_id ASC) AS BIGINT) AS fused_rank
+         |  FROM u) t
+         |WHERE fused_rank <= $LexK""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by
@@ -3017,8 +3079,11 @@ object SparkEntry {
          |    - MAX(CASE WHEN same = 0 THEN cos_ppm END) AS margin_ppm
          |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin
 
-  private lazy val q41Sql =
-      s"""WITH e AS (
+  /** The exact-cosine scoring CTEs (`e`, `q`, `s`, `c`) shared by q41,
+    * q123 (same SQL) and q158's dense side.
+    */
+  private lazy val knnCtes =
+      s"""e AS (
          |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n_emb
          |  FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
@@ -3031,7 +3096,10 @@ object SparkEntry {
          |  SELECT q_id, vec_id,
          |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
          |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
-         |  FROM s)
+         |  FROM s)""".stripMargin
+
+  private lazy val q41Sql =
+      s"""WITH $knnCtes
          |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
          |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id

@@ -129,14 +129,18 @@ object Compaction {
     val rows = new Compaction(lakeFs, spark).plan(tableDir, Long.MaxValue)
       .filter(_.partition.matches(".*year=\\d+$"))
       .map { p =>
-        val nRows = lakeFs.lsRecursive(p.partition)
-          .filter(_.endsWith(".parquet"))
-          .map { f =>
+        // footer reads are independent driver-side IO — overlap them
+        // (112 sequential opens dominated the audit's cost)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val files = lakeFs.lsRecursive(p.partition).filter(_.endsWith(".parquet"))
+        val nRows = Await.result(Future.traverse(files) { f => Future {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new Path(f), conf)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
             try r.getRecordCount finally r.close()
-          }.sum
+          }}, Duration.Inf).sum
         val target = targetFilesFor(nRows, RowsPerFileTarget)
         (p.partition.replaceAll(".*year=", "").toLong,
           p.nFiles.toLong, nRows, target, p.nFiles > target)

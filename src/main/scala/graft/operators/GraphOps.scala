@@ -76,16 +76,20 @@ object GraphOps {
     */
   def pagerank(edges: DataFrame, iters: Int = PrIters,
       materialize: Boolean = true): DataFrame = {
+    // the out-degree relation IS the node relation (one row per src) —
+    // persist it and derive node count and the initial ranks from it,
+    // so no separate distinct pass ever runs
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // node-sized, like the rank relation — broadcast so the edge scan
     // is never shuffled to attach out-degrees
     val e2 = edges.join(broadcast(outW), Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("out_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = e2.select(col("src")).distinct().count()
+    val n = outW.count()
     val base = PrScale / n
     val tele = (15L * base) / 100L
-    var ranks = e2.select(col("src").as("node")).distinct()
+    var ranks = outW.select(col("src").as("node"))
       .withColumn("rank_q", lit(base))
     for (_ <- 1 to iters) {
       ranks = e2
@@ -97,8 +101,10 @@ object GraphOps {
           (lit(tele) + expr(s"($PrDampPct * in_mass) div 100")).as("rank_q"))
     }
     if (!materialize) ranks // lazy: plan inspection (caller owns the cache)
-    // materialize before releasing the edge cache the plan depends on
-    else try ranks.localCheckpoint() finally e2.unpersist()
+    // materialize before releasing the caches the plan depends on
+    else
+      try ranks.localCheckpoint()
+      finally { e2.unpersist(); outW.unpersist() }
   }
 
   /** The q154 edge relation: symmetrized shipment counts between

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Retrieval over the corpus — the serving side of a training-data /
+  * RAG pipeline: sparse (inverted-index lexical scoring), and hybrid
+  * fusion of the sparse and dense (embedding) rankings. The dense
+  * ranking itself lives in [[Similarity]] (q41 exact / q106 IVF); this
+  * module adds the LEXICAL retriever those pipelines pair with it and
+  * the reciprocal-rank-fusion step that combines the two — integer
+  * arithmetic throughout so the oracle replays every rank exactly.
+  */
+object Retrieval {
+
+  /** Results per query (both retrievers and the fused list). */
+  val LexK = 5
+
+  /** RRF dampener (the canonical 60 from Cormack et al.): fused score
+    * contribution of a rank-r hit is 10⁶ div (60 + r).
+    */
+  val RrfK0 = 60L
+
+  /** Shingle-admission floor: a shingle participates iff its document
+    * frequency is ≤ max(LexDfFloor, N/100) — rarity is corpus-RELATIVE
+    * (the same meaning at any scale), floored so small fixtures stay
+    * meaningful.
+    */
+  val LexDfFloor = 5L
+
+  /** q157: inverted-index lexical top-k — rare-PHRASE retrieval over
+    * the corpus's 3-token shingles (the same distinct-shingle relation
+    * the whole dedup family derives from): score(q,d) = Σ_s idf_s over
+    * shared admitted shingles, idf_s = (N·10⁶) div df_s — an
+    * idf-weighted phrase-overlap score, the sparse half of hybrid
+    * search. Shingles, not unigrams: phrase postings are the
+    * discriminative lexical unit (unigram df distributions collapse on
+    * closed-vocabulary corpora, and phrase admission is what bounds the
+    * posting lists).
+    *
+    * Scale design:
+    *  - Admission caps the posting lists at ~1% of the corpus (see
+    *    [[LexDfFloor]]) — the stopword/WAND-style pruning every
+    *    inverted index does; it bounds per-shingle join fan-out
+    *    (impact-ordered WAND is the documented production extension).
+    *  - The candidate join is posting-list ⋈ posting-list on the 60-bit
+    *    shingle hash — one hash-partitioned shuffle each side, never
+    *    doc × doc.
+    *  - Top-k per query through the bounded [[graft.functions.BoundedTopK]]
+    *    aggregate (constant per-group state, partial-phase pruning) —
+    *    no per-query sort, no global window.
+    *  - The query set is the deterministic every-100th subset (the
+    *    q118/q120 mining posture); a serving deployment swaps in its
+    *    query batch.
+    */
+  def lexicalTopK(spark: SparkSession, dir: String): DataFrame =
+    lexicalTopKFor(Tables.documents(spark, dir))
+
+  def lexicalTopKFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sh = Dedup.hashedShingles(docs)
+      .filter(col("shash").isNotNull) // short docs carry no shingles
+      .select(col("doc_id"), col("shash"))
+    val dfRel = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+    val nRel = docs.agg(count(lit(1)).as("n"))
+    val terms = dfRel.crossJoin(broadcast(nRel))
+      .filter(col("df") <= greatest(lit(LexDfFloor), expr("n div 100")))
+      .select(col("shash"), expr("(n * 1000000) div df").as("idf"))
+    val post = sh.join(terms, Seq("shash"))
+    val q = post.filter(col("doc_id") % 100 === 0)
+      .select(col("shash"), col("doc_id").as("q_id"))
+    val scores = post.join(q, Seq("shash"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("idf")).as("score"))
+    scores.groupBy(col("q_id"))
+      .agg(expr(s"${graft.functions.GraftFunctions.TopKName}(score, doc_id, $LexK)")
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+  }
+
+  /** q158: reciprocal-rank fusion of the lexical (q157) and dense
+    * (q41-shaped exact cosine; the IVF path substitutes at scale — same
+    * schema) top-k lists. RRF is rank-only, so it needs no score
+    * calibration between retrievers — the reason it is the default
+    * hybrid-search combiner. Integer contract: contribution
+    * 10⁶ div (60 + rank) per list, absent ranks contribute 0 and
+    * surface as −1 sentinels; fused order (rrf DESC, doc_id ASC).
+    *
+    * Scale: both inputs are top-k-BOUNDED relations (|queries| · k
+    * rows), so the fusion join and the per-query window run at
+    * result scale, not corpus scale — the expensive work already
+    * happened inside each retriever.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = lexicalTopK(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val sem = Similarity.bruteForceKnn(spark, dir)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("sem_rank"))
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"))
+      .withColumn("rrf_ppm",
+        when(col("lex_rank") > 0L,
+          expr(s"1000000 div ($RrfK0 + lex_rank)")).otherwise(0L) +
+        when(col("sem_rank") > 0L,
+          expr(s"1000000 div ($RrfK0 + sem_rank)")).otherwise(0L))
+    fused
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id"))).cast("long"))
+      .filter(col("fused_rank") <= LexK)
+  }
+}

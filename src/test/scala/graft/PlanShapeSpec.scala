@@ -665,4 +665,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("row_number"),
       s"expected the rank window:\n${p.take(2000)}")
   }
+
+  test("q157 lexical topk: keyed posting joins only; bounded topk aggregate") {
+    val p = plan(graft.operators.Retrieval.lexicalTopK(spark, sf))
+    // posting ⋈ posting is equi-keyed on the shingle hash; the only
+    // nested-loop is the 1-row corpus-count broadcast (the q148 bounds
+    // pattern) — doc × doc never materializes as a cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"posting joins must be equi-keyed:\n${p.take(2000)}")
+    // ≤2: the posting subtree (with its 1-row attach) appears on both
+    // sides of the candidate join in the printed tree
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"only the 1-row count attach may nested-loop:\n${p.take(2000)}")
+    // per-query selection runs through the bounded graft_topk aggregate
+    // (ObjectHashAggregate), not a window sort
+    assert(p.contains("graft_topk"),
+      s"expected the bounded top-k aggregate:\n${p.take(2000)}")
+  }
 }
