@@ -207,6 +207,8 @@ object SparkEntry {
     "q156_compaction_plan" -> (graft.lake.Compaction.planRowsAudit _),
     "q157_lexical_topk" -> (graft.operators.Retrieval.lexicalTopK _),
     "q158_rrf_fusion" -> (graft.operators.Retrieval.rrfFusion _),
+    "q159_event_pattern" -> (EventsOps.cleanConversions _),
+    "q160_decayed_activity" -> (EventsOps.decayedActivity _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2994,6 +2996,41 @@ object SparkEntry {
          |    ORDER BY rrf_ppm DESC, doc_id ASC) AS BIGINT) AS fused_rank
          |  FROM u) t
          |WHERE fused_rank <= $LexK""".stripMargin
+    },
+    // sequence pattern with negation: first purchase / first error in
+    // the strictly-after hour frame, clean iff no error precedes the
+    // purchase — same µs range-frame semantics as the Spark windows
+    "q159_event_pattern" -> {
+      import graft.operators.EventsOps.PatternWindowUs
+      val frame = s"PARTITION BY user_id ORDER BY ts_us " +
+        s"RANGE BETWEEN 1 FOLLOWING AND $PatternWindowUs FOLLOWING"
+      s"""WITH ev AS (SELECT event_id, user_id, event_type,
+         |    epoch_us(ts) AS ts_us FROM events),
+         |m AS (SELECT user_id, event_id, event_type, ts_us,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+         |      OVER ($frame) AS p_ts,
+         |    MIN(CASE WHEN event_type = 'error' THEN ts_us END)
+         |      OVER ($frame) AS e_ts
+         |  FROM ev)
+         |SELECT user_id, event_id, ts_us,
+         |  COALESCE(p_ts, -1) AS p_ts_us, COALESCE(e_ts, -1) AS e_ts_us,
+         |  (p_ts IS NOT NULL AND (e_ts IS NULL OR e_ts > p_ts))
+         |    AS converted_clean
+         |FROM m WHERE event_type = 'view'""".stripMargin
+    },
+    // integer shift-decay: halve per DecayHalfLifeDays of age from the
+    // corpus max timestamp
+    "q160_decayed_activity" -> {
+      import graft.operators.EventsOps.DecayHalfLifeDays
+      val stepUs = 86400000000L * DecayHalfLifeDays
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
+         |    ${cents("value")} AS value_c FROM events),
+         |r AS (SELECT MAX(ts_us) AS ref_us FROM ev)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(value_c) AS BIGINT) AS raw_c,
+         |  CAST(SUM(value_c >> CAST(least((ref_us - ts_us) // $stepUs, 62)
+         |    AS INT)) AS BIGINT) AS decayed_c
+         |FROM ev, r GROUP BY 1""".stripMargin
     },
   )
 

@@ -349,4 +349,82 @@ object EventsOps {
       .withColumn("outlier_ppm", expr(
         "CAST(CAST(n_outliers AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
   }
+
+  /** Pattern window for [[cleanConversions]], in µs (1 hour). */
+  val PatternWindowUs = 3600000000L
+
+  /** q159: sequence-pattern detection WITH NEGATION — the
+    * complex-event-processing contract (`MATCH_RECOGNIZE`'s core case)
+    * that the funnel operators (q97/q103) cannot express: a `view`
+    * converts CLEANLY iff a `purchase` follows within the window AND no
+    * `error` lands strictly between them. Negation is the part that
+    * makes this a distinct operator family — a join can find the
+    * purchase, but "no error between" is a condition on the ABSENCE of
+    * a row.
+    *
+    * One pass per user: both "first purchase after" and "first error
+    * after" come from the same sort order via two range-frame window
+    * aggregates (strictly-after lower bound, window-bounded upper) —
+    * one shuffle, one sort, no self-join, no explode. µs-integer time
+    * on both engines; −1 sentinels for absent events.
+    *
+    * Scale: the window frame is TIME-bounded, so per-row state is the
+    * events inside one hour per user — the q59 rolling-sum class;
+    * skew-bounded by per-user activity, linear in events.
+    */
+  def cleanConversions(spark: SparkSession, dir: String): DataFrame =
+    cleanConversionsFor(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us")))
+
+  /** Core of [[cleanConversions]] over `(event_id, user_id, event_type,
+    * ts_us)` — separated so boundary fixtures (exact-window purchase,
+    * error at the purchase's microsecond) can drive it directly.
+    */
+  def cleanConversionsFor(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(1L, PatternWindowUs)
+    ev
+      .withColumn("p_ts_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+      .withColumn("e_ts_us",
+        min(when(col("event_type") === "error", col("ts_us"))).over(w))
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        coalesce(col("p_ts_us"), lit(-1L)).as("p_ts_us"),
+        coalesce(col("e_ts_us"), lit(-1L)).as("e_ts_us"))
+      .withColumn("converted_clean",
+        col("p_ts_us") =!= -1L &&
+          (col("e_ts_us") === -1L || col("e_ts_us") > col("p_ts_us")))
+  }
+
+  /** Half-life of [[decayedActivity]], in days: weights halve every
+    * [[DecayHalfLifeDays]] days of age — as an integer right-shift, so
+    * the decay curve is exact on both engines.
+    */
+  val DecayHalfLifeDays = 7L
+
+  /** q160: recency-decay-weighted user activity — the
+    * feature-engineering aggregate behind "recent engagement" signals:
+    * each event contributes `value_cents >> (age_days div 7)` (halving
+    * per week of age, age measured from the corpus max timestamp).
+    * Exponential decay with float weights is not replayable; the shift
+    * form is bit-exact and keeps map-side partial aggregation (one
+    * scan, one user-keyed shuffle, the 1-row reference attach
+    * broadcast).
+    */
+  def decayedActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+        cents(col("value")).as("value_c"))
+    val ref = ev.agg(max(col("ts_us")).as("ref_us"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("shift", expr(
+        s"least((ref_us - ts_us) DIV ${86400000000L * DecayHalfLifeDays}, 62)"))
+      .withColumn("w_c", expr("shiftright(value_c, CAST(shift AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_c")).as("raw_c"),
+        sum(col("w_c")).as("decayed_c"))
+  }
 }

@@ -76,14 +76,18 @@ object GraphOps {
     */
   def pagerank(edges: DataFrame, iters: Int = PrIters,
       materialize: Boolean = true): DataFrame = {
+    // cache the edge relation FIRST: the out-degree aggregate and the
+    // annotated edge relation both derive from it, so the (expensive)
+    // edge-building pipeline upstream runs exactly once
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
     // the out-degree relation IS the node relation (one row per src) —
     // persist it and derive node count and the initial ranks from it,
     // so no separate distinct pass ever runs
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node-sized, like the rank relation — broadcast so the edge scan
     // is never shuffled to attach out-degrees
-    val e2 = edges.join(broadcast(outW), Seq("src"))
+    val e2 = e0.join(broadcast(outW), Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("out_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = outW.count()
@@ -104,7 +108,7 @@ object GraphOps {
     // materialize before releasing the caches the plan depends on
     else
       try ranks.localCheckpoint()
-      finally { e2.unpersist(); outW.unpersist() }
+      finally { e2.unpersist(); outW.unpersist(); e0.unpersist() }
   }
 
   /** The q154 edge relation: symmetrized shipment counts between

@@ -44,6 +44,16 @@ object TimeLab {
       spark.stop()
       return
     }
+    // `pagerank` mode: localize q154's cost — edge build vs per-iteration
+    if (args.length > 1 && args(1) == "pagerank") {
+      import graft.operators.GraphOps
+      val edges = GraphOps.tradeEdges(spark, dir)
+      time("edges build+count")(println("[timelab] edges=" + edges.count()))
+      for (i <- Seq(1, 2, 4, 6))
+        cnt(s"pagerank iters=$i", GraphOps.pagerank(edges, i))
+      spark.stop()
+      return
+    }
     // `annbudget` mode: per-query serving cost at a FIXED query budget
     // (1000 queries regardless of corpus size) through the derived-knob
     // searches — the production scaling claim the graded q106/q108

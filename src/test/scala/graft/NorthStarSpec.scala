@@ -590,4 +590,80 @@ class NorthStarSpec extends AnyFunSuite {
     }.toMap
     assert(got == expected)
   }
+
+  test("q159 clean conversions replay the pattern-with-negation rule") {
+    import graft.operators.EventsOps
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "ts_ns DIV 1000 AS ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    val expected = ev.filter(_._3 == "view").map { case (id, u, _, t) =>
+      val after = byUser(u).filter(e => e._4 > t && e._4 <= t + EventsOps.PatternWindowUs)
+      val p = after.filter(_._3 == "purchase").map(_._4).sorted.headOption.getOrElse(-1L)
+      val e = after.filter(_._3 == "error").map(_._4).sorted.headOption.getOrElse(-1L)
+      (u, id, t, p, e, p != -1L && (e == -1L || e > p))
+    }.toSet
+    val got = EventsOps.cleanConversions(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(got === expected)
+    assert(expected.count(_._6) > 0, "need clean conversions in fixture")
+  }
+
+  test("q159 boundary fixtures pin window edges and the negation rule") {
+    import graft.operators.EventsOps
+    import spark.implicits._
+    val H = EventsOps.PatternWindowUs
+    val ev = Seq(
+      // u1: clean — purchase exactly at +window (inclusive); the error
+      // past the window edge is invisible (sound: a disqualifying error
+      // must precede an in-window purchase, so it is always in frame)
+      (10L, 1L, "view", 1000L), (11L, 1L, "purchase", 1000L + H),
+      (12L, 1L, "error", 1000L + H + 1L),
+      // u2: DIRTY — error strictly between view and purchase
+      (20L, 2L, "view", 1000L), (21L, 2L, "error", 2000L),
+      (22L, 2L, "purchase", 3000L),
+      // u3: no conversion — purchase 1µs past the window
+      (30L, 3L, "view", 1000L), (31L, 3L, "purchase", 1001L + H),
+      // u4: DIRTY — error at the purchase's exact microsecond (e <= p)
+      (40L, 4L, "view", 1000L), (41L, 4L, "error", 5000L),
+      (42L, 4L, "purchase", 5000L),
+      // u5: clean — error BEFORE the view is out of frame
+      (50L, 5L, "error", 500L), (51L, 5L, "view", 1000L),
+      (52L, 5L, "purchase", 4000L),
+      // u6: same-µs purchase as the view is NOT strictly after
+      (60L, 6L, "view", 1000L), (61L, 6L, "purchase", 1000L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val got = EventsOps.cleanConversionsFor(ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toMap
+    assert(got(1L) === ((1000L + H, -1L, true)))
+    assert(got(2L) === ((3000L, 2000L, false)))
+    assert(got(3L) === ((-1L, -1L, false)))
+    assert(got(4L) === ((5000L, 5000L, false)))
+    assert(got(5L) === ((4000L, -1L, true)))
+    assert(got(6L) === ((-1L, -1L, false)))
+  }
+
+  test("q160 decayed activity replays the integer shift-decay") {
+    import graft.operators.EventsOps
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_ns DIV 1000 AS ts_us",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = ev.map(_._2).max
+    val step = 86400000000L * EventsOps.DecayHalfLifeDays
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      u -> (es.size.toLong, es.map(_._3).sum,
+        es.map { case (_, t, v) =>
+          v >> math.min((ref - t) / step, 62L).toInt }.sum)
+    }
+    val got = EventsOps.decayedActivity(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // decay must bite: the decayed total is strictly below the raw total
+    assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
+  }
 }
