@@ -209,6 +209,7 @@ object SparkEntry {
     "q158_rrf_fusion" -> (graft.operators.Retrieval.rrfFusion _),
     "q159_event_pattern" -> (EventsOps.cleanConversions _),
     "q160_decayed_activity" -> (EventsOps.decayedActivity _),
+    "q161_table_diff" -> (graft.lake.TableDiff.diffAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3031,6 +3032,32 @@ object SparkEntry {
          |  CAST(SUM(value_c >> CAST(least((ref_us - ts_us) // $stepUs, 62)
          |    AS INT)) AS BIGINT) AS decayed_c
          |FROM ev, r GROUP BY 1""".stripMargin
+    },
+    // keyed diff of two derived versions — the add/delete/change rules
+    // and the per-row fingerprint replayed verbatim
+    "q161_table_diff" -> {
+      import graft.lake.TableDiff.{AddMod, ChangeMod, DeleteMod}
+      def fpSql(alias: String) =
+        s"CAST(concat('0x', substr(md5(concat_ws('|', o_orderstatus, " +
+          s"CAST(price_c AS VARCHAR))), 1, 12)) AS BIGINT) AS $alias"
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderstatus,
+         |    ${cents("o_totalprice")} AS price_c FROM orders),
+         |v1 AS (SELECT k, ${fpSql("fp_old")} FROM base WHERE k % $AddMod <> 1),
+         |v2b AS (SELECT k, o_orderstatus,
+         |    CASE WHEN k % $ChangeMod = 0 THEN price_c + price_c // 10
+         |      ELSE price_c END AS price_c
+         |  FROM base WHERE k % $DeleteMod <> 0),
+         |v2 AS (SELECT k, ${fpSql("fp_new")} FROM v2b),
+         |j AS (SELECT COALESCE(v1.k, v2.k) AS k, fp_old, fp_new
+         |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+         |SELECT CASE WHEN fp_old IS NULL THEN 'added'
+         |    WHEN fp_new IS NULL THEN 'removed'
+         |    WHEN fp_old = fp_new THEN 'unchanged'
+         |    ELSE 'changed' END AS class,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(k) AS BIGINT) AS key_sum,
+         |  CAST(SUM(COALESCE(fp_new, fp_old)) AS BIGINT) AS fp_sum
+         |FROM j GROUP BY 1""".stripMargin
     },
   )
 
