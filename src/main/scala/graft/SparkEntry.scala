@@ -3056,7 +3056,7 @@ object SparkEntry {
          |    ELSE 'changed' END AS class,
          |  CAST(COUNT(*) AS BIGINT) AS n_keys,
          |  CAST(SUM(k) AS BIGINT) AS key_sum,
-         |  CAST(SUM(COALESCE(fp_new, fp_old)) AS BIGINT) AS fp_sum
+         |  CAST(bit_xor(COALESCE(fp_new, fp_old)) AS BIGINT) AS fp_xor
          |FROM j GROUP BY 1""".stripMargin
     },
   )

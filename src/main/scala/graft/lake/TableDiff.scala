@@ -39,9 +39,11 @@ object TableDiff {
           .when(col("fp_old") === col("fp_new"), lit("unchanged"))
           .otherwise(lit("changed")))
       .groupBy(col("class"))
+      // bit_xor, not sum: a 48-bit fingerprint summed over millions of
+      // keys overflows a long; xor is order-independent and width-stable
       .agg(count(lit(1)).as("n_keys"),
         sum(col("k")).as("key_sum"),
-        sum(coalesce(col("fp_new"), col("fp_old"))).as("fp_sum"))
+        expr("bit_xor(coalesce(fp_new, fp_old))").as("fp_xor"))
   }
 
   /** Deterministic version rules for [[diffAudit]], shared with the
