@@ -1882,48 +1882,7 @@ object SparkEntry {
     // the derived-width SEARCH: nlist = max(16, round(√N)) and
     // nprobe = max(4, round(√nlist)) recomputed in SQL — the q42
     // pipeline with both production knobs under the gate
-    "q106_ivf_derived_search" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
-         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
-         |       FROM e),
-         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
-         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
-         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |          FROM e, nl WHERE vec_id < nl.nlist),
-         |asg AS (
-         |  SELECT vec_id, c_id AS bucket FROM (
-         |    SELECT e.vec_id, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
-         |    FROM e, cents c) t
-         |  WHERE rk = 1),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
-         |      FROM e WHERE vec_id % 100 = 0),
-         |probes AS (
-         |  SELECT q_id, q_emb, n_q, c_id AS bucket FROM (
-         |    SELECT q.q_id, q.q_emb, q.n_q, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
-         |    FROM q, cents c) t
-         |  WHERE rk <= (SELECT nprobe FROM np)),
-         |cand AS (
-         |  SELECT p.q_id, e.vec_id, p.n_q, e.n_emb,
-         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
-         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
-         |  JOIN probes p ON asg.bucket = p.bucket
-         |  WHERE e.vec_id <> p.q_id),
-         |c AS (
-         |  SELECT q_id, vec_id,
-         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
-         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
-         |  FROM cand)
-         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
-         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
-         |  FROM c) t
-         |WHERE rank <= 5""".stripMargin,
+    "q106_ivf_derived_search" -> q106Sql,
     // the derived-width PQ codebook: k = max(16, round(√(N/4)))
     // recomputed in SQL, then the q81 argmin per (vector, subspace),
     // rolled up per (subspace, code)
@@ -2973,11 +2932,12 @@ object SparkEntry {
          |  CAST(score AS BIGINT) AS score
          |FROM lex WHERE rank <= $LexK""".stripMargin
     },
-    // reciprocal-rank fusion of the lexical (q157) and dense (q41)
-    // top-k lists — 10⁶ // (60 + rank) per list, −1 sentinels
+    // reciprocal-rank fusion of the lexical (q157) and dense
+    // (derived-knob IVF, q106's production path) top-k lists —
+    // 10⁶ // (60 + rank) per list, −1 sentinels
     "q158_rrf_fusion" -> {
       import graft.operators.Retrieval.{LexK, RrfK0}
-      s"""WITH $knnCtes,
+      s"""WITH $ivfDerivedCtes,
          |$lexCtes,
          |sem AS (SELECT q_id, vec_id AS doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY q_id
@@ -3164,6 +3124,56 @@ object SparkEntry {
 
   private lazy val q41Sql =
       s"""WITH $knnCtes
+         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |  FROM c) t
+         |WHERE rank <= 5""".stripMargin
+
+  /** Derived-knob IVF search CTEs (widths recomputed in SQL, candidates
+    * from the probed buckets, scored rows in `c`) — shared by q106 and
+    * q158's dense side.
+    */
+  private lazy val ivfDerivedCtes =
+      s"""e AS (SELECT vec_id, embedding,
+         |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+         |       FROM e),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q_id, q_emb, n_q, c_id AS bucket FROM (
+         |    SELECT q.q_id, q.q_emb, q.n_q, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
+         |    FROM q, cents c) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |cand AS (
+         |  SELECT p.q_id, e.vec_id, p.n_q, e.n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN probes p ON asg.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |c AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |  FROM cand)""".stripMargin
+
+  private lazy val q106Sql =
+      s"""WITH $ivfDerivedCtes
          |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
          |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id

@@ -85,8 +85,9 @@ object Retrieval {
   }
 
   /** q158: reciprocal-rank fusion of the lexical (q157) and dense
-    * (q41-shaped exact cosine; the IVF path substitutes at scale — same
-    * schema) top-k lists. RRF is rank-only, so it needs no score
+    * (derived-knob IVF — q106's PRODUCTION search path, not the
+    * brute-force audit, so the fusion inherits the index's sublinear
+    * scaling) top-k lists. RRF is rank-only, so it needs no score
     * calibration between retrievers — the reason it is the default
     * hybrid-search combiner. Integer contract: contribution
     * 10⁶ div (60 + rank) per list, absent ranks contribute 0 and
@@ -100,7 +101,7 @@ object Retrieval {
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val lex = lexicalTopK(spark, dir)
       .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val sem = Similarity.bruteForceKnn(spark, dir)
+    val sem = Similarity.ivfKnnAuto(spark, dir)
       .select(col("q_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("sem_rank"))
     val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")

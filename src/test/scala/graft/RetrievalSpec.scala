@@ -54,7 +54,7 @@ class RetrievalSpec extends AnyFunSuite {
     val lex = Retrieval.lexicalTopK(spark, sf)
       .select($"q_id", $"doc_id", $"rank").as[(Long, Long, Long)].collect()
       .map { case (q, d, r) => (q, d) -> r }.toMap
-    val sem = graft.operators.Similarity.bruteForceKnn(spark, sf)
+    val sem = graft.operators.Similarity.ivfKnnAuto(spark, sf)
       .select($"q_id", $"neighbor_id", $"rank".cast("long"))
       .as[(Long, Long, Long)].collect()
       .map { case (q, d, r) => (q, d) -> r }.toMap
