@@ -210,6 +210,7 @@ object SparkEntry {
     "q159_event_pattern" -> (EventsOps.cleanConversions _),
     "q160_decayed_activity" -> (EventsOps.decayedActivity _),
     "q161_table_diff" -> (graft.lake.TableDiff.diffAudit _),
+    "q162_incremental_agg" -> (graft.operators.Incremental.aggMaintenance _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3018,6 +3019,42 @@ object SparkEntry {
          |  CAST(SUM(k) AS BIGINT) AS key_sum,
          |  CAST(bit_xor(COALESCE(fp_new, fp_old)) AS BIGINT) AS fp_xor
          |FROM j GROUP BY 1""".stripMargin
+    },
+    // base + late-arriving delta partials merged by the state algebra
+    // (split orthogonal to the cube key so every key is two-sided),
+    // certified per key against the direct recompute
+    "q162_incremental_agg" -> {
+      import graft.operators.Incremental.DeltaMod
+      val part = "SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        "CAST(SUM(v) AS BIGINT) AS sum_c, MIN(v) AS min_c, MAX(v) AS max_c"
+      s"""WITH ev AS (SELECT event_type, event_id,
+         |    epoch_us(ts) * 1000 // 86400000000000 AS day,
+         |    ${cents("value")} AS v FROM events),
+         |base AS ($part FROM ev WHERE event_id % $DeltaMod <> 0
+         |         GROUP BY 1, 2),
+         |delta AS ($part FROM ev WHERE event_id % $DeltaMod = 0
+         |          GROUP BY 1, 2),
+         |m AS (SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+         |    COALESCE(b.day, d.day) AS day,
+         |    COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS cnt,
+         |    COALESCE(b.sum_c, 0) + COALESCE(d.sum_c, 0) AS sum_c,
+         |    CASE WHEN b.min_c IS NULL THEN d.min_c
+         |      WHEN d.min_c IS NULL THEN b.min_c
+         |      ELSE LEAST(b.min_c, d.min_c) END AS min_c,
+         |    CASE WHEN b.max_c IS NULL THEN d.max_c
+         |      WHEN d.max_c IS NULL THEN b.max_c
+         |      ELSE GREATEST(b.max_c, d.max_c) END AS max_c
+         |  FROM base b FULL OUTER JOIN delta d
+         |    ON b.event_type = d.event_type AND b.day = d.day),
+         |mm AS (SELECT *, sum_c // cnt AS avg_c FROM m),
+         |f AS (SELECT *, sum_c // cnt AS avg_c
+         |      FROM ($part FROM ev GROUP BY 1, 2) t)
+         |SELECT mm.event_type, mm.day, mm.cnt, mm.sum_c, mm.min_c,
+         |  mm.max_c, CAST(mm.avg_c AS BIGINT) AS avg_c,
+         |  (mm.cnt = f.cnt AND mm.sum_c = f.sum_c AND mm.min_c = f.min_c
+         |    AND mm.max_c = f.max_c AND mm.avg_c = f.avg_c) AS matches_full
+         |FROM mm JOIN f
+         |  ON mm.event_type = f.event_type AND mm.day = f.day""".stripMargin
     },
   )
 

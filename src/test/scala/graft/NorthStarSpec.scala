@@ -666,4 +666,20 @@ class NorthStarSpec extends AnyFunSuite {
     // decay must bite: the decayed total is strictly below the raw total
     assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
   }
+
+  test("q162 merge algebra certifies on a genuinely two-sided split") {
+    import graft.operators.Incremental
+    val rows = Incremental.aggMaintenance(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(7)), "every key must certify")
+    // the split must be key-orthogonal: most cube keys need BOTH a base
+    // and a delta contribution, or the min/max combine is never exercised
+    val sides = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "ts_ns DIV 86400000000000 AS day",
+        s"CAST(event_id % ${Incremental.DeltaMod} = 0 AS INT) AS is_delta")
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.expr("count(distinct is_delta)").as("ns"))
+      .collect().map(_.getLong(2))
+    assert(sides.count(_ == 2L) * 2 > sides.length,
+      "most keys must carry base AND delta rows")
+  }
 }

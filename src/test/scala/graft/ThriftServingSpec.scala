@@ -253,6 +253,44 @@ class ThriftServingSpec extends AnyFunSuite
     }
   }
 
+  test("graph centrality and hybrid retrieval tables serve over JDBC") {
+    val sf = "/root/testdata/sf0.001"
+    def commit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-$name-served").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$dir'")
+    }
+    commit("pagerank_served", graft.operators.GraphOps.tradePagerank(spark, sf))
+    commit("fused_served", graft.operators.Retrieval.rrfFusion(spark, sf))
+    val queries = Seq(
+      // top-ranked trade counterparties per node type
+      """SELECT node_type, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(max(rank_q) AS BIGINT) AS top_rank
+        |FROM pagerank_served GROUP BY node_type ORDER BY node_type""".stripMargin,
+      // the fused hybrid ranking, as a serving client would page it
+      """SELECT q_id, doc_id, lex_rank, sem_rank, rrf_ppm, fused_rank
+        |FROM fused_served ORDER BY q_id, fused_rank LIMIT 40""".stripMargin)
+    locally {
+      val conn = connect()
+      try {
+        queries.zipWithIndex.foreach { case (sql, i) =>
+          val local = spark.sql(sql).collect().map(r =>
+            (0 until r.length).map(j => String.valueOf(r.get(j))).mkString(""))
+          val rs = conn.createStatement().executeQuery(sql)
+          val n = rs.getMetaData.getColumnCount
+          val served = Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString(""))
+            .toArray
+          assert(served.toSeq == local.toSeq,
+            s"retrieval surface query #$i diverged over thrift:\n$sql")
+          assert(local.nonEmpty, s"retrieval surface query #$i returned no rows:\n$sql")
+        }
+      } finally conn.close()
+    }
+  }
+
   private def retry[A](attempts: Int, sleepMs: Long)(f: => A): A =
     try f catch {
       case e: Throwable if attempts > 1 =>
