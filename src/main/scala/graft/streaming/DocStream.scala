@@ -45,6 +45,16 @@ object DocStream {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(col("ingest_us")))
 
+  /** [[read]] without the one-file-per-trigger pacing — for
+    * run-to-completion drains over an already-staged landing set, where
+    * per-file micro-batches are pure harness overhead (the screen is
+    * stateless, so batch size cannot change its output).
+    */
+  def readBulk(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ingest_us")))
+
   /** The curated append stream: watermarked fingerprint dedup (bounded
     * state, first-arrival-wins) then the shared stateless gate + split.
     */
@@ -108,7 +118,7 @@ object DocStream {
     val name = s"graft_q163_hits_${drainCounter.incrementAndGet()}"
     val q = EventsStream.runToMemory(
       NearDupStream.screenStream(
-        read(spark, landing),
+        readBulk(spark, landing),
         NearDupStream.corpusBandRelation(corpus)),
       name)
     q.stop()
