@@ -213,6 +213,9 @@ object SparkEntry {
     "q162_incremental_agg" -> (graft.operators.Incremental.aggMaintenance _),
     "q163_stream_neardup" ->
       (graft.streaming.DocStream.nearDupScreenDrain _),
+    "q164_transition_rarity" -> (EventsOps.transitionRarity _),
+    "q165_interleave_order" ->
+      (graft.operators.TrainingExport.interleaveOrder _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3034,6 +3037,42 @@ object SparkEntry {
          |FROM mm JOIN f
          |  ON mm.event_type = f.event_type AND mm.day = f.day""".stripMargin
     },
+    // first-order transition model in integer ppm; per-user rarity sum
+    // over the same lag relation
+    "q164_transition_rarity" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |tr AS (SELECT user_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM ev),
+        |t2 AS (SELECT * FROM tr WHERE from_type IS NOT NULL),
+        |model AS (SELECT from_type, to_type,
+        |    COUNT(*) * 1000000 // (SELECT COUNT(*) FROM t2) AS p_ppm
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |  CAST(SUM(1000000 - p_ppm) AS BIGINT) AS rarity_sum,
+        |  CAST(SUM(1000000 - p_ppm) // COUNT(*) AS BIGINT) AS avg_rarity_ppm
+        |FROM t2 JOIN model USING (from_type, to_type)
+        |GROUP BY 1""".stripMargin,
+    // round-robin interleave: rank-by-hash within source, fixed
+    // alphabetical source slots
+    "q165_interleave_order" ->
+      """WITH s AS (SELECT source,
+        |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx,
+        |    COUNT(*) OVER () AS n_sources
+        |  FROM (SELECT DISTINCT source FROM documents) d),
+        |r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 12)) AS BIGINT), doc_id) - 1 AS rank_in_source
+        |  FROM documents)
+        |SELECT r.doc_id, r.source,
+        |  CAST(r.rank_in_source AS BIGINT) AS rank_in_source,
+        |  CAST(r.rank_in_source * s.n_sources + s.src_idx AS BIGINT)
+        |    AS global_pos
+        |FROM r JOIN s USING (source)""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -398,6 +398,43 @@ object EventsOps {
           (col("e_ts_us") === -1L || col("e_ts_us") > col("p_ts_us")))
   }
 
+  /** q164: behavioral anomaly scoring by TRANSITION RARITY — the
+    * sequence-statistics operator (a first-order Markov view of the
+    * event stream): learn the global transition distribution
+    * p(from → to) in integer ppm, then score every user by how rare
+    * their observed transitions are (Σ (10⁶ − p_ppm), plus the
+    * per-transition mean). A user whose path keeps taking low-
+    * probability edges floats to the top — fraud/bot detection's
+    * simplest honest form, and deterministic end-to-end (float NLL is
+    * not; the rarity sum is).
+    *
+    * Scale: one user-keyed shuffle for the sequence windows; the
+    * transition model is TYPE²-sized and broadcasts back. Output is
+    * user-dimension-sized.
+    */
+  def transitionRarity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+    // total order within user: (ts_us, event_id) — event_id is unique
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = ev
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("user_id"), col("from_type"), col("event_type").as("to_type"))
+    val model = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(trans.agg(count(lit(1)).as("total"))))
+      .select(col("from_type"), col("to_type"),
+        expr("cnt * 1000000 DIV total").as("p_ppm"))
+    trans.join(broadcast(model), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(lit(1000000L) - col("p_ppm")).as("rarity_sum"))
+      .withColumn("avg_rarity_ppm", expr("rarity_sum DIV n_trans"))
+  }
+
   /** Half-life of [[decayedActivity]], in days: weights halve every
     * [[DecayHalfLifeDays]] days of age — as an integer right-shift, so
     * the decay curve is exact on both engines.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -64,6 +65,39 @@ object TrainingExport {
       .withColumn("key", concat(col("source"), lit(":"), col("seq")))
       .withColumn("shard", Sampling.hashBucket("key") % Sampling.Shards)
       .select(col("source"), col("seq"), col("n_tok"), col("shard"))
+  }
+
+  /** q165: deterministic cross-source interleave — the data-loader
+    * ORDERING contract. Training runs must be reproducible down to the
+    * batch order, so the order cannot come from file layout or task
+    * scheduling; it is computed: docs rank within their source by
+    * stable hash (shuffled-but-reproducible), sources take fixed slots
+    * (alphabetical index), and the global position round-robins
+    * `pos = rank · n_sources + src_idx` — consecutive positions cycle
+    * through sources, the standard mixing-without-replacement shape.
+    *
+    * Scale: one source-keyed shuffle for the rank window (the
+    * bounded-heap note on [[Sampling.stratifiedAlloc]] applies); the
+    * source index is dimension-sized and broadcasts. Position is a
+    * COLUMN, so the contract survives any physical row order.
+    */
+  def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("source"))).cast("long") - 1L)
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val ranked = docs
+      .withColumn("h", expr(
+        s"${graft.functions.GraftFunctions.Md5PrefixName}(CAST(doc_id AS STRING), 12)"))
+      .withColumn("rank_in_source", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+        .cast("long") - 1L)
+    ranked.join(broadcast(srcIdx), Seq("source"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        (col("rank_in_source") * col("n_sources") + col("src_idx"))
+          .as("global_pos"))
   }
 
   /** The export manifest (q151): per-shard sequence count, token mass,

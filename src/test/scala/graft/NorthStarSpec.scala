@@ -667,6 +667,29 @@ class NorthStarSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
   }
 
+  test("q164 transition rarity replays the integer markov contract") {
+    import graft.operators.EventsOps
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts_ns DIV 1000 AS ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans: Seq[(Long, String, String)] =
+      ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        es.sortBy(e => (e._4, e._2)).map(_._3).toList.sliding(2)
+          .collect { case List(a, b) => (u, a, b) }.toList
+      }
+    val total = trans.size.toLong
+    val pPpm = trans.groupBy(t => (t._2, t._3))
+      .map { case (k, xs) => k -> xs.size.toLong * 1000000L / total }
+    val expected = trans.groupBy(_._1).map { case (u, xs) =>
+      val raritySum = xs.map(t => 1000000L - pPpm((t._2, t._3))).sum
+      u -> (xs.size.toLong, raritySum, raritySum / xs.size)
+    }
+    val got = EventsOps.transitionRarity(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+  }
+
   test("q162 merge algebra certifies on a genuinely two-sided split") {
     import graft.operators.Incremental
     val rows = Incremental.aggMaintenance(spark, sf).collect()

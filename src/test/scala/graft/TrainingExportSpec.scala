@@ -58,4 +58,29 @@ class TrainingExportSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(back == expect)
   }
+
+  test("q165 interleave is a collision-free round-robin, stable across reruns") {
+    val rows = TrainingExport.interleaveOrder(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // global positions are unique (a loader can sort by them alone)
+    assert(rows.map(_._4).distinct.length === rows.length)
+    // round-robin law: pos ≡ src_idx (mod n_sources), rank = pos div n
+    val sources = rows.map(_._2).distinct.sorted
+    val idx = sources.zipWithIndex.toMap
+    val n = sources.length.toLong
+    rows.foreach { case (_, src, rank, pos) =>
+      assert(pos % n === idx(src).toLong, s"$src slot")
+      assert(pos / n === rank, s"$src rank")
+    }
+    // ranks are contiguous per source (0..count-1)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length.toLong),
+        s"$src ranks")
+    }
+    // rerun yields the identical order
+    val again = TrainingExport.interleaveOrder(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    rows.foreach { case (id, _, _, pos) => assert(again(id) === pos) }
+  }
 }
