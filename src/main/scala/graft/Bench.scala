@@ -24,6 +24,13 @@ object Bench {
     * `SPARK_GRAFT_BENCH_OUT` (also write the JSON line to this file so a
     * truncated stdout capture can't lose it; default `bench_out.json`).
     */
+  // locale-independent fixed-point rendering for the JSON contract
+  // line (the f-interpolator uses the default locale — a comma decimal
+  // separator would emit malformed JSON)
+  private def jnum(v: Double, scale: Int): String =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -152,13 +159,13 @@ object Bench {
         // per-query ANN serving cost at the fixed 1000-query budget —
         // one compact number on stdout (the bounded-tail constraint);
         // the sidecar carries the full breakdown
-        annMsPerQ.map(v => s""""ann_ms_per_q":${f"$v%.2f"},""").getOrElse("") +
+        annMsPerQ.map(v => s""""ann_ms_per_q":${jnum(v, 2)},""").getOrElse("") +
         (if (detail) annBudget.map(b =>
           s""""ann_budget":{"n":${b.n},"nlist":${b.nlist},"nprobe":${b.nprobe},""" +
-            s""""k":${b.k},"ivf_cold_sec":${f"${b.ivfColdSec}%.3f"},""" +
-            s""""ivf_warm_sec":${f"${b.ivfWarmSec}%.3f"},""" +
-            s""""ivfpq_cold_sec":${f"${b.ivfpqColdSec}%.3f"},""" +
-            s""""ivfpq_warm_sec":${f"${b.ivfpqWarmSec}%.3f"}},""").getOrElse("")
+            s""""k":${b.k},"ivf_cold_sec":${jnum(b.ivfColdSec, 3)},""" +
+            s""""ivf_warm_sec":${jnum(b.ivfWarmSec, 3)},""" +
+            s""""ivfpq_cold_sec":${jnum(b.ivfpqColdSec, 3)},""" +
+            s""""ivfpq_warm_sec":${jnum(b.ivfpqWarmSec, 3)}},""").getOrElse("")
          else "") +
         s""""sf":"$sfDir"}"""
     }

@@ -2638,7 +2638,8 @@ object SparkEntry {
          |    CAST(COUNT(*) AS BIGINT) AS n_events,
          |    CAST(SUM(v_c) AS BIGINT) AS value_c
          |  FROM s GROUP BY user_id, sid),
-         |m AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events)
+         |m AS (SELECT MAX(epoch_us(ts)) // 1000 * 1000 AS max_us
+         |      FROM events)
          |SELECT user_id, session_start_us, session_end_us, n_events, value_c
          |FROM g, m WHERE session_end_us <= max_us""".stripMargin,
     // identical integer grid/interleave arithmetic replayed in SQL; the

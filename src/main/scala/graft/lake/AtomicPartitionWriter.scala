@@ -80,8 +80,15 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     * backup-rename protocol. Atomicity is PER PARTITION, as with every
     * other entry point here: a crash mid-commit leaves each partition
     * either old or new plus `_tmp`/`_old` litter that [[repair]] reaps
-    * (the staging dir's `_tmp` suffix makes it reapable too). Returns
-    * committed paths keyed by partition value.
+    * (the staging dir's `_tmp` suffix makes it reapable too).
+    *
+    * The commit REPLACES the table: pre-existing `partCol=value`
+    * directories absent from the new relation are removed after every
+    * swap lands (a shrinking re-commit must not leave a previous
+    * commit's partitions mixed in — e.g. a hash shard that became
+    * empty). A crash between the swaps and this sweep leaves the stale
+    * dirs readable-but-old; the next successful commit removes them.
+    * Returns committed paths keyed by partition value.
     */
   def commitPartitioned(df: DataFrame, tableDir: String,
       partCol: String): Map[String, String] = {
@@ -94,12 +101,20 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
         .map(_.getPath.getName)
         .filter(_.startsWith(s"$partCol="))
         .sorted
-      parts.map { p =>
+      val committed = parts.map { p =>
         val fin = s"$tableDir/$p"
         swap(s"$staging/$p", fin, s"$tableDir/${p}_old")
         if (fsOps.exists(s"$tableDir/${p}_old")) fsOps.delete(s"$tableDir/${p}_old")
         p.stripPrefix(s"$partCol=") -> fin
       }.toMap
+      val newSet = parts.toSet
+      fsOps.fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith(s"$partCol=") && !newSet.contains(n) &&
+          !n.endsWith("_old") && !n.endsWith("_tmp"))
+        .foreach(n => fsOps.delete(s"$tableDir/$n"))
+      committed
     } finally {
       if (fsOps.exists(staging)) fsOps.delete(staging)
     }

@@ -109,8 +109,10 @@ object DocStream {
     val docs = graft.sources.Tables.documents(spark, dir)
     val b = graft.operators.Sampling.hashBucket("doc_id")
     val corpus = docs.filter(b < 800000L)
-    val landing = java.nio.file.Files
-      .createTempDirectory("graft_q163_landing").toString
+    // deterministic per-SF landing path, truncated by overwrite — a
+    // fresh temp dir per call would leak a corpus-scale copy per run
+    val landing =
+      s"/tmp/graft_q163_landing/${new java.io.File(dir).getName}"
     docs.filter(b >= 900000L)
       .select(col("doc_id"), (col("doc_id") + 1000000000L).as("ingest_us"),
         col("text"), col("lang"), col("source"))

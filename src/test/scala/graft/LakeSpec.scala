@@ -90,6 +90,22 @@ class LakeSpec extends AnyFunSuite {
     assert(!fs.exists(s"$table/year=2024_old"))
   }
 
+  test("commitPartitioned removes partitions a shrinking re-commit dropped") {
+    val table = tmpDir()
+    val w = new AtomicPartitionWriter(fsOps, spark)
+    def rel(shards: Int) =
+      Seq.tabulate(12)(i => (i.toLong, (i % shards).toLong)).toDF("id", "shard")
+    w.commitPartitioned(rel(4), table, "shard")
+    assert(spark.read.parquet(table).select("shard").distinct().count() == 4)
+    // shard 3 vanishes from the relation — the re-commit must not leave
+    // its previous directory mixed into the table
+    w.commitPartitioned(rel(3), table, "shard")
+    assert(!fsOps.exists(s"$table/shard=3"), "stale partition must be removed")
+    val back = spark.read.parquet(table)
+    assert(back.select("shard").distinct().count() == 3)
+    assert(back.count() == 12)
+  }
+
   test("swap failure rolls the backup partition back") {
     val table = tmpDir()
     val fs = fsOps

@@ -155,26 +155,51 @@ class ThriftServingSpec extends AnyFunSuite
     }
   }
 
+  /** Commit a DataFrame as a parquet-backed catalog table the thrift
+    * sessions can see (memory-sink drains are session-local).
+    */
+  private def commitServed(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-$name").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$dir'")
+  }
+
+  /** Every query must return identical, non-empty rows over JDBC and
+    * in-process (stringified cell-wise — the one comparison rule for
+    * every parity slice).
+    */
+  private def assertServedMatchesLocal(queries: Seq[String], label: String): Unit = {
+    val conn = connect()
+    try {
+      queries.zipWithIndex.foreach { case (sql, i) =>
+        val local = spark.sql(sql).collect().map(r =>
+          (0 until r.length).map(j => String.valueOf(r.get(j))).mkString("\u0001"))
+        val rs = conn.createStatement().executeQuery(sql)
+        val n = rs.getMetaData.getColumnCount
+        val served = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString("\u0001"))
+          .toArray
+        assert(served.toSeq == local.toSeq,
+          s"$label query #$i diverged over thrift:\n$sql")
+        assert(local.nonEmpty, s"$label query #$i returned no rows:\n$sql")
+      }
+    } finally conn.close()
+  }
+
   test("media features and a drained streaming table serve over JDBC") {
     val sf = "/root/testdata/sf0.001"
     // q134's extractor is engine-side mapPartitions (bytes never leave
     // the executors); serving exposes its RESULT relationally — the
     // drain → commit → serve shape a production media pipeline has
-    val mediaDir = java.nio.file.Files
-      .createTempDirectory("graft-media-served").toString
-    graft.multimodal.Multimodal.mediaByteHistogram(spark, sf)
-      .write.mode("overwrite").parquet(mediaDir)
-    spark.sql("DROP TABLE IF EXISTS media_served")
-    spark.sql(s"CREATE TABLE media_served USING PARQUET LOCATION '$mediaDir'")
+    commitServed("media_served",
+      graft.multimodal.Multimodal.mediaByteHistogram(spark, sf))
     // the streaming SCD drain (q127's machine), committed then served:
     // memory-sink drains are session-local temp views, invisible to the
     // thrift-spawned sessions — a served stream is a committed table
-    val scdDir = java.nio.file.Files
-      .createTempDirectory("graft-scd-served").toString
-    graft.streaming.EventsStream.scdClosedDrain(spark, sf)
-      .write.mode("overwrite").parquet(scdDir)
-    spark.sql("DROP TABLE IF EXISTS scd_served")
-    spark.sql(s"CREATE TABLE scd_served USING PARQUET LOCATION '$scdDir'")
+    commitServed("scd_served",
+      graft.streaming.EventsStream.scdClosedDrain(spark, sf))
     val queries = Seq(
       // media histogram columns straight off the committed features
       """SELECT media_id, size_bytes, h00, h07, h15 FROM media_served
@@ -189,40 +214,17 @@ class ThriftServingSpec extends AnyFunSuite
       """SELECT user_id, count(*) AS n_closed,
         |  CAST(max(valid_to - valid_from) AS BIGINT) AS longest_us
         |FROM scd_served GROUP BY user_id ORDER BY user_id LIMIT 40""".stripMargin)
-    locally {
-      val conn = connect()
-      try {
-        queries.zipWithIndex.foreach { case (sql, i) =>
-          val local = spark.sql(sql).collect().map(r =>
-            (0 until r.length).map(j => String.valueOf(r.get(j))).mkString(""))
-          val rs = conn.createStatement().executeQuery(sql)
-          val n = rs.getMetaData.getColumnCount
-          val served = Iterator.continually(rs).takeWhile(_.next())
-            .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString(""))
-            .toArray
-          assert(served.toSeq == local.toSeq,
-            s"round-9 surface query #$i diverged over thrift:\n$sql")
-          assert(local.nonEmpty, s"round-9 surface query #$i returned no rows:\n$sql")
-        }
-      } finally conn.close()
-    }
+    assertServedMatchesLocal(queries, "round-9 surface")
   }
 
   test("round-10 audit and session tables serve over JDBC") {
     val sf = "/root/testdata/sf0.001"
     // commit-then-serve, as with the round-9 surface: the layout audit,
     // the referential audit, and the drained session-window table
-    def commit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-$name-served").toString
-      df.write.mode("overwrite").parquet(dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$dir'")
-    }
-    commit("layout_served", graft.lake.ZOrder.layoutAudit(spark, sf))
-    commit("refaudit_served",
+    commitServed("layout_served", graft.lake.ZOrder.layoutAudit(spark, sf))
+    commitServed("refaudit_served",
       graft.quality.DataQuality.referentialAudit(spark, sf))
-    commit("sessions_served",
+    commitServed("sessions_served",
       graft.streaming.EventsStream.sessionizeDrain(spark, sf))
     val queries = Seq(
       """SELECT layout, n_chunks, scanned, scan_ppm FROM layout_served
@@ -234,36 +236,13 @@ class ThriftServingSpec extends AnyFunSuite
         |  CAST(max(session_end_us - session_start_us) AS BIGINT) AS longest_us
         |FROM sessions_served GROUP BY user_id
         |ORDER BY user_id LIMIT 40""".stripMargin)
-    locally {
-      val conn = connect()
-      try {
-        queries.zipWithIndex.foreach { case (sql, i) =>
-          val local = spark.sql(sql).collect().map(r =>
-            (0 until r.length).map(j => String.valueOf(r.get(j))).mkString(""))
-          val rs = conn.createStatement().executeQuery(sql)
-          val n = rs.getMetaData.getColumnCount
-          val served = Iterator.continually(rs).takeWhile(_.next())
-            .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString(""))
-            .toArray
-          assert(served.toSeq == local.toSeq,
-            s"round-10 surface query #$i diverged over thrift:\n$sql")
-          assert(local.nonEmpty, s"round-10 surface query #$i returned no rows:\n$sql")
-        }
-      } finally conn.close()
-    }
+    assertServedMatchesLocal(queries, "round-10 surface")
   }
 
   test("graph centrality and hybrid retrieval tables serve over JDBC") {
     val sf = "/root/testdata/sf0.001"
-    def commit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-$name-served").toString
-      df.write.mode("overwrite").parquet(dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$dir'")
-    }
-    commit("pagerank_served", graft.operators.GraphOps.tradePagerank(spark, sf))
-    commit("fused_served", graft.operators.Retrieval.rrfFusion(spark, sf))
+    commitServed("pagerank_served", graft.operators.GraphOps.tradePagerank(spark, sf))
+    commitServed("fused_served", graft.operators.Retrieval.rrfFusion(spark, sf))
     val queries = Seq(
       // top-ranked trade counterparties per node type
       """SELECT node_type, CAST(count(*) AS BIGINT) AS n_nodes,
@@ -272,23 +251,7 @@ class ThriftServingSpec extends AnyFunSuite
       // the fused hybrid ranking, as a serving client would page it
       """SELECT q_id, doc_id, lex_rank, sem_rank, rrf_ppm, fused_rank
         |FROM fused_served ORDER BY q_id, fused_rank LIMIT 40""".stripMargin)
-    locally {
-      val conn = connect()
-      try {
-        queries.zipWithIndex.foreach { case (sql, i) =>
-          val local = spark.sql(sql).collect().map(r =>
-            (0 until r.length).map(j => String.valueOf(r.get(j))).mkString(""))
-          val rs = conn.createStatement().executeQuery(sql)
-          val n = rs.getMetaData.getColumnCount
-          val served = Iterator.continually(rs).takeWhile(_.next())
-            .map(r => (1 to n).map(j => String.valueOf(r.getObject(j))).mkString(""))
-            .toArray
-          assert(served.toSeq == local.toSeq,
-            s"retrieval surface query #$i diverged over thrift:\n$sql")
-          assert(local.nonEmpty, s"retrieval surface query #$i returned no rows:\n$sql")
-        }
-      } finally conn.close()
-    }
+    assertServedMatchesLocal(queries, "retrieval surface")
   }
 
   private def retry[A](attempts: Int, sleepMs: Long)(f: => A): A =
