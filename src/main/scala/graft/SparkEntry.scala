@@ -216,6 +216,7 @@ object SparkEntry {
     "q164_transition_rarity" -> (EventsOps.transitionRarity _),
     "q165_interleave_order" ->
       (graft.operators.TrainingExport.interleaveOrder _),
+    "q166_collocations" -> (CorpusPrep.collocations _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3074,6 +3075,26 @@ object SparkEntry {
         |  CAST(r.rank_in_source * s.n_sources + s.src_idx AS BIGINT)
         |    AS global_pos
         |FROM r JOIN s USING (source)""".stripMargin,
+    // adjacent-bigram lift in the exact two-step floor-div contract
+    "q166_collocations" -> {
+      import graft.operators.CorpusPrep.CollocMinSupport
+      s"""WITH tk AS (SELECT $toks AS toks FROM documents),
+         |uni AS (SELECT tok, COUNT(*) AS n
+         |  FROM (SELECT unnest(toks) AS tok FROM tk) u GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS t_tokens FROM uni),
+         |bi AS (SELECT x.p.a AS tok_a, x.p.b AS tok_b, COUNT(*) AS n_ab
+         |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+         |    FROM tk WHERE len(toks) >= 2) x
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $CollocMinSupport)
+         |SELECT bi.tok_a, bi.tok_b, CAST(bi.n_ab AS BIGINT) AS n_ab,
+         |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         |  CAST((bi.n_ab * 1000000 // a.n) * t.t_tokens // b.n AS BIGINT)
+         |    AS lift_ppm
+         |FROM bi
+         |JOIN uni a ON bi.tok_a = a.tok
+         |JOIN uni b ON bi.tok_b = b.tok, tot t""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -205,4 +205,50 @@ object CorpusPrep {
         expr(s"(cum_before + n_tokens - 1) DIV $PackBudget").as("end_seq"),
         expr(s"cum_before % $PackBudget").as("start_offset"))
   }
+
+  /** Minimum bigram occurrences for [[collocations]]. */
+  val CollocMinSupport = 5L
+
+  /** q166: collocation mining — corpus bigram statistics with an
+    * integer PMI-style lift: how much more often do two tokens occur
+    * ADJACENTLY than their frequencies predict. The contract is the
+    * two-step floor-div `lift = ((n_ab·10⁶) div n_a · T) div n_b`
+    * (≈ 10⁶ · p(ab)/(p(a)p(b))): one step would overflow a long at
+    * trillion-token corpora, and the two-step form is the deterministic
+    * fixed-point both engines replay. Collocations feed tokenizer
+    * vocabulary induction (the counting half of a BPE/WordPiece merge
+    * step) and phrase-aware quality signals.
+    *
+    * Scale: one explode pass for bigram counts, one for unigram counts
+    * — both aggregations are VOCABULARY-bounded (vocab² worst case for
+    * bigrams, the observed-adjacency subset in practice), so the join
+    * and lift arithmetic run at vocabulary scale regardless of corpus
+    * rows. Min-support keeps noise bigrams out of the graded relation.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsFor(Tables.documents(spark, dir))
+
+  def collocationsFor(docs: DataFrame): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("t_tokens"))
+    val bi = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= CollocMinSupport)
+    bi
+      .join(broadcast(uni.withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("n", "n_a")), Seq("tok_a"))
+      .join(broadcast(uni.withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("n", "n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(total))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * 1000000 DIV n_a) * t_tokens DIV n_b").as("lift_ppm"))
+  }
 }

@@ -142,4 +142,34 @@ class CorpusPrepSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), math.round(r.getDouble(1)))).toMap
     assert(got == expect)
   }
+
+  test("q166 collocations replay the two-step integer lift on a hand corpus") {
+    import graft.operators.CorpusPrep
+    // "new york" is a strong collocation (always adjacent); "the" is
+    // frequent but promiscuous; min-support prunes the rare pair
+    val texts = Seq.fill(6)("the city of new york") ++
+      Seq.fill(5)("the new budget for the york office") ++
+      Seq.fill(2)("rare pair only twice")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "web", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusPrep.collocationsFor(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // brute force with the identical arithmetic
+    val toks = texts.map(_.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val total = toks.map(_.size).sum.toLong
+    val bi = toks.flatMap(ts => ts.zip(ts.tail)).groupBy(identity)
+      .collect { case (p, xs) if xs.size >= CorpusPrep.CollocMinSupport =>
+        p -> xs.size.toLong }
+    assert(bi.nonEmpty && got.keySet === bi.keySet)
+    bi.foreach { case ((a, b), nAb) =>
+      val lift = (nAb * 1000000L / uni(a)) * total / uni(b)
+      assert(got((a, b)) === ((nAb, uni(a), uni(b), lift)), s"($a,$b)")
+    }
+    // the dedicated pair must out-lift the promiscuous one
+    assert(got(("new", "york"))._4 > got(("the", "new"))._4)
+  }
 }
