@@ -217,6 +217,8 @@ object SparkEntry {
     "q165_interleave_order" ->
       (graft.operators.TrainingExport.interleaveOrder _),
     "q166_collocations" -> (CorpusPrep.collocations _),
+    "q167_stream_full_attrib" ->
+      (graft.streaming.EventsStream.attributionFullDrain _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3095,6 +3097,35 @@ object SparkEntry {
          |JOIN uni a ON bi.tok_a = a.tok
          |JOIN uni b ON bi.tok_b = b.tok, tot t""".stripMargin
     },
+    // q152's pinned rules (min-watermark, ms floor, strict view
+    // closure) plus the full join's click side: a matching view must be
+    // STRICTLY earlier, so a click closes non-strictly at the watermark
+    // (SessionDrainSpec's q167 fixtures discriminate <= from <)
+    "q167_stream_full_attrib" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, ts_us AS v_us
+        |      FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us
+        |      FROM e WHERE event_type = 'click'),
+        |m AS (SELECT v.user_id, v.view_id, c.click_id, c_us - v_us AS gap_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |    AND c_us > v_us AND c_us <= v_us + 3600000000),
+        |mx AS (SELECT least((SELECT MAX(v_us) FROM v),
+        |    (SELECT MAX(c_us) FROM c)) // 1000 * 1000 AS wm_us)
+        |SELECT user_id, view_id, click_id, gap_us, TRUE AS matched FROM m
+        |UNION ALL
+        |SELECT v.user_id, v.view_id, -1 AS click_id, -1 AS gap_us,
+        |  FALSE AS matched
+        |FROM v, mx
+        |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+        |  AND v_us + 3600000000 < wm_us
+        |UNION ALL
+        |SELECT c.user_id, -1 AS view_id, c.click_id, -1 AS gap_us,
+        |  FALSE AS matched
+        |FROM c, mx
+        |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        |  AND c_us <= wm_us""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

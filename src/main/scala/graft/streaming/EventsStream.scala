@@ -427,6 +427,42 @@ object EventsStream {
       viewClickAttributionOuter(read(spark, d), read(spark, d))
     }
 
+  /** q167: the FULL outer stream-stream join — both sides emit
+    * null-padded rows once the watermark proves their match can no
+    * longer arrive. Completes the stream-join matrix (inner q133 /
+    * left q152 / full here) with the same pinned semantics: global
+    * watermark = min over both sides' nodes, ms-floored event-time
+    * stats, strictly-below closure. The click side's closure bound is
+    * its OWN timestamp (a matching view must satisfy v_ts < c_ts, so
+    * once the watermark passes c_ts no qualifying view can arrive) —
+    * tighter than the view side's `v_ts + window`.
+    */
+  def viewClickAttributionFull(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"), col("ts_ns").as("v_ts_ns"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"), col("ts_ns").as("c_ts_ns"))
+    v.join(c, expr(
+        """v_user = c_user AND
+          |c_ts > v_ts AND
+          |c_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin), "full_outer")
+      .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(expr("c_ts_ns DIV 1000") - expr("v_ts_ns DIV 1000"),
+          lit(-1L)).as("gap_us"),
+        (col("click_id").isNotNull && col("view_id").isNotNull).as("matched"))
+  }
+
+  def attributionFullDrain(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, dir, "q167_attr", rideWatermark = true) { d =>
+      viewClickAttributionFull(read(spark, d), read(spark, d))
+    }
+
   /** Exactly-once under replay, drained under the correctness gate
     * (q137): the same events file staged TWICE into the source dir —
     * the at-least-once delivery every file-based ingest must survive

@@ -120,6 +120,42 @@ class SessionDrainSpec extends AnyFunSuite {
       s"end < watermark must close: ${rows2.mkString(",")}")
   }
 
+  test("q167: unmatched clicks close AT the watermark (<=), views keep the strict rule") {
+    // A matching view must be STRICTLY earlier than its click, so a
+    // click at the watermark is already provably unmatched — the click
+    // side closes non-strictly (c <= wm), unlike the view side's
+    // strict `end < wm` (probed: click 3 at wm == its own ts emits).
+    val dir = stageTyped(Seq(
+      (1L, T0, 0, 1L, "click"),
+      (2L, T0 + 3 * HourMs, 0, 2L, "view"),
+      (3L, T0 + 2 * HourMs, 0, 3L, "click")))
+    val rows = EventsStream.attributionFullDrain(spark, dir).collect()
+    val u1 = rows.filter(_.getAs[Long]("click_id") == 1L)
+    assert(u1.length == 1 && u1.head.getAs[Long]("view_id") == -1L &&
+      !u1.head.getAs[Boolean]("matched"),
+      s"closed unmatched click must emit a null row: ${rows.mkString(",")}")
+    assert(rows.exists(r => r.getAs[Long]("click_id") == 3L &&
+      r.getAs[Long]("view_id") == -1L),
+      s"click at the watermark is provably unmatched and must emit: ${rows.mkString(",")}")
+    // the view side keeps q152's rule in the full join: u2's view window
+    // (ends T0+4h) is open at wm = T0+2h
+    assert(!rows.exists(_.getAs[Long]("view_id") == 2L))
+    // discriminator: with the view side setting wm, a click 1 ms ABOVE
+    // the watermark stays open while one AT it closes
+    val dir2 = stageTyped(Seq(
+      (1L, T0 + 2 * HourMs, 0, 1L, "click"),
+      (2L, T0 + 2 * HourMs + 1, 0, 4L, "click"),
+      (3L, T0 + 2 * HourMs, 0, 2L, "view"),
+      (4L, T0 + 3 * HourMs, 0, 3L, "click")))
+    val rows2 = EventsStream.attributionFullDrain(spark, dir2).collect()
+    assert(rows2.exists(r => r.getAs[Long]("click_id") == 1L &&
+      r.getAs[Long]("view_id") == -1L),
+      s"click AT wm closes: ${rows2.mkString(",")}")
+    assert(!rows2.exists(_.getAs[Long]("click_id") == 2L),
+      s"click above wm stays open: ${rows2.mkString(",")}")
+    assert(!rows2.exists(_.getAs[Long]("click_id") == 4L))
+  }
+
   test("drained sessions equal the batch gaps-and-islands closed set at sf0.001") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
