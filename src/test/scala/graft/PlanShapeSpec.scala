@@ -682,4 +682,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("graft_topk"),
       s"expected the bounded top-k aggregate:\n${p.take(2000)}")
   }
+
+  test("q164 transition rarity: one user-keyed window, model attaches via broadcast") {
+    val p = plan(graft.operators.EventsOps.transitionRarity(spark, sf))
+    // the type²-sized transition model (and its 1-row total) broadcast
+    // back into the transition relation — the events never re-shuffle
+    // for the model join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"model must broadcast:\n${p.take(2000)}")
+    assert(p.contains("lag("), s"expected the sequence window:\n${p.take(2000)}")
+  }
+
+  test("q166 collocations: vocabulary-bounded joins broadcast; no cartesian pairing") {
+    val p = plan(graft.operators.CorpusPrep.collocations(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"unigram counts must broadcast into the bigram relation:\n${p.take(2000)}")
+  }
 }
