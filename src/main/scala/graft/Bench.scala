@@ -27,8 +27,12 @@ object Bench {
   // locale-independent fixed-point rendering for the JSON contract
   // line (the f-interpolator uses the default locale — a comma decimal
   // separator would emit malformed JSON)
+  // non-finite guard: BigDecimal.valueOf throws on NaN/Infinity (a
+  // degenerate upstream timing would crash the whole contract line) —
+  // emit JSON null instead and keep the line parseable
   private def jnum(v: Double, scale: Int): String =
-    java.math.BigDecimal.valueOf(v)
+    if (!java.lang.Double.isFinite(v)) "null"
+    else java.math.BigDecimal.valueOf(v)
       .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
 
   def main(args: Array[String]): Unit = {

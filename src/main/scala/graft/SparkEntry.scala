@@ -2828,8 +2828,8 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
         |  CAST(SUM(length(text)) AS BIGINT) AS len_sum,
-        |  CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
-        |    AS BIGINT) AS text_fp_sum
+        |  CAST(BIT_XOR(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS text_fp_xor
         |FROM documents GROUP BY 1, 2""".stripMargin,
     // integer fixed-point damped PageRank, the iteration unrolled as
     // chained CTEs — exact arithmetic contract in GraphOps.pagerank

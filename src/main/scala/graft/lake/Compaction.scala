@@ -113,7 +113,10 @@ object Compaction {
     */
   def planRowsAudit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val tableDir = s"/tmp/graft_q156_lake/${new java.io.File(dir).getName}"
+    // app-id segment: unique across runs so concurrent Verify/Bench
+    // over the same SF can't list each other's mid-overwrite table
+    val tableDir = s"/tmp/graft_q156_lake/${spark.sparkContext.applicationId}/" +
+      new java.io.File(dir).getName
     // Fragmented stage: shard = portable md5 bucket; repartition on the
     // (year, shard) leaf key so every leaf dir is exactly one file and
     // the oracle can predict the file count as COUNT(DISTINCT shard).

@@ -539,7 +539,7 @@ object Dedup {
     * checkpoint by default (single-JVM tests/bench), reliable
     * `checkpoint()` into `dir` when one is given (cluster runs).
     */
-  private def checkpointer(spark: SparkSession,
+  private[operators] def checkpointer(spark: SparkSession,
       dir: Option[String]): DataFrame => DataFrame = dir match {
     case Some(d) =>
       spark.sparkContext.setCheckpointDir(d)

@@ -28,13 +28,22 @@ import graft.sources.Tables
   *  - The edge relation is aggregated ONCE from the fact join (distinct
   *    (src, dst) pairs with weights — far smaller than the fact table)
   *    and persisted across iterations (MEMORY_AND_DISK; spill-safe).
-  *  - The rank relation is NODE-sized. Each iteration broadcasts it
-  *    into the edge scan (explicit `broadcast` hint), so the edges are
-  *    never re-shuffled: per iteration one broadcast + one partial
-  *    (map-side) sum keyed by `dst`. With 200 M nodes the rank side
-  *    outgrows a broadcast; the same loop then runs as a shuffle join
-  *    co-partitioned on `src` — the structure (edges invariant, ranks
-  *    small) is what keeps the loop cheap either way.
+  *  - The rank relation is NODE-sized. While the node count is under
+  *    [[DefaultBroadcastNodeLimit]] (overridable per call or via
+  *    `graft.pagerank.broadcastNodeLimit`), each iteration broadcasts
+  *    it into the edge scan (explicit `broadcast` hint), so the edges
+  *    are never re-shuffled: per iteration one broadcast + one partial
+  *    (map-side) sum keyed by `dst`. Above the limit an unconditional
+  *    broadcast would OOM the driver (a TPC-H-shaped 100 TB graph has
+  *    ~10⁹ nodes), so the SAME loop switches to hinted
+  *    sort-merge joins against the cached edge relation. The whole
+  *    iteration materializes as ONE job, and each iteration's
+  *    edge-side exchange (hash on `src` over the cached scan) is
+  *    canonically identical — exchange/stage reuse shuffles the edges
+  *    ONCE per job; per iteration only the node-sized rank relation
+  *    moves. The switch is decided from the out-degree relation's
+  *    exact row count (already needed for the base rank), not from
+  *    optimizer size estimates.
   *  - Fixed iteration count keeps lineage bounded (6 chained
   *    plans); no driver-side data loop — the only driver scalar is the
   *    node count (one metadata-sized action, the kmeans posture).
@@ -58,9 +67,29 @@ object GraphOps {
     */
   val PrIters = 6
 
+  /** Node-count ceiling for the broadcast-rank iteration. 50 M nodes
+    * of (long, long) is ~800 MB hashed on the driver — the edge of
+    * sane for a large driver; past it the shuffled form is mandatory.
+    * Override per call, or session-wide via the
+    * `graft.pagerank.broadcastNodeLimit` conf.
+    */
+  val DefaultBroadcastNodeLimit = 50000000L
+
   /** One damped integer PageRank sweep over `edges` (`src`, `dst`, `w`
     * — longs, weights positive). Returns (`node`, `rank_q`) after
     * [[PrIters]] iterations.
+    *
+    * `broadcastNodeLimit`: explicit node-count ceiling for the
+    * broadcast plan (tests pass `Some(0)` to force the shuffled plan);
+    * `None` reads `graft.pagerank.broadcastNodeLimit`, defaulting to
+    * [[DefaultBroadcastNodeLimit]]. Both plans execute the identical
+    * integer contract — GraphOpsSpec asserts byte-identical ranks.
+    *
+    * `checkpointDir`: lineage truncation for the materialized result —
+    * `None` uses `localCheckpoint()` (single-JVM tests/bench; blocks
+    * die with the executor), a reliable dir (HDFS/S3) makes the result
+    * survive executor loss on a real cluster (same contract as
+    * [[Dedup.connectedComponentsStars]]).
     *
     * Exact arithmetic contract (replayed verbatim by the oracle):
     * {{{
@@ -75,7 +104,13 @@ object GraphOps {
     * below does, by construction).
     */
   def pagerank(edges: DataFrame, iters: Int = PrIters,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      broadcastNodeLimit: Option[Long] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val bcLimit = broadcastNodeLimit.getOrElse(
+      spark.conf.get("graft.pagerank.broadcastNodeLimit",
+        DefaultBroadcastNodeLimit.toString).toLong)
     // cache the edge relation FIRST: the out-degree aggregate and the
     // annotated edge relation both derive from it, so the (expensive)
     // edge-building pipeline upstream runs exactly once
@@ -85,19 +120,25 @@ object GraphOps {
     // so no separate distinct pass ever runs
     val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // node-sized, like the rank relation — broadcast so the edge scan
-    // is never shuffled to attach out-degrees
-    val e2 = e0.join(broadcast(outW), Seq("src"))
-      .select(col("src"), col("dst"), col("w"), col("out_w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = outW.count()
+    val bcast = n <= bcLimit
+    // attach out-degrees: broadcast while node-sized; above the limit
+    // force a merge join (a hint, not an estimate, so tiny test graphs
+    // and misestimated stats both get the plan the node count demands)
+    val e1 =
+      if (bcast) e0.join(broadcast(outW), Seq("src"))
+      else e0.hint("merge").join(outW, Seq("src"))
+    val e2 = e1.select(col("src"), col("dst"), col("w"), col("out_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = PrScale / n
     val tele = (15L * base) / 100L
     var ranks = outW.select(col("src").as("node"))
       .withColumn("rank_q", lit(base))
     for (_ <- 1 to iters) {
-      ranks = e2
-        .join(broadcast(ranks), e2("src") === ranks("node"))
+      val joined =
+        if (bcast) e2.join(broadcast(ranks), e2("src") === ranks("node"))
+        else e2.hint("merge").join(ranks, e2("src") === ranks("node"))
+      ranks = joined
         .select(col("dst"), expr("(rank_q * w) div out_w").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
@@ -107,7 +148,7 @@ object GraphOps {
     if (!materialize) ranks // lazy: plan inspection (caller owns the cache)
     // materialize before releasing the caches the plan depends on
     else
-      try ranks.localCheckpoint()
+      try Dedup.checkpointer(spark, checkpointDir)(ranks)
       finally { e2.unpersist(); outW.unpersist(); e0.unpersist() }
   }
 

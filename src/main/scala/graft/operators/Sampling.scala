@@ -291,9 +291,14 @@ object Sampling {
     *    by stratum key — so Σ alloc_i = k EXACTLY, deterministically.
     *
     * Row selection within a stratum is rank-by-stable-hash (md5 of
-    * doc_id, ties by doc_id): reproducible, engine-portable, and a
-    * superset property holds across k (growing k only ADDS rows — the
-    * hash order is fixed, so samples nest like q48's bucket filter).
+    * doc_id, ties by doc_id): reproducible and engine-portable. For a
+    * FIXED allocation the within-stratum selections nest (the hash
+    * order is fixed, so a larger alloc_i only ADDS rows, like q48's
+    * bucket filter) — but the overall sample is NOT monotone in k:
+    * largest-remainder rounding is subject to the Alabama paradox, so
+    * growing k can shrink an individual stratum's allocation and drop
+    * rows from it. Callers needing nested samples across k should fix
+    * the allocation and vary only the per-stratum take.
     *
     * Scale: the allocation table is STRATA-sized (computed on the
     * per-stratum count relation, metadata scale). The rank step is one

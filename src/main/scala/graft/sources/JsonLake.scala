@@ -44,15 +44,23 @@ object JsonLake {
   /** q153: JSONL round-trip fidelity audit. Exports the documents
     * table to JSONL shards, reads them back with the declared schema,
     * and aggregates the READ-BACK rows per (source, lang): counts, key
-    * and length sums, and an md5-prefix fingerprint sum over the text
-    * bodies. The oracle computes the same aggregate from the parquet
-    * table it never exported — so any corruption the JSON boundary
-    * introduces (escape handling, unicode transcoding, newline-in-text
-    * splitting, schema drift) breaks the hash gate.
+    * and length sums, and an md5-prefix fingerprint XOR over the text
+    * bodies (bit_xor, the [[graft.lake.TableDiff]] checksum rule — a
+    * SUM of 48-bit fingerprints wraps a long silently over millions of
+    * keys while DuckDB's SUM promotes to HUGEINT, so the gate would
+    * diverge exactly when the corpus gets big; XOR is closed on the
+    * domain at any scale). The oracle computes the same aggregate from
+    * the parquet table it never exported — so any corruption the JSON
+    * boundary introduces (escape handling, unicode transcoding,
+    * newline-in-text splitting, schema drift) breaks the hash gate.
     */
   def roundtripAudit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val out = s"/tmp/graft_q153_jsonl/${new java.io.File(dir).getName}"
+    // app-id segment: stable within a run (repeat calls reuse via
+    // overwrite) but unique across runs, so a concurrent Verify and
+    // Bench over the same SF can't read each other's mid-overwrite state
+    val out = s"/tmp/graft_q153_jsonl/${spark.sparkContext.applicationId}/" +
+      new java.io.File(dir).getName
     writeJsonl(Tables.documents(spark, dir), out)
     readJsonl(spark, out, DocumentsSchemaDdl)
       .groupBy(col("source"), col("lang"))
@@ -61,8 +69,8 @@ object JsonLake {
         sum(col("doc_id")).as("id_sum"),
         sum(col("n_chars")).as("chars_sum"),
         sum(length(col("text")).cast("long")).as("len_sum"),
-        sum(expr(
-          s"${graft.functions.GraftFunctions.Md5PrefixName}(text, 12)"))
-          .as("text_fp_sum"))
+        expr(
+          s"bit_xor(${graft.functions.GraftFunctions.Md5PrefixName}(text, 12))")
+          .as("text_fp_xor"))
   }
 }

@@ -109,10 +109,12 @@ object DocStream {
     val docs = graft.sources.Tables.documents(spark, dir)
     val b = graft.operators.Sampling.hashBucket("doc_id")
     val corpus = docs.filter(b < 800000L)
-    // deterministic per-SF landing path, truncated by overwrite — a
-    // fresh temp dir per call would leak a corpus-scale copy per run
-    val landing =
-      s"/tmp/graft_q163_landing/${new java.io.File(dir).getName}"
+    // deterministic per-(app, SF) landing path, truncated by overwrite —
+    // a fresh temp dir per CALL would leak a corpus-scale copy per call,
+    // while the app-id segment keeps concurrent runs (Verify ∥ Bench)
+    // from reading each other's mid-overwrite state
+    val landing = s"/tmp/graft_q163_landing/" +
+      s"${spark.sparkContext.applicationId}/${new java.io.File(dir).getName}"
     docs.filter(b >= 900000L)
       .select(col("doc_id"), (col("doc_id") + 1000000000L).as("ingest_us"),
         col("text"), col("lang"), col("source"))

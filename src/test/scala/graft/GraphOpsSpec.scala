@@ -64,6 +64,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(maxDelta(r5, r6) < maxDelta(r1, r2))
   }
 
+  test("shuffled-join plan (node count over the broadcast limit) is byte-identical") {
+    val df = handEdges.toDF("src", "dst", "w")
+    val viaBroadcast = GraphOps.pagerank(df).as[(Long, Long)].collect().toMap
+    // limit 0 forces the merge-join path every graph >50M nodes takes
+    val viaShuffle = GraphOps.pagerank(df, broadcastNodeLimit = Some(0L))
+      .as[(Long, Long)].collect().toMap
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle === brute(handEdges, GraphOps.PrIters))
+  }
+
+  test("shuffled plan on the trade graph matches the broadcast plan") {
+    val edges = GraphOps.tradeEdges(spark, sf)
+    val a = GraphOps.pagerank(edges).as[(Long, Long)].collect().toMap
+    val b = GraphOps.pagerank(edges, broadcastNodeLimit = Some(0L))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("reliable checkpointDir mode materializes identical ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_chk").toString
+    val df = handEdges.toDF("src", "dst", "w")
+    val got = GraphOps.pagerank(df, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got === brute(handEdges, GraphOps.PrIters))
+    // the reliable checkpoint actually wrote blocks to the given dir
+    def nonEmpty(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(nonEmpty))
+    assert(nonEmpty(new java.io.File(dir)), s"no checkpoint data under $dir")
+  }
+
   test("trade pagerank conserves walk mass and covers both node types") {
     val out = GraphOps.tradePagerank(spark, sf)
       .select(col("node_type"), col("rank_q")).as[(String, Long)].collect()

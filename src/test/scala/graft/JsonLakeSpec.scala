@@ -40,8 +40,8 @@ class JsonLakeSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
         sum(col("n_chars")).as("chars_sum"),
         sum(length(col("text")).cast("long")).as("len_sum"),
-        sum(expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(text, 12)"))
-          .as("text_fp_sum"))
+        expr(s"bit_xor(${graft.functions.GraftFunctions.Md5PrefixName}(text, 12))")
+          .as("text_fp_xor"))
     assert(viaJson.exceptAll(direct).isEmpty && direct.exceptAll(viaJson).isEmpty)
   }
 }

@@ -654,6 +654,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"edge relation must iterate from the cache:\n${p.take(2000)}")
   }
 
+  test("q154 pagerank over the broadcast limit: rank joins merge, never broadcast") {
+    // broadcastNodeLimit=0 is the >50M-node posture: an unconditional
+    // broadcast of a ~10⁹-row rank relation OOMs the driver, so every
+    // per-iteration join must be a SortMergeJoin against the cached
+    // edge relation — no broadcast of ranks anywhere. Cache lookup
+    // canonicalizes hints away, so the broadcast-mode test above would
+    // otherwise satisfy this plan's edge relation from ITS cache —
+    // clear it so the over-limit plan is built from scratch.
+    spark.catalog.clearCache()
+    val p = plan(graft.operators.GraphOps.pagerank(
+      graft.operators.GraphOps.tradeEdges(spark, sf), materialize = false,
+      broadcastNodeLimit = Some(0L)))
+    // the rank loop's joins all key on src/node; the upstream edge-BUILD
+    // join (lineitem⋈orders, keyed on orderkey) may broadcast by stats
+    // at test scale — it runs once, outside the guarded loop
+    assert("BroadcastHashJoin \\[(src|node)#".r.findFirstIn(p).isEmpty,
+      s"over-limit graph must not broadcast ranks/out-degrees:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"),
+      s"over-limit rank joins must sort-merge:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"edge relation must iterate from the cache:\n${p.take(2000)}")
+  }
+
   test("q155 stratified alloc: allocation attaches via broadcast, doc window is stratum-keyed") {
     val p = plan(graft.operators.Sampling.stratifiedAlloc(spark, sf))
     // the strata-sized allocation table must broadcast into the ranked
