@@ -4,7 +4,8 @@ import java.io.OutputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
+import javax.net.ssl.{KeyManagerFactory, SSLContext}
 
 import graft.lake.LakeFs
 
@@ -24,11 +25,18 @@ import graft.lake.LakeFs
   * This is control-plane plumbing (landing-zone uploads, marker
   * cleanup), not a data path: bulk data enters through the engine's
   * sources, not HTTP.
+  *
+  * Transport: [[FileService.start]] is plain HTTP (tests, or behind a
+  * TLS-terminating proxy); [[FileService.startTls]] serves HTTPS
+  * directly from a PKCS12 keystore — the reference's deployment
+  * posture (nginx + self-signed cert, `generate_cert.sh` /
+  * `nginx.conf`) without the extra hop. Anyone exposing the
+  * upload/delete endpoints beyond localhost should be on the TLS form.
   */
-final class FileService private (server: HttpServer, val root: String)
-    extends AutoCloseable {
+final class FileService private[serving] (server: HttpServer,
+    val root: String, scheme: String) extends AutoCloseable {
   def port: Int = server.getAddress.getPort
-  def baseUrl: String = s"http://localhost:$port"
+  def baseUrl: String = s"$scheme://localhost:$port"
   override def close(): Unit = server.stop(0)
 }
 
@@ -39,7 +47,43 @@ object FileService {
     server.createContext("/files", (ex: HttpExchange) => handle(fs, root, ex))
     server.setExecutor(null) // control plane: the default synchronous executor
     server.start()
-    new FileService(server, root)
+    new FileService(server, root, "http")
+  }
+
+  /** HTTPS form. Keystore location/password default to the
+    * `GRAFT_TLS_KEYSTORE` / `GRAFT_TLS_KEYSTORE_PASSWORD` environment
+    * (deployment wires a mounted secret; the spec generates a
+    * throwaway self-signed keystore with `keytool`, the JDK twin of
+    * the reference's `generate_cert.sh`).
+    */
+  def startTls(fs: LakeFs, root: String,
+      keystorePath: String = sys.env.getOrElse("GRAFT_TLS_KEYSTORE", ""),
+      keystorePassword: String =
+        sys.env.getOrElse("GRAFT_TLS_KEYSTORE_PASSWORD", ""),
+      port: Int = 0): FileService = {
+    require(keystorePath.nonEmpty,
+      "startTls needs a PKCS12 keystore (arg or GRAFT_TLS_KEYSTORE)")
+    val server = HttpsServer.create(new InetSocketAddress("localhost", port), 0)
+    server.setHttpsConfigurator(
+      new HttpsConfigurator(sslContext(keystorePath, keystorePassword)))
+    server.createContext("/files", (ex: HttpExchange) => handle(fs, root, ex))
+    server.setExecutor(null)
+    server.start()
+    new FileService(server, root, "https")
+  }
+
+  /** Server SSL context from a PKCS12 keystore holding the key pair +
+    * certificate.
+    */
+  def sslContext(keystorePath: String, password: String): SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(keystorePath)
+    try ks.load(in, password.toCharArray) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, password.toCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
   }
 
   private def handle(fs: LakeFs, root: String, ex: HttpExchange): Unit =
