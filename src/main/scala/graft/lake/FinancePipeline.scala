@@ -69,17 +69,29 @@ class FinancePipeline(
     * `sleeper` and `onTick` are injectable so a spec can drive ticks
     * synchronously and land late files between them; `maxTicks` bounds
     * the loop (production passes Long.MaxValue).
+    *
+    * `taskCallbacks`: when given, each tick runs as the reference's
+    * three-task DAG via [[dagTick]] (per-task retries + retry/failure/
+    * success callbacks — `hadoop_dag.py:17-136`) instead of a bare
+    * cycle; `taskRetries`/`taskRetryDelayMs` mirror the DAG's
+    * `retries=2` / `retry_delay` defaults.
     */
   def runForever(
       intervalMs: Long,
       maxTicks: Long = Long.MaxValue,
       sleeper: Long => Unit = Thread.sleep,
-      onTick: (Long, Seq[YearResult]) => Unit = (_, _) => ()): Unit = {
+      onTick: (Long, Seq[YearResult]) => Unit = (_, _) => (),
+      taskCallbacks: Option[TaskDag.Callbacks] = None,
+      taskRetries: Int = 2,
+      taskRetryDelayMs: Long = 0L): Unit = {
     require(intervalMs > 0, "interval must be positive")
     var tick = 0L
     while (tick < maxTicks) {
       val t0 = config.clock()
-      val results = run()
+      val results = taskCallbacks match {
+        case Some(cb) => dagTick(cb, taskRetries, taskRetryDelayMs, sleeper)._2
+        case None => run()
+      }
       slog.foreach(_.info("tick complete", "tick" -> tick,
         "years" -> results.size,
         "committed" -> results.count(_.committed)))
@@ -90,6 +102,34 @@ class FinancePipeline(
         if (wait > 0) sleeper(wait)
       }
     }
+  }
+
+  /** One scheduler tick as the reference's exact task chain
+    * (`hadoop_dag.py:121-136`): `wait_for_raw_file` (landing-zone
+    * presence probe) → `run_spark_pipeline` (one [[run]] cycle) →
+    * `notify_success` (success summary through the alert hook — the
+    * `send_success_summary` task). Per-year DQ quarantines are HANDLED
+    * failures inside the cycle (their own alert + `.failed` markers,
+    * reference `:102-110`) and do not fail the task — the task fails
+    * only on an unhandled error, exactly when the reference's
+    * spark-submit would exit nonzero. Retrying a failed task is safe:
+    * the marker ledger makes every cycle incremental and idempotent.
+    *
+    * Returns (per-task outcomes, the cycle's year results).
+    */
+  def dagTick(callbacks: TaskDag.Callbacks = TaskDag.Callbacks(),
+      retries: Int = 2, retryDelayMs: Long = 0L,
+      sleep: Long => Unit = Thread.sleep): (Seq[TaskDag.TaskRun], Seq[YearResult]) = {
+    var results = Seq.empty[YearResult]
+    val runs = TaskDag.runSequence(Seq(
+      "wait_for_raw_file" -> (() =>
+        if (!fsOps.exists(config.rawDir))
+          throw new IllegalStateException(s"raw dir missing: ${config.rawDir}")),
+      "run_spark_pipeline" -> (() => results = run()),
+      "notify_success" -> (() => alert("pipeline success",
+        s"years=${results.size} committed=${results.count(_.committed)}"))),
+      retries, retryDelayMs, sleep, callbacks)
+    (runs, results)
   }
 
   private def runYear(year: Int, files: Seq[String]): YearResult = {

@@ -121,6 +121,105 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${cfg.stagingDir}/year=2024").count() == 7)
   }
 
+  test("task DAG: retry/failure/success callback matrix and downstream skip") {
+    // transient failure: fails twice, succeeds on attempt 3 (retries=2)
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cb = TaskDag.Callbacks(
+      onRetry = (t, a) => events += s"retry:$t:$a",
+      onFailure = (t, a, _) => events += s"fail:$t:$a",
+      onSuccess = (t, a) => events += s"ok:$t:$a")
+    var flakyRuns = 0
+    val runs = TaskDag.runSequence(Seq(
+      "a" -> (() => ()),
+      "b" -> (() => { flakyRuns += 1; if (flakyRuns < 3) sys.error("boom") }),
+      "c" -> (() => ())),
+      retries = 2, callbacks = cb)
+    assert(events.toSeq == Seq(
+      "ok:a:1", "retry:b:1", "retry:b:2", "ok:b:3", "ok:c:1"))
+    assert(runs.map(r => (r.taskId, r.attempts, r.succeeded)) ==
+      Seq(("a", 1, true), ("b", 3, true), ("c", 1, true)))
+
+    // permanent failure: retries exhausted, downstream skipped, delay
+    // slept once per retry
+    events.clear()
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val runs2 = TaskDag.runSequence(Seq(
+      "a" -> (() => sys.error("always")),
+      "b" -> (() => events += "must-not-run")),
+      retries = 1, retryDelayMs = 5000L, sleep = sleeps += _, callbacks = cb)
+    assert(events.toSeq == Seq("retry:a:1", "fail:a:2"))
+    assert(sleeps.toSeq == Seq(5000L))
+    assert(runs2.map(r => (r.taskId, r.skipped, r.error.isDefined)) ==
+      Seq(("a", false, true), ("b", true, true)))
+    assert(runs2(1).error.contains("upstream_failed") && runs2(1).attempts == 0)
+  }
+
+  test("dagTick: reference task chain end-to-end, success summary fired") {
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val base = Files.createTempDirectory("graft-dag").toString
+    val cfg = FinancePipeline.Config(
+      rawDir = s"$base/raw", stagingDir = s"$base/staging",
+      curatedDir = s"$base/curated", versionsRoot = s"$base/versions")
+    val fs = fsOps
+    fs.mkdirs(cfg.rawDir)
+    val pipe = new FinancePipeline(spark, fs, cfg, (s, b) => alerts += ((s, b)))
+    putCsv(fs, cfg, 2024, "finance_2024.csv", goodCsv)
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cb = TaskDag.Callbacks(
+      onRetry = (t, a) => events += s"retry:$t:$a",
+      onFailure = (t, a, _) => events += s"fail:$t:$a",
+      onSuccess = (t, _) => events += s"ok:$t")
+    val (runs, results) = pipe.dagTick(cb)
+    assert(runs.map(r => (r.taskId, r.succeeded)) == Seq(
+      ("wait_for_raw_file", true), ("run_spark_pipeline", true),
+      ("notify_success", true)))
+    assert(events.toSeq == Seq(
+      "ok:wait_for_raw_file", "ok:run_spark_pipeline", "ok:notify_success"))
+    assert(results.map(r => (r.year, r.committed)) == Seq((2024, true)))
+    assert(alerts.exists { case (s, b) =>
+      s == "pipeline success" && b.contains("committed=1") })
+  }
+
+  test("dagTick: injected step failure — retry recovers, or downstream skips") {
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val base = Files.createTempDirectory("graft-dag-fail").toString
+    val cfg = FinancePipeline.Config(
+      rawDir = s"$base/raw", stagingDir = s"$base/staging",
+      curatedDir = s"$base/curated", versionsRoot = s"$base/versions")
+    val fs = fsOps
+    // raw dir deliberately missing → wait_for_raw_file fails
+    val pipe = new FinancePipeline(spark, fs, cfg, (s, _) => alerts += s)
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cb = TaskDag.Callbacks(
+      onRetry = (t, a) => events += s"retry:$t:$a",
+      onFailure = (t, a, _) => events += s"fail:$t:$a",
+      onSuccess = (t, _) => events += s"ok:$t")
+
+    // permanent: probe fails through all attempts, chain skips, no
+    // success summary
+    val (runs, results) = pipe.dagTick(cb, retries = 1)
+    assert(runs.map(r => (r.taskId, r.succeeded, r.skipped)) == Seq(
+      ("wait_for_raw_file", false, false), ("run_spark_pipeline", false, true),
+      ("notify_success", false, true)))
+    assert(events.toSeq == Seq(
+      "retry:wait_for_raw_file:1", "fail:wait_for_raw_file:2"))
+    assert(results.isEmpty && !alerts.contains("pipeline success"))
+
+    // transient: the landing zone appears DURING the retry delay —
+    // attempt 2 of the probe succeeds and the whole chain completes
+    events.clear()
+    val (runs2, results2) = pipe.dagTick(cb, retries = 2,
+      retryDelayMs = 1000L,
+      sleep = _ => putCsv(fs, cfg, 2024, "finance_2024.csv", goodCsv))
+    assert(runs2.map(r => (r.taskId, r.succeeded)) == Seq(
+      ("wait_for_raw_file", true), ("run_spark_pipeline", true),
+      ("notify_success", true)))
+    assert(events.toSeq == Seq("retry:wait_for_raw_file:1",
+      "ok:wait_for_raw_file", "ok:run_spark_pipeline", "ok:notify_success"))
+    assert(results2.map(r => (r.year, r.committed)) == Seq((2024, true)))
+    assert(alerts.contains("pipeline success"))
+  }
+
   test("DQ gate severities match the reference matrix") {
     import spark.implicits._
     val good = Seq(
