@@ -219,6 +219,8 @@ object SparkEntry {
     "q166_collocations" -> (CorpusPrep.collocations _),
     "q167_stream_full_attrib" ->
       (graft.streaming.EventsStream.attributionFullDrain _),
+    "q168_incremental_ref_audit" ->
+      (graft.quality.DataQuality.incrementalReferentialAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3126,6 +3128,56 @@ object SparkEntry {
         |FROM c, mx
         |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
         |  AND c_us <= wm_us""".stripMargin,
+    // q162's IVM posture folded into q149: per-edge key counts from the
+    // base/delta split merged by summing per key, audited from the
+    // merged state, certified against the full recompute in-query
+    "q168_incremental_ref_audit" -> {
+      import graft.operators.Incremental.DeltaMod
+      def kcSub(childTable: String, key: String, extra: String): String =
+        s"""(SELECT $key AS k, COUNT(*) AS cnt FROM $childTable
+           | WHERE $key IS NOT NULL$extra GROUP BY 1)""".stripMargin
+      def incEdgeSql(edge: String, childTable: String, splitCol: String,
+          key: String, parentRel: String, pkey: String): String = {
+        val kb = kcSub(childTable, key, s" AND $splitCol % $DeltaMod <> 0")
+        val kd = kcSub(childTable, key, s" AND $splitCol % $DeltaMod = 0")
+        val km =
+          s"""(SELECT COALESCE(b.k, d.k) AS k,
+             |   COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS cnt
+             | FROM $kb b FULL OUTER JOIN $kd d ON b.k = d.k)""".stripMargin
+        val kf = kcSub(childTable, key, "")
+        def auditSub(kc: String): String =
+          s"""(SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |   CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |   CAST(COALESCE(SUM(CASE WHEN pk IS NULL THEN cnt END), 0)
+             |     AS BIGINT) AS orphan_rows,
+             |   CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS orphan_keys
+             | FROM $kc kc
+             | LEFT JOIN (SELECT DISTINCT $pkey AS pk FROM $parentRel p0) p
+             |   ON k = pk)""".stripMargin
+        def unrefSub(kc: String): String =
+          s"""(SELECT CAST(COUNT(*) AS BIGINT) AS unref_parent
+             | FROM (SELECT DISTINCT $pkey AS pk FROM $parentRel p1) p
+             | WHERE NOT EXISTS (SELECT 1 FROM $kc kk WHERE kk.k = p.pk))""".stripMargin
+        s"""SELECT '$edge' AS edge, a.n_rows, a.n_keys, a.orphan_rows,
+           |  a.orphan_keys,
+           |  CAST(a.orphan_rows * 1000000 // a.n_rows AS BIGINT) AS orphan_ppm,
+           |  u.unref_parent,
+           |  (a.n_rows = fa.n_rows AND a.n_keys = fa.n_keys
+           |   AND a.orphan_rows = fa.orphan_rows
+           |   AND a.orphan_keys = fa.orphan_keys
+           |   AND u.unref_parent = fu.unref_parent) AS matches_full
+           |FROM ${auditSub(km)} a, ${unrefSub(km)} u,
+           |  ${auditSub(kf)} fa, ${unrefSub(kf)} fu""".stripMargin
+      }
+      val stale = "(SELECT * FROM customer WHERE c_custkey <= " +
+        "(SELECT MAX(c_custkey) * 9 // 10 FROM customer))"
+      Seq(
+        incEdgeSql("orders->customer_stale", "orders", "o_orderkey",
+          "o_custkey", stale, "c_custkey"),
+        incEdgeSql("lineitem->orders", "lineitem", "l_partkey",
+          "l_orderkey", "orders", "o_orderkey")).mkString("\nUNION ALL\n")
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

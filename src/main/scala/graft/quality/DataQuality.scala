@@ -160,9 +160,24 @@ object DataQuality {
     */
   def edgeAudit(edge: String, child: DataFrame, key: String,
       parent: DataFrame, pkey: String,
-      broadcastParent: Boolean = true): DataFrame = {
-    val kc = child.select(col(key).as("k")).filter(col("k").isNotNull)
+      broadcastParent: Boolean = true): DataFrame =
+    edgeAuditFromKeyCounts(edge, keyCounts(child, key), parent, pkey,
+      broadcastParent)
+
+  /** One edge's child KEY-COUNT relation (`k`, `cnt`) — the maintained
+    * state of the incremental audit ([[incrementalReferentialAudit]]):
+    * key-sized, mergeable by summing counts per key.
+    */
+  def keyCounts(child: DataFrame, key: String): DataFrame =
+    child.select(col(key).as("k")).filter(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+
+  /** [[edgeAudit]] from an already-maintained key-count relation —
+    * the audit itself never needs the raw child rows.
+    */
+  def edgeAuditFromKeyCounts(edge: String, kc: DataFrame,
+      parent: DataFrame, pkey: String,
+      broadcastParent: Boolean = true): DataFrame = {
     val pk0 = parent.select(col(pkey).as("pk")).distinct()
     val pk = if (broadcastParent) broadcast(pk0) else pk0
     val joined = kc.join(pk, col("k") === col("pk"), "left")
@@ -211,5 +226,70 @@ object DataQuality {
         Tables.nation(spark, dir), "n_nationkey"))
       .unionAll(edgeAudit("nation->region", Tables.nation(spark, dir),
         "n_regionkey", Tables.region(spark, dir), "r_regionkey"))
+  }
+
+  /** q168: INCREMENTAL referential audit — the q162 view-maintenance
+    * posture folded into q149. The full audit is linear in the facts
+    * every run (q149's rehearsal exponent 0.75 is fact-scan-bound by
+    * nature); maintaining the per-edge KEY-COUNT relation instead makes
+    * a re-audit cost one delta scan + a key-sized merge + the key-level
+    * parent join — the only shape that re-audits 100 TB of facts after
+    * a daily load. Per edge: key counts over the base rows ⊕ key counts
+    * over the late-arriving delta batch (counts sum per key, the
+    * mergeable-state algebra), audited from the merged state, and
+    * certified against the full-recompute audit in the same query
+    * (`matches_full`, expected universally true — the full path exists
+    * only to certify the algebra at test scale; production runs base ⊕
+    * delta).
+    *
+    * The delta split is ORTHOGONAL to each edge's FK (orders split by
+    * o_orderkey while auditing o_custkey; lineitem split by l_partkey
+    * while auditing l_orderkey) so the same key lands on both sides and
+    * the per-key count merge is actually exercised — a split along the
+    * key would make the merge a disjoint union (q162's design note).
+    * Two edges cover both physical paths: the broadcast-dimension edge
+    * (against the stale dim, non-zero orphans) and the fact×fact
+    * shuffle edge.
+    */
+  def incrementalReferentialAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.sources.Tables
+    import graft.operators.Incremental.DeltaMod
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val maxCk = customer.agg(max(col("c_custkey"))).head.getLong(0)
+    val stale = customer.filter(col("c_custkey") <= lit(maxCk * 9L / 10L))
+
+    def certify(edge: String, child: DataFrame, splitCol: String,
+        key: String, parent: DataFrame, pkey: String,
+        bc: Boolean): DataFrame = {
+      val base = keyCounts(child.filter(col(splitCol) % DeltaMod =!= 0L), key)
+      val delta = keyCounts(child.filter(col(splitCol) % DeltaMod === 0L), key)
+      val merged = base.alias("b")
+        .join(delta.alias("d"), Seq("k"), "full_outer")
+        .select(col("k"),
+          (coalesce(col("b.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
+            .as("cnt"))
+      val inc = edgeAuditFromKeyCounts(edge, merged, parent, pkey, bc)
+      val full = edgeAudit(edge, child, key, parent, pkey, bc)
+      inc.alias("i").join(full.alias("f"), Seq("edge"))
+        .select(col("edge"),
+          col("i.n_rows").as("n_rows"), col("i.n_keys").as("n_keys"),
+          col("i.orphan_rows").as("orphan_rows"),
+          col("i.orphan_keys").as("orphan_keys"),
+          col("i.orphan_ppm").as("orphan_ppm"),
+          col("i.unref_parent").as("unref_parent"),
+          (col("i.n_rows") === col("f.n_rows") &&
+            col("i.n_keys") === col("f.n_keys") &&
+            col("i.orphan_rows") === col("f.orphan_rows") &&
+            col("i.orphan_keys") === col("f.orphan_keys") &&
+            col("i.unref_parent") === col("f.unref_parent"))
+            .as("matches_full"))
+    }
+
+    certify("orders->customer_stale", orders, "o_orderkey", "o_custkey",
+      stale, "c_custkey", bc = true)
+      .unionAll(certify("lineitem->orders", Tables.lineitem(spark, dir),
+        "l_partkey", "l_orderkey", orders, "o_orderkey", bc = false))
   }
 }

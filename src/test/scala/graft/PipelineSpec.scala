@@ -121,6 +121,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${cfg.stagingDir}/year=2024").count() == 7)
   }
 
+  test("q168 incremental audit: merged key-counts certify against full recompute") {
+    import org.apache.spark.sql.functions._
+    val out = DataQuality.incrementalReferentialAudit(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Boolean]("matches_full")),
+      "base ⊕ delta audit must equal the full recompute on every edge")
+    // the stale-dim edge must actually exercise the orphan branch
+    val staleEdge = out.find(_.getString(0) == "orders->customer_stale").get
+    assert(staleEdge.getAs[Long]("orphan_rows") > 0L)
+    // the split is orthogonal to the FK: some keys must appear in BOTH
+    // base and delta, or the per-key count merge was never exercised
+    import graft.operators.Incremental.DeltaMod
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val both = orders.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderkey") % DeltaMod === 0L).as("sides"))
+      .filter(col("sides") === 2L).count()
+    assert(both > 0L, "no FK value spans base and delta — merge untested")
+  }
+
   test("task DAG: retry/failure/success callback matrix and downstream skip") {
     // transient failure: fails twice, succeeds on attempt 3 (retries=2)
     val events = scala.collection.mutable.ArrayBuffer.empty[String]
