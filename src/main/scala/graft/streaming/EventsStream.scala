@@ -54,7 +54,8 @@ object EventsStream {
     * source schema is fixed at plan time), so pre-staging is the
     * contract, not a suggestion.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val fileSchema =
       try spark.read.parquet(dir).schema
       catch {
@@ -68,7 +69,7 @@ object EventsStream {
           schema
       }
     graft.sources.Tables.normalizeEventTime(
-      spark.readStream.schema(fileSchema).parquet(dir))
+      spark.readStream.schema(fileSchema).options(options).parquet(dir))
   }
 
   /** Watermarked, deduplicated, hourly-windowed aggregation — the
