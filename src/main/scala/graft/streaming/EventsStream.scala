@@ -257,43 +257,127 @@ object EventsStream {
     * micro-batch per group (rows event-time sorted inside the group
     * call); the cross-batch arrival caveats stay where the specs
     * exercise them.
+    *
+    * SCALE path (`chunked = true`, the stream-stream JOIN family only):
+    * a one-shot drain pushes the whole corpus through ONE micro-batch,
+    * and within a batch the watermark cannot advance — so the join's
+    * state store holds BOTH full sides in executor memory, the exact
+    * blowup the watermark exists to prevent (measured: the 1000×
+    * rehearsal corpus, 100 M events, never committed batch 0). Above
+    * [[ChunkTargetRowsKey]] rows the drain therefore restages the table
+    * into event-time-ordered chunk files (`repartitionByRange` on
+    * `(ts, event_id)` — distributed, no single-task sort) and streams
+    * them `maxFilesPerTrigger=1`, one chunk per micro-batch with the
+    * watermark advancing between batches, so join state stays bounded
+    * at one horizon per side regardless of corpus size.
+    *
+    * The chunked drain emits the IDENTICAL row set, because for the
+    * watermarked interval joins the final emitted set is determined by
+    * the final watermark, not the batch structure: (a) no input row is
+    * ever late — chunks are (ts, event_id)-range-ordered, so a row in
+    * chunk k+1 has `ts >=` chunk k's max, and the ms-floored watermark
+    * is `<=` that max, and the late filter keeps `ts >= watermark`;
+    * (b) no match is lost to eviction — a row is evicted only when the
+    * watermark passes its join bound, and its partner's event time lies
+    * at or below that bound, so under event-time-ordered arrival the
+    * partner has already arrived; (c) null-padded rows emit exactly for
+    * windows strictly below the final watermark, which equals the
+    * single-batch drain's (min over both sides of the global max event
+    * time). ChunkedDrainSpec asserts the set equality per join type;
+    * graded scales sit below the threshold and keep the single-batch
+    * plan byte-for-byte.
     */
   private def drainToTable(spark: SparkSession, dir: String,
-      tag: String, rideWatermark: Boolean = false)(
-      build: String => DataFrame): DataFrame = {
+      tag: String, rideWatermark: Boolean = false, chunked: Boolean = false)(
+      build: (String, Map[String, String]) => DataFrame): DataFrame = {
     val name = s"graft_${tag}_${drainCounter.incrementAndGet()}"
-    // the file source takes a directory. A directory-shaped table
-    // (Spark-written part files) streams as-is; a single-file table is
-    // staged into a fresh directory (the streaming ingest boundary a
-    // production deployment would already have). Copying a DIRECTORY
-    // with Files.copy silently copies only the empty dir entry — the
-    // stream then drains zero files and the parity gate "passes" on
-    // nothing.
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) None
+    val nChunks =
+      if (!chunked) 1
       else {
-        val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
-        java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
-        Some(stage)
+        // parquet metadata count — footer statistics only, no data pages
+        val target = spark.conf.getOption(ChunkTargetRowsKey)
+          .map(_.toLong).getOrElse(DefaultChunkTargetRows)
+        chunksFor(spark.read.parquet(src.toString).count(), target)
       }
-    // append-mode WINDOWED aggregations (session/tumbling) emit on
-    // watermark advancement, which happens in the no-data batch after
-    // the last data batch — those drains must RIDE the watermark, not
-    // suppress it; the state-machine/join/dedup drains emit in the data
-    // batches and skip the no-data commit I/O (see the scaladoc below)
-    def run(): Unit = {
-      val q = runToMemory(build(staged.map(_.toString).getOrElse(src.toString)), name)
-      q.stop()
+    if (nChunks > 1) {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_chunks")
+      try {
+        spark.read.parquet(src.toString)
+          .repartitionByRange(nChunks, col("ts"), col("event_id"))
+          .write.mode("overwrite").parquet(stage.toString)
+        // oldest-first pickup == part-file order == event-time range
+        // order: pin strictly increasing mtimes (same-millisecond writes
+        // could otherwise interleave chunks and break arrival order)
+        val parts = new java.io.File(stage.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+        }
+        def run(): Unit = {
+          val q = runToMemory(
+            build(stage.toString, Map("maxFilesPerTrigger" -> "1")), name)
+          q.stop()
+        }
+        if (rideWatermark) run() else withNoDataBatchesDisabled(spark)(run())
+      } finally {
+        val files = java.nio.file.Files.list(stage)
+        try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally files.close()
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      spark.table(name)
+    } else {
+      // the file source takes a directory. A directory-shaped table
+      // (Spark-written part files) streams as-is; a single-file table is
+      // staged into a fresh directory (the streaming ingest boundary a
+      // production deployment would already have). Copying a DIRECTORY
+      // with Files.copy silently copies only the empty dir entry — the
+      // stream then drains zero files and the parity gate "passes" on
+      // nothing.
+      val staged =
+        if (java.nio.file.Files.isDirectory(src)) None
+        else {
+          val stage = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src")
+          java.nio.file.Files.copy(src, stage.resolve("events.parquet"))
+          Some(stage)
+        }
+      // append-mode WINDOWED aggregations (session/tumbling) emit on
+      // watermark advancement, which happens in the no-data batch after
+      // the last data batch — those drains must RIDE the watermark, not
+      // suppress it; the state-machine/join/dedup drains emit in the data
+      // batches and skip the no-data commit I/O (see the scaladoc below)
+      def run(): Unit = {
+        val q = runToMemory(
+          build(staged.map(_.toString).getOrElse(src.toString), Map.empty), name)
+        q.stop()
+      }
+      try
+        if (rideWatermark) run() else withNoDataBatchesDisabled(spark)(run())
+      finally staged.foreach { stage =>
+        // the memory sink holds the drained rows; the staging is disposable
+        java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      spark.table(name)
     }
-    try
-      if (rideWatermark) run() else withNoDataBatchesDisabled(spark)(run())
-    finally staged.foreach { stage =>
-      // the memory sink holds the drained rows; the staging is disposable
-      java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(stage)
-    }
-    spark.table(name)
+  }
+
+  /** Runtime-conf key: row count above which a chunked drain restages
+    * the source into event-time-ordered chunks of ~this many rows.
+    */
+  val ChunkTargetRowsKey = "graft.drain.chunkTargetRows"
+  val DefaultChunkTargetRows = 2000000L
+
+  /** ceil(n / target), clamped to [1, 256] — a chunk per ~target rows;
+    * the cap bounds per-file-trigger overhead (and mtime spacing) on
+    * arbitrarily large corpora.
+    */
+  private[graft] def chunksFor(n: Long, target: Long): Int = {
+    val t = math.max(1L, target)
+    math.min(256L, math.max(1L, (n + t - 1) / t)).toInt
   }
 
   /** Drained queries emit everything they will ever emit in the DATA
@@ -327,7 +411,8 @@ object EventsStream {
   }
 
   def scdClosedDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q127_scd")(d => scdProgress(read(spark, d)).toDF())
+    drainToTable(spark, dir, "q127_scd")(
+      (d, o) => scdProgress(read(spark, d, o)).toDF())
 
   /** The streaming FUNNEL twin drained under the correctness gate
     * (q129) — the second `flatMapGroupsWithState` machine graded the
@@ -339,7 +424,8 @@ object EventsStream {
     * strict `>` window bounds on both engines.
     */
   def funnelDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q129_funnel")(d => funnelProgress(read(spark, d)).toDF())
+    drainToTable(spark, dir, "q129_funnel")(
+      (d, o) => funnelProgress(read(spark, d, o)).toDF())
 
   /** Streaming sessionization drained under the correctness gate (q147)
     * — the built-in `session_window` aggregation (the one streaming
@@ -358,8 +444,8 @@ object EventsStream {
     * `epoch_us`), the exact event-time unit both engines share.
     */
   def sessionizeDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q147_sess", rideWatermark = true) { d =>
-      read(spark, d)
+    drainToTable(spark, dir, "q147_sess", rideWatermark = true) { (d, o) =>
+      read(spark, d, o)
         .withWatermark("ts", "0 seconds")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
@@ -380,8 +466,8 @@ object EventsStream {
     * oracle mirrors both precisions explicitly.
     */
   def attributionDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q133_attr") { d =>
-      viewClickAttribution(read(spark, d), read(spark, d))
+    drainToTable(spark, dir, "q133_attr", chunked = true) { (d, o) =>
+      viewClickAttribution(read(spark, d, o), read(spark, d, o))
     }
 
   /** LEFT OUTER stream-stream attribution drained under the gate (q152)
@@ -424,8 +510,9 @@ object EventsStream {
   }
 
   def attributionOuterDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q152_attr", rideWatermark = true) { d =>
-      viewClickAttributionOuter(read(spark, d), read(spark, d))
+    drainToTable(spark, dir, "q152_attr", rideWatermark = true,
+        chunked = true) { (d, o) =>
+      viewClickAttributionOuter(read(spark, d, o), read(spark, d, o))
     }
 
   /** q167: the FULL outer stream-stream join — both sides emit
@@ -460,8 +547,9 @@ object EventsStream {
   }
 
   def attributionFullDrain(spark: SparkSession, dir: String): DataFrame =
-    drainToTable(spark, dir, "q167_attr", rideWatermark = true) { d =>
-      viewClickAttributionFull(read(spark, d), read(spark, d))
+    drainToTable(spark, dir, "q167_attr", rideWatermark = true,
+        chunked = true) { (d, o) =>
+      viewClickAttributionFull(read(spark, d, o), read(spark, d, o))
     }
 
   /** Exactly-once under replay, drained under the correctness gate
