@@ -111,12 +111,18 @@ object Compaction {
     * per year partition: files on disk, rows from footers, the planned
     * rewrite width, and whether compaction is worth scheduling.
     */
+  /** Staging dir for the q156 fragmented table. The app-id segment is
+    * unique across runs so concurrent Verify/Bench over the same SF
+    * can't list each other's mid-overwrite table; exposed so the spec
+    * audits the exact directory the operator staged.
+    */
+  def q156StagingDir(spark: SparkSession, dir: String): String =
+    s"/tmp/graft_q156_lake/${spark.sparkContext.applicationId}/" +
+      new java.io.File(dir).getName
+
   def planRowsAudit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    // app-id segment: unique across runs so concurrent Verify/Bench
-    // over the same SF can't list each other's mid-overwrite table
-    val tableDir = s"/tmp/graft_q156_lake/${spark.sparkContext.applicationId}/" +
-      new java.io.File(dir).getName
+    val tableDir = q156StagingDir(spark, dir)
     // Fragmented stage: shard = portable md5 bucket; repartition on the
     // (year, shard) leaf key so every leaf dir is exactly one file and
     // the oracle can predict the file count as COUNT(DISTINCT shard).

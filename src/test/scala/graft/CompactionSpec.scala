@@ -100,7 +100,7 @@ class CompactionSpec extends AnyFunSuite {
     // rows per year must equal a direct read of the staged table, files
     // must match an independent recursive listing, and the plan must
     // replay the shared law
-    val tableDir = "/tmp/graft_q156_lake/sf0.001"
+    val tableDir = Compaction.q156StagingDir(spark, sf)
     val fs = LakeFs.local()
     val byYear = spark.read.parquet(tableDir)
       .groupBy(col("year").cast("long").as("year")).agg(count(lit(1)).as("n"))
