@@ -221,6 +221,19 @@ object SparkEntry {
       (graft.streaming.EventsStream.attributionFullDrain _),
     "q168_incremental_ref_audit" ->
       (graft.quality.DataQuality.incrementalReferentialAudit _),
+    // k-anonymity / l-diversity release audit at generalization
+    // levels 0 and 1 (structured-privacy family)
+    "q169_k_anonymity" -> (graft.quality.PrivacyAudit.kAnonymityAudit _),
+    // conditional char-bigram LM surprisal (CCNet perplexity-filter
+    // posture; q130 is the marginal-frequency twin)
+    "q170_char_lm_score" -> (TextOps.charBigramNll _),
+    // per-source exact-quantile quality floor (per-domain adaptive cut)
+    "q171_adaptive_floor" -> (graft.operators.CorpusPrep.adaptiveQualityFloor _),
+    // SemDeDup: IVF-cluster-scoped cosine dedup ledger with keep-first
+    // survivors (embedding twin of the q39→q91 lexical path)
+    "q172_semantic_dedup" -> (Dedup.semanticDedupLedger _),
+    // JL ±1 sign projection 64→16 with exact-integer checksums
+    "q173_jl_projection" -> (Similarity.jlProjectionChecksums _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3177,6 +3190,116 @@ object SparkEntry {
           "o_custkey", stale, "c_custkey"),
         incEdgeSql("lineitem->orders", "lineitem", "l_partkey",
           "l_orderkey", "orders", "o_orderkey")).mkString("\nUNION ALL\n")
+    },
+    // k-anonymity / l-diversity audit: QI groups at generalization
+    // levels 0 (nation, segment) and 1 (segment → '*'); sensitive =
+    // $1000 balance bands, offset non-negative so // is exact floor
+    "q169_k_anonymity" -> {
+      import graft.quality.PrivacyAudit.{BandCents, BandOffsetCents, KAnon, LDiv}
+      s"""WITH base AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |    c_mktsegment AS segment,
+         |    (${cents("c_acctbal")} + $BandOffsetCents) // $BandCents AS bal_band
+         |  FROM customer),
+         |u AS (
+         |  SELECT CAST(0 AS BIGINT) AS level, nation, segment,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+         |  FROM base GROUP BY 2, 3
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT) AS level, nation, '*' AS segment,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+         |  FROM base GROUP BY 2)
+         |SELECT level, nation, segment, n_rows, l_distinct,
+         |  n_rows >= $KAnon AS k_ok, l_distinct >= $LDiv AS l_ok
+         |FROM u""".stripMargin
+    },
+    // conditional char-bigram LM: p(c2|c1) in floor-div ppm over the
+    // 80% hash-split train corpus; per-doc mean transition surprisal.
+    // Context totals derive from the train bigram relation itself.
+    "q170_char_lm_score" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |bg0 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, length(text) - 1), i -> substr(text, i, 2))) AS bg
+        |  FROM d),
+        |train AS (SELECT bg, COUNT(*) AS n_bg FROM bg0
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 1000000 < 800000
+        |  GROUP BY 1),
+        |pre AS (SELECT substr(bg, 1, 1) AS pre, CAST(SUM(n_bg) AS BIGINT) AS n_pre
+        |  FROM train GROUP BY 1),
+        |p AS (SELECT b.doc_id,
+        |    CASE WHEN COALESCE(pr.n_pre, 0) > 0
+        |      THEN CAST(CAST(COALESCE(m.n_bg, 0) AS HUGEINT) * 1000000
+        |        // pr.n_pre AS BIGINT)
+        |      ELSE 0 END AS cond_ppm
+        |  FROM bg0 b
+        |  LEFT JOIN train m USING (bg)
+        |  LEFT JOIN pre pr ON substr(b.bg, 1, 1) = pr.pre)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |  CAST(SUM(1000000 - cond_ppm) // COUNT(*) AS BIGINT) AS avg_surprisal_ppm
+        |FROM p GROUP BY 1""".stripMargin,
+    // per-source adaptive quality floor: exact 25th-percentile stopword
+    // ratio under the deterministic (score, doc_id) order, value-rule
+    // keeps (score >= floor)
+    "q171_adaptive_floor" -> {
+      val stopList = graft.operators.CorpusPrep.GateStopWords
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH s AS (SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter($toks, t -> t IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents WHERE len($toks) >= 1),
+         |sc AS (SELECT doc_id, source, n_tok,
+         |    n_stop * 1000000 // n_tok AS score_ppm FROM s),
+         |r AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score_ppm, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_src FROM sc),
+         |thr AS (SELECT source, score_ppm AS thr_ppm FROM r
+         |        WHERE rn = 1 + (n_src - 1) // 4)
+         |SELECT sc.source, CAST(COUNT(*) AS BIGINT) AS n_docs, thr.thr_ppm,
+         |  CAST(SUM(CASE WHEN score_ppm >= thr_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN score_ppm >= thr_ppm THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_kept,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_total
+         |FROM sc JOIN thr ON sc.source = thr.source
+         |GROUP BY 1, 3""".stripMargin
+    },
+    // SemDeDup ledger: dropped = distinct id_b of the shared capped
+    // cos_pairs relation (q52's generator — one definition, three
+    // consumers); kept_id_sum checksums WHICH vectors survived
+    "q172_semantic_dedup" ->
+      s"""WITH $cosPairsCtes,
+         |drop0 AS (SELECT DISTINCT id_b AS vec_id FROM cos_pairs),
+         |led AS (SELECT a.vec_id, a.bucket,
+         |    CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         |  FROM asg a LEFT JOIN drop0 d USING (vec_id))
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(1 - is_dup) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN is_dup = 0 THEN vec_id ELSE 0 END) AS BIGINT)
+         |    AS kept_id_sum
+         |FROM led GROUP BY 1""".stripMargin,
+    // JL ±1 sign projection 64→16: sign(j,i) = parity of the first 32
+    // md5 bits of "j_i"; exact long math over per-element ⌊x·1e6⌋
+    "q173_jl_projection" -> {
+      import graft.operators.Similarity.{JlInDim, JlOutDim}
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, j,
+         |    CAST(list_sum(list_transform(generate_series(1, $JlInDim), i ->
+         |      xq[i] * (CASE WHEN CAST(concat('0x', substr(md5(
+         |          concat(CAST(j AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 8))
+         |          AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END))) AS BIGINT) AS y
+         |  FROM e, generate_series(0, ${JlOutDim - 1}) AS g(j))
+         |SELECT vec_id, CAST(SUM(y) AS BIGINT) AS y_sum,
+         |  bit_xor(y) AS y_xor,
+         |  CAST(SUM(y * y) AS BIGINT) AS y_sq_sum
+         |FROM p GROUP BY 1""".stripMargin
     },
   )
 

@@ -111,6 +111,58 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
   }
 
+  /** Per-source adaptive quality floor (q171) — the CCNet-style
+    * per-domain cut: a single global quality threshold over-prunes
+    * whole domains whose score distribution sits low (code, tables)
+    * and under-prunes ones that sit high, so production pipelines
+    * threshold each source at a QUANTILE of its own distribution.
+    * Here the score is the stopword ratio in ppm (the natural-language
+    * signal from the q100 gate family) and the floor is the exact
+    * per-source 25th percentile — rank 1 + (n−1) DIV 4 under the
+    * deterministic (score, doc_id) order — with value-rule keeps
+    * (score ≥ floor), reported as per-source keep/drop mass.
+    *
+    * Scale: one shuffle+sort per source partition for the rank (the
+    * exact-quantile twin of the GK-sketch thresholds q77/q80 certify;
+    * at 100 TB the sketch supplies the floor and this exact form is
+    * its per-source certification, the q55/q135 posture), then a
+    * broadcast of the source-count-bounded floor relation and one
+    * partial-aggregated rollup. No row-level output.
+    */
+  def adaptiveQualityFloor(spark: SparkSession, dir: String): DataFrame =
+    adaptiveQualityFloorFor(Tables.documents(spark, dir))
+
+  def adaptiveQualityFloorFor(docs: DataFrame): DataFrame = {
+    val stopList = GateStopWords.map(w => s"'$w'").mkString(",")
+    val scored = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("n_stop * 1000000 DIV n_tok").as("score_ppm"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm"), col("doc_id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+    val floor = ranked
+      .filter(col("rn") === expr("1 + (n_src - 1) DIV 4"))
+      .select(col("source"), col("score_ppm").as("thr_ppm"))
+    scored.join(broadcast(floor), Seq("source"))
+      .groupBy(col("source"), col("thr_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_ppm") >= col("thr_ppm"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("score_ppm") >= col("thr_ppm"), col("n_tok"))
+          .otherwise(0L)).as("tok_kept"),
+        sum(col("n_tok")).as("tok_total"))
+      .select(col("source"), col("n_docs"), col("thr_ppm"),
+        col("n_kept"), col("tok_kept"), col("tok_total"))
+  }
+
   /** Rarity-weighted top terms per document — the tf-idf shape with the
     * idf's corpus-size constant dropped (it cannot change the ranking):
     * score = tf · 10⁶ / df, top 3 terms per document, ties broken

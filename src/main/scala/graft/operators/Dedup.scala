@@ -424,6 +424,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_ppm"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (q172) — the
+    * embedding twin of the lexical pairs→survivors path (q39→q91):
+    * Abbas et al. 2023 cluster the corpus embeddings with k-means and
+    * drop, within each cluster, all but one member of every
+    * high-cosine group. Here the clusters are the IVF buckets the
+    * index already maintains (one assignment, two consumers — search
+    * and dedup), the pair generator is [[embeddingNearDupBucketedFor]]
+    * (capped, never all-pairs), and the keep rule is deterministic
+    * keep-first: a vector is dropped when ANY smaller-id vector in its
+    * bucket clears the cosine threshold — one distinct projection of
+    * the pair relation, no iteration. Output is the per-bucket
+    * curation ledger: members, dropped, kept, and the kept-id sum as
+    * the cross-engine checksum of WHICH vectors survived.
+    *
+    * Scale: assignment is the map-only argmax projection; pairs are
+    * per-bucket capped; the drop set joins back vec_id-keyed. Nothing
+    * here exceeds the q52 pair generator's cost envelope.
+    */
+  def semanticDedupLedger(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val assigned = Similarity.assignedEmbeddings(spark, dir)
+    val dropped = embeddingNearDupBucketedFor(assigned)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    assigned
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .na.fill(0L, Seq("is_dup"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("is_dup")).as("n_dropped"),
+        sum(lit(1L) - col("is_dup")).as("n_kept"),
+        sum(when(col("is_dup") === 0L, col("vec_id")).otherwise(0L))
+          .as("kept_id_sum"))
+  }
+
   /** Sketch-accuracy audit for the MinHash family: for every LSH
     * candidate pair, the signature-estimated Jaccard (matching positions
     * / K, in ppm) side by side with the exact Jaccard over the two

@@ -644,6 +644,64 @@ object Similarity {
   val PqSubDim = 8 // testdata embeddings are 64-dim
   val PqK = 16
 
+  /** Input/output widths of the Johnson–Lindenstrauss sign projection
+    * (q173): 64-dim corpus vectors (the PQ contract above) down to 16
+    * projected coordinates — the dimension-reduction step a 100 TB ANN
+    * build runs BEFORE indexing when the raw embedding width makes the
+    * index memory-bound (Achlioptas 2003: a ±1 sign matrix achieves
+    * the JL distance-preservation bound; no Gaussian sampling needed).
+    */
+  val JlInDim = 64
+  val JlOutDim = 16
+
+  /** Deterministic ±1 entry of the projection matrix at (row j, input
+    * dim i): parity of the first 32 md5 bits of "j_i" — the same
+    * engine-portable hash family as every split/sample operator, so
+    * the oracle derives the identical matrix with SQL `md5`.
+    */
+  def jlSign(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** JL sign-projection checksums (q173): each embedding is quantized
+    * per element (⌊x·10⁶⌋, the [[Determinism]] rule) and multiplied by
+    * the [[jlSign]] matrix in exact long arithmetic; the output row
+    * carries the projected vector's sum, xor and squared-norm — the
+    * cross-engine checksum of the ENTIRE projected matrix without
+    * dumping N×[[JlOutDim]] rows. The squared norm is the quantity the
+    * JL lemma preserves (‖y‖² concentrates at [[JlInDim]]·‖x‖² for
+    * sign matrices), so downstream recall audits (q90's posture) can
+    * consume `y_sq_sum` directly.
+    *
+    * Scale: a map-only projection — the sign matrix rides into codegen
+    * as [[JlOutDim]] literal arrays, each output coordinate one
+    * zip_with/aggregate over the 64 quantized elements; no join, no
+    * shuffle, linear in corpus rows at any N (the assignedEmbeddings
+    * discipline).
+    */
+  def jlProjectionChecksums(spark: SparkSession, dir: String): DataFrame =
+    jlProjectionChecksumsFor(Tables.embeddings(spark, dir))
+
+  def jlProjectionChecksumsFor(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))").as("xq"))
+    val ys = (0 until JlOutDim).map { j =>
+      val signs = (1 to JlInDim).map(i => jlSign(j, i).toLong)
+      expr(s"aggregate(zip_with(xq, array(${signs.mkString(",")}), " +
+        s"(x, s) -> x * s), 0L, (a, b) -> a + b)").as(s"y$j")
+    }
+    val names = (0 until JlOutDim).map(j => s"y$j")
+    e.select(col("vec_id") +: ys: _*)
+      .select(col("vec_id"),
+        expr(names.mkString(" + ")).as("y_sum"),
+        expr(names.mkString(" ^ ")).as("y_xor"),
+        expr(names.map(n => s"$n * $n").mkString(" + ")).as("y_sq_sum"))
+  }
+
   /** Product-quantization codes (q81) — the compression half of the
     * canonical 100 TB ANN index (IVF-PQ): each 64-dim float vector
     * (256 bytes) becomes [[PqSubspaces]] centroid ids (8 bytes) by

@@ -563,4 +563,58 @@ object TextOps {
           s"${graft.functions.GraftFunctions.Md5PrefixName}(scrubbed, 12)"))
           .as("fp_sum"))
   }
+
+  /** Conditional character-bigram language-model scoring (q170) — the
+    * CCNet/KenLM perplexity-filter posture in an exact integer
+    * contract. Where q130 scores documents by MARGINAL n-gram frequency
+    * (how common are this doc's trigrams), this trains a first-order
+    * Markov model over characters — p(c₂|c₁) = count(c₁c₂)/count(c₁·)
+    * on the 80% hash-split train corpus, in floor-div ppm — and scores
+    * each document by its mean transition surprisal Σ(10⁶ − p_ppm)/n:
+    * the deterministic stand-in for per-character negative
+    * log-likelihood, the statistic CCNet thresholds to drop
+    * gibberish/boilerplate. Unseen transitions (and transitions whose
+    * context character never appears in train) score the maximum 10⁶.
+    *
+    * Scale: one explode pass over corpus characters (the native O(len)
+    * [[graft.functions.CharNgrams]] generator); the model is
+    * alphabet²-bounded, so both model joins BROADCAST and the score is
+    * a map-side projection plus one doc-keyed partial aggregation —
+    * the same shape as q130, linear in corpus bytes at 100 TB.
+    */
+  def charBigramNll(spark: SparkSession, dir: String): DataFrame =
+    charBigramNllFor {
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      Tables.documents(spark, dir)
+    }
+
+  def charBigramNllFor(docs: DataFrame): DataFrame = {
+    val bgs = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        s"${graft.functions.GraftFunctions.CharNgramsName}(text, 2)")).as("bg"))
+    val model = bgs
+      .filter(Sampling.hashBucket("doc_id") < 800000L)
+      .groupBy(col("bg")).agg(count(lit(1)).as("n_bg"))
+    // context totals derive from the model relation itself, so the
+    // conditional is exactly count(bigram)/count(prefix) over train
+    val pre = model
+      .groupBy(substring(col("bg"), 1, 1).as("pre"))
+      .agg(sum(col("n_bg")).as("n_pre"))
+    bgs
+      .join(broadcast(model), Seq("bg"), "left_outer")
+      .na.fill(0L, Seq("n_bg"))
+      .withColumn("pre", substring(col("bg"), 1, 1))
+      .join(broadcast(pre), Seq("pre"), "left_outer")
+      .na.fill(0L, Seq("n_pre"))
+      // DECIMAL-widened ppm: n_bg * 1e6 overflows BIGINT at corpus scale
+      .withColumn("cond_ppm", when(col("n_pre") > 0L,
+        expr("CAST(CAST(n_bg AS DECIMAL(38,0)) * 1000000 DIV n_pre AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"),
+        sum(lit(1000000L) - col("cond_ppm")).as("sur_sum"))
+      .select(col("doc_id"), col("n_bg"),
+        expr("sur_sum DIV n_bg").as("avg_surprisal_ppm"))
+  }
 }

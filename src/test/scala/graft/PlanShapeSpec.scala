@@ -722,4 +722,29 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"),
       s"unigram counts must broadcast into the bigram relation:\n${p.take(2000)}")
   }
+
+  test("q169 privacy audit: two QI-keyed agg pipelines, no join") {
+    val p = plan(graft.quality.PrivacyAudit.kAnonymityAudit(spark, sf))
+    assertNoJoin(p, "kAnonymityAudit")
+  }
+
+  test("q170 char LM: alphabet-bounded model joins broadcast") {
+    val p = plan(graft.operators.TextOps.charBigramNll(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"bigram model and prefix totals must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q171 adaptive floor: floor relation broadcasts back onto scores") {
+    val p = plan(graft.operators.CorpusPrep.adaptiveQualityFloor(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"per-source floor must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q173 JL projection is a pure map — no join, no shuffle") {
+    val p = plan(Similarity.jlProjectionChecksums(spark, sf))
+    assertNoJoin(p, "jlProjectionChecksums")
+    assert(shuffles(p) == 0, s"expected map-only plan:\n${p.take(2000)}")
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusPrep, Dedup, Sampling, Similarity, TextOps}
+
+/** Hand-computed semantics for the round-11 curation additions: the
+  * conditional char-bigram LM (q170), the per-source adaptive quality
+  * floor (q171), the SemDeDup ledger (q172), and the JL sign
+  * projection (q173). The oracle gate covers the full-table runs;
+  * these pin the arithmetic and the keep rules on fixtures.
+  */
+class SemanticCurationSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** First doc ids on either side of the 80% train split. */
+  private lazy val (trainId, heldId) = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val buckets = (1L to 64L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.hashBucket("doc_id").as("hb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    (buckets.find(_._2 < 800000L).get._1,
+      buckets.find(_._2 >= 800000L).get._1)
+  }
+
+  test("char-bigram LM: transition surprisal on a crafted corpus") {
+    // train doc "abab" → bigrams ab×2, ba×1; prefixes a→2, b→1, so
+    // every trained transition is certainty (cond_ppm = 1e6).
+    // held-out "abacxy": ab→0, ba→0 surprisal; ac unseen under a seen
+    // prefix (a: n_pre=2, n_bg=0 → cond 0 → 1e6); cx and xy have
+    // UNSEEN prefixes → 1e6 each. avg = 3e6 DIV 5 = 600000.
+    val docs = Seq((trainId, "abab"), (heldId, "abacxy"))
+      .toDF("doc_id", "text")
+    val out = TextOps.charBigramNllFor(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(trainId) == ((3L, 0L)))
+    assert(out(heldId) == ((5L, 600000L)))
+  }
+
+  test("adaptive quality floor: exact per-source p25 and value-rule keeps") {
+    val docs = Seq(
+      (1L, "x y", "A"),          // 0 ppm, 2 tok
+      (2L, "the x y z", "A"),    // 250000, 4 tok
+      (3L, "the x", "A"),        // 500000, 2 tok
+      (4L, "the the x y", "A"),  // 500000, 4 tok
+      (5L, "the the", "A"),      // 1000000, 2 tok
+      (6L, "the", "B"))          // 1000000, 1 tok
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPrep.adaptiveQualityFloorFor(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // A: n=5 → floor rank 1+(5−1) DIV 4 = 2 → thr 250000; keeps 4 of 5
+    assert(out == Set(
+      ("A", 5L, 250000L, 4L, 12L, 14L),
+      ("B", 1L, 1000000L, 1L, 1L, 1L)))
+  }
+
+  test("semantic-dedup ledger replays the pair relation per bucket") {
+    val ledger = Dedup.semanticDedupLedger(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val assigned = Similarity.assignedEmbeddings(spark, sf)
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("vec_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent re-derivation: dropped ids per bucket from the pair
+    // generator joined back to the assignment
+    val droppedByBucket = Dedup.embeddingNearDupBucketed(spark, sf)
+      .select(col("id_b").as("vec_id")).distinct()
+      .join(Similarity.assignedEmbeddings(spark, sf), Seq("vec_id"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("vec_id").as("ids"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ledger.keySet == assigned.keySet)
+    ledger.foreach { case (b, (nVecs, nDropped, nKept, keptSum)) =>
+      val (nAll, idsAll) = assigned(b)
+      val (nDrop, idsDrop) = droppedByBucket.getOrElse(b, (0L, 0L))
+      assert(nVecs == nAll, s"bucket $b members")
+      assert(nDropped == nDrop, s"bucket $b dropped")
+      assert(nKept == nAll - nDrop, s"bucket $b kept")
+      assert(keptSum == idsAll - idsDrop, s"bucket $b kept-id checksum")
+    }
+    assert(ledger.values.map(_._2).sum > 0L, "fixture has near-dups")
+  }
+
+  test("JL projection matches a driver-side replay on real vectors") {
+    val rows = Similarity.jlProjectionChecksumsFor(
+      graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 3))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 3)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    raw.foreach { case (id, emb) =>
+      val xq = emb.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      val ys = (0 until Similarity.JlOutDim).map { j =>
+        (1 to Similarity.JlInDim)
+          .map(i => Similarity.jlSign(j, i) * xq(i - 1)).sum
+      }
+      val expected = (ys.sum, ys.reduce(_ ^ _), ys.map(y => y * y).sum)
+      assert(rows(id) == expected, s"vec $id")
+    }
+  }
+
+  test("JL sign matrix is deterministic and roughly balanced") {
+    val flat = for {
+      j <- 0 until Similarity.JlOutDim
+      i <- 1 to Similarity.JlInDim
+    } yield Similarity.jlSign(j, i)
+    val plus = flat.count(_ == 1)
+    assert(flat.forall(s => s == 1 || s == -1))
+    // 1024 Bernoulli(1/2) draws: |plus − 512| < 160 is > 20σ slack
+    assert(math.abs(plus - 512) < 160, s"plus=$plus")
+    assert(flat == flat.map(identity)) // stable across calls
+  }
+}
