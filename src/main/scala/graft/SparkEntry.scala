@@ -234,6 +234,9 @@ object SparkEntry {
     "q172_semantic_dedup" -> (Dedup.semanticDedupLedger _),
     // JL ±1 sign projection 64→16 with exact-integer checksums
     "q173_jl_projection" -> (Similarity.jlProjectionChecksums _),
+    // exact greedy BPE merge training over the vocab-bounded word
+    // relation (q166's collocations are the counting half)
+    "q174_bpe_merges" -> (graft.operators.CorpusPrep.bpeTrainMerges _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3300,6 +3303,50 @@ object SparkEntry {
          |  bit_xor(y) AS y_xor,
          |  CAST(SUM(y * y) AS BIGINT) AS y_sq_sum
          |FROM p GROUP BY 1""".stripMargin
+    },
+    // exact greedy BPE: each round re-derives pair counts with LEAD,
+    // takes the (cnt DESC, pair ASC) top pair, resolves greedy-leftmost
+    // overlaps via the run-alternation rule (marked runs alternate
+    // active from the run start), fuses, and renumbers — the same
+    // three-window algebra as CorpusPrep.bpeMergeStep, unrolled per
+    // round
+    "q174_bpe_merges" -> {
+      def stepCtes(k: Int): String =
+        s"""n_$k AS (SELECT word, w_cnt, pos, sym,
+           |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r_${k - 1}),
+           |top_$k AS (SELECT sym AS a, nxt AS b, CAST(SUM(w_cnt) AS BIGINT) AS cnt
+           |    FROM n_$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+           |    ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |m_$k AS (SELECT n.*, t.a, t.b, t.cnt,
+           |    CASE WHEN n.sym = t.a AND n.nxt = t.b THEN 1 ELSE 0 END AS marked
+           |  FROM n_$k n, top_$k t),
+           |g_$k AS (SELECT *, pos - SUM(marked) OVER (PARTITION BY word ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m_$k),
+           |a_$k AS (SELECT *, CASE WHEN marked = 1 AND (pos - MIN(pos) OVER
+           |    (PARTITION BY word, grp, marked)) % 2 = 0 THEN 1 ELSE 0 END AS active
+           |  FROM g_$k),
+           |p_$k AS (SELECT *, COALESCE(LAG(active) OVER (PARTITION BY word ORDER BY pos), 0)
+           |    AS prev_active FROM a_$k),
+           |r_$k AS (SELECT word, w_cnt,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+           |    CASE WHEN active = 1 THEN sym || nxt ELSE sym END AS sym
+           |  FROM p_$k WHERE prev_active = 0)""".stripMargin
+      val steps = 1 to graft.operators.CorpusPrep.BpeSteps
+      def statSelect(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS step, a AS sym_a, b AS sym_b,
+           |  cnt AS pair_cnt,
+           |  (SELECT CAST(SUM(w_cnt) AS BIGINT) FROM r_$k) AS n_symbols_after
+           |FROM top_$k""".stripMargin
+      s"""WITH w0 AS (SELECT word, COUNT(*) AS w_cnt FROM
+         |    (SELECT unnest($toks) AS word FROM documents) u
+         |  WHERE word <> '' GROUP BY 1),
+         |e0 AS (SELECT word, w_cnt, unnest(list_transform(
+         |    generate_series(1, length(word)),
+         |    i -> struct_pack(pos := i, sym := substr(word, i, 1)))) AS e FROM w0),
+         |r_0 AS (SELECT word, w_cnt, CAST(e.pos AS BIGINT) AS pos, e.sym AS sym
+         |  FROM e0),
+         |${steps.map(stepCtes).mkString(",\n")}
+         |${steps.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
     },
   )
 

@@ -742,6 +742,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-source floor must broadcast:\n${p.take(2000)}")
   }
 
+  test("q174 BPE merges: vocab-bounded rounds; pair relation never shuffles a join") {
+    val p = plan(graft.operators.CorpusPrep.bpeTrainMerges(spark, sf))
+    // each round's only joins are 1-row broadcast cross joins (the top
+    // pair and the stats rollup); the symbol relation itself must never
+    // merge- or hash-shuffle-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"only broadcast joins allowed:\n${p.take(2000)}")
+  }
+
   test("q173 JL projection is a pure map — no join, no shuffle") {
     val p = plan(Similarity.jlProjectionChecksums(spark, sf))
     assertNoJoin(p, "jlProjectionChecksums")

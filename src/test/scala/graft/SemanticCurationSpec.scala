@@ -105,6 +105,44 @@ class SemanticCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merges: greedy-leftmost overlap, weighted counts, fused rounds") {
+    // corpus: "aaab" ×2, "ab" ×1 → round 1 pairs: (a,a) 2 per "aaab"
+    //   (overlap counted) ×2 = 4; (a,b) 2+1 = 3 → merge (a,a), count 4.
+    //   Greedy-leftmost on "aaab": [aa, a, b] (NOT [a, aa, b]) →
+    //   symbols after = 2·3 + 1·2 = 8.
+    // round 2 over [aa,a,b]×2 + [a,b]: pairs (aa,a) 2, (a,b) 3 →
+    //   merge (a,b), count 3 → "aaab"→[aa, ab], "ab"→[ab] → after = 5.
+    // round 3: pairs (aa,ab) 2 → merge, count 2 → after = 3.
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = CorpusPrep.bpeTrainMergesFor(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "a", "a", 4L, 8L),
+      (2L, "a", "b", 3L, 5L),
+      (3L, "aa", "ab", 2L, 3L)))
+  }
+
+  test("BPE count ties break on the lexicographically smallest pair") {
+    // "cd" and "ab" both appear twice; (a,b) < (c,d)
+    val docs = Seq((1L, "cd cd ab ab")).toDF("doc_id", "text")
+    val first = CorpusPrep.bpeTrainMergesFor(docs, steps = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(first.toSeq == Seq(("a", "b", 2L)))
+  }
+
+  test("BPE even runs fuse completely: aaaa -> [aa, aa]") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = CorpusPrep.bpeTrainMergesFor(docs, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // round 1: (a,a) count 3 (overlaps), fuse → [aa, aa], after = 2
+    // round 2: (aa,aa) count 1, fuse → [aaaa], after = 1
+    assert(out == Seq(
+      (1L, "a", "a", 3L, 2L),
+      (2L, "aa", "aa", 1L, 1L)))
+  }
+
   test("JL sign matrix is deterministic and roughly balanced") {
     val flat = for {
       j <- 0 until Similarity.JlOutDim
