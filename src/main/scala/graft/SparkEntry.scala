@@ -237,6 +237,9 @@ object SparkEntry {
     // exact greedy BPE merge training over the vocab-bounded word
     // relation (q166's collocations are the counting half)
     "q174_bpe_merges" -> (graft.operators.CorpusPrep.bpeTrainMerges _),
+    // one-pass upper-triangular Gram/mean/count accumulators — the
+    // PCA/whitening prep statistic, dimension-bounded output
+    "q175_embed_covariance" -> (Similarity.embeddingCovarianceSums _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3347,6 +3350,27 @@ object SparkEntry {
          |  FROM e0),
          |${steps.map(stepCtes).mkString(",\n")}
          |${steps.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // Gram accumulator rows (i ≤ j) + per-dim sums (j = 0) + count
+    // (0, 0); ⌊x·10³⌋ quantization, HUGEINT-widened sums
+    "q175_embed_covariance" -> {
+      val d = graft.operators.Similarity.JlInDim
+      s"""WITH e AS (SELECT list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |pr AS (SELECT unnest(flatten(list_transform(generate_series(1, $d), i ->
+         |    list_transform(generate_series(i, $d), j ->
+         |      struct_pack(i := i, j := j, p := xq[i] * xq[j]))))) AS e2 FROM e),
+         |pairs AS (SELECT CAST(e2.i AS BIGINT) AS i, CAST(e2.j AS BIGINT) AS j,
+         |    CAST(SUM(CAST(e2.p AS HUGEINT)) AS BIGINT) AS s FROM pr GROUP BY 1, 2),
+         |sr AS (SELECT unnest(list_transform(generate_series(1, $d), i ->
+         |    struct_pack(i := i, x := xq[i]))) AS e1 FROM e),
+         |sums AS (SELECT CAST(e1.i AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+         |    CAST(SUM(CAST(e1.x AS HUGEINT)) AS BIGINT) AS s FROM sr GROUP BY 1, 2),
+         |cnt AS (SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+         |    CAST(COUNT(*) AS BIGINT) AS s FROM e)
+         |SELECT * FROM pairs UNION ALL SELECT * FROM sums
+         |UNION ALL SELECT * FROM cnt""".stripMargin
     },
   )
 

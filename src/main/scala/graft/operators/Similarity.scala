@@ -685,6 +685,51 @@ object Similarity {
   def jlProjectionChecksums(spark: SparkSession, dir: String): DataFrame =
     jlProjectionChecksumsFor(Tables.embeddings(spark, dir))
 
+  /** Embedding covariance-sum audit (q175) — the one-pass statistic
+    * PCA/whitening preparation needs: the upper-triangular Gram
+    * accumulator Σ_vec xqᵢ·xqⱼ (i ≤ j) plus the per-dimension sums and
+    * the row count, from which covariance is Σxy/N − (Σx/N)(Σy/N).
+    * Elements are quantized ⌊x·10³⌋ (coarser than the dot-product
+    * family's 10⁶: the products are SUMMED over the corpus, and the
+    * 10⁶ scale would overflow even DECIMAL(38) headroom margins at
+    * 10¹²-row corpora; at 10³ the per-row product is ≤ ~10⁷ and the
+    * DECIMAL(38,0) accumulator holds 10³¹ rows).
+    *
+    * Scale: one corpus pass — each row explodes to the 2 080 (i ≤ j)
+    * pair products and partial aggregation collapses every partition
+    * to ≤ 2 080 groups map-side before the single dimension-bounded
+    * shuffle; the same explode→combine class as every token-count
+    * operator. Output is dimension-bounded: d·(d+1)/2 + d + 1 rows.
+    */
+  def embeddingCovarianceSums(spark: SparkSession, dir: String): DataFrame =
+    embeddingCovarianceSumsFor(Tables.embeddings(spark, dir))
+
+  def embeddingCovarianceSumsFor(emb: DataFrame): DataFrame = {
+    val e = emb.select(expr(
+      "transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))").as("xq"))
+    val pairs = e.select(explode(expr(
+      s"""flatten(transform(sequence(1, $JlInDim), i ->
+         |  transform(sequence(i, $JlInDim), j ->
+         |    struct(i AS i, j AS j,
+         |      element_at(xq, i) * element_at(xq, j) AS p))))""".stripMargin)))
+      .select(col("col.i").cast("long").as("i"),
+        col("col.j").cast("long").as("j"),
+        col("col.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(expr("CAST(SUM(CAST(p AS DECIMAL(38,0))) AS BIGINT)").as("s"))
+    val sums = e.select(explode(expr(
+      s"""transform(sequence(1, $JlInDim), i ->
+         |  struct(i AS i, element_at(xq, i) AS x))""".stripMargin)))
+      .select(col("col.i").cast("long").as("i"), col("col.x").as("x"))
+      .groupBy(col("i"))
+      .agg(expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS BIGINT)").as("s"))
+      .select(col("i"), lit(0L).as("j"), col("s"))
+    val n = e.agg(count(lit(1)).as("s"))
+      .select(lit(0L).as("i"), lit(0L).as("j"), col("s"))
+    pairs.unionByName(sums).unionByName(n)
+  }
+
   def jlProjectionChecksumsFor(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), expr(
       "transform(embedding, x -> " +

@@ -752,6 +752,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only broadcast joins allowed:\n${p.take(2000)}")
   }
 
+  test("q175 covariance sums: explode→combine aggregations, join-free") {
+    val p = plan(Similarity.embeddingCovarianceSums(spark, sf))
+    assertNoJoin(p, "embeddingCovarianceSums")
+    // three source passes (pairs, sums, count), each one dimension-
+    // bounded aggregation shuffle at most
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+  }
+
   test("q173 JL projection is a pure map — no join, no shuffle") {
     val p = plan(Similarity.jlProjectionChecksums(spark, sf))
     assertNoJoin(p, "jlProjectionChecksums")

@@ -143,6 +143,22 @@ class SemanticCurationSpec extends AnyFunSuite {
       (2L, "aa", "aa", 1L, 1L)))
   }
 
+  test("covariance sums match a driver-side replay; ledger rows complete") {
+    val out = Similarity.embeddingCovarianceSums(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d = Similarity.JlInDim
+    assert(out.size == d * (d + 1) / 2 + d + 1)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .collect().map(_.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1000.0).toLong))
+    assert(out((0L, 0L)) == vecs.length.toLong)
+    // spot-check the (1,1), (1,2) Gram cells and the dim-1 sum
+    assert(out((1L, 1L)) == vecs.map(v => v(0) * v(0)).sum)
+    assert(out((1L, 2L)) == vecs.map(v => v(0) * v(1)).sum)
+    assert(out((1L, 0L)) == vecs.map(_(0)).sum)
+    assert(out((d.toLong, d.toLong)) == vecs.map(v => v(d - 1) * v(d - 1)).sum)
+  }
+
   test("JL sign matrix is deterministic and roughly balanced") {
     val flat = for {
       j <- 0 until Similarity.JlOutDim
