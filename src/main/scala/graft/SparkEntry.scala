@@ -3255,7 +3255,7 @@ object SparkEntry {
       s"""WITH s AS (SELECT doc_id, source,
          |    CAST(len($toks) AS BIGINT) AS n_tok,
          |    CAST(len(list_filter($toks, t -> t IN ($stopList))) AS BIGINT) AS n_stop
-         |  FROM documents WHERE len($toks) >= 1),
+         |  FROM documents WHERE trim(text) <> '' AND len($toks) >= 1),
          |sc AS (SELECT doc_id, source, n_tok,
          |    n_stop * 1000000 // n_tok AS score_ppm FROM s),
          |r AS (SELECT *,

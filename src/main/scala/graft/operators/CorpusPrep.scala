@@ -135,6 +135,9 @@ object CorpusPrep {
   def adaptiveQualityFloorFor(docs: DataFrame): DataFrame = {
     val stopList = GateStopWords.map(w => s"'$w'").mkString(",")
     val scored = docs
+      // split('') yields [''] — an empty doc would otherwise score as a
+      // perfect-quality 1-token doc and drag its source's floor to 0
+      .filter(trim(col("text")) =!= "")
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 1)
       .withColumn("n_tok", size(col("toks")).cast("long"))

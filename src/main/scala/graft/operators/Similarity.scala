@@ -696,10 +696,11 @@ object Similarity {
     * DECIMAL(38,0) accumulator holds 10³¹ rows).
     *
     * Scale: one corpus pass — each row explodes to the 2 080 (i ≤ j)
-    * pair products and partial aggregation collapses every partition
-    * to ≤ 2 080 groups map-side before the single dimension-bounded
-    * shuffle; the same explode→combine class as every token-count
-    * operator. Output is dimension-bounded: d·(d+1)/2 + d + 1 rows.
+    * pair products plus the d sum rows and the count row, and partial
+    * aggregation collapses every partition to ≤ 2 145 groups map-side
+    * before the single dimension-bounded shuffle; the same
+    * explode→combine class as every token-count operator. Output is
+    * dimension-bounded: d·(d+1)/2 + d + 1 rows.
     */
   def embeddingCovarianceSums(spark: SparkSession, dir: String): DataFrame =
     embeddingCovarianceSumsFor(Tables.embeddings(spark, dir))
@@ -708,26 +709,25 @@ object Similarity {
     val e = emb.select(expr(
       "transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))").as("xq"))
-    val pairs = e.select(explode(expr(
-      s"""flatten(transform(sequence(1, $JlInDim), i ->
-         |  transform(sequence(i, $JlInDim), j ->
-         |    struct(i AS i, j AS j,
-         |      element_at(xq, i) * element_at(xq, j) AS p))))""".stripMargin)))
+    // genuinely ONE pass: the Gram pairs, the per-dim sum ledger rows
+    // (i, 0, xqᵢ) and the count row (0, 0, 1) ride the same explode,
+    // so the corpus is scanned once and one aggregation serves all
+    // three statistics
+    e.select(explode(expr(
+      s"""concat(
+         |  flatten(transform(sequence(1, $JlInDim), i ->
+         |    transform(sequence(i, $JlInDim), j ->
+         |      struct(i AS i, j AS j,
+         |        element_at(xq, i) * element_at(xq, j) AS p)))),
+         |  transform(sequence(1, $JlInDim), i ->
+         |    struct(i AS i, 0 AS j, element_at(xq, i) AS p)),
+         |  array(struct(0 AS i, 0 AS j, CAST(1 AS BIGINT) AS p)))"""
+        .stripMargin)))
       .select(col("col.i").cast("long").as("i"),
         col("col.j").cast("long").as("j"),
         col("col.p").as("p"))
       .groupBy(col("i"), col("j"))
       .agg(expr("CAST(SUM(CAST(p AS DECIMAL(38,0))) AS BIGINT)").as("s"))
-    val sums = e.select(explode(expr(
-      s"""transform(sequence(1, $JlInDim), i ->
-         |  struct(i AS i, element_at(xq, i) AS x))""".stripMargin)))
-      .select(col("col.i").cast("long").as("i"), col("col.x").as("x"))
-      .groupBy(col("i"))
-      .agg(expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS BIGINT)").as("s"))
-      .select(col("i"), lit(0L).as("j"), col("s"))
-    val n = e.agg(count(lit(1)).as("s"))
-      .select(lit(0L).as("i"), lit(0L).as("j"), col("s"))
-    pairs.unionByName(sums).unionByName(n)
   }
 
   def jlProjectionChecksumsFor(emb: DataFrame): DataFrame = {

@@ -752,12 +752,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only broadcast joins allowed:\n${p.take(2000)}")
   }
 
-  test("q175 covariance sums: explode→combine aggregations, join-free") {
+  test("q175 covariance sums: ONE explode→combine pass, join-free") {
     val p = plan(Similarity.embeddingCovarianceSums(spark, sf))
     assertNoJoin(p, "embeddingCovarianceSums")
-    // three source passes (pairs, sums, count), each one dimension-
-    // bounded aggregation shuffle at most
-    assert(shuffles(p) <= 3, s"expected ≤3 shuffles:\n${p.take(2000)}")
+    // Gram pairs, per-dim sums and the count row ride one explode —
+    // a single corpus scan and one dimension-bounded shuffle
+    assert(shuffles(p) <= 1, s"expected one shuffle:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"corpus must be scanned once:\n${p.take(2000)}")
   }
 
   test("q173 JL projection is a pure map — no join, no shuffle") {

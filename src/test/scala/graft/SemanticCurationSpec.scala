@@ -59,6 +59,20 @@ class SemanticCurationSpec extends AnyFunSuite {
       ("B", 1L, 1000000L, 1L, 1L, 1L)))
   }
 
+  test("adaptive floor ignores empty and whitespace-only documents") {
+    // split('') = [''] — without the emptiness guard these would score
+    // as perfect 1-token docs and drag A's floor to 0
+    val docs = Seq(
+      (1L, "", "A"), (2L, "   ", "A"),
+      (3L, "the x", "A"), (4L, "x y", "A"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPrep.adaptiveQualityFloorFor(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // only docs 3 and 4 count: n=2 → floor rank 1 → thr 0 (doc 4)
+    assert(out == Set(("A", 2L, 0L, 2L)))
+  }
+
   test("semantic-dedup ledger replays the pair relation per bucket") {
     val ledger = Dedup.semanticDedupLedger(spark, sf)
       .collect().map(r => r.getLong(0) ->
@@ -168,6 +182,11 @@ class SemanticCurationSpec extends AnyFunSuite {
     assert(flat.forall(s => s == 1 || s == -1))
     // 1024 Bernoulli(1/2) draws: |plus − 512| < 160 is > 20σ slack
     assert(math.abs(plus - 512) < 160, s"plus=$plus")
-    assert(flat == flat.map(identity)) // stable across calls
+    // stability: recompute the whole matrix and compare
+    val again = for {
+      j <- 0 until Similarity.JlOutDim
+      i <- 1 to Similarity.JlInDim
+    } yield Similarity.jlSign(j, i)
+    assert(flat == again)
   }
 }
