@@ -240,6 +240,10 @@ object SparkEntry {
     // one-pass upper-triangular Gram/mean/count accumulators — the
     // PCA/whitening prep statistic, dimension-bounded output
     "q175_embed_covariance" -> (Similarity.embeddingCovarianceSums _),
+    // degree-oriented triangle counting + local clustering
+    // coefficients on the heavy-tail co-supply graph (the motif third
+    // of the graph family: components q70, PageRank q154)
+    "q176_supplier_triangles" -> (graft.operators.GraphOps.supplierTriangles _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3371,6 +3375,50 @@ object SparkEntry {
          |    CAST(COUNT(*) AS BIGINT) AS s FROM e)
          |SELECT * FROM pairs UNION ALL SELECT * FROM sums
          |UNION ALL SELECT * FROM cnt""".stripMargin
+    },
+    // degree-oriented triangle algebra: p95 weight cut from the value
+    // histogram, (deg·1e9 + id) total-order orientation, out-neighbor
+    // wedges closed by one oriented-edge join; ppm local clustering
+    "q176_supplier_triangles" -> {
+      val cap = graft.operators.GraphOps.OrderSuppCap
+      s"""WITH po AS (SELECT l_orderkey,
+         |    list_slice(list_sort(list(DISTINCT l_suppkey)), 1, $cap) AS ss
+         |  FROM lineitem GROUP BY 1),
+         |ed0 AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ss) - 1), i ->
+         |    list_transform(generate_series(i + 1, len(ss)), j ->
+         |      struct_pack(a := ss[i], b := ss[j]))))) AS e FROM po WHERE len(ss) >= 2),
+         |wtd AS (SELECT e.a AS a, e.b AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM ed0 GROUP BY 1, 2),
+         |hist AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wtd GROUP BY 1),
+         |thr AS (SELECT MIN(w) AS thr_w FROM (
+         |    SELECT w, SUM(cnt) OVER (ORDER BY w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |      (SELECT SUM(cnt) FROM hist) AS n_pairs FROM hist) t
+         |  WHERE cum * 20 >= n_pairs * 19),
+         |edges AS (SELECT a, b FROM wtd, thr WHERE w > thr_w),
+         |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS s FROM edges UNION ALL SELECT b AS s FROM edges) t
+         |  GROUP BY 1),
+         |ork AS (SELECT
+         |    CASE WHEN da.deg * 1000000000 + a < db.deg * 1000000000 + b
+         |      THEN a ELSE b END AS u,
+         |    CASE WHEN da.deg * 1000000000 + a < db.deg * 1000000000 + b
+         |      THEN b ELSE a END AS v,
+         |    CASE WHEN da.deg * 1000000000 + a < db.deg * 1000000000 + b
+         |      THEN db.deg * 1000000000 + b ELSE da.deg * 1000000000 + a END AS vkey
+         |  FROM edges JOIN deg da ON a = da.s JOIN deg db ON b = db.s),
+         |wedges AS (SELECT p1.u AS u, p1.v AS v, p2.v AS w FROM ork p1
+         |  JOIN ork p2 ON p1.u = p2.u AND p1.vkey < p2.vkey),
+         |tris AS (SELECT wd.u, wd.v, wd.w FROM wedges wd
+         |  JOIN ork o ON wd.v = o.u AND wd.w = o.v),
+         |pn AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT u AS s FROM tris UNION ALL SELECT v AS s FROM tris
+         |    UNION ALL SELECT w AS s FROM tris) t GROUP BY 1)
+         |SELECT d.s AS suppkey, d.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.deg >= 2
+         |    THEN COALESCE(pn.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS clust_ppm
+         |FROM deg d LEFT JOIN pn ON d.s = pn.s""".stripMargin
     },
   )
 

@@ -105,4 +105,55 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(mass > (GraphOps.PrScale * 8L) / 10L && mass < (GraphOps.PrScale * 115L) / 100L,
       s"total mass $mass out of envelope")
   }
+
+  /** A lineitem-shaped fixture: each listed order carries the given
+    * suppliers, replicated `w` times so the co-occurrence weight (and
+    * hence the p95 cut) is controlled exactly.
+    */
+  private def liFixture(orders: Seq[(Long, Seq[Long], Int)]) = {
+    val rows = for {
+      (ok, supps, w) <- orders
+      k <- 1 to w
+      s <- supps
+    } yield (ok * 1000L + k, s) // distinct order per replica
+    rows.toDF("l_orderkey", "l_suppkey")
+  }
+
+  test("triangles: a known sparse graph with one closed motif") {
+    // 80 weight-1 filler pairs pin the p95 cut at 1 (80·20 ≥ 84·19),
+    // so only weight-2 pairs survive: edges {1-2, 1-3, 2-3, 3-4} →
+    // one triangle (1,2,3); node 4 has degree 1, fillers drop out
+    val filler = (0 until 80).map { k =>
+      (100L + k, Seq(50L + 2 * k, 51L + 2 * k), 1)
+    }
+    val strong = Seq(
+      (1L, Seq(1L, 2L), 2), (2L, Seq(1L, 3L), 2),
+      (3L, Seq(2L, 3L), 2), (4L, Seq(3L, 4L), 2))
+    val out = GraphOps.supplierTrianglesFor(liFixture(strong ++ filler))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 1L, 1000000L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((3L, 1L, 333333L))) // 2·1·1e6 / (3·2)
+    assert(out(4L) == ((1L, 0L, 0L)))
+    // filler nodes fall below the cut and never reach the output
+    assert(!out.keySet.exists(_ >= 50L))
+  }
+
+  test("triangles: complete K4 above the cut counts 4 motifs") {
+    val supps = Seq(1L, 2L, 3L, 4L)
+    val strong = for {
+      i <- supps.indices; j <- supps.indices if i < j
+    } yield ((i * 10 + j).toLong, Seq(supps(i), supps(j)), 2)
+    val filler = (0 until 114).map { k =>
+      (1000L + k, Seq(50L + 2 * k, 51L + 2 * k), 1)
+    }
+    val out = GraphOps.supplierTrianglesFor(liFixture(strong ++ filler))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // K4: every node degree 3, in C(3,2)=3 triangles, clustering 1
+    supps.foreach { s =>
+      assert(out(s) == ((3L, 3L, 1000000L)), s"node $s: ${out(s)}")
+    }
+  }
 }
