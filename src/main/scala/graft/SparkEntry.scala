@@ -244,6 +244,9 @@ object SparkEntry {
     // coefficients on the heavy-tail co-supply graph (the motif third
     // of the graph family: components q70, PageRank q154)
     "q176_supplier_triangles" -> (graft.operators.GraphOps.supplierTriangles _),
+    // BPE encode: per-doc token counts after q174's merges — the
+    // apply half of tokenizer training, a vocab join not a doc scan
+    "q177_bpe_encode" -> (graft.operators.CorpusPrep.bpeEncodeCounts _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -406,6 +409,43 @@ object SparkEntry {
        |      FROM capped a JOIN capped b
        |        ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p) q
        |  WHERE cos_ppm >= ${graft.operators.Dedup.EmbNearDupPpm})""".stripMargin
+  private val bpeStepRange = 1 to graft.operators.CorpusPrep.BpeSteps
+
+  // The greedy-BPE CTE chain (w0/e0/r_0 + one window-algebra block per
+  // merge round) — ONE definition shared by the q174 (train) and q177
+  // (encode) oracles so the merge semantics cannot drift between them
+  private def bpeStepCtes(k: Int): String =
+    s"""n_$k AS (SELECT word, w_cnt, pos, sym,
+       |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r_${k - 1}),
+       |top_$k AS (SELECT sym AS a, nxt AS b, CAST(SUM(w_cnt) AS BIGINT) AS cnt
+       |    FROM n_$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |    ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+       |m_$k AS (SELECT n.*, t.a, t.b, t.cnt,
+       |    CASE WHEN n.sym = t.a AND n.nxt = t.b THEN 1 ELSE 0 END AS marked
+       |  FROM n_$k n, top_$k t),
+       |g_$k AS (SELECT *, pos - SUM(marked) OVER (PARTITION BY word ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m_$k),
+       |a_$k AS (SELECT *, CASE WHEN marked = 1 AND (pos - MIN(pos) OVER
+       |    (PARTITION BY word, grp, marked)) % 2 = 0 THEN 1 ELSE 0 END AS active
+       |  FROM g_$k),
+       |p_$k AS (SELECT *, COALESCE(LAG(active) OVER (PARTITION BY word ORDER BY pos), 0)
+       |    AS prev_active FROM a_$k),
+       |r_$k AS (SELECT word, w_cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+       |    CASE WHEN active = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM p_$k WHERE prev_active = 0)""".stripMargin
+
+  private lazy val bpeCtes: String =
+    s"""w0 AS (SELECT word, COUNT(*) AS w_cnt FROM
+       |    (SELECT unnest($toks) AS word FROM documents) u
+       |  WHERE word <> '' GROUP BY 1),
+       |e0 AS (SELECT word, w_cnt, unnest(list_transform(
+       |    generate_series(1, length(word)),
+       |    i -> struct_pack(pos := i, sym := substr(word, i, 1)))) AS e FROM w0),
+       |r_0 AS (SELECT word, w_cnt, CAST(e.pos AS BIGINT) AS pos, e.sym AS sym
+       |  FROM e0),
+       |${bpeStepRange.map(bpeStepCtes).mkString(",\n")}""".stripMargin
+
   // train/val/test assignment of an id column by md5 bucket — the ONE
   // replay of Sampling.split's rule, shared by the q136/q138 leakage
   // oracles (thresholds derived from the same constants as the Scala
@@ -3318,42 +3358,13 @@ object SparkEntry {
     // three-window algebra as CorpusPrep.bpeMergeStep, unrolled per
     // round
     "q174_bpe_merges" -> {
-      def stepCtes(k: Int): String =
-        s"""n_$k AS (SELECT word, w_cnt, pos, sym,
-           |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r_${k - 1}),
-           |top_$k AS (SELECT sym AS a, nxt AS b, CAST(SUM(w_cnt) AS BIGINT) AS cnt
-           |    FROM n_$k WHERE nxt IS NOT NULL GROUP BY 1, 2
-           |    ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-           |m_$k AS (SELECT n.*, t.a, t.b, t.cnt,
-           |    CASE WHEN n.sym = t.a AND n.nxt = t.b THEN 1 ELSE 0 END AS marked
-           |  FROM n_$k n, top_$k t),
-           |g_$k AS (SELECT *, pos - SUM(marked) OVER (PARTITION BY word ORDER BY pos
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m_$k),
-           |a_$k AS (SELECT *, CASE WHEN marked = 1 AND (pos - MIN(pos) OVER
-           |    (PARTITION BY word, grp, marked)) % 2 = 0 THEN 1 ELSE 0 END AS active
-           |  FROM g_$k),
-           |p_$k AS (SELECT *, COALESCE(LAG(active) OVER (PARTITION BY word ORDER BY pos), 0)
-           |    AS prev_active FROM a_$k),
-           |r_$k AS (SELECT word, w_cnt,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
-           |    CASE WHEN active = 1 THEN sym || nxt ELSE sym END AS sym
-           |  FROM p_$k WHERE prev_active = 0)""".stripMargin
-      val steps = 1 to graft.operators.CorpusPrep.BpeSteps
       def statSelect(k: Int): String =
         s"""SELECT CAST($k AS BIGINT) AS step, a AS sym_a, b AS sym_b,
            |  cnt AS pair_cnt,
            |  (SELECT CAST(SUM(w_cnt) AS BIGINT) FROM r_$k) AS n_symbols_after
            |FROM top_$k""".stripMargin
-      s"""WITH w0 AS (SELECT word, COUNT(*) AS w_cnt FROM
-         |    (SELECT unnest($toks) AS word FROM documents) u
-         |  WHERE word <> '' GROUP BY 1),
-         |e0 AS (SELECT word, w_cnt, unnest(list_transform(
-         |    generate_series(1, length(word)),
-         |    i -> struct_pack(pos := i, sym := substr(word, i, 1)))) AS e FROM w0),
-         |r_0 AS (SELECT word, w_cnt, CAST(e.pos AS BIGINT) AS pos, e.sym AS sym
-         |  FROM e0),
-         |${steps.map(stepCtes).mkString(",\n")}
-         |${steps.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+      s"""WITH $bpeCtes
+         |${bpeStepRange.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
     },
     // Gram accumulator rows (i ≤ j) + per-dim sums (j = 0) + count
     // (0, 0); ⌊x·10³⌋ quantization, HUGEINT-widened sums
@@ -3420,6 +3431,17 @@ object SparkEntry {
          |    ELSE 0 END AS clust_ppm
          |FROM deg d LEFT JOIN pn ON d.s = pn.s""".stripMargin
     },
+    // encode = per-word BPE lengths from the shared merge chain's
+    // final relation, joined onto the exploded corpus words
+    "q177_bpe_encode" ->
+      s"""WITH $bpeCtes,
+         |wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe
+         |  FROM r_${graft.operators.CorpusPrep.BpeSteps} GROUP BY 1),
+         |dw AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN wl USING (word) WHERE word <> ''
+         |GROUP BY 1""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

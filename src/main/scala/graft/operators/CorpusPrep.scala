@@ -337,22 +337,60 @@ object CorpusPrep {
   def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame =
     bpeTrainMergesFor(Tables.documents(spark, dir))
 
-  def bpeTrainMergesFor(docs: DataFrame, steps: Int = BpeSteps): DataFrame = {
-    val words = docs
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("w_cnt"))
-    var syms = words.select(col("word"), col("w_cnt"),
+  /** The vocab-bounded distinct-word relation with corpus counts. */
+  private def wordRelation(docs: DataFrame): DataFrame = docs
+    .select(explode(TextOps.tokens(col("text"))).as("word"))
+    .filter(col("word") =!= "")
+    .groupBy(col("word")).agg(count(lit(1)).as("w_cnt"))
+
+  /** Character-level symbol rows (word, w_cnt, pos, sym). */
+  private def initialSymbols(words: DataFrame): DataFrame = words
+    .select(col("word"), col("w_cnt"),
       posexplode(expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-      .select(col("word"), col("w_cnt"),
-        (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+    .select(col("word"), col("w_cnt"),
+      (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+
+  def bpeTrainMergesFor(docs: DataFrame, steps: Int = BpeSteps): DataFrame = {
+    var syms = initialSymbols(wordRelation(docs))
     val statRows = (1 to steps).map { step =>
       val (rebuilt, stats) = bpeMergeStep(syms, step)
       syms = rebuilt
       stats
     }
     statRows.reduce(_.unionByName(_))
+  }
+
+  /** BPE encode (q177) — the APPLY half of q174's training: after
+    * `steps` greedy merges the segmentation of every distinct word is
+    * already materialized in the symbol relation, so encoding the
+    * corpus is a vocabulary join, not a per-document scan of the merge
+    * table: per-word BPE lengths attach to the exploded corpus words
+    * and roll up per document. Output per doc: whitespace word count
+    * and the BPE token count at the merge checkpoint — the statistic
+    * that prices a tokenizer change against a token budget (q50's
+    * regex tokenizer is the fixed-vocab twin).
+    *
+    * Scale: the merge rounds are vocab-bounded (q174's flat-rehearsal
+    * argument); the corpus side is one explode + one join keyed on the
+    * word — left un-hinted so AQE broadcasts the vocab while it fits
+    * and falls back to a keyed shuffle join at extreme vocabularies —
+    * plus one doc-keyed rollup.
+    */
+  def bpeEncodeCounts(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeCountsFor(Tables.documents(spark, dir))
+
+  def bpeEncodeCountsFor(docs: DataFrame, steps: Int = BpeSteps): DataFrame = {
+    var syms = initialSymbols(wordRelation(docs))
+    for (step <- 1 to steps) syms = bpeMergeStep(syms, step)._1
+    val wordLens = syms.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_bpe"))
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordLens, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
   }
 
   /** One greedy merge round: (rebuilt symbol rows, 1-row stats). */

@@ -173,6 +173,18 @@ class SemanticCurationSpec extends AnyFunSuite {
     assert(out((d.toLong, d.toLong)) == vecs.map(v => v(d - 1) * v(d - 1)).sum)
   }
 
+  test("BPE encode applies the learned merges per document") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab aaab")).toDF("doc_id", "text")
+    // merges (a,a), (a,b), (aa,ab): "aaab" → 1 token, "ab" → 1 token
+    val at3 = CorpusPrep.bpeEncodeCountsFor(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(at3 == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
+    // at 2 merges "aaab" is still [aa, ab]
+    val at2 = CorpusPrep.bpeEncodeCountsFor(docs, steps = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(at2 == Map(1L -> ((3L, 5L)), 2L -> ((2L, 3L))))
+  }
+
   test("JL sign matrix is deterministic and roughly balanced") {
     val flat = for {
       j <- 0 until Similarity.JlOutDim
