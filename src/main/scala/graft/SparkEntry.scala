@@ -247,6 +247,9 @@ object SparkEntry {
     // BPE encode: per-doc token counts after q174's merges — the
     // apply half of tokenizer training, a vocab join not a doc scan
     "q177_bpe_encode" -> (graft.operators.CorpusPrep.bpeEncodeCounts _),
+    // k-core peel trajectory on the shared co-supply graph (the
+    // subgraph-mining fourth of the graph family)
+    "q178_kcore_peel" -> (graft.operators.GraphOps.kCoreTrajectory _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -409,6 +412,29 @@ object SparkEntry {
        |      FROM capped a JOIN capped b
        |        ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p) q
        |  WHERE cos_ppm >= ${graft.operators.Dedup.EmbNearDupPpm})""".stripMargin
+  // The heavy-tail co-supply edge relation (per-order capped supplier
+  // pairs, p95 weight cut from the value histogram) — ONE definition
+  // shared by the q176 triangle and q178 k-core oracles, mirroring
+  // GraphOps.coSupplyEdges
+  private lazy val coSupplyCtes: String = {
+    val cap = graft.operators.GraphOps.OrderSuppCap
+    s"""po AS (SELECT l_orderkey,
+       |    list_slice(list_sort(list(DISTINCT l_suppkey)), 1, $cap) AS ss
+       |  FROM lineitem GROUP BY 1),
+       |ed0 AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ss) - 1), i ->
+       |    list_transform(generate_series(i + 1, len(ss)), j ->
+       |      struct_pack(a := ss[i], b := ss[j]))))) AS e FROM po WHERE len(ss) >= 2),
+       |wtd AS (SELECT e.a AS a, e.b AS b, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM ed0 GROUP BY 1, 2),
+       |hist AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wtd GROUP BY 1),
+       |thr AS (SELECT MIN(w) AS thr_w FROM (
+       |    SELECT w, SUM(cnt) OVER (ORDER BY w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |      (SELECT SUM(cnt) FROM hist) AS n_pairs FROM hist) t
+       |  WHERE cum * 20 >= n_pairs * 19),
+       |edges AS (SELECT a, b FROM wtd, thr WHERE w > thr_w)""".stripMargin
+  }
+
   private val bpeStepRange = 1 to graft.operators.CorpusPrep.BpeSteps
 
   // The greedy-BPE CTE chain (w0/e0/r_0 + one window-algebra block per
@@ -3391,22 +3417,7 @@ object SparkEntry {
     // histogram, (deg·1e9 + id) total-order orientation, out-neighbor
     // wedges closed by one oriented-edge join; ppm local clustering
     "q176_supplier_triangles" -> {
-      val cap = graft.operators.GraphOps.OrderSuppCap
-      s"""WITH po AS (SELECT l_orderkey,
-         |    list_slice(list_sort(list(DISTINCT l_suppkey)), 1, $cap) AS ss
-         |  FROM lineitem GROUP BY 1),
-         |ed0 AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ss) - 1), i ->
-         |    list_transform(generate_series(i + 1, len(ss)), j ->
-         |      struct_pack(a := ss[i], b := ss[j]))))) AS e FROM po WHERE len(ss) >= 2),
-         |wtd AS (SELECT e.a AS a, e.b AS b, CAST(COUNT(*) AS BIGINT) AS w
-         |  FROM ed0 GROUP BY 1, 2),
-         |hist AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wtd GROUP BY 1),
-         |thr AS (SELECT MIN(w) AS thr_w FROM (
-         |    SELECT w, SUM(cnt) OVER (ORDER BY w
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         |      (SELECT SUM(cnt) FROM hist) AS n_pairs FROM hist) t
-         |  WHERE cum * 20 >= n_pairs * 19),
-         |edges AS (SELECT a, b FROM wtd, thr WHERE w > thr_w),
+      s"""WITH $coSupplyCtes,
          |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
          |    SELECT a AS s FROM edges UNION ALL SELECT b AS s FROM edges) t
          |  GROUP BY 1),
@@ -3442,6 +3453,32 @@ object SparkEntry {
          |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN wl USING (word) WHERE word <> ''
          |GROUP BY 1""".stripMargin,
+    // fixed-round peel over the shared co-supply edges: degree cut at
+    // K, survivors filter both endpoints, one trajectory row per round
+    "q178_kcore_peel" -> {
+      import graft.operators.GraphOps.{KCoreK, KCoreRounds}
+      // MATERIALIZED: DuckDB inlines plain CTEs per REFERENCE, and each
+      // round references its predecessor three times — unmaterialized,
+      // the chain expands 3^rounds copies of the base scan (measured:
+      // "Too many open files" at six rounds)
+      def peelCtes(r: Int): String =
+        s"""deg_$r AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS s FROM e_${r - 1} UNION ALL SELECT b AS s FROM e_${r - 1}) t
+           |  GROUP BY 1),
+           |keep_$r AS MATERIALIZED (SELECT s FROM deg_$r WHERE deg >= $KCoreK),
+           |e_$r AS MATERIALIZED (SELECT a, b FROM e_${r - 1}
+           |  WHERE a IN (SELECT s FROM keep_$r) AND b IN (SELECT s FROM keep_$r))"""
+          .stripMargin
+      def statSelect(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM keep_$r) AS n_nodes,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e_$r) AS n_edges""".stripMargin
+      val rs = 1 to KCoreRounds
+      s"""WITH $coSupplyCtes,
+         |e_0 AS (SELECT a, b FROM edges),
+         |${rs.map(peelCtes).mkString(",\n")}
+         |${rs.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -214,10 +214,19 @@ object GraphOps {
     * Oriented out-neighbor pairs then semi-join the oriented edge set
     * once. Degrees ride a dimension-bounded broadcast.
     */
-  def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
-    supplierTrianglesFor(Tables.lineitem(spark, dir))
-
-  def supplierTrianglesFor(li: DataFrame): DataFrame = {
+  /** The heavy-tail co-supply edge relation shared by the q176 motif
+    * count and the q178 k-core peel: undirected (a < b) supplier pairs
+    * co-supplying MORE orders than the 95th-percentile pair — the
+    * co-occurrence graph of uniformly-shuffled order data is
+    * near-complete, where every orientation is equivalent and motif
+    * counts degenerate toward C(n,3); the heavy-tail cut yields a
+    * genuinely sparse association graph at every scale (the same
+    * posture as q166's collocation min-support). The exact percentile
+    * comes from the WEIGHT-VALUE histogram (bounded by the max
+    * co-occurrence count, a few hundred values — its global window is
+    * metadata-sized), never a global sort of the edge relation.
+    */
+  def coSupplyEdges(li: DataFrame): DataFrame = {
     val perOrder = li
       .groupBy(col("l_orderkey"))
       .agg(expr(s"slice(sort_array(collect_set(l_suppkey)), 1, $OrderSuppCap)")
@@ -231,16 +240,6 @@ object GraphOps {
           .stripMargin)).as("e"))
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("w"))
-    // keep only pairs co-supplying MORE than the 95th-percentile
-    // weight — the co-occurrence graph of uniformly-shuffled order
-    // data is near-complete, where every orientation is equivalent and
-    // the motif count degenerates toward C(n,3); the heavy-tail cut
-    // yields a genuinely sparse association graph at every scale (the
-    // same posture as q166's collocation min-support). The exact
-    // percentile comes from the WEIGHT-VALUE histogram (bounded by the
-    // max co-occurrence count, a few hundred values — its global
-    // window is metadata-sized), never a global sort of the edge
-    // relation.
     val hist = weighted.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val thrDf = hist
       .withColumn("cum", sum(col("cnt")).over(
@@ -249,9 +248,16 @@ object GraphOps {
       .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_pairs"))))
       .filter(col("cum") * 20L >= col("n_pairs") * 19L)
       .agg(min(col("w")).as("thr_w"))
-    val edges = weighted.crossJoin(broadcast(thrDf))
+    weighted.crossJoin(broadcast(thrDf))
       .filter(col("w") > col("thr_w"))
       .select(col("a"), col("b"))
+  }
+
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
+    supplierTrianglesFor(Tables.lineitem(spark, dir))
+
+  def supplierTrianglesFor(li: DataFrame): DataFrame = {
+    val edges = coSupplyEdges(li)
     val deg = edges
       .select(explode(array(col("a"), col("b"))).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -286,5 +292,53 @@ object GraphOps {
       .select(col("s").as("suppkey"), col("deg"), col("n_tri"),
         expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 DIV (deg * (deg - 1)) " +
           "ELSE 0 END").as("clust_ppm"))
+  }
+
+  /** Minimum degree a node needs to survive a q178 peel round. */
+  val KCoreK = 3
+
+  /** Fixed peel-round count the graded query unrolls (the PageRank
+    * fixed-iteration discipline: deterministic and SQL-replayable; the
+    * trajectory itself shows whether the fixpoint was reached — equal
+    * consecutive rows — instead of hiding it behind a data-dependent
+    * loop).
+    */
+  val KCoreRounds = 6
+
+  /** k-core peel trajectory (q178) — the SUBGRAPH-MINING fourth of the
+    * graph family (labels q70, values q154, motifs q176): repeatedly
+    * drop nodes of degree < k; what survives all rounds is (an
+    * approximation converging to) the k-core, the standard dense-
+    * community extraction web-curation uses to find link farms and
+    * authority clusters. Output is one row per round: survivors of the
+    * degree cut and the edges among them — the shrink trajectory.
+    *
+    * Scale: each round is one degree aggregation plus two semi-joins
+    * on the shrinking edge relation, materialized per round (the
+    * PageRank checkpoint discipline — without it the 3-references-per-
+    * round lineage grows 3^rounds). Edge relations only shrink, so
+    * the whole peel is bounded by rounds × the first degree pass.
+    */
+  def kCoreTrajectory(spark: SparkSession, dir: String): DataFrame =
+    kCoreTrajectoryFor(coSupplyEdges(Tables.lineitem(spark, dir)))
+
+  def kCoreTrajectoryFor(edges: DataFrame, k: Int = KCoreK,
+      rounds: Int = KCoreRounds,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Dedup.checkpointer(edges.sparkSession, checkpointDir)
+    var e = ckpt(edges)
+    val stats = (1 to rounds).map { r =>
+      val deg = e.select(explode(array(col("a"), col("b"))).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("s"))
+      e = ckpt(e
+        .join(keep.withColumnRenamed("s", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("s", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    stats.reduce(_.unionByName(_))
   }
 }

@@ -140,6 +140,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!out.keySet.exists(_ >= 50L))
   }
 
+  test("k-core peel: pendant drops round 1, K4 core reaches fixpoint") {
+    // K4 on {1,2,3,4} plus pendant edge 4−5: node 5 (deg 1) peels in
+    // round 1; the K4 survivors all keep degree 3 — fixpoint rows
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("a", "b")
+    val out = GraphOps.kCoreTrajectoryFor(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(out.head == ((1L, 4L, 6L)))
+    assert(out.tail.forall { case (_, n, e) => n == 4L && e == 6L })
+    assert(out.map(_._1) == (1L to 6L))
+  }
+
+  test("k-core peel: a tree peels to nothing and stays empty") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = GraphOps.kCoreTrajectoryFor(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // no node ever has degree >= 3
+    assert(out == (1L to 6L).map(r => (r, 0L, 0L)).toSet)
+  }
+
   test("triangles: complete K4 above the cut counts 4 motifs") {
     val supps = Seq(1L, 2L, 3L, 4L)
     val strong = for {

@@ -762,6 +762,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must be scanned once:\n${p.take(2000)}")
   }
 
+  test("q176 triangles: every join is keyed or a 1-row broadcast — no cartesian") {
+    val p = plan(graft.operators.GraphOps.supplierTriangles(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only nested-loop joins are the 1-row threshold/stat
+    // broadcasts (Cross); a data-sized nested loop would be Inner
+    assert(!"BroadcastNestedLoopJoin BuildRight, Inner".r.findFirstIn(p).isDefined,
+      s"no data-sized nested-loop join:\n${p.take(2000)}")
+  }
+
   test("q173 JL projection is a pure map — no join, no shuffle") {
     val p = plan(Similarity.jlProjectionChecksums(spark, sf))
     assertNoJoin(p, "jlProjectionChecksums")
