@@ -250,6 +250,11 @@ object SparkEntry {
     // k-core peel trajectory on the shared co-supply graph (the
     // subgraph-mining fourth of the graph family)
     "q178_kcore_peel" -> (graft.operators.GraphOps.kCoreTrajectory _),
+    // CUSUM changepoint trajectory over daily revenue (Page's
+    // statistic in scaled exact integers; WHEN did the level shift)
+    "q179_revenue_cusum" -> (graft.operators.StatsAudit.revenueCusum _),
+    // Benford first-digit conformance on amounts (fabrication screen)
+    "q180_benford_audit" -> (graft.operators.StatsAudit.benfordAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3478,6 +3483,44 @@ object SparkEntry {
          |e_0 AS (SELECT a, b FROM edges),
          |${rs.map(peelCtes).mkString(",\n")}
          |${rs.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // scaled-integer CUSUM: C_t = n·S_t − t·S_n over the day-bounded
+    // daily relation, DIV n back to cents, peak flag on max |C_t|
+    "q179_revenue_cusum" ->
+      s"""WITH daily AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         |    ${sumc("o_totalprice")} AS x_c
+         |  FROM orders GROUP BY 1),
+         |c AS (SELECT day, x_c,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         |    SUM(x_c) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+         |    SUM(x_c) OVER () AS total
+         |  FROM daily),
+         |s AS (SELECT t, day, x_c,
+         |    CAST((CAST(n_days AS HUGEINT) * prefix - CAST(t AS HUGEINT) * total)
+         |      // n_days AS BIGINT) AS cusum_c
+         |  FROM c)
+         |SELECT t, day, x_c, cusum_c,
+         |  abs(cusum_c) = MAX(abs(cusum_c)) OVER () AS is_peak
+         |FROM s""".stripMargin,
+    // Benford screen: observed first-digit ppm of positive cents vs
+    // the shared floor(log10(1+1/d)·1e6) expectation literals
+    "q180_benford_audit" -> {
+      val expRows = graft.operators.StatsAudit.BenfordPpm
+        .map { case (d, p) => s"($d, ${p})" }.mkString(", ")
+      s"""WITH exp9(digit, exp_ppm) AS (VALUES $expRows),
+         |obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT ${cents("l_extendedprice")} AS c FROM lineitem) t
+         |  WHERE c > 0 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs)
+         |SELECT o.digit, o.n,
+         |  CAST(CAST(o.n AS HUGEINT) * 1000000 // n_total AS BIGINT) AS obs_ppm,
+         |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(CAST(o.n AS HUGEINT) * 1000000 // n_total AS BIGINT)
+         |    - CAST(e.exp_ppm AS BIGINT) AS dev_ppm
+         |FROM obs o JOIN exp9 e ON o.digit = e.digit, tot""".stripMargin
     },
   )
 

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Statistical data-audit operators beyond distribution drift (q143's
+  * KS statistic, q146's MAD outliers): change-POINT localization and
+  * digit-law conformance — the two checks a curation pipeline runs
+  * when a monitored aggregate moves and the question becomes WHEN did
+  * it move and IS the raw data fabricated/truncated.
+  *
+  * Both follow the repo's exactness discipline: money per row in
+  * integer cents, sums widened to DECIMAL(38), every division a
+  * truncating integral divide on identical operands in both engines.
+  */
+object StatsAudit {
+
+  /** CUSUM changepoint trajectory (q179) over daily order revenue —
+    * Page's cumulative-sum statistic in exact scaled-integer form:
+    * with daily revenues x₁..xₙ (cents) and S_t = Σ_{i≤t} x_i, the
+    * scaled deviation C_t = n·S_t − t·S_n equals n·Σ(x_i − μ), so its
+    * extremum localizes the level shift WITHOUT ever forming the
+    * non-integer mean μ. Output: one row per day — position, day,
+    * revenue, C_t DIV n (back on the cents scale), and a peak flag on
+    * every row attaining the maximum |C_t|.
+    *
+    * Scale: the corpus collapses to the DAY-bounded daily relation in
+    * one partial-aggregated pass; the prefix/extremum windows run over
+    * that metadata-sized relation (a few thousand rows per decade of
+    * data), so the global window is not a corpus-scale sort. Products
+    * n·S_t are DECIMAL(38)-widened — cents totals stay inside the
+    * accumulator far past 10¹²-row fact tables.
+    */
+  def revenueCusum(spark: SparkSession, dir: String): DataFrame =
+    revenueCusumFor(Tables.orders(spark, dir))
+
+  def revenueCusumFor(orders: DataFrame): DataFrame = {
+    val daily = orders
+      // NTZ → (UTC session) TIMESTAMP → epoch seconds, the repo's
+      // standard epoch projection for timestamp columns
+      .select(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+        .as("day"),
+        Determinism.cents(col("o_totalprice")).as("xc"))
+      .groupBy(col("day")).agg(sum(col("xc")).as("x_c"))
+    val w = Window.orderBy(col("day"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("x_c")).over(cum))
+      .withColumn("n_days", count(lit(1)).over(all))
+      .withColumn("total", sum(col("x_c")).over(all))
+      .withColumn("cusum_c", expr(
+        "CAST((CAST(n_days AS DECIMAL(38,0)) * prefix - " +
+          "CAST(t AS DECIMAL(38,0)) * total) DIV n_days AS BIGINT)"))
+      .withColumn("peak_abs", max(abs(col("cusum_c"))).over(all))
+      .select(col("t"), col("day"), col("x_c"), col("cusum_c"),
+        (abs(col("cusum_c")) === col("peak_abs")).as("is_peak"))
+  }
+
+  /** Benford first-digit expectations, floor(log₁₀(1 + 1/d)·10⁶) ppm —
+    * ONE definition injected into both the Spark literal table and the
+    * oracle SQL so the constants cannot drift.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000000.0).toLong)
+
+  /** Benford first-digit conformance audit (q180) on lineitem extended
+    * prices — the fabrication/truncation screen: natural multi-scale
+    * amounts follow log-uniform first digits; uniform or hand-typed
+    * data does not. Output per digit: observed count and ppm share,
+    * the Benford expectation, and the signed deviation. (TPC-H-shaped
+    * prices are NOT Benford-distributed — uniform quantity × price —
+    * so the fixture exercises a failing audit, which is the
+    * informative direction.)
+    *
+    * Scale: one partial-aggregated pass to nine digit groups plus a
+    * 9-row broadcast of the expectation table. Nothing else.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditFor(Tables.lineitem(spark, dir))
+
+  def benfordAuditFor(li: DataFrame): DataFrame = {
+    val exp9 = li.sparkSession.createDataFrame(
+      BenfordPpm.map { case (d, p) => (d.toLong, p) })
+      .toDF("digit", "exp_ppm")
+    val obs = li
+      .select(Determinism.cents(col("l_extendedprice")).as("c"))
+      .filter(col("c") > 0L)
+      .select(expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = obs.agg(sum(col("n")).as("n_total"))
+    obs.join(broadcast(exp9), Seq("digit"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV n_total AS BIGINT)")
+          .as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+}

@@ -185,6 +185,58 @@ class SemanticCurationSpec extends AnyFunSuite {
     assert(at2 == Map(1L -> ((3L, 5L)), 2L -> ((2L, 3L))))
   }
 
+  /** Direct Sennrich-style reference: greedy-leftmost merge of the top
+    * (cnt DESC, pair ASC) pair over a word-count map, overlap counted.
+    */
+  private def bruteBpe(words: Map[String, Long], steps: Int)
+      : Seq[(String, String, Long, Long)] = {
+    var segs: Map[Vector[String], Long] =
+      words.toSeq.map { case (w, c) => w.toVector.map(_.toString) -> c }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    (1 to steps).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val (a, b) = counts.keys.toSeq
+        .sortBy { case (x, y) => (-counts((x, y)), x, y) }.head
+      val cnt = counts((a, b))
+      segs = segs.toSeq.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> c
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val after = segs.map { case (syms, c) => syms.length * c }.sum
+      (a, b, cnt, after)
+    }
+  }
+
+  test("BPE merges equal the direct greedy reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // small alphabet forces heavy overlap runs — the hard case for
+      // the run-alternation algebra
+      val words = (1 to 12).map { _ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString
+      }
+      val text = words.mkString(" ")
+      val wc = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val expected = bruteBpe(wc, 3).zipWithIndex
+        .map { case ((a, b, c, n), i) => (i + 1L, a, b, c, n) }
+      val got = CorpusPrep.bpeTrainMergesFor(
+        Seq((1L, text)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got == expected, s"trial $trial corpus '$text'")
+    }
+  }
+
   test("JL sign matrix is deterministic and roughly balanced") {
     val flat = for {
       j <- 0 until Similarity.JlOutDim
