@@ -771,6 +771,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no data-sized nested-loop join:\n${p.take(2000)}")
   }
 
+  test("q179 CUSUM: one fact aggregation; windows run on the day relation") {
+    val p = plan(graft.operators.StatsAudit.revenueCusum(spark, sf))
+    assertNoJoin(p, "revenueCusum")
+    // fact scan → daily agg (1 shuffle) → single-partition windows
+    // over the day-bounded relation
+    assert(shuffles(p) <= 1, s"expected one aggregation shuffle:\n${p.take(2000)}")
+  }
+
+  test("q180 Benford: digit agg + 9-row broadcasts only") {
+    val p = plan(graft.operators.StatsAudit.benfordAudit(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"expectation table and total must broadcast:\n${p.take(2000)}")
+  }
+
   test("q173 JL projection is a pure map — no join, no shuffle") {
     val p = plan(Similarity.jlProjectionChecksums(spark, sf))
     assertNoJoin(p, "jlProjectionChecksums")
