@@ -429,15 +429,15 @@ object SparkEntry {
        |ed0 AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ss) - 1), i ->
        |    list_transform(generate_series(i + 1, len(ss)), j ->
        |      struct_pack(a := ss[i], b := ss[j]))))) AS e FROM po WHERE len(ss) >= 2),
-       |wtd AS (SELECT e.a AS a, e.b AS b, CAST(COUNT(*) AS BIGINT) AS w
+       |wtd AS MATERIALIZED (SELECT e.a AS a, e.b AS b, CAST(COUNT(*) AS BIGINT) AS w
        |  FROM ed0 GROUP BY 1, 2),
-       |hist AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wtd GROUP BY 1),
+       |hist AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wtd GROUP BY 1),
        |thr AS (SELECT MIN(w) AS thr_w FROM (
        |    SELECT w, SUM(cnt) OVER (ORDER BY w
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |      (SELECT SUM(cnt) FROM hist) AS n_pairs FROM hist) t
        |  WHERE cum * 20 >= n_pairs * 19),
-       |edges AS (SELECT a, b FROM wtd, thr WHERE w > thr_w)""".stripMargin
+       |edges AS MATERIALIZED (SELECT a, b FROM wtd, thr WHERE w > thr_w)""".stripMargin
   }
 
   private val bpeStepRange = 1 to graft.operators.CorpusPrep.BpeSteps
@@ -3423,10 +3423,10 @@ object SparkEntry {
     // wedges closed by one oriented-edge join; ppm local clustering
     "q176_supplier_triangles" -> {
       s"""WITH $coSupplyCtes,
-         |deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |deg AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
          |    SELECT a AS s FROM edges UNION ALL SELECT b AS s FROM edges) t
          |  GROUP BY 1),
-         |ork AS (SELECT
+         |ork AS MATERIALIZED (SELECT
          |    CASE WHEN da.deg * 1000000000 + a < db.deg * 1000000000 + b
          |      THEN a ELSE b END AS u,
          |    CASE WHEN da.deg * 1000000000 + a < db.deg * 1000000000 + b
@@ -3434,9 +3434,9 @@ object SparkEntry {
          |    CASE WHEN da.deg * 1000000000 + a < db.deg * 1000000000 + b
          |      THEN db.deg * 1000000000 + b ELSE da.deg * 1000000000 + a END AS vkey
          |  FROM edges JOIN deg da ON a = da.s JOIN deg db ON b = db.s),
-         |wedges AS (SELECT p1.u AS u, p1.v AS v, p2.v AS w FROM ork p1
+         |wedges AS MATERIALIZED (SELECT p1.u AS u, p1.v AS v, p2.v AS w FROM ork p1
          |  JOIN ork p2 ON p1.u = p2.u AND p1.vkey < p2.vkey),
-         |tris AS (SELECT wd.u, wd.v, wd.w FROM wedges wd
+         |tris AS MATERIALIZED (SELECT wd.u, wd.v, wd.w FROM wedges wd
          |  JOIN ork o ON wd.v = o.u AND wd.w = o.v),
          |pn AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
          |    SELECT u AS s FROM tris UNION ALL SELECT v AS s FROM tris
@@ -3480,7 +3480,7 @@ object SparkEntry {
            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e_$r) AS n_edges""".stripMargin
       val rs = 1 to KCoreRounds
       s"""WITH $coSupplyCtes,
-         |e_0 AS (SELECT a, b FROM edges),
+         |e_0 AS MATERIALIZED (SELECT a, b FROM edges),
          |${rs.map(peelCtes).mkString(",\n")}
          |${rs.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
     },
