@@ -255,6 +255,9 @@ object SparkEntry {
     "q179_revenue_cusum" -> (graft.operators.StatsAudit.revenueCusum _),
     // Benford first-digit conformance on amounts (fabrication screen)
     "q180_benford_audit" -> (graft.operators.StatsAudit.benfordAudit _),
+    // 1-NN label-agreement confusion matrix within IVF buckets (the
+    // k-NN embedding-quality probe)
+    "q181_knn_label_eval" -> (Similarity.knnLabelEval _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3522,6 +3525,30 @@ object SparkEntry {
          |    - CAST(e.exp_ppm AS BIGINT) AS dev_ppm
          |FROM obs o JOIN exp9 e ON o.digit = e.digit, tot""".stripMargin
     },
+    // 1-NN within the capped IVF buckets: argmax quantized cosine
+    // (smaller-id ties) predicts the label; label×label rollup
+    "q181_knn_label_eval" ->
+      s"""WITH $ivfCte,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |ea AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket, lb.label,
+         |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN lb ON e.vec_id = lb.vec_id),
+         |capped AS MATERIALIZED (SELECT * FROM ea
+         |  WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
+         |p AS (SELECT x.vec_id, x.label AS label_true, y.label AS label_pred,
+         |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+         |      CAST(floor(CAST(${dotSql("x.embedding", "y.embedding")} AS DOUBLE)
+         |        * 1000000.0 / (sqrt(CAST(x.n_emb AS DOUBLE))
+         |        * sqrt(CAST(y.n_emb AS DOUBLE)))) AS BIGINT) DESC,
+         |      y.vec_id ASC) AS rk
+         |  FROM capped x JOIN capped y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         |SELECT CAST(label_true AS BIGINT) AS label_true,
+         |  CAST(label_pred AS BIGINT) AS label_pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -684,6 +685,49 @@ object Similarity {
     */
   def jlProjectionChecksums(spark: SparkSession, dir: String): DataFrame =
     jlProjectionChecksumsFor(Tables.embeddings(spark, dir))
+
+  /** 1-NN label-agreement confusion matrix (q181) — the cheapest
+    * embedding-QUALITY probe a training pipeline runs (the k-NN
+    * stand-in for a linear probe): within each IVF bucket, every
+    * vector's nearest neighbor (max quantized cosine, smaller-id
+    * ties) predicts its label; output is the label×label confusion
+    * rollup. High diagonal mass = the embedding space separates the
+    * label structure; an off-diagonal cell lighting up names the
+    * confused class pair. Vectors alone in their bucket (no
+    * neighbor) drop out deterministically.
+    *
+    * Scale: the same capped per-bucket pair generation as the q52
+    * near-dup path (assignment map-only, pairs bucket-bounded), one
+    * vec-keyed rank window, and a label²-bounded rollup.
+    */
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val dot = graft.functions.GraftFunctions.DotName
+    val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val e = withBucket(Tables.embeddings(spark, dir),
+      centroidLits(spark, dir, IvfNlist), "embedding")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Dedup.EmbBucketCap)
+      .withColumn("nq", expr(s"$dot(embedding, embedding)"))
+    val a = e.select(col("bucket"), col("vec_id"),
+      col("embedding").as("emb_a"), col("nq").as("n_a"),
+      col("label").as("label_true"))
+    val b = e.select(col("bucket"), col("vec_id").as("nbr"),
+      col("embedding").as("emb_b"), col("nq").as("n_b"),
+      col("label").as("label_pred"))
+    val wNn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_ppm").desc, col("nbr"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("cos_ppm", expr(
+        s"CAST(floor(CAST($dot(emb_a, emb_b) AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("rk", row_number().over(wNn))
+      .filter(col("rk") === 1)
+      .groupBy(col("label_true").cast("long").as("label_true"),
+        col("label_pred").cast("long").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 
   /** Embedding covariance-sum audit (q175) — the one-pass statistic
     * PCA/whitening preparation needs: the upper-triangular Gram

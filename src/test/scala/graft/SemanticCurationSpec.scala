@@ -157,6 +157,28 @@ class SemanticCurationSpec extends AnyFunSuite {
       (2L, "aa", "aa", 1L, 1L)))
   }
 
+  test("knn label eval: every bucketed vector with a neighbor votes once") {
+    val out = Similarity.knnLabelEval(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // total votes = vectors whose capped bucket has >= 2 members
+    val sizes = Similarity.assignedEmbeddings(spark, sf)
+      .groupBy("bucket").count().collect()
+      .map(r => math.min(r.getLong(1), graft.operators.Dedup.EmbBucketCap))
+    val expectedVotes = sizes.filter(_ >= 2).sum
+    assert(out.values.sum == expectedVotes)
+    // labels land in the data's label domain
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    out.keys.foreach { case (t, p) =>
+      assert(labels.contains(t) && labels.contains(p))
+    }
+    // deterministic across invocations
+    val again = Similarity.knnLabelEval(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == again)
+  }
+
   test("covariance sums match a driver-side replay; ledger rows complete") {
     val out = Similarity.embeddingCovarianceSums(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
