@@ -258,6 +258,8 @@ object SparkEntry {
     // 1-NN label-agreement confusion matrix within IVF buckets (the
     // k-NN embedding-quality probe)
     "q181_knn_label_eval" -> (Similarity.knnLabelEval _),
+    // same probe on the derived-√N index width (the production pairing)
+    "q182_knn_label_derived" -> (Similarity.knnLabelEvalDerived _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -442,6 +444,31 @@ object SparkEntry {
        |  WHERE cum * 20 >= n_pairs * 19),
        |edges AS MATERIALIZED (SELECT a, b FROM wtd, thr WHERE w > thr_w)""".stripMargin
   }
+
+  // The 1-NN label-confusion algebra over a bucketed `e`/`asg` prefix
+  // — ONE definition shared by the pinned (q181) and derived-width
+  // (q182) oracles so the probe semantics cannot drift between them
+  private lazy val knnConfusionTail: String =
+    s"""lb AS (SELECT vec_id, label FROM embeddings),
+       |ea AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket, lb.label,
+       |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
+       |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+       |  JOIN lb ON e.vec_id = lb.vec_id),
+       |capped AS MATERIALIZED (SELECT * FROM ea
+       |  WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
+       |p AS (SELECT x.vec_id, x.label AS label_true, y.label AS label_pred,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |      CAST(floor(CAST(${dotSql("x.embedding", "y.embedding")} AS DOUBLE)
+       |        * 1000000.0 / (sqrt(CAST(x.n_emb AS DOUBLE))
+       |        * sqrt(CAST(y.n_emb AS DOUBLE)))) AS BIGINT) DESC,
+       |      y.vec_id ASC) AS rk
+       |  FROM capped x JOIN capped y
+       |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |SELECT CAST(label_true AS BIGINT) AS label_true,
+       |  CAST(label_pred AS BIGINT) AS label_pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM p WHERE rk = 1 GROUP BY 1, 2""".stripMargin
 
   private val bpeStepRange = 1 to graft.operators.CorpusPrep.BpeSteps
 
@@ -3527,28 +3554,24 @@ object SparkEntry {
     },
     // 1-NN within the capped IVF buckets: argmax quantized cosine
     // (smaller-id ties) predicts the label; label×label rollup
-    "q181_knn_label_eval" ->
-      s"""WITH $ivfCte,
-         |lb AS (SELECT vec_id, label FROM embeddings),
-         |ea AS MATERIALIZED (
-         |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket, lb.label,
-         |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
-         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
-         |  JOIN lb ON e.vec_id = lb.vec_id),
-         |capped AS MATERIALIZED (SELECT * FROM ea
-         |  WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
-         |p AS (SELECT x.vec_id, x.label AS label_true, y.label AS label_pred,
-         |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-         |      CAST(floor(CAST(${dotSql("x.embedding", "y.embedding")} AS DOUBLE)
-         |        * 1000000.0 / (sqrt(CAST(x.n_emb AS DOUBLE))
-         |        * sqrt(CAST(y.n_emb AS DOUBLE)))) AS BIGINT) DESC,
-         |      y.vec_id ASC) AS rk
-         |  FROM capped x JOIN capped y
-         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
-         |SELECT CAST(label_true AS BIGINT) AS label_true,
-         |  CAST(label_pred AS BIGINT) AS label_pred,
-         |  CAST(COUNT(*) AS BIGINT) AS n
-         |FROM p WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+    "q181_knn_label_eval" -> s"WITH $ivfCte,\n$knnConfusionTail",
+    // same confusion algebra on the DERIVED √N width (the q99/q106
+    // index scheme: nlist = GREATEST(16, ROUND(SQRT(N))))
+    "q182_knn_label_derived" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
+         |nl AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
+         |         CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM e),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |$knnConfusionTail""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

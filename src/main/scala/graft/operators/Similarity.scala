@@ -700,12 +700,26 @@ object Similarity {
     * near-dup path (assignment map-only, pairs bucket-bounded), one
     * vec-keyed rank window, and a label²-bounded rollup.
     */
-  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame =
+    knnLabelEvalAt(spark, dir, IvfNlist)
+
+  /** [[knnLabelEval]] on the DERIVED √N index width (q182) — the
+    * production pairing, exactly as q106/q108 pair with the pinned
+    * q42/q83: wider buckets keep the per-bucket population near the
+    * cap as the corpus grows, so the probe's cost envelope tracks the
+    * index's, not the pinned-width cliff.
+    */
+  def knnLabelEvalDerived(spark: SparkSession, dir: String): DataFrame =
+    knnLabelEvalAt(spark, dir,
+      nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings")))
+
+  private def knnLabelEvalAt(spark: SparkSession, dir: String,
+      nlist: Int): DataFrame = {
     withFns(spark)
     val dot = graft.functions.GraftFunctions.DotName
     val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
     val e = withBucket(Tables.embeddings(spark, dir),
-      centroidLits(spark, dir, IvfNlist), "embedding")
+      centroidLits(spark, dir, nlist), "embedding")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Dedup.EmbBucketCap)
       .withColumn("nq", expr(s"$dot(embedding, embedding)"))

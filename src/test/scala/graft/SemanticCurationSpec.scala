@@ -177,6 +177,14 @@ class SemanticCurationSpec extends AnyFunSuite {
     val again = Similarity.knnLabelEval(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(out == again)
+    // the derived-width twin obeys the same one-vote identity against
+    // ITS assignment (wider index → different buckets, same algebra)
+    val dOut = Similarity.knnLabelEvalDerived(spark, sf)
+      .collect().map(_.getLong(2)).sum
+    val dSizes = Similarity.assignedEmbeddingsAuto(spark, sf)
+      .groupBy("bucket").count().collect()
+      .map(r => math.min(r.getLong(1), graft.operators.Dedup.EmbBucketCap))
+    assert(dOut == dSizes.filter(_ >= 2).sum)
   }
 
   test("covariance sums match a driver-side replay; ledger rows complete") {
