@@ -260,6 +260,13 @@ object SparkEntry {
     "q181_knn_label_eval" -> (Similarity.knnLabelEval _),
     // same probe on the derived-√N index width (the production pairing)
     "q182_knn_label_derived" -> (Similarity.knnLabelEvalDerived _),
+    // frequent part pairs by basket support (per-basket-bounded pair
+    // explosion, the market-basket half of co-occurrence mining)
+    "q183_frequent_pairs" -> (graft.operators.Association.frequentPairs _),
+    // association rules from the frequent pairs: confidence + lift in
+    // exact ppm, item-support join deliberately shuffled (part-dim
+    // sized), only the 1-row basket total broadcasts
+    "q184_association_rules" -> (graft.operators.Association.associationRules _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -443,6 +450,23 @@ object SparkEntry {
        |      (SELECT SUM(cnt) FROM hist) AS n_pairs FROM hist) t
        |  WHERE cum * 20 >= n_pairs * 19),
        |edges AS MATERIALIZED (SELECT a, b FROM wtd, thr WHERE w > thr_w)""".stripMargin
+  }
+
+  // The order→part basket relation and its frequent a<b pairs — ONE
+  // definition shared by the q183 pair and q184 rule oracles,
+  // mirroring Association.baskets/frequentPairsFor
+  private lazy val basketCtes: String = {
+    val cap = graft.operators.Association.BasketItemCap
+    val minS = graft.operators.Association.MinSupport
+    s"""bk AS MATERIALIZED (SELECT l_orderkey,
+       |    list_slice(list_sort(list(DISTINCT l_partkey)), 1, $cap) AS ps
+       |  FROM lineitem GROUP BY 1),
+       |pr AS (SELECT e.a AS p_a, e.b AS p_b, CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM (SELECT unnest(flatten(list_transform(generate_series(1, len(ps) - 1), i ->
+       |      list_transform(generate_series(i + 1, len(ps)), j ->
+       |        struct_pack(a := ps[i], b := ps[j]))))) AS e
+       |    FROM bk WHERE len(ps) >= 2) t GROUP BY 1, 2),
+       |fp AS MATERIALIZED (SELECT * FROM pr WHERE support >= $minS)""".stripMargin
   }
 
   // The 1-NN label-confusion algebra over a bucketed `e`/`asg` prefix
@@ -3572,6 +3596,29 @@ object SparkEntry {
          |    FROM e, cents c) t
          |  WHERE rk = 1),
          |$knnConfusionTail""".stripMargin,
+    // frequent part pairs over the shared basket CTEs
+    "q183_frequent_pairs" ->
+      s"""WITH $basketCtes
+         |SELECT p_a, p_b, support FROM fp""".stripMargin,
+    // both rule directions joined to item supports; conf/lift exact
+    // ppm with HUGEINT widening mirroring the DECIMAL(38) Spark side
+    "q184_association_rules" ->
+      s"""WITH $basketCtes,
+         |item AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS s_item
+         |  FROM (SELECT unnest(ps) AS p FROM bk) t GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM bk),
+         |rules AS (
+         |  SELECT p_a AS antecedent, p_b AS consequent, support FROM fp
+         |  UNION ALL
+         |  SELECT p_b AS antecedent, p_a AS consequent, support FROM fp)
+         |SELECT r.antecedent, r.consequent, r.support,
+         |  ia.s_item AS s_ant, ic.s_item AS s_cons,
+         |  r.support * 1000000 // ia.s_item AS conf_ppm,
+         |  CAST(CAST(r.support AS HUGEINT) * n.n_baskets * 1000000
+         |    // (CAST(ia.s_item AS HUGEINT) * ic.s_item) AS BIGINT) AS lift_ppm
+         |FROM rules r
+         |JOIN item ia ON r.antecedent = ia.p
+         |JOIN item ic ON r.consequent = ic.p, n""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

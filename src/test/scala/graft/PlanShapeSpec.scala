@@ -786,6 +786,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expectation table and total must broadcast:\n${p.take(2000)}")
   }
 
+  test("q183 frequent pairs: join-free basket explode + one pair aggregation") {
+    val p = plan(graft.operators.Association.frequentPairs(spark, sf))
+    assertNoJoin(p, "frequentPairs")
+    // basket agg + pair agg: two keyed shuffles, no all-pairs join
+    assert(shuffles(p) <= 2, s"expected basket+pair shuffles only:\n${p.take(2000)}")
+  }
+
+  test("q184 rules: item-support joins are keyed; only the 1-row total broadcasts") {
+    val p = plan(graft.operators.Association.associationRules(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the part-dimension item relation must never nested-loop against
+    // the rules (only the 1-row basket total rides a Cross broadcast)
+    assert(!"BroadcastNestedLoopJoin BuildRight, Inner".r.findFirstIn(p).isDefined,
+      s"no data-sized nested-loop join:\n${p.take(2000)}")
+  }
+
   test("q173 JL projection is a pure map — no join, no shuffle") {
     val p = plan(Similarity.jlProjectionChecksums(spark, sf))
     assertNoJoin(p, "jlProjectionChecksums")
