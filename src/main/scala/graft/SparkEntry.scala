@@ -267,6 +267,9 @@ object SparkEntry {
     // exact ppm, item-support join deliberately shuffled (part-dim
     // sized), only the 1-row basket total broadcasts
     "q184_association_rules" -> (graft.operators.Association.associationRules _),
+    // per-nation OLS revenue trend via exact-integer normal equations
+    // (slope/intercept/r2 ppm on the dimension-bounded monthly relation)
+    "q185_revenue_trend" -> (graft.operators.StatsAudit.revenueTrend _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3619,6 +3622,37 @@ object SparkEntry {
          |FROM rules r
          |JOIN item ia ON r.antecedent = ia.p
          |JOIN item ic ON r.consequent = ic.p, n""".stripMargin,
+    // exact-integer normal equations on the (nation × month) relation;
+    // r2 reordered as ((num*1e6 DIV den_x)*num) DIV den_y to bound the
+    // intermediates by Cauchy-Schwarz (mirrors the Spark side exactly)
+    "q185_revenue_trend" ->
+      s"""WITH monthly AS (
+         |  SELECT c.c_nationkey,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         |    CAST(SUM(${cents("o_totalprice")}) AS BIGINT) // 100 AS y
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |s AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_months,
+         |    CAST(SUM(m) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(m * m) AS BIGINT) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(m AS HUGEINT) * y) AS sxy
+         |  FROM monthly GROUP BY 1),
+         |d AS (SELECT *,
+         |    CAST(n_months AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    CAST(n_months AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+         |    CAST(n_months AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+         |  FROM s)
+         |SELECT n.n_name, d.n_months, d.sy AS total_dollars,
+         |  CASE WHEN den_x = 0 THEN NULL
+         |    ELSE CAST(num * 1000000 // den_x AS BIGINT) END AS slope_ppm,
+         |  CASE WHEN den_x = 0 THEN NULL
+         |    ELSE CAST((CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy)
+         |      * 1000000 // den_x AS BIGINT) END AS intercept_ppm,
+         |  CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+         |    ELSE CAST(((num * 1000000 // den_x) * num) // den_y AS BIGINT)
+         |    END AS r2_ppm
+         |FROM d JOIN nation n ON d.c_nationkey = n.n_nationkey""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -102,4 +102,64 @@ object StatsAudit {
         col("exp_ppm"))
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
+
+  /** Per-nation OLS revenue trend (q185) — the regression third of the
+    * statistical-audit family (localization q179, conformance q180):
+    * least-squares slope, intercept, and r² of monthly order revenue
+    * against the month index, via the NORMAL EQUATIONS in exact
+    * integer arithmetic — slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) — never a
+    * floating accumulator, so the result is bit-identical under any
+    * partitioning and in the oracle.
+    *
+    * Scale: one fact pass partial-aggregates to the (nation × month)
+    * relation — dimension-bounded (25 nations × ~84 months) — and all
+    * window-free regression algebra runs there. y is quantized to
+    * whole DOLLARS (cents DIV 100) for accumulator headroom: Σy² is
+    * DECIMAL(38)-widened and stays exact past 10¹²-row fact tables
+    * (documented bound: exact while n·Σy² < 10³²). r² reorders the
+    * textbook (nΣxy−ΣxΣy)²·10⁶/(den_x·den_y) as ((num·10⁶ DIV
+    * den_x)·num) DIV den_y — same value, but Cauchy–Schwarz then
+    * bounds every intermediate by 10⁶·den_y, dodging the num² blowup.
+    */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame =
+    revenueTrendFor(Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir))
+
+  def revenueTrendFor(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val monthly = orders
+      .select(col("o_custkey"),
+        expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+          .as("m"),
+        Determinism.cents(col("o_totalprice")).as("yc"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("m"))
+      .agg(expr("sum(yc) DIV 100").as("y"))
+    val sums = monthly
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("m")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("m * m")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("num",
+        expr("CAST(n_months AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den_x",
+        expr("CAST(n_months AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("den_y",
+        expr("CAST(n_months AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+    sums
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_months"), col("sy").as("total_dollars"),
+        expr("CASE WHEN den_x = 0 THEN NULL " +
+          "ELSE CAST(num * 1000000 DIV den_x AS BIGINT) END").as("slope_ppm"),
+        expr("CASE WHEN den_x = 0 THEN NULL ELSE CAST((CAST(sy AS DECIMAL(38,0)) " +
+          "* sxx - CAST(sx AS DECIMAL(38,0)) * sxy) * 1000000 DIV den_x AS BIGINT) " +
+          "END").as("intercept_ppm"),
+        expr("CASE WHEN den_x = 0 OR den_y = 0 THEN NULL " +
+          "ELSE CAST(((num * 1000000 DIV den_x) * num) DIV den_y AS BIGINT) END")
+          .as("r2_ppm"))
+  }
 }

@@ -802,6 +802,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no data-sized nested-loop join:\n${p.take(2000)}")
   }
 
+  test("q185 OLS trend: keyed customer join, regression algebra on the month relation") {
+    val p = plan(graft.operators.StatsAudit.revenueTrend(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // fact→customer equi-join + two aggregations; no corpus-scale window
+    assert(!p.contains("Window"), s"no window over facts:\n${p.take(2000)}")
+  }
+
   test("q173 JL projection is a pure map — no join, no shuffle") {
     val p = plan(Similarity.jlProjectionChecksums(spark, sf))
     assertNoJoin(p, "jlProjectionChecksums")

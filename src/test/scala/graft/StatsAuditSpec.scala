@@ -55,4 +55,55 @@ class StatsAuditSpec extends AnyFunSuite {
     // the constants are the floor'd Benford logs
     assert(exp(1) == 301029L && exp(9) == 45757L)
   }
+
+  // q185 fixture plumbing: one customer per nation, one order per
+  // (nation, month); month index m = y*12 + month - 1
+  private def trendFixture(rows: Seq[(Long, Int, Double)]) = {
+    val orders = rows.zipWithIndex.map { case ((cust, m, price), i) =>
+      (i.toLong, cust, f"${m / 12}%04d-${m % 12 + 1}%02d-15", price)
+    }.toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_custkey"), to_timestamp(col("d")).as("o_orderdate"),
+        col("o_totalprice"))
+    val customer = rows.map(_._1).distinct.map(c => (c, c))
+      .toDF("c_custkey", "c_nationkey")
+    val nation = rows.map(_._1).distinct.map(c => (c, s"N$c"))
+      .toDF("n_nationkey", "n_name")
+    StatsAudit.revenueTrendFor(orders, customer, nation)
+  }
+
+  test("OLS trend recovers an exact line: slope/intercept exact, r2 = 1e6") {
+    // nation 1: y = 100·m + 7 dollars over months 24000..24005
+    val rows = (0 to 5).map(i =>
+      (1L, 24000 + i, (100.0 * (24000 + i) + 7) * 1.0))
+    val r = trendFixture(rows).collect().head
+    assert(r.getString(0) == "N1" && r.getLong(1) == 6L)
+    assert(r.getLong(3) == 100000000L) // slope 100 dollars/month in ppm
+    assert(r.getLong(4) == 7000000L)   // intercept 7 dollars in ppm
+    assert(r.getLong(5) == 1000000L)   // perfect fit
+  }
+
+  test("OLS trend: negative slope and sub-1e6 r2 on noisy decline") {
+    // y = 50 - 10·m + alternating ±1 noise at m = 0..3
+    val ys = Seq(51.0, 39.0, 31.0, 19.0) // slope -10.6, r2 < 1e6
+    val r = trendFixture(ys.zipWithIndex.map { case (y, m) =>
+      (2L, m, y) }).collect().head
+    // hand normal equations: n=4 sx=6 sy=140 sxx=14 sxy=158
+    // num = 4·158 − 6·140 = -208; den_x = 4·14 − 36 = 20
+    assert(r.getLong(3) == (-208L * 1000000L) / 20L)
+    val denY = 4L * (51 * 51 + 39 * 39 + 31 * 31 + 19 * 19) - 140L * 140
+    assert(r.getLong(5) == ((-208L * 1000000L / 20L) * -208L) / denY)
+    assert(r.getLong(5) < 1000000L && r.getLong(5) > 980000L)
+  }
+
+  test("OLS trend: single-month nation yields NULL slope, not a crash") {
+    val r = trendFixture(Seq((3L, 100, 500.0))).collect().head
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("OLS trend is invariant to input partitioning") {
+    val rows = (0 to 11).map(i => (4L, 24000 + i, 1000.0 + 37 * i))
+    val a = trendFixture(rows).collect().toSeq
+    val b = trendFixture(rows.reverse).collect().toSeq
+    assert(a == b)
+  }
 }
