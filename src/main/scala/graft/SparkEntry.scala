@@ -277,6 +277,9 @@ object SparkEntry {
     // the quality score, ranks from the value-bounded score histogram
     // (never a corpus sort), rolled up per (source, decile)
     "q187_quantile_normalize" -> (graft.operators.TextOps.quantileNormalize _),
+    // per-language tokenizer fertility + compression of the q174 BPE
+    // (which languages the tokenizer underserves; q177's eval rollup)
+    "q188_bpe_fertility" -> (graft.operators.CorpusPrep.bpeFertility _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3699,6 +3702,24 @@ object SparkEntry {
         |  CAST(MIN(n_chars) AS BIGINT) AS min_score,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_score
         |FROM n GROUP BY 1, 2""".stripMargin,
+    // per-language fertility/compression over the shared BPE chain —
+    // the q177 word-length join rolled up by lang with HUGEINT ratios
+    "q188_bpe_fertility" ->
+      s"""WITH $bpeCtes,
+         |wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe
+         |  FROM r_${graft.operators.CorpusPrep.BpeSteps} GROUP BY 1),
+         |dw AS (SELECT lang, unnest($toks) AS word FROM documents),
+         |agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(SUM(len(word)) AS BIGINT) AS n_chars
+         |  FROM dw JOIN wl USING (word) WHERE word <> ''
+         |  GROUP BY 1)
+         |SELECT lang, n_words, n_bpe_tokens, n_chars,
+         |  CAST(CAST(n_bpe_tokens AS HUGEINT) * 1000000 // n_words AS BIGINT)
+         |    AS fertility_ppm,
+         |  CAST(CAST(n_chars AS HUGEINT) * 1000000 // n_bpe_tokens AS BIGINT)
+         |    AS compression_ppm
+         |FROM agg""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

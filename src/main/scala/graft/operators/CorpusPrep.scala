@@ -393,6 +393,43 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer fertility audit (q188) — the per-LANGUAGE evaluation of
+    * the q174 tokenizer that q177 prices per document: fertility
+    * (BPE tokens per whitespace word) and compression (characters per
+    * BPE token), both exact ppm. This is the statistic that decides
+    * whether a tokenizer underserves a language — high fertility on
+    * one language means its texts consume disproportionate sequence
+    * length and effectively less training signal per token budget.
+    *
+    * Scale: identical posture to q177 — merge rounds stay on the
+    * vocab-bounded word relation; the corpus side is one explode +
+    * one word-keyed join; the rollup is language-bounded. Ratio
+    * numerators are DECIMAL(38)-widened (char·10⁶ overflows a long
+    * past ~10¹³ corpus chars).
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeFertilityFor(Tables.documents(spark, dir))
+
+  def bpeFertilityFor(docs: DataFrame, steps: Int = BpeSteps): DataFrame = {
+    var syms = initialSymbols(wordRelation(docs))
+    for (step <- 1 to steps) syms = bpeMergeStep(syms, step)._1
+    val wordLens = syms.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_bpe"))
+    docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordLens, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+        expr("CAST(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000 " +
+          "DIV n_words AS BIGINT)").as("fertility_ppm"),
+        expr("CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 " +
+          "DIV n_bpe_tokens AS BIGINT)").as("compression_ppm"))
+  }
+
   /** One greedy merge round: (rebuilt symbol rows, 1-row stats). */
   private def bpeMergeStep(syms: DataFrame, step: Int): (DataFrame, DataFrame) = {
     val wWord = Window.partitionBy("word").orderBy("pos")

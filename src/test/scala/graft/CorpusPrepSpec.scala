@@ -172,4 +172,27 @@ class CorpusPrepSpec extends AnyFunSuite {
     // the dedicated pair must out-lift the promiscuous one
     assert(got(("new", "york"))._4 > got(("the", "new"))._4)
   }
+
+  private def langDocs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "lang", "text")
+
+  test("q188 fertility: hand-replayed one-merge tokenizer per language") {
+    // merge round 1 fuses (a,a): "aaaa" → [aa,aa], "ab" stays [a,b]
+    val out = CorpusPrep.bpeFertilityFor(
+      langDocs((1L, "x", "aaaa aaaa"), (2L, "y", "ab")), steps = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("x") == ((2L, 4L, 8L, 2000000L, 2000000L)))
+    assert(out("y") == ((1L, 2L, 2L, 2000000L, 1000000L)))
+  }
+
+  test("q188 fertility exposes the underserved language") {
+    // the corpus-dominant pair (a,a) wins the merge; lang y's "zz"
+    // never merges, so y pays higher fertility for equal word lengths
+    val out = CorpusPrep.bpeFertilityFor(
+      langDocs((1L, "x", "aa aa aa"), (2L, "y", "zz")), steps = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("x") == 1000000L && out("y") == 2000000L)
+  }
 }
