@@ -280,6 +280,10 @@ object SparkEntry {
     // per-language tokenizer fertility + compression of the q174 BPE
     // (which languages the tokenizer underserves; q177's eval rollup)
     "q188_bpe_fertility" -> (graft.operators.CorpusPrep.bpeFertility _),
+    // synchronous mode-LPA communities on the shared co-supply graph
+    // (the community fifth of the graph family); per-round trajectory
+    // with a bit_xor membership witness
+    "q189_label_propagation" -> (graft.operators.GraphOps.labelPropagation _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3720,6 +3724,35 @@ object SparkEntry {
          |  CAST(CAST(n_chars AS HUGEINT) * 1000000 // n_bpe_tokens AS BIGINT)
          |    AS compression_ppm
          |FROM agg""".stripMargin,
+    // fixed-round synchronous LPA over the shared co-supply edges:
+    // per-node argmax neighbor label (count DESC, label ASC — the
+    // max(struct(n, -label)) Spark aggregation), MATERIALIZED per
+    // round (the q178 3-references rule); bit_xor membership witness
+    "q189_label_propagation" -> {
+      import graft.operators.GraphOps.LpaRounds
+      def lpaCtes(r: Int): String =
+        s"""cnt_$r AS (SELECT t.s, l.label, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM adj t JOIN lbl_${r - 1} l ON t.nb = l.s GROUP BY 1, 2),
+           |lbl_$r AS MATERIALIZED (SELECT s, label FROM (
+           |    SELECT s, label, ROW_NUMBER() OVER (PARTITION BY s
+           |      ORDER BY n DESC, label ASC) AS rk FROM cnt_$r) t
+           |  WHERE rk = 1)""".stripMargin
+      def statSelect(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM lbl_$r) AS n_labels,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lbl_$r x JOIN lbl_${r - 1} y
+           |     ON x.s = y.s WHERE x.label <> y.label) AS n_moved,
+           |  (SELECT CAST(bit_xor(s * 1000000000 + label) AS BIGINT)
+           |     FROM lbl_$r) AS checksum""".stripMargin
+      val rs = 1 to LpaRounds
+      s"""WITH $coSupplyCtes,
+         |adj AS MATERIALIZED (SELECT a AS s, b AS nb FROM edges
+         |  UNION ALL SELECT b AS s, a AS nb FROM edges),
+         |lbl_0 AS MATERIALIZED (SELECT s, s AS label FROM
+         |  (SELECT a AS s FROM edges UNION SELECT b AS s FROM edges) t),
+         |${rs.map(lpaCtes).mkString(",\n")}
+         |${rs.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -341,4 +341,63 @@ object GraphOps {
     }
     stats.reduce(_.unionByName(_))
   }
+
+  /** Fixed synchronous rounds the graded LPA query (q189) unrolls. */
+  val LpaRounds = 4
+
+  /** Label propagation communities (q189) — the COMMUNITY fifth of the
+    * graph family (labels q70, values q154, motifs q176, cores q178):
+    * every node starts as its own label; each synchronous round it
+    * adopts the most frequent label among its neighbors, ties to the
+    * smallest label (Raghavan et al. 2007, made deterministic). Unlike
+    * q70's connected components (which converge to per-component min
+    * labels), mode-adoption finds DENSE sub-communities inside one
+    * component — the organic-cluster signal curation uses where
+    * components are too coarse.
+    *
+    * Output per round: distinct-label count, nodes that changed label,
+    * and a bit_xor membership checksum (node·10⁹+label, the q176
+    * packing) — the convergence trajectory plus an exact witness of
+    * the final labeling.
+    *
+    * Scale: the argmax is max(struct(count, −label)) — a plain
+    * aggregation with map-side partials, NEVER a per-node window sort.
+    * Each round is two keyed shuffles over the (shrinking-entropy but
+    * fixed-size) adjacency relation; labels are checkpointed per round
+    * (the q154/q178 lineage discipline), reliable-checkpoint optional.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame =
+    labelPropagationFor(coSupplyEdges(Tables.lineitem(spark, dir)))
+
+  def labelPropagationFor(edges0: DataFrame, rounds: Int = LpaRounds,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Dedup.checkpointer(edges0.sparkSession, checkpointDir)
+    val edges = ckpt(edges0)
+    val adj = edges.select(col("a").as("s"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("s"), col("a").as("nb")))
+    var lbl = ckpt(edges
+      .select(explode(array(col("a"), col("b"))).as("s")).distinct()
+      .select(col("s"), col("s").as("label")))
+    val stats = (1 to rounds).map { r =>
+      val next = ckpt(adj
+        .join(lbl.select(col("s").as("nb"), col("label")), Seq("nb"))
+        .groupBy(col("s"), col("label")).agg(count(lit(1)).as("n"))
+        .groupBy(col("s"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+        .select(col("s"), (-col("m.neg")).as("label")))
+      val moved = next
+        .join(lbl.select(col("s"), col("label").as("prev")), Seq("s"))
+        .filter(col("label") =!= col("prev"))
+        .agg(count(lit(1)).as("n_moved"))
+      val row = next
+        .agg(countDistinct(col("label")).as("n_labels"),
+          expr("bit_xor(s * 1000000000 + label)").as("checksum"))
+        .crossJoin(broadcast(moved))
+        .select(lit(r.toLong).as("round"), col("n_labels"), col("n_moved"),
+          col("checksum"))
+      lbl = next
+      row
+    }
+    stats.reduce(_.unionByName(_))
+  }
 }

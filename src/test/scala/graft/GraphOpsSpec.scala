@@ -178,4 +178,41 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(out(s) == ((3L, 3L, 1000000L)), s"node $s: ${out(s)}")
     }
   }
+
+  // two triangles {1,2,3} and {4,5,6} bridged by 3-4: LPA must settle
+  // on exactly two communities (components would find one)
+  private val twoTriangles = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L),
+    (4L, 5L), (4L, 6L), (5L, 6L),
+    (3L, 4L)).toDF("a", "b")
+
+  test("q189 LPA separates bridged triangles into two communities") {
+    val out = GraphOps.labelPropagationFor(twoTriangles)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // hand-traced sync rounds: stable at round 3; round 4 confirms
+    val last = out.last
+    assert(last._1 == 4L && last._2 == 2L && last._3 == 0L)
+    // membership witness: {1,2,3}→1, {4,5,6}→3
+    val expectChecksum = Seq(
+      1L * 1000000000L + 1L, 2L * 1000000000L + 1L, 3L * 1000000000L + 1L,
+      4L * 1000000000L + 3L, 5L * 1000000000L + 3L, 6L * 1000000000L + 3L)
+      .reduce(_ ^ _)
+    assert(last._4 == expectChecksum)
+  }
+
+  test("q189 LPA trajectory is invariant to input partitioning") {
+    val a = GraphOps.labelPropagationFor(twoTriangles).collect().toSeq
+    val b = GraphOps.labelPropagationFor(twoTriangles.repartition(5))
+      .collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+  }
+
+  test("q189 LPA honors a reliable checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("lpa_ckpt").toString
+    val a = GraphOps.labelPropagationFor(twoTriangles,
+      checkpointDir = Some(dir)).collect().toSeq
+    val b = GraphOps.labelPropagationFor(twoTriangles).collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+    assert(new java.io.File(dir).listFiles.nonEmpty)
+  }
 }
