@@ -284,6 +284,10 @@ object SparkEntry {
     // (the community fifth of the graph family); per-round trajectory
     // with a bit_xor membership witness
     "q189_label_propagation" -> (graft.operators.GraphOps.labelPropagation _),
+    // point-in-time enrichment: facts pick up the SCD state valid at
+    // their timestamp via union + forward-fill (shared-key PIT needs
+    // no join), rolled up per (state, fact type)
+    "q190_pit_enrichment" -> (graft.operators.EventsOps.pitEnrichment _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3752,6 +3756,25 @@ object SparkEntry {
          |  (SELECT a AS s FROM edges UNION SELECT b AS s FROM edges) t),
          |${rs.map(lpaCtes).mkString(",\n")}
          |${rs.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // forward-filled state over the (ts, event_id)-ordered per-user
+    // stream; facts (view/click) roll up under the state valid at
+    // their timestamp — the window-form PIT join
+    "q190_pit_enrichment" -> {
+      val states = graft.operators.EventsOps.PitStateTypes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS ts_us FROM events),
+         |s AS (SELECT *, CASE WHEN event_type IN ($states)
+         |        THEN event_type END AS state_evt FROM e),
+         |f AS (SELECT *, last_value(state_evt IGNORE NULLS) OVER (
+         |        PARTITION BY user_id ORDER BY ts_us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+         |      FROM s)
+         |SELECT state, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(${cents("value")}) AS BIGINT) AS value_c
+         |FROM f WHERE event_type IN ('view', 'click')
+         |GROUP BY 1, 2""".stripMargin
     },
   )
 

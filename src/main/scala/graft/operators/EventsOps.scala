@@ -464,4 +464,41 @@ object EventsOps {
         sum(col("value_c")).as("raw_c"),
         sum(col("w_c")).as("decayed_c"))
   }
+
+  /** Event types that define the SCD state in [[pitEnrichment]]. */
+  val PitStateTypes = Seq("signup", "purchase", "error")
+
+  /** Point-in-time enrichment (q190) — the AS-OF consumption of q112's
+    * SCD intervals: every interaction fact (view/click) is enriched
+    * with the state its user was in AT THAT MOMENT (the latest
+    * state-defining event at or before the fact), then rolled up per
+    * (state, fact type) with exact cents.
+    *
+    * Spark-first shape: because facts and the state dimension derive
+    * from the SAME user-keyed stream, the PIT join needs NO join at
+    * all — union the two roles and forward-fill the state with
+    * `last(ignoreNulls)` over the (ts, event_id)-ordered per-user
+    * window (the q27 idiom). One shuffle on user_id, no interval
+    * explosion, no range join; the binned-range-join machinery (q110)
+    * stays reserved for PIT against a FOREIGN dimension. Facts before
+    * any state event surface as state NULL — the auditable "no
+    * dimension row yet" bucket, exactly what a left range join yields.
+    */
+  def pitEnrichment(spark: SparkSession, dir: String): DataFrame =
+    pitEnrichmentFor(Tables.events(spark, dir))
+
+  def pitEnrichmentFor(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      .withColumn("state_evt",
+        when(col("event_type").isin(PitStateTypes: _*), col("event_type")))
+      .withColumn("state",
+        last(col("state_evt"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type").isin("view", "click"))
+      .groupBy(col("state"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
+  }
 }
