@@ -288,6 +288,12 @@ object SparkEntry {
     // their timestamp via union + forward-fill (shared-key PIT needs
     // no join), rolled up per (state, fact type)
     "q190_pit_enrichment" -> (graft.operators.EventsOps.pitEnrichment _),
+    // (year x priority) contingency drift: obs/exp cell shares + phi^2
+    // cell contributions in exact ppm (the independence audit)
+    "q191_priority_drift" -> (graft.operators.StatsAudit.priorityDriftCells _),
+    // fulfillment-latency deciles by priority via the value histogram
+    // (the discrete-measure quantile form; q71 is the sort form)
+    "q192_fulfillment_deciles" -> (Relational.fulfillmentDeciles _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3776,6 +3782,47 @@ object SparkEntry {
          |FROM f WHERE event_type IN ('view', 'click')
          |GROUP BY 1, 2""".stripMargin
     },
+    // contingency cells with ppm shares and phi^2 contributions —
+    // HUGEINT mirrors of the DECIMAL(38) Spark exprs
+    "q191_priority_drift" ->
+      """WITH cells AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT yr, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+        |c AS (SELECT priority, CAST(SUM(o) AS BIGINT) AS col_tot
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM cells),
+        |j AS (SELECT cells.yr, cells.priority, cells.o, r.row_tot, c.col_tot,
+        |    CAST(CAST(cells.o AS HUGEINT) * 1000000 // n_tot AS BIGINT) AS obs_ppm,
+        |    CAST(CAST(r.row_tot AS HUGEINT) * c.col_tot * 1000000
+        |      // (CAST(t.n_tot AS HUGEINT) * t.n_tot) AS BIGINT) AS exp_ppm
+        |  FROM cells JOIN r USING (yr) JOIN c USING (priority), t)
+        |SELECT yr, priority, o, row_tot, col_tot, obs_ppm, exp_ppm,
+        |  (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+        |    // greatest(exp_ppm, 1) AS phi2_cell_ppm
+        |FROM j""".stripMargin,
+    // histogram-form deciles: cumulative counts over the day-bounded
+    // (priority x days) relation; decile k = min days with cum >= pos
+    "q192_fulfillment_deciles" ->
+      """WITH po AS (SELECT l_orderkey,
+        |    MAX(CAST(epoch(l_shipdate) AS BIGINT) // 86400) AS ship_day
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT o.o_orderpriority AS priority,
+        |    po.ship_day - CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS days
+        |  FROM orders o JOIN po ON o.o_orderkey = po.l_orderkey),
+        |h AS (SELECT priority, days, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |cw AS MATERIALIZED (SELECT *,
+        |    SUM(cnt) OVER (PARTITION BY priority ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY priority) AS n FROM h),
+        |pn AS (SELECT DISTINCT priority, n FROM cw),
+        |pos AS (SELECT priority, CAST(k.k AS BIGINT) AS decile,
+        |    (n - 1) * k.k // 10 + 1 AS pos
+        |  FROM pn, range(1, 10) k(k))
+        |SELECT cw.priority, pos.decile, CAST(MIN(cw.days) AS BIGINT) AS days
+        |FROM cw JOIN pos ON cw.priority = pos.priority AND cw.cum >= pos.pos
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

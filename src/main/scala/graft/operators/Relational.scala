@@ -387,6 +387,52 @@ object Relational {
     * This is what `percentile_approx` trades away: same shuffle count,
     * exact answers.
     */
+  /** Fulfillment-latency deciles by priority (q192) — the cycle-time
+    * SLA panel: days from order date to the LAST ship date of any of the
+    * order's lineitems, exact deciles per priority class. Same decile
+    * definition as [[exactDecilesByPriority]] (value at sorted position
+    * (n−1)·k DIV 10 + 1), but computed the HISTOGRAM way: latency in
+    * whole days is value-bounded (a few hundred distinct values), so
+    * the rank machinery runs on the (priority × days) count relation —
+    * a metadata-sized cumulative window — never a per-priority sort of
+    * the fact table. This is the scale-preferred form whenever the
+    * measure is discrete (q187's discipline); q71 keeps the row_number
+    * form for continuous measures (cents) where no compact histogram
+    * exists. One lineitem aggregation + one keyed join + tiny windows.
+    */
+  def fulfillmentDeciles(spark: SparkSession, dir: String): DataFrame =
+    fulfillmentDecilesFor(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  def fulfillmentDecilesFor(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) DIV 86400"))
+        .as("ship_day"))
+    val lat = orders
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+          .as("order_day"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .select(col("priority"), (col("ship_day") - col("order_day")).as("days"))
+    val hist = lat.groupBy(col("priority"), col("days"))
+      .agg(count(lit(1)).as("cnt"))
+    val byP = Window.partitionBy(col("priority")).orderBy(col("days"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("priority"))))
+    val positions = cum.select(col("priority"), col("n")).distinct()
+      .select(col("priority"), col("n"),
+        explode(sequence(lit(1L), lit(9L))).as("decile"))
+      .select(col("priority"), col("decile"),
+        expr("(n - 1) * decile DIV 10 + 1").as("pos"))
+    cum.join(broadcast(positions), Seq("priority"))
+      .where(col("cum") >= col("pos"))
+      .groupBy(col("priority"), col("decile"))
+      .agg(min(col("days")).as("days"))
+  }
+
   def exactDecilesByPriority(spark: SparkSession, dir: String): DataFrame = {
     val cts = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))

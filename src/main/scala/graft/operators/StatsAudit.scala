@@ -121,6 +121,51 @@ object StatsAudit {
     * den_x)·num) DIV den_y — same value, but Cauchy–Schwarz then
     * bounds every intermediate by 10⁶·den_y, dodging the num² blowup.
     */
+  /** Categorical-drift contingency audit (q191) — the independence
+    * check of the statistical family: does the order-priority MIX
+    * drift across years? Observed vs expected cell shares of the
+    * (year × priority) contingency table, plus each cell's
+    * mean-square-contingency contribution — φ² per cell scaled to ppm,
+    * (obs_ppm − exp_ppm)² DIV exp_ppm, whose sum is χ²/n · 10⁶. The
+    * statistic is DEFINED by this integer formula (the repo's q92-TV
+    * discipline: a deterministic drift score, not a float p-value), so
+    * both engines hash-match bit-exactly at any scale; working in ppm
+    * SHARES rather than raw counts keeps every intermediate ≤ 10¹²
+    * where the textbook (O·n − row·col)² overflows even HUGEINT on
+    * 10¹²-row tables.
+    *
+    * Scale: one partial-aggregated fact pass to the (years × 5)-cell
+    * relation; marginals and the grand total are metadata-sized
+    * broadcasts.
+    */
+  def priorityDriftCells(spark: SparkSession, dir: String): DataFrame =
+    priorityDriftCellsFor(Tables.orders(spark, dir))
+
+  def priorityDriftCellsFor(orders: DataFrame): DataFrame = {
+    val cells = orders
+      .select(expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        col("o_orderpriority").as("priority"))
+      .groupBy(col("yr"), col("priority"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("yr")).agg(sum(col("o")).as("row_tot"))
+    val colTot = cells.groupBy(col("priority")).agg(sum(col("o")).as("col_tot"))
+    val tot = cells.agg(sum(col("o")).as("n_tot"))
+    cells
+      .join(broadcast(rowTot), Seq("yr"))
+      .join(broadcast(colTot), Seq("priority"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm",
+        expr("CAST(CAST(o AS DECIMAL(38,0)) * 1000000 DIV n_tot AS BIGINT)"))
+      .withColumn("exp_ppm", expr(
+        "CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000 " +
+          "DIV (CAST(n_tot AS DECIMAL(38,0)) * n_tot) AS BIGINT)"))
+      .withColumn("phi2_cell_ppm", expr(
+        "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) " +
+          "DIV greatest(exp_ppm, CAST(1 AS BIGINT))"))
+      .select(col("yr"), col("priority"), col("o"), col("row_tot"),
+        col("col_tot"), col("obs_ppm"), col("exp_ppm"), col("phi2_cell_ppm"))
+  }
+
   def revenueTrend(spark: SparkSession, dir: String): DataFrame =
     revenueTrendFor(Tables.orders(spark, dir),
       Tables.customer(spark, dir), Tables.nation(spark, dir))

@@ -86,4 +86,22 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(byJoin == byWin)
   }
+
+  test("q192 fulfillment deciles: histogram form replays the q71 position rule") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 11 orders with latency 0..10 days → pos_k = k+1 → decile k = k days;
+    // order 9 ships twice (day 3 and day 9): latency is the MAX
+    val orders = (0L to 10L).map(i => (i, "P", "1995-01-01"))
+      .toDF("o_orderkey", "o_orderpriority", "d")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_timestamp(col("d")).as("o_orderdate"))
+    val li = ((0L to 10L).map(i => (i, f"1995-01-${i + 1}%02d")) :+
+      ((9L, "1995-01-04")))
+      .toDF("l_orderkey", "d")
+      .select(col("l_orderkey"), to_timestamp(col("d")).as("l_shipdate"))
+    val out = graft.operators.Relational.fulfillmentDecilesFor(orders, li)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == (1L to 9L).map(k => k -> k).toMap)
+  }
 }

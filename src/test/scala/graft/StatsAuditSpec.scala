@@ -100,6 +100,35 @@ class StatsAuditSpec extends AnyFunSuite {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("q191 contingency cells: hand-computed phi2 on a 2x2 drift") {
+    // 2000: 30 A / 10 B; 2001: 10 A / 30 B → E=20 each, chi2=20,
+    // phi2 = 0.25 → per-cell 62500 ppm
+    val rows = Seq.fill(30)((2000, "A")) ++ Seq.fill(10)((2000, "B")) ++
+      Seq.fill(10)((2001, "A")) ++ Seq.fill(30)((2001, "B"))
+    val df = rows.zipWithIndex.map { case ((y, p), i) =>
+      (i.toLong, s"$y-06-01", p)
+    }.toDF("o_orderkey", "d", "o_orderpriority")
+      .select(to_timestamp(col("d")).as("o_orderdate"), col("o_orderpriority"))
+    val out = StatsAudit.priorityDriftCellsFor(df)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out((2000L, "A")) == ((30L, 375000L, 250000L, 62500L)))
+    assert(out((2000L, "B")) == ((10L, 125000L, 250000L, 62500L)))
+    assert(out((2001L, "A")) == ((10L, 125000L, 250000L, 62500L)))
+    assert(out((2001L, "B")) == ((30L, 375000L, 250000L, 62500L)))
+  }
+
+  test("q191 independence yields zero phi2 cells") {
+    val rows = for (y <- Seq(2000, 2001); p <- Seq("A", "B");
+      _ <- 1 to (if (p == "A") 6 else 2)) yield (y, p)
+    val df = rows.zipWithIndex.map { case ((y, p), i) =>
+      (i.toLong, s"$y-06-01", p)
+    }.toDF("o_orderkey", "d", "o_orderpriority")
+      .select(to_timestamp(col("d")).as("o_orderdate"), col("o_orderpriority"))
+    val out = StatsAudit.priorityDriftCellsFor(df).collect()
+    assert(out.forall(r => r.getLong(7) == 0L))
+  }
+
   test("OLS trend is invariant to input partitioning") {
     val rows = (0 to 11).map(i => (4L, 24000 + i, 1000.0 + 37 * i))
     val a = trendFixture(rows).collect().toSeq
