@@ -294,6 +294,13 @@ object SparkEntry {
     // fulfillment-latency deciles by priority via the value histogram
     // (the discrete-measure quantile form; q71 is the sort form)
     "q192_fulfillment_deciles" -> (Relational.fulfillmentDeciles _),
+    // TPC-H Q17 pattern: revenue in below-20%-of-part-average lots,
+    // the correlated scalar subquery decorrelated to a keyed self-join
+    // with the fractional average compared in exact integers
+    "q193_below_avg_parts" -> (Relational.belowAvgParts _),
+    // Newman modularity of the q189 labeling, decomposed per community
+    // in exact ppm — the is-the-structure-real score
+    "q194_community_modularity" -> (graft.operators.GraphOps.communityModularity _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -494,6 +501,25 @@ object SparkEntry {
        |        struct_pack(a := ps[i], b := ps[j]))))) AS e
        |    FROM bk WHERE len(ps) >= 2) t GROUP BY 1, 2),
        |fp AS MATERIALIZED (SELECT * FROM pr WHERE support >= $minS)""".stripMargin
+  }
+
+  // The fixed-round synchronous-LPA label chain over a preceding
+  // `edges` CTE (adjacency, identity seed, one argmax block per round)
+  // — ONE definition shared by the q189 trajectory and q194 modularity
+  // oracles, mirroring GraphOps.lpaRound (count DESC, label ASC)
+  private def lpaChainCtes(rounds: Int): String = {
+    def lpaCtes(r: Int): String =
+      s"""cnt_$r AS (SELECT t.s, l.label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM adj t JOIN lbl_${r - 1} l ON t.nb = l.s GROUP BY 1, 2),
+         |lbl_$r AS MATERIALIZED (SELECT s, label FROM (
+         |    SELECT s, label, ROW_NUMBER() OVER (PARTITION BY s
+         |      ORDER BY n DESC, label ASC) AS rk FROM cnt_$r) t
+         |  WHERE rk = 1)""".stripMargin
+    s"""adj AS MATERIALIZED (SELECT a AS s, b AS nb FROM edges
+       |  UNION ALL SELECT b AS s, a AS nb FROM edges),
+       |lbl_0 AS MATERIALIZED (SELECT s, s AS label FROM
+       |  (SELECT a AS s FROM edges UNION SELECT b AS s FROM edges) t),
+       |${(1 to rounds).map(lpaCtes).mkString(",\n")}""".stripMargin
   }
 
   // The 1-NN label-confusion algebra over a bucketed `e`/`asg` prefix
@@ -3740,13 +3766,6 @@ object SparkEntry {
     // round (the q178 3-references rule); bit_xor membership witness
     "q189_label_propagation" -> {
       import graft.operators.GraphOps.LpaRounds
-      def lpaCtes(r: Int): String =
-        s"""cnt_$r AS (SELECT t.s, l.label, CAST(COUNT(*) AS BIGINT) AS n
-           |  FROM adj t JOIN lbl_${r - 1} l ON t.nb = l.s GROUP BY 1, 2),
-           |lbl_$r AS MATERIALIZED (SELECT s, label FROM (
-           |    SELECT s, label, ROW_NUMBER() OVER (PARTITION BY s
-           |      ORDER BY n DESC, label ASC) AS rk FROM cnt_$r) t
-           |  WHERE rk = 1)""".stripMargin
       def statSelect(r: Int): String =
         s"""SELECT CAST($r AS BIGINT) AS round,
            |  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM lbl_$r) AS n_labels,
@@ -3754,14 +3773,9 @@ object SparkEntry {
            |     ON x.s = y.s WHERE x.label <> y.label) AS n_moved,
            |  (SELECT CAST(bit_xor(s * 1000000000 + label) AS BIGINT)
            |     FROM lbl_$r) AS checksum""".stripMargin
-      val rs = 1 to LpaRounds
       s"""WITH $coSupplyCtes,
-         |adj AS MATERIALIZED (SELECT a AS s, b AS nb FROM edges
-         |  UNION ALL SELECT b AS s, a AS nb FROM edges),
-         |lbl_0 AS MATERIALIZED (SELECT s, s AS label FROM
-         |  (SELECT a AS s FROM edges UNION SELECT b AS s FROM edges) t),
-         |${rs.map(lpaCtes).mkString(",\n")}
-         |${rs.map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+         |${lpaChainCtes(LpaRounds)}
+         |${(1 to LpaRounds).map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
     },
     // forward-filled state over the (ts, event_id)-ordered per-user
     // stream; facts (view/click) roll up under the state valid at
@@ -3823,6 +3837,41 @@ object SparkEntry {
         |SELECT cw.priority, pos.decile, CAST(MIN(cw.days) AS BIGINT) AS days
         |FROM cw JOIN pos ON cw.priority = pos.priority AND cw.cum >= pos.pos
         |GROUP BY 1, 2""".stripMargin,
+    // decorrelated Q17: qty·5·n < sum in cents — the exact-integer
+    // form of qty < 0.2·avg
+    "q193_below_avg_parts" ->
+      s"""WITH li AS (SELECT l_partkey, ${cents("l_quantity")} AS qty_c,
+         |    ${cents("l_extendedprice")} AS price_c FROM lineitem),
+         |st AS (SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+         |    CAST(COUNT(*) AS BIGINT) AS n_li FROM li GROUP BY 1)
+         |SELECT CAST(SUM(price_c) AS BIGINT) AS below_revenue_c,
+         |  CAST(COUNT(*) AS BIGINT) AS n_small_lots,
+         |  CAST(COUNT(DISTINCT li.l_partkey) AS BIGINT) AS n_parts
+         |FROM li JOIN st ON li.l_partkey = st.l_partkey
+         |WHERE li.qty_c * 5 * st.n_li < st.sum_qty_c""".stripMargin,
+    // modularity panel over the shared LPA chain's final labels:
+    // e_in/d_tot per label + the exact-ppm Q cell
+    "q194_community_modularity" -> {
+      import graft.operators.GraphOps.LpaRounds
+      s"""WITH $coSupplyCtes,
+         |${lpaChainCtes(LpaRounds)},
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+         |ein AS (SELECT la.label AS label, CAST(COUNT(*) AS BIGINT) AS e_in
+         |  FROM edges e JOIN lbl_$LpaRounds la ON e.a = la.s
+         |  JOIN lbl_$LpaRounds lb ON e.b = lb.s
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |dt AS (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS d_tot,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |      SELECT a AS s FROM edges UNION ALL SELECT b AS s FROM edges) t
+         |    GROUP BY 1) d
+         |  JOIN lbl_$LpaRounds l ON d.s = l.s GROUP BY 1)
+         |SELECT dt.label, dt.n_nodes, COALESCE(ein.e_in, 0) AS e_in, dt.d_tot,
+         |  CAST(CAST(COALESCE(ein.e_in, 0) AS HUGEINT) * 1000000 // m.m AS BIGINT)
+         |    - CAST(CAST(dt.d_tot AS HUGEINT) * dt.d_tot * 1000000
+         |        // (CAST(m.m AS HUGEINT) * m.m * 4) AS BIGINT) AS q_cell_ppm
+         |FROM dt LEFT JOIN ein USING (label), m""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -373,18 +373,9 @@ object GraphOps {
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = Dedup.checkpointer(edges0.sparkSession, checkpointDir)
     val edges = ckpt(edges0)
-    val adj = edges.select(col("a").as("s"), col("b").as("nb"))
-      .unionByName(edges.select(col("b").as("s"), col("a").as("nb")))
-    var lbl = ckpt(edges
-      .select(explode(array(col("a"), col("b"))).as("s")).distinct()
-      .select(col("s"), col("s").as("label")))
+    var lbl = lpaSeedLabels(edges, ckpt)
     val stats = (1 to rounds).map { r =>
-      val next = ckpt(adj
-        .join(lbl.select(col("s").as("nb"), col("label")), Seq("nb"))
-        .groupBy(col("s"), col("label")).agg(count(lit(1)).as("n"))
-        .groupBy(col("s"))
-        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
-        .select(col("s"), (-col("m.neg")).as("label")))
+      val next = lpaRound(edges, lbl, ckpt)
       val moved = next
         .join(lbl.select(col("s"), col("label").as("prev")), Seq("s"))
         .filter(col("label") =!= col("prev"))
@@ -399,5 +390,74 @@ object GraphOps {
       row
     }
     stats.reduce(_.unionByName(_))
+  }
+
+  private def lpaSeedLabels(edges: DataFrame,
+      ckpt: DataFrame => DataFrame): DataFrame =
+    ckpt(edges
+      .select(explode(array(col("a"), col("b"))).as("s")).distinct()
+      .select(col("s"), col("s").as("label")))
+
+  /** One synchronous LPA round: argmax neighbor label, ties minimal. */
+  private def lpaRound(edges: DataFrame, lbl: DataFrame,
+      ckpt: DataFrame => DataFrame): DataFrame = {
+    val adj = edges.select(col("a").as("s"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("s"), col("a").as("nb")))
+    ckpt(adj
+      .join(lbl.select(col("s").as("nb"), col("label")), Seq("nb"))
+      .groupBy(col("s"), col("label")).agg(count(lit(1)).as("n"))
+      .groupBy(col("s"))
+      .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+      .select(col("s"), (-col("m.neg")).as("label")))
+  }
+
+  /** Final LPA labeling after `rounds` synchronous rounds. */
+  private[operators] def lpaLabels(edges: DataFrame, rounds: Int,
+      ckpt: DataFrame => DataFrame): DataFrame =
+    (1 to rounds).foldLeft(lpaSeedLabels(edges, ckpt))(
+      (l, _) => lpaRound(edges, l, ckpt))
+
+  /** Community modularity panel (q194) — the QUALITY score of q189's
+    * labeling: Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²)
+    * decomposed per community in exact ppm — q_cell_ppm =
+    * e_c·10⁶ DIV m − d_c²·10⁶ DIV 4m² (DECIMAL-widened; d_c ≤ 2m so
+    * the square stays ≤ 4m², exact past 10¹⁰-edge graphs). Positive
+    * cells are denser-than-chance communities; the panel sums to
+    * Q·10⁶. This is how a curation pipeline decides whether LPA's
+    * communities are real structure or noise before acting on them.
+    *
+    * Scale: labels ride the q189 machinery; the panel is two keyed
+    * joins of the edge relation against the label relation plus
+    * label-bounded aggregations; only 1-row totals broadcast.
+    */
+  def communityModularity(spark: SparkSession, dir: String): DataFrame =
+    communityModularityFor(coSupplyEdges(Tables.lineitem(spark, dir)))
+
+  def communityModularityFor(edges0: DataFrame, rounds: Int = LpaRounds,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Dedup.checkpointer(edges0.sparkSession, checkpointDir)
+    val edges = ckpt(edges0)
+    val lbl = lpaLabels(edges, rounds, ckpt)
+    val m = edges.agg(count(lit(1)).as("m"))
+    val eIn = edges
+      .join(lbl.select(col("s").as("a"), col("label").as("la")), Seq("a"))
+      .join(lbl.select(col("s").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    val dTot = edges
+      .select(explode(array(col("a"), col("b"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .join(lbl, Seq("s"))
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).as("d_tot"), count(lit(1)).as("n_nodes"))
+    dTot
+      .join(eIn, Seq("label"), "left_outer")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"),
+        expr("CAST(CAST(e_in AS DECIMAL(38,0)) * 1000000 DIV m AS BIGINT) - " +
+          "CAST(CAST(d_tot AS DECIMAL(38,0)) * d_tot * 1000000 " +
+          "DIV (CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)")
+          .as("q_cell_ppm"))
   }
 }

@@ -387,6 +387,37 @@ object Relational {
     * This is what `percentile_approx` trades away: same shuffle count,
     * exact answers.
     */
+  /** Small-lot revenue screen (q193) — the TPC-H Q17 pattern: revenue
+    * locked up in lineitems whose quantity is below 20% of their
+    * part's average, the correlated-scalar-subquery shape every SQL
+    * surface needs. Spark-first: the correlated `(SELECT 0.2·avg …)`
+    * decorrelates into a per-part aggregate joined back on the part
+    * key; the fractional-average comparison is EXACT integer algebra —
+    * qty < sum/n/5 ⟺ qty·5·n < sum in cents (n per part is bounded by
+    * the lineitems-per-part ratio, a TPC-H constant, so the product
+    * stays far inside a long; noted rather than widened).
+    *
+    * Scale: fact-scale groupBy on the part key + one keyed self-join —
+    * both partition on l_partkey, so AQE plans a single exchange reuse;
+    * the per-part stats relation scales with the part dimension and is
+    * deliberately NOT broadcast.
+    */
+  def belowAvgParts(spark: SparkSession, dir: String): DataFrame =
+    belowAvgPartsFor(Tables.lineitem(spark, dir))
+
+  def belowAvgPartsFor(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_partkey"),
+      cents(col("l_quantity")).as("qty_c"),
+      cents(col("l_extendedprice")).as("price_c"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n_li"))
+    li.join(stats, Seq("l_partkey"))
+      .filter(col("qty_c") * lit(5L) * col("n_li") < col("sum_qty_c"))
+      .agg(sum(col("price_c")).as("below_revenue_c"),
+        count(lit(1)).as("n_small_lots"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+  }
+
   /** Fulfillment-latency deciles by priority (q192) — the cycle-time
     * SLA panel: days from order date to the LAST ship date of any of the
     * order's lineitems, exact deciles per priority class. Same decile

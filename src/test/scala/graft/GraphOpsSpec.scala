@@ -207,6 +207,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
   }
 
+  test("q194 modularity panel: hand values on the bridged triangles") {
+    val out = GraphOps.communityModularityFor(twoTriangles)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // two communities of 3 nodes, 3 internal edges, degree mass 7 each
+    // (bridge 3-4 crosses): q_cell = 3e6/7 − 49e6/(4·49) = 178571
+    assert(out == Set((1L, 3L, 3L, 7L, 178571L), (3L, 3L, 3L, 7L, 178571L)))
+  }
+
+  test("q194 modularity is near zero when LPA collapses to one community") {
+    // a triangle alone: every node adopts label 1 → e_in = m, d = 2m,
+    // q_cell = 1e6 − 1e6 = 0
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val out = GraphOps.communityModularityFor(tri).collect()
+    assert(out.length == 1 && out.head.getLong(4) == 0L)
+  }
+
   test("q189 LPA honors a reliable checkpoint dir") {
     val dir = java.nio.file.Files.createTempDirectory("lpa_ckpt").toString
     val a = GraphOps.labelPropagationFor(twoTriangles,

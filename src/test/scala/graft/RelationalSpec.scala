@@ -104,4 +104,17 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(out == (1L to 9L).map(k => k -> k).toMap)
   }
+
+  test("q193 small lots: exact-integer 0.2-average cut on a hand part") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // part 1: qty cents {1, 1, 100} → qty·15 < 102 keeps the two 1s
+    val li = Seq(
+      (1L, 0.01, 10.0), (1L, 0.01, 20.0), (1L, 1.00, 500.0),
+      // part 2: all equal quantities — nothing is below 20% of avg
+      (2L, 0.50, 99.0), (2L, 0.50, 99.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = graft.operators.Relational.belowAvgPartsFor(li).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3000L, 2L, 1L)))
+  }
 }
