@@ -301,6 +301,13 @@ object SparkEntry {
     // Newman modularity of the q189 labeling, decomposed per community
     // in exact ppm — the is-the-structure-real score
     "q194_community_modularity" -> (graft.operators.GraphOps.communityModularity _),
+    // streaming twin of q190: per-user carried state enriches each
+    // fact as it arrives (flatMapGroupsWithState), drained and rolled
+    // up to the identical panel — same oracle as the batch form
+    "q195_stream_pit_parity" -> (graft.streaming.EventsStream.pitDrain _),
+    // seed-independence audit of per-epoch hash sampling: overlap of
+    // two salted epoch subsets vs the product expectation, one pass
+    "q196_epoch_overlap" -> (Sampling.epochOverlap _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -501,6 +508,26 @@ object SparkEntry {
        |        struct_pack(a := ps[i], b := ps[j]))))) AS e
        |    FROM bk WHERE len(ps) >= 2) t GROUP BY 1, 2),
        |fp AS MATERIALIZED (SELECT * FROM pr WHERE support >= $minS)""".stripMargin
+  }
+
+  // The PIT enrichment panel (state valid at each fact's timestamp,
+  // rolled up per (state, fact type)) — ONE definition shared by the
+  // batch (q190) and streaming-drain (q195) forms
+  private lazy val pitPanelOracle: String = {
+    val states = graft.operators.EventsOps.PitStateTypes
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+       |    epoch_us(ts) AS ts_us FROM events),
+       |s AS (SELECT *, CASE WHEN event_type IN ($states)
+       |        THEN event_type END AS state_evt FROM e),
+       |f AS (SELECT *, last_value(state_evt IGNORE NULLS) OVER (
+       |        PARTITION BY user_id ORDER BY ts_us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+       |      FROM s)
+       |SELECT state, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(${cents("value")}) AS BIGINT) AS value_c
+       |FROM f WHERE event_type IN ('view', 'click')
+       |GROUP BY 1, 2""".stripMargin
   }
 
   // The fixed-round synchronous-LPA label chain over a preceding
@@ -3780,22 +3807,10 @@ object SparkEntry {
     // forward-filled state over the (ts, event_id)-ordered per-user
     // stream; facts (view/click) roll up under the state valid at
     // their timestamp — the window-form PIT join
-    "q190_pit_enrichment" -> {
-      val states = graft.operators.EventsOps.PitStateTypes
-        .map(s => s"'$s'").mkString(", ")
-      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
-         |    epoch_us(ts) AS ts_us FROM events),
-         |s AS (SELECT *, CASE WHEN event_type IN ($states)
-         |        THEN event_type END AS state_evt FROM e),
-         |f AS (SELECT *, last_value(state_evt IGNORE NULLS) OVER (
-         |        PARTITION BY user_id ORDER BY ts_us, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
-         |      FROM s)
-         |SELECT state, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-         |  CAST(SUM(${cents("value")}) AS BIGINT) AS value_c
-         |FROM f WHERE event_type IN ('view', 'click')
-         |GROUP BY 1, 2""".stripMargin
-    },
+    "q190_pit_enrichment" -> pitPanelOracle,
+    // the streaming twin must land on the IDENTICAL panel — one oracle
+    // definition for both forms, so they cannot drift
+    "q195_stream_pit_parity" -> pitPanelOracle,
     // contingency cells with ppm shares and phi^2 contributions —
     // HUGEINT mirrors of the DECIMAL(38) Spark exprs
     "q191_priority_drift" ->
@@ -3871,6 +3886,30 @@ object SparkEntry {
          |    - CAST(CAST(dt.d_tot AS HUGEINT) * dt.d_tot * 1000000
          |        // (CAST(m.m AS HUGEINT) * m.m * 4) AS BIGINT) AS q_cell_ppm
          |FROM dt LEFT JOIN ein USING (label), m""".stripMargin
+    },
+    // two salted md5-bucket membership bits aggregated in one pass;
+    // HUGEINT mirrors of the DECIMAL(38) ppm algebra
+    "q196_epoch_overlap" -> {
+      val rate = graft.operators.Sampling.EpochRatePpm
+      val buckets = graft.operators.Sampling.Buckets
+      def member(salt: String) =
+        s"""CASE WHEN CAST(concat('0x', substr(md5(
+           |      concat(CAST(doc_id AS VARCHAR), '$salt')), 1, 8)) AS BIGINT)
+           |    % $buckets < $rate THEN 1 ELSE 0 END""".stripMargin
+      s"""WITH b AS (SELECT ${member("#e1")} AS m1, ${member("#e2")} AS m2
+         |  FROM documents),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(m1) AS BIGINT) AS n1, CAST(SUM(m2) AS BIGINT) AS n2,
+         |    CAST(SUM(m1 * m2) AS BIGINT) AS n12 FROM b)
+         |SELECT n, n1, n2, n12,
+         |  CAST(CAST(n12 AS HUGEINT) * 1000000 // n AS BIGINT) AS obs_ppm,
+         |  CAST((CAST(n1 AS HUGEINT) * 1000000 // n) *
+         |    (CAST(n2 AS HUGEINT) * 1000000 // n) // 1000000 AS BIGINT) AS exp_ppm,
+         |  CAST(CAST(n12 AS HUGEINT) * 1000000 // n AS BIGINT)
+         |    - CAST((CAST(n1 AS HUGEINT) * 1000000 // n) *
+         |        (CAST(n2 AS HUGEINT) * 1000000 // n) // 1000000 AS BIGINT)
+         |    AS dev_ppm
+         |FROM a""".stripMargin
     },
   )
 

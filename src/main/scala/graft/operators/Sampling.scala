@@ -225,6 +225,46 @@ object Sampling {
         col("nat_share_ppm"), col("temp_share_ppm"), col("boost_ppm"))
   }
 
+  /** Per-epoch sampling rate (ppm of [[Buckets]]) for [[epochOverlap]]. */
+  val EpochRatePpm = 333333L
+
+  /** Epoch-sample seed-independence audit (q196) — the seed-health
+    * check behind per-epoch subsampling: two epochs draw their subsets
+    * with DIFFERENT salts on the same key-hash filter
+    * ([[sampleByHash]]'s bucket rule), and if the salted hashes are
+    * independent the overlap share must sit at the product of the
+    * rates. A correlated seed pair (the classic copy-paste salt bug)
+    * shows up as obs ≫ exp before any training run is wasted on
+    * near-identical epochs. Exact integers end-to-end: obs_ppm =
+    * n₁₂·10⁶ DIV n, exp_ppm = (n₁·10⁶ DIV n)·(n₂·10⁶ DIV n) DIV 10⁶.
+    *
+    * Scale: ONE corpus pass — both membership bits are map-side hash
+    * filters (no sort, no top-k; rate-threshold sampling is the 100 TB
+    * form of "take k per epoch"), aggregated to a single row.
+    */
+  def epochOverlap(spark: SparkSession, dir: String): DataFrame =
+    epochOverlapFor(Tables.documents(spark, dir))
+
+  def epochOverlapFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val fn = graft.functions.GraftFunctions.Md5PrefixName
+    def member(salt: String): org.apache.spark.sql.Column =
+      (expr(s"$fn(concat(CAST(doc_id AS STRING), '$salt'), 8)") % Buckets <
+        EpochRatePpm).cast("long")
+    docs
+      .select(member("#e1").as("m1"), member("#e2").as("m2"))
+      .agg(count(lit(1)).as("n"), sum(col("m1")).as("n1"),
+        sum(col("m2")).as("n2"), sum(col("m1") * col("m2")).as("n12"))
+      .select(col("n"), col("n1"), col("n2"), col("n12"),
+        // DECIMAL-widened: count·10⁶ overflows a long past ~9·10¹² rows
+        expr("CAST(CAST(n12 AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)")
+          .as("obs_ppm"),
+        expr("CAST((CAST(n1 AS DECIMAL(38,0)) * 1000000 DIV n) * " +
+          "(CAST(n2 AS DECIMAL(38,0)) * 1000000 DIV n) DIV 1000000 AS BIGINT)")
+          .as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
   /** Output shards for a training-data write. */
   val Shards = 64L
 

@@ -671,6 +671,60 @@ object EventsStream {
         (expr("c_ts_ns DIV 1000") - expr("v_ts_ns DIV 1000")).as("gap_us"))
   }
 
+  final case class PitCarry(st: String, ts_us: Long, event_id: Long)
+  final case class PitFact(user_id: Long, state: String, event_type: String,
+      value_c: Long)
+
+  /** Streaming twin of the point-in-time enrichment (q190): per-user
+    * keyed state holds ONLY the latest state-defining event (type +
+    * its (ts_us, event_id) order key); every fact (view/click) emits
+    * enriched with the state carried at that moment — the classic
+    * stateful stream-enrichment machine, one tuple of state per key.
+    * Rows are (ts_us, event_id)-sorted inside each group call, so
+    * in-order arrival reproduces the batch window exactly; a
+    * cross-batch late state event cannot retroactively re-enrich
+    * already-emitted facts — the same forward-only caveat as the
+    * funnel/SCD twins, and the documented trade for O(1) state.
+    */
+  def pitProgress(events: DataFrame): org.apache.spark.sql.Dataset[PitFact] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stateTypes = graft.operators.EventsOps.PitStateTypes.toSet
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"), col("event_id"),
+        cents(col("value")).as("value_c"))
+      .as[(Long, String, Long, Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, String, Long, Long, Long)],
+            state: GroupState[PitCarry]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          val out = Seq.newBuilder[PitFact]
+          var cur = state.getOption.orNull
+          sorted.foreach { case (_, et, ts, eid, vc) =>
+            if (stateTypes.contains(et)) cur = PitCarry(et, ts, eid)
+            else if (et == "view" || et == "click")
+              out += PitFact(userId, if (cur == null) null else cur.st, et, vc)
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** The streaming PIT twin drained under the correctness gate (q195):
+    * the enriched per-fact emissions roll up to exactly the batch
+    * q190 panel (same oracle SQL), so any drift between the carried
+    * state and the batch `last(ignoreNulls)` window fails CORRECTNESS.
+    */
+  def pitDrain(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, dir, "q195_pit")(
+      (d, o) => pitProgress(read(spark, d, o)).toDF())
+      .groupBy(col("state"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_c")).as("value_c"))
+
   /** Run a streaming DataFrame to completion against the files currently
     * in the source dir, into an in-memory table (test/dev harness —
     * production would use a durable sink + checkpoint location).

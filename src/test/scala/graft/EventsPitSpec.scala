@@ -44,6 +44,17 @@ class EventsPitSpec extends AnyFunSuite {
     assert(out == Set((Some("signup"), 1L), (None, 1L)))
   }
 
+  test("q195 streaming drain lands on the batch q190 panel") {
+    val batch = EventsOps.pitEnrichment(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val stream = graft.streaming.EventsStream
+      .pitDrain(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch)
+  }
+
   test("enrichment is invariant to input partitioning") {
     val rows = (1L to 40L).map(i => (i, i % 3,
       i * 1000000L, Seq("signup", "view", "click", "purchase")(

@@ -70,6 +70,30 @@ class MixCalibrationSpec extends AnyFunSuite {
       r.getLong(3) == 42L && r.getLong(4) == 42L)
   }
 
+  test("q196 epoch overlap replays the salted md5 rule exactly") {
+    def md5Bucket(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % Sampling.Buckets
+    }
+    val ids = (0L until 400L).toSeq
+    def mem(salt: String) =
+      ids.map(i => md5Bucket(s"$i$salt") < Sampling.EpochRatePpm)
+    val (m1, m2) = (mem("#e1"), mem("#e2"))
+    val n1 = m1.count(identity).toLong
+    val n2 = m2.count(identity).toLong
+    val n12 = m1.zip(m2).count { case (a, b) => a && b }.toLong
+    val docs = ids.toDF("doc_id")
+    val r = Sampling.epochOverlapFor(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((400L, n1, n2, n12)))
+    assert(r.getLong(4) == n12 * 1000000L / 400L)
+    assert(r.getLong(5) ==
+      (n1 * 1000000L / 400L) * (n2 * 1000000L / 400L) / 1000000L)
+    assert(r.getLong(6) == r.getLong(4) - r.getLong(5))
+  }
+
   test("quantile normalize calibrates sources independently") {
     // source A: scores 1..4; source B: scores 1001..1004 — identical
     // decile layout despite disjoint raw scales
