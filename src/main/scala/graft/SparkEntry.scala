@@ -308,6 +308,9 @@ object SparkEntry {
     // seed-independence audit of per-epoch hash sampling: overlap of
     // two salted epoch subsets vs the product expectation, one pass
     "q196_epoch_overlap" -> (Sampling.epochOverlap _),
+    // theta-sketch intersections per source pair with exact audit —
+    // the KMV family's intersection completion
+    "q197_kmv_intersections" -> (graft.operators.Sketches.kmvIntersections _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3910,6 +3913,61 @@ object SparkEntry {
          |        (CAST(n2 AS HUGEINT) * 1000000 // n) // 1000000 AS BIGINT)
          |    AS dev_ppm
          |FROM a""".stripMargin
+    },
+    // per-pair union top-k + matched-fraction estimate; exact pair
+    // intersections via the bounded source-set explosion
+    "q197_kmv_intersections" -> {
+      val k = graft.operators.Sketches.kmvKFor(
+        graft.operators.Sketches.KmvTargetRelErr)
+      s"""WITH $shingleCte,
+         |h AS (SELECT DISTINCT source,
+         |    CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS hv FROM sh),
+         |ex AS (SELECT e.a AS src_a, e.b AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |  FROM (SELECT unnest(flatten(list_transform(
+         |        generate_series(1, len(ss) - 1), i ->
+         |      list_transform(generate_series(i + 1, len(ss)), j ->
+         |        struct_pack(a := ss[i], b := ss[j]))))) AS e
+         |    FROM (SELECT hv, list_sort(list(DISTINCT source)) AS ss
+         |          FROM h GROUP BY 1) t
+         |    WHERE len(ss) >= 2) p
+         |  GROUP BY 1, 2),
+         |kept AS MATERIALIZED (SELECT source, hv FROM (
+         |    SELECT source, hv, ROW_NUMBER() OVER (
+         |      PARTITION BY source ORDER BY hv ASC) AS rn FROM h) t
+         |  WHERE rn <= $k),
+         |srcs AS (SELECT DISTINCT source FROM h),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM srcs a, srcs b WHERE a.source < b.source),
+         |u AS (SELECT src_a, src_b, hv, CAST(COUNT(*) AS BIGINT) AS n_side
+         |  FROM (
+         |    SELECT pr.src_a, pr.src_b, kept.hv
+         |      FROM kept JOIN pr ON kept.source = pr.src_a
+         |    UNION ALL
+         |    SELECT pr.src_a, pr.src_b, kept.hv
+         |      FROM kept JOIN pr ON kept.source = pr.src_b) t
+         |  GROUP BY 1, 2, 3),
+         |sk AS (SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+         |      ORDER BY hv ASC) AS rn FROM u) t
+         |  WHERE rn <= $k),
+         |agg AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    MAX(hv) AS h_k,
+         |    CAST(SUM(CASE WHEN n_side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM sk GROUP BY 1, 2)
+         |SELECT agg.src_a, agg.src_b, CAST($k AS BIGINT) AS k,
+         |  agg.n_kept, agg.h_k, agg.c,
+         |  CAST(CASE WHEN agg.n_kept < $k THEN agg.c
+         |    ELSE CAST(agg.c AS HUGEINT) * ${k - 1} * 4294967296
+         |      // (CAST($k AS HUGEINT) * greatest(agg.h_k, 1)) END AS BIGINT)
+         |    AS est_inter,
+         |  COALESCE(ex.exact_inter, 0) AS exact_inter,
+         |  abs(CAST(CASE WHEN agg.n_kept < $k THEN agg.c
+         |      ELSE CAST(agg.c AS HUGEINT) * ${k - 1} * 4294967296
+         |        // (CAST($k AS HUGEINT) * greatest(agg.h_k, 1)) END AS BIGINT)
+         |    - COALESCE(ex.exact_inter, 0)) * 1000000
+         |    // greatest(COALESCE(ex.exact_inter, 0), 1) AS err_ppm
+         |FROM agg LEFT JOIN ex USING (src_a, src_b)""".stripMargin
     },
   )
 

@@ -234,6 +234,82 @@ object Sketches {
       .unionAll(sketchOf(hashed.select(col("hv")).distinct(), "global"))
   }
 
+  /** KMV INTERSECTION estimator with exactness audit (q197) — the
+    * theta-sketch completion of the KMV family (cardinality q135/q139,
+    * union-merge q142): for every source pair, the k smallest hashes
+    * of the UNION form the sketch, θ is its k-th value, and the
+    * intersection estimate is the matched fraction scaled by the union
+    * estimate — est = c·(k−1)·2³² DIV (k·θ) where c counts sketch
+    * hashes present in BOTH sides. Soundness of membership-by-sketch:
+    * the union's k-th smallest is ≤ each side's k-th smallest, so any
+    * sketch hash belonging to a side is necessarily inside that side's
+    * per-source sketch — no full-set probe needed. An undersized union
+    * sketch IS the union, making c the exact intersection (the q135
+    * undersized rule).
+    *
+    * The audit joins the EXACT pair intersections, computed with the
+    * bounded source-set trick: per hash, the ≤|sources| set of sources
+    * containing it explodes to pairs inside the row — never a
+    * hash-keyed self-join fan-out beyond C(|sources|,2).
+    *
+    * Scale: per-source and per-pair top-k run as windows over the
+    * DISTINCT (source, hash) relation — every partition is k-bounded
+    * after the filter; the pair algebra runs on the ≤ pairs·k kept
+    * relation. Only the source-pair list (metadata) broadcasts.
+    */
+  def kmvIntersections(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val k = kmvKFor(KmvTargetRelErr)
+    val hashed = Dedup.shingles(Tables.documents(spark, dir))
+      .select(col("source"),
+        expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(sh, 8)").as("hv"))
+      .distinct()
+    val exact = hashed
+      .groupBy(col("hv")).agg(expr("sort_array(collect_set(source))").as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ss) - 1), i ->
+          |  transform(sequence(i + 1, size(ss)), j ->
+          |    struct(element_at(ss, i) AS a, element_at(ss, j) AS b))))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.a").as("src_a"), col("e.b").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val kept = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv").asc)))
+      .filter(col("rn") <= k).select(col("source"), col("hv"))
+    val srcs = hashed.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val u = kept
+      .join(broadcast(pairs), col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("hv"))
+      .unionByName(kept
+        .join(broadcast(pairs), col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("hv")))
+      .groupBy(col("src_a"), col("src_b"), col("hv"))
+      .agg(count(lit(1)).as("n_side"))
+    u.withColumn("rn", row_number().over(
+        Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("hv").asc)))
+      .filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("h_k"),
+        sum(when(col("n_side") === 2L, 1L).otherwise(0L)).as("c"))
+      .join(exact, Seq("src_a", "src_b"), "left_outer")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("est_inter", when(col("n_kept") < k, col("c"))
+        .otherwise(expr(
+          s"CAST(CAST(c AS DECIMAL(38,0)) * ${k - 1} * 4294967296 " +
+            s"DIV (CAST($k AS DECIMAL(38,0)) * greatest(h_k, 1)) AS BIGINT)")))
+      .withColumn("err_ppm", expr(
+        "abs(est_inter - exact_inter) * 1000000 DIV greatest(exact_inter, 1)"))
+      .select(col("src_a"), col("src_b"), lit(k.toLong).as("k"),
+        col("n_kept"), col("h_k"), col("c"), col("est_inter"),
+        col("exact_inter"), col("err_ppm"))
+  }
+
   private def kmvDistinctCheckedK(spark: SparkSession, dir: String,
       k: Int, boundPpm: Long): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)

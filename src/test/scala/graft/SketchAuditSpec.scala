@@ -182,4 +182,19 @@ class SketchAuditSpec extends AnyFunSuite {
     assert(byShare.head.getAs[Long]("weight_ppm") <=
       byShare.last.getAs[Long]("weight_ppm"))
   }
+
+  test("q197 kmv intersections: undersized sketches are exact, invariants hold") {
+    val k = Sketches.kmvKFor(Sketches.KmvTargetRelErr)
+    val rows = Sketches.kmvIntersections(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nKept, c) = (r.getAs[Long]("n_kept"), r.getAs[Long]("c"))
+      val (est, exact) =
+        (r.getAs[Long]("est_inter"), r.getAs[Long]("exact_inter"))
+      assert(c <= nKept && est >= 0L)
+      // the undersized rule: the sketch IS the union, c IS the answer
+      if (nKept < k) assert(est == exact,
+        s"${r.getString(0)}/${r.getString(1)}: est $est != exact $exact")
+    }
+  }
 }
