@@ -311,6 +311,9 @@ object SparkEntry {
     // theta-sketch intersections per source pair with exact audit —
     // the KMV family's intersection completion
     "q197_kmv_intersections" -> (graft.operators.Sketches.kmvIntersections _),
+    // media near-dup pairs by nibble-histogram L1 within capped
+    // (mime, size-bucket) buckets — the multimodal dedup operator
+    "q198_media_neardup" -> (graft.multimodal.Multimodal.mediaNearDupPairs _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -3968,6 +3971,36 @@ object SparkEntry {
          |    - COALESCE(ex.exact_inter, 0)) * 1000000
          |    // greatest(COALESCE(ex.exact_inter, 0), 1) AS err_ppm
          |FROM agg LEFT JOIN ex USING (src_a, src_b)""".stripMargin
+    },
+    // q134's histogram rebuild + capped (mclass, size-bucket) pair
+    // join with a 16-term L1 — mirrors the zip_with/aggregate exactly
+    "q198_media_neardup" -> {
+      val thr = graft.multimodal.Multimodal.MediaDupL1Ppm
+      val cap = graft.multimodal.Multimodal.MediaBucketCap
+      val bins = (0 until 16).map { i =>
+        val c = f"$i%X"
+        s"""CAST(SUM(CASE WHEN substr(hx, (i-1)*2+1, 1) = '$c' THEN 1 ELSE 0 END)
+           |    * 1000000 // MAX(n) AS BIGINT) AS h${f"$i%02d"}""".stripMargin
+      }.mkString(",\n")
+      val l1 = (0 until 16)
+        .map(i => f"abs(x.h$i%02d - y.h$i%02d)").mkString(" + ")
+      s"""WITH $mediaBlobCtes,
+         |hb AS (SELECT doc_id, m, hex(c) AS hx, octet_length(c) AS n FROM blob),
+         |nib AS (SELECT doc_id, m, n, hx,
+         |  unnest(generate_series(1, n)) AS i FROM hb),
+         |feat AS (SELECT doc_id, CAST(MAX(m) AS BIGINT) AS mclass,
+         |  CAST(MAX(n) AS BIGINT) // 64 AS sb,
+         |$bins
+         |FROM nib GROUP BY doc_id),
+         |capped AS MATERIALIZED (SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY mclass, sb
+         |      ORDER BY doc_id ASC) AS rn FROM feat) t
+         |  WHERE rn <= $cap)
+         |SELECT x.doc_id AS media_a, y.doc_id AS media_b, x.mclass,
+         |  CAST($l1 AS BIGINT) AS l1_ppm
+         |FROM capped x JOIN capped y
+         |  ON x.mclass = y.mclass AND x.sb = y.sb AND x.doc_id < y.doc_id
+         |WHERE $l1 <= $thr""".stripMargin
     },
   )
 

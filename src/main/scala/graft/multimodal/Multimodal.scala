@@ -261,6 +261,47 @@ object Multimodal {
     feats.select(col("media_id") +: col("size_bytes") +: hist: _*)
   }
 
+  /** L1-distance ceiling (ppm of the histogram mass) for a media pair
+    * to count as a near-duplicate, and the per-bucket candidate cap.
+    */
+  val MediaDupL1Ppm = 10000L
+  val MediaBucketCap = 64
+
+  /** Media near-duplicate pairs by content features (q198) — the
+    * DEDUP operator of the multimodal family (metadata q44, decode
+    * q126, features q134): two media blobs are near-dups when their
+    * byte-nibble histograms differ by at most [[MediaDupL1Ppm]] in L1 —
+    * the cheap content signature that catches re-encodes and padded
+    * copies without decoding payloads. Candidates are generated the
+    * banded way (the Dedup.bandPairs discipline): only blobs sharing a
+    * (mime-class, size-bucket) key are compared, each bucket capped at
+    * [[MediaBucketCap]] — never an all-pairs join across the corpus.
+    * The L1 itself is a codegen'd `zip_with`/`aggregate` over the two
+    * 16-long arrays.
+    */
+  def mediaNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val f = extractFeatures(mediaBytesFromDocuments(spark, dir))
+      .select(col("media_id"), col("size_bytes"), col("hist_ppm"),
+        (col("media_id") % 3L).as("mclass"),
+        expr("size_bytes DIV 64").as("sb"))
+    val capped = f
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("mclass"), col("sb"))
+          .orderBy(col("media_id").asc)))
+      .filter(col("rn") <= MediaBucketCap)
+    val x = capped.select(col("mclass"), col("sb"),
+      col("media_id").as("media_a"), col("hist_ppm").as("ha"))
+    val y = capped.select(col("mclass"), col("sb"),
+      col("media_id").as("media_b"), col("hist_ppm").as("hb"))
+    x.join(y, Seq("mclass", "sb"))
+      .filter(col("media_a") < col("media_b"))
+      .withColumn("l1_ppm", expr(
+        "aggregate(zip_with(ha, hb, (a, b) -> abs(a - b)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("l1_ppm") <= MediaDupL1Ppm)
+      .select(col("media_a"), col("media_b"), col("mclass"), col("l1_ppm"))
+  }
+
   /** Frame sampling for video-typed rows: one row per sampled frame
     * offset, derived from metadata only (`sequence` + `explode`, pure
     * Catalyst — the bytes column is untouched and unread).

@@ -325,4 +325,22 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         || col("sample_rate") =!= lit(8000) + (col("media_id") % 8) * 4000)))
     assert(bad.count() == 0)
   }
+
+  test("q198 media near-dup: pairs stay inside buckets and under the L1 ceiling") {
+    import org.apache.spark.sql.functions._
+    val pairs = Multimodal.mediaNearDupPairs(spark, sf).collect()
+    val feats = Multimodal.extractFeatures(
+        Multimodal.mediaBytesFromDocuments(spark, sf))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](3))).toMap
+    pairs.foreach { p =>
+      val (a, b, l1) = (p.getLong(0), p.getLong(1), p.getLong(3))
+      // same mime class and size bucket — the band contract
+      assert(a % 3 == b % 3 && feats(a)._1 / 64 == feats(b)._1 / 64)
+      // the reported L1 is the true histogram L1 and under the ceiling
+      val trueL1 = feats(a)._2.zip(feats(b)._2).map {
+        case (x, y) => math.abs(x - y) }.sum
+      assert(l1 == trueL1 && l1 <= Multimodal.MediaDupL1Ppm)
+    }
+  }
 }
