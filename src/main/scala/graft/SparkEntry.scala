@@ -314,6 +314,13 @@ object SparkEntry {
     // media near-dup pairs by nibble-histogram L1 within capped
     // (mime, size-bucket) buckets — the multimodal dedup operator
     "q198_media_neardup" -> (graft.multimodal.Multimodal.mediaNearDupPairs _),
+    // lakehouse CDC MERGE: base + update/delete batch via one keyed
+    // window, delete-wins precedence, self-certified vs the anti-join
+    // construction (audit panel with xor checksums)
+    "q199_cdc_merge" -> (graft.operators.Incremental.cdcMerge _),
+    // control-chart band breach: trailing-window z^2 in exact ppm
+    // (squares compared, no float sigma), windows on the day relation
+    "q200_band_breach" -> (graft.operators.StatsAudit.bandBreach _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4001,6 +4008,72 @@ object SparkEntry {
          |FROM capped x JOIN capped y
          |  ON x.mclass = y.mclass AND x.sb = y.sb AND x.doc_id < y.doc_id
          |WHERE $l1 <= $thr""".stripMargin
+    },
+    // base∪changes keyed window (version DESC, delete DESC), survivor
+    // tombstones erase keys; panel certified vs the anti-join build
+    "q199_cdc_merge" -> {
+      import graft.operators.Incremental.{CdcUpdateMod, CdcDeleteMod}
+      s"""WITH base AS (SELECT o_orderkey AS k, ${cents("o_totalprice")} AS v_c,
+         |    1 AS version, 0 AS is_delete FROM orders),
+         |changes AS (SELECT o_orderkey AS k,
+         |    ${cents("o_totalprice * 1.1")} AS v_c, 2 AS version,
+         |    CASE WHEN o_orderkey % $CdcDeleteMod = 0 THEN 1 ELSE 0 END AS is_delete
+         |  FROM orders
+         |  WHERE o_orderkey % $CdcUpdateMod = 0 OR o_orderkey % $CdcDeleteMod = 0),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+         |merged AS (SELECT k, v_c FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+         |      ORDER BY version DESC, is_delete DESC) AS rn FROM u) t
+         |  WHERE rn = 1 AND is_delete = 0),
+         |direct AS (
+         |  SELECT k, v_c FROM base
+         |  WHERE k NOT IN (SELECT k FROM changes)
+         |  UNION ALL
+         |  SELECT k, v_c FROM changes WHERE is_delete = 0),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_merged,
+         |    CAST(bit_xor(k * 1000000000 + v_c) AS BIGINT) AS xsum_merged
+         |  FROM merged),
+         |d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_direct,
+         |    CAST(bit_xor(k * 1000000000 + v_c) AS BIGINT) AS xsum_direct
+         |  FROM direct),
+         |a AS (SELECT
+         |    CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(SUM(CASE WHEN version = 2 AND is_delete = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_updates,
+         |    CAST(SUM(CASE WHEN is_delete = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_deletes
+         |  FROM u)
+         |SELECT a.n_base, a.n_updates, a.n_deletes, m.n_merged, m.xsum_merged,
+         |  (m.n_merged = d.n_direct AND m.xsum_merged = d.xsum_direct)
+         |    AS matches_direct
+         |FROM a, m, d""".stripMargin
+    },
+    // trailing 7-row window on the daily relation; squares compared so
+    // sigma never materializes; HUGEINT mirrors the DECIMAL widening
+    "q200_band_breach" -> {
+      import graft.operators.StatsAudit.{BandWindowDays, BandK}
+      s"""WITH daily AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         |    ${sumc("o_totalprice")} AS x_c
+         |  FROM orders GROUP BY 1),
+         |r AS (SELECT day, x_c,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         |    CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+         |    SUM(x_c) OVER w AS s_w,
+         |    SUM(CAST(x_c AS HUGEINT) * x_c) OVER w AS q_w
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN ${BandWindowDays - 1} PRECEDING AND CURRENT ROW)),
+         |z AS (SELECT t, day, x_c,
+         |    CAST(x_c AS HUGEINT) * n_w - s_w AS num,
+         |    CAST(n_w AS HUGEINT) * q_w - CAST(s_w AS HUGEINT) * s_w AS den
+         |  FROM r)
+         |SELECT t, day, x_c,
+         |  CASE WHEN den = 0 THEN NULL
+         |    ELSE CAST(num * num * 1000000 // den AS BIGINT) END AS z2_ppm,
+         |  CASE WHEN den = 0 THEN false
+         |    ELSE CAST(num * num * 1000000 // den AS BIGINT)
+         |      > ${BandK * BandK * 1000000L} END AS breach
+         |FROM z""".stripMargin
     },
   )
 

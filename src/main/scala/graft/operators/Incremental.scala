@@ -26,6 +26,78 @@ object Incremental {
     */
   val DeltaMod = 5L
 
+  /** Deterministic change-batch rule for [[cdcMerge]]: every 7th order
+    * key carries an update (+10% price, version 2), every 13th a
+    * delete tombstone — overlapping on multiples of 91, so the
+    * delete-wins precedence is exercised at every graded scale.
+    */
+  val CdcUpdateMod = 7L
+  val CdcDeleteMod = 13L
+
+  /** CDC MERGE (q199) — the lakehouse upsert: a base snapshot merged
+    * with a change batch of updates and delete tombstones,
+    * last-write-wins by (version, change precedence), deletes final.
+    * The Spark-first shape is NOT a row-at-a-time MERGE INTO loop but
+    * one unioned window: base rows (version 1) and change rows
+    * (version 2) share the key partition, `row_number` over
+    * (version DESC, is_delete DESC) picks each key's survivor, and a
+    * surviving tombstone erases the key. Output is the audit panel —
+    * per-action row counts plus exact integer checksums (bit_xor of
+    * key·10⁹ ⊕ cents — the TableDiff rule: XOR, never SUM, so the
+    * checksum cannot wrap) over the merged state, certified against a
+    * direct anti-join construction in the same query (`matches_direct`
+    * must grade true, or the hash gate fails).
+    *
+    * Scale: one key-partitioned window over base ∪ changes (the union
+    * is the same width), both certification sides partition on the
+    * same key, no broadcast of anything data-sized.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame =
+    cdcMergeFor(Tables.orders(spark, dir))
+
+  def cdcMergeFor(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = orders.select(col("o_orderkey").as("k"),
+      Determinism.cents(col("o_totalprice")).as("v_c"),
+      lit(1L).as("version"), lit(0L).as("is_delete"))
+    val changes = orders
+      .filter(col("o_orderkey") % CdcUpdateMod === 0L ||
+        col("o_orderkey") % CdcDeleteMod === 0L)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(" + Determinism.centsSql("o_totalprice * 1.1") +
+          " AS BIGINT)").as("v_c"),
+        lit(2L).as("version"),
+        (col("o_orderkey") % CdcDeleteMod === 0L).cast("long").as("is_delete"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("version").desc, col("is_delete").desc)
+    val merged = base.unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_delete") === 0L)
+    // direct construction: deletes removed, updates override, rest kept
+    val updated = changes.filter(col("is_delete") === 0L)
+    val direct = base
+      .join(changes.select(col("k")).distinct(), Seq("k"), "left_anti")
+      .select(col("k"), col("v_c"))
+      .unionByName(updated.select(col("k"), col("v_c")))
+    def checksum(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(k * 1000000000 + v_c)").as("xsum"))
+    val m = checksum(merged.select(col("k"), col("v_c")))
+      .select(col("n").as("n_merged"), col("xsum").as("xsum_merged"))
+    val d = checksum(direct)
+      .select(col("n").as("n_direct"), col("xsum").as("xsum_direct"))
+    val acts = base.unionByName(changes).agg(
+      sum(when(col("version") === 1L, 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("version") === 2L && col("is_delete") === 0L, 1L)
+        .otherwise(0L)).as("n_updates"),
+      sum(when(col("is_delete") === 1L, 1L).otherwise(0L)).as("n_deletes"))
+    acts.crossJoin(broadcast(m)).crossJoin(broadcast(d))
+      .select(col("n_base"), col("n_updates"), col("n_deletes"),
+        col("n_merged"), col("xsum_merged"),
+        (col("n_merged") === col("n_direct") &&
+          col("xsum_merged") === col("xsum_direct")).as("matches_direct"))
+  }
+
   /** q162: maintain the per-(event_type, day) revenue cube
     * incrementally — partials over the base rows, partials over the
     * late-arriving delta batch, merged by the state algebra — and

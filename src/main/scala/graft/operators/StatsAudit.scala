@@ -121,6 +121,51 @@ object StatsAudit {
     * den_x)·num) DIV den_y — same value, but Cauchy–Schwarz then
     * bounds every intermediate by 10⁶·den_y, dodging the num² blowup.
     */
+  /** Rolling window (days) and band width (k sigmas) for [[bandBreach]]. */
+  val BandWindowDays = 7
+  val BandK = 2L
+
+  /** Rolling band-breach detection (q200) — the control-chart sibling
+    * of q179's CUSUM: flag days whose revenue leaves the ±k·σ band of
+    * their own trailing [[BandWindowDays]]-row window (Bollinger/3-σ
+    * rule, k = [[BandK]]). Exact integers throughout by comparing
+    * SQUARES: z² = (x·n − S)²/(n·Q − S²) with S = Σx, Q = Σx² over the
+    * window, so breach ⟺ z²_ppm > k²·10⁶ — no square root, no float σ.
+    * A zero-variance window yields NULL z² and no breach.
+    *
+    * Scale: the q179 posture — one partial-aggregated fact pass to the
+    * day-bounded daily relation; the rolling window runs there
+    * (metadata-sized), never over facts. Products DECIMAL(38)-widened:
+    * (x·n)² stays exact past 10¹³-cent days.
+    */
+  def bandBreach(spark: SparkSession, dir: String): DataFrame =
+    bandBreachFor(Tables.orders(spark, dir))
+
+  def bandBreachFor(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+        .as("day"),
+        Determinism.cents(col("o_totalprice")).as("xc"))
+      .groupBy(col("day")).agg(sum(col("xc")).as("x_c"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(-(BandWindowDays - 1), Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s_w", sum(col("x_c")).over(w))
+      .withColumn("q_w", sum(expr("CAST(x_c AS DECIMAL(38,0)) * x_c")).over(w))
+      .withColumn("num",
+        expr("CAST(x_c AS DECIMAL(38,0)) * n_w - s_w"))
+      .withColumn("den",
+        expr("CAST(n_w AS DECIMAL(38,0)) * q_w - CAST(s_w AS DECIMAL(38,0)) * s_w"))
+      .select(col("t"), col("day"), col("x_c"),
+        expr("CASE WHEN den = 0 THEN NULL " +
+          "ELSE CAST(num * num * 1000000 DIV den AS BIGINT) END").as("z2_ppm"),
+        expr(s"CASE WHEN den = 0 THEN false " +
+          s"ELSE CAST(num * num * 1000000 DIV den AS BIGINT) > " +
+          s"${BandK * BandK * 1000000L} END").as("breach"))
+  }
+
   /** Categorical-drift contingency audit (q191) — the independence
     * check of the statistical family: does the order-priority MIX
     * drift across years? Observed vs expected cell shares of the

@@ -100,6 +100,18 @@ class StatsAuditSpec extends AnyFunSuite {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("q200 band breach: a spike leaves the trailing band, constants never do") {
+    // 8 days at $100 (zero-variance windows → NULL z², no breach),
+    // then a $200 spike: window {100×6, 200}, z² = 6 > k² = 4
+    val rows = (1L to 8L).map(d => (d, 100.0)) :+ ((9L, 200.0))
+    val out = StatsAudit.bandBreachFor(orders(rows: _*))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toMap
+    (1L to 8L).foreach(d => assert(out(d) == ((None, false)), s"day $d"))
+    assert(out(9L) == ((Some(6000000L), true)))
+  }
+
   test("q191 contingency cells: hand-computed phi2 on a 2x2 drift") {
     // 2000: 30 A / 10 B; 2001: 10 A / 30 B → E=20 each, chi2=20,
     // phi2 = 0.25 → per-cell 62500 ppm
