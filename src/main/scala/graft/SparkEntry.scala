@@ -321,6 +321,14 @@ object SparkEntry {
     // control-chart band breach: trailing-window z^2 in exact ppm
     // (squares compared, no float sigma), windows on the day relation
     "q200_band_breach" -> (graft.operators.StatsAudit.bandBreach _),
+    // CUPED variance-reduced experiment readout: pre-period covariate
+    // adjustment with exact-integer theta/rho^2 (the q185 algebra)
+    "q201_cuped_adjust" -> (graft.operators.StatsAudit.cupedAdjust _),
+    // pooled two-proportion z^2 significance panel in exact ppm
+    "q202_ab_proportion" -> (graft.operators.StatsAudit.abProportionTest _),
+    // deterministic Poisson-bootstrap of the mean daily revenue:
+    // hash-derived Poisson(1) weights, 32 resamples on the day relation
+    "q203_bootstrap_means" -> (graft.operators.StatsAudit.bootstrapMeans _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -541,6 +549,28 @@ object SparkEntry {
        |  CAST(SUM(${cents("value")}) AS BIGINT) AS value_c
        |FROM f WHERE event_type IN ('view', 'click')
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  // Per-user pre/post sums + hash variant — ONE definition shared by
+  // the q201 CUPED and q202 proportion oracles, mirroring
+  // StatsAudit.abUsers (day-of-month < AbSplitDay is the pre period)
+  private lazy val abUsersCte: String = {
+    val split = graft.operators.StatsAudit.AbSplitDay
+    s"""au AS MATERIALIZED (SELECT user_id,
+       |    CAST(SUM(pre * v_c) AS BIGINT) AS x_c,
+       |    CAST(SUM((1 - pre) * v_c) AS BIGINT) AS y_c,
+       |    CAST(MAX((1 - pre) * is_purchase *
+       |      CASE WHEN v_c > ${graft.operators.StatsAudit.ConvertCentsMin}
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+       |    CASE WHEN CAST(concat('0x', substr(md5(
+       |        concat(CAST(user_id AS VARCHAR), '#ab')), 1, 8)) AS BIGINT)
+       |      % 1000000 < 500000 THEN 'A' ELSE 'B' END AS variant
+       |  FROM (SELECT user_id,
+       |      CASE WHEN day(ts) < $split THEN 1 ELSE 0 END AS pre,
+       |      ${cents("value")} AS v_c,
+       |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+       |    FROM events) t
+       |  GROUP BY 1)""".stripMargin
   }
 
   // The fixed-round synchronous-LPA label chain over a preceding
@@ -4074,6 +4104,87 @@ object SparkEntry {
          |    ELSE CAST(num * num * 1000000 // den AS BIGINT)
          |      > ${BandK * BandK * 1000000L} END AS breach
          |FROM z""".stripMargin
+    },
+    // pooled theta/rho^2 via the q185 normal-equation algebra; per-
+    // variant raw and adjusted means as exact nested divisions
+    "q201_cuped_adjust" ->
+      s"""WITH $abUsersCte,
+         |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         |    CAST(SUM(x_c) AS BIGINT) AS sx, CAST(SUM(y_c) AS BIGINT) AS sy,
+         |    SUM(CAST(x_c AS HUGEINT) * x_c) AS sxx,
+         |    SUM(CAST(x_c AS HUGEINT) * y_c) AS sxy,
+         |    SUM(CAST(y_c AS HUGEINT) * y_c) AS syy
+         |  FROM au),
+         |d AS (SELECT *,
+         |    CAST(n_all AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    CAST(n_all AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+         |    CAST(n_all AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+         |  FROM p),
+         |t AS (SELECT n_all, sx,
+         |    CASE WHEN den_x = 0 THEN 0
+         |      ELSE CAST(num * 1000000 // den_x AS BIGINT) END AS theta_ppm,
+         |    CASE WHEN den_x = 0 OR den_y = 0 THEN 0
+         |      ELSE CAST(((num * 1000000 // den_x) * num) // den_y AS BIGINT)
+         |      END AS rho2_ppm
+         |  FROM d),
+         |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(x_c) AS BIGINT) AS sx_v, CAST(SUM(y_c) AS BIGINT) AS sy_v
+         |  FROM au GROUP BY 1)
+         |SELECT v.variant, v.n_users,
+         |  CAST(CAST(sy_v AS HUGEINT) * 1000000 // n_users AS BIGINT) AS y_mean_ppm,
+         |  CAST(CAST(sy_v AS HUGEINT) * 1000000 // n_users AS BIGINT) -
+         |    theta_ppm * (CAST(CAST(sx_v AS HUGEINT) * 1000000 // n_users AS BIGINT) -
+         |    CAST(CAST(sx AS HUGEINT) * 1000000 // n_all AS BIGINT)) // 1000000
+         |    AS adj_mean_ppm,
+         |  t.theta_ppm, t.rho2_ppm
+         |FROM v, t""".stripMargin,
+    // pooled two-proportion z^2 identity in exact ppm
+    "q202_ab_proportion" -> {
+      val crit = graft.operators.StatsAudit.Chi2Crit05Ppm
+      s"""WITH $abUsersCte,
+         |bv AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_v,
+         |    CAST(SUM(converted) AS BIGINT) AS c_v FROM au GROUP BY 1),
+         |j AS (SELECT
+         |    (SELECT n_v FROM bv WHERE variant = 'A') AS n1,
+         |    (SELECT c_v FROM bv WHERE variant = 'A') AS c1,
+         |    (SELECT n_v FROM bv WHERE variant = 'B') AS n2,
+         |    (SELECT c_v FROM bv WHERE variant = 'B') AS c2),
+         |z AS (SELECT *, n1 + n2 AS n, c1 + c2 AS c,
+         |    CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL ELSE CAST(
+         |      (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) *
+         |      (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) *
+         |      (n1 + n2) * 1000000 // (CAST(n1 AS HUGEINT) * n2 *
+         |        (c1 + c2) * (n1 + n2 - c1 - c2)) AS BIGINT) END AS z2_ppm
+         |  FROM j)
+         |SELECT n1, c1, n2, c2,
+         |  c1 * 1000000 // n1 AS p1_ppm, c2 * 1000000 // n2 AS p2_ppm,
+         |  z2_ppm,
+         |  CASE WHEN z2_ppm IS NULL THEN false
+         |    ELSE z2_ppm > $crit END AS significant
+         |FROM z""".stripMargin
+    },
+    // hash-derived Poisson(1) weights against the shared CDF ppm
+    // thresholds; 32 resample means over the day relation
+    "q203_bootstrap_means" -> {
+      val wCase = graft.operators.StatsAudit.PoissonCdfPpm.zipWithIndex.reverse
+        .foldLeft("9") { case (acc, (thr, k)) =>
+          s"CASE WHEN u < $thr THEN $k ELSE $acc END"
+        }
+      s"""WITH daily AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         |    ${sumc("o_totalprice")} AS x_c
+         |  FROM orders GROUP BY 1),
+         |e AS (SELECT day, x_c, CAST(t.b AS BIGINT) AS b
+         |  FROM daily, range(0, ${graft.operators.StatsAudit.BootstrapB}) t(b)),
+         |h AS (SELECT day, x_c, b,
+         |    CAST(concat('0x', substr(md5(concat(CAST(day AS VARCHAR), '#bs',
+         |      CAST(b AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 AS u
+         |  FROM e),
+         |w AS (SELECT day, x_c, b, CAST(($wCase) AS BIGINT) AS w FROM h)
+         |SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+         |  CASE WHEN SUM(w) = 0 THEN NULL
+         |    ELSE CAST(CAST(SUM(w * x_c) AS HUGEINT) // SUM(w) AS BIGINT)
+         |    END AS mean_c
+         |FROM w GROUP BY 1""".stripMargin
     },
   )
 

@@ -121,6 +121,197 @@ object StatsAudit {
     * den_x)·num) DIV den_y — same value, but Cauchy–Schwarz then
     * bounds every intermediate by 10⁶·den_y, dodging the num² blowup.
     */
+  /** Day boundary splitting the pre-period (covariate window) from the
+    * experiment window in [[cupedAdjust]] / [[abProportionTest]]: the
+    * events corpus spans one month, so day-of-month 15 halves it.
+    */
+  val AbSplitDay = 15
+
+  /** Conversion bar for the q202 proportion test: a post-period
+    * purchase above this many cents (every user purchases SOMETHING in
+    * the synthetic corpus, so plain did-purchase is degenerate).
+    */
+  val ConvertCentsMin = 9000L
+
+  /** Hash split for variant assignment: bucket < 500000 ppm → "A". */
+  private def variantCol = when(
+    expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(" +
+      "concat(CAST(user_id AS STRING), '#ab'), 8) % 1000000") < 500000L,
+    "A").otherwise("B")
+
+  /** Per-user pre/post value sums and hash variant, shared by the
+    * experimentation pair (q201/q202).
+    */
+  private def abUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr(s"CAST(dayofmonth(CAST(ts_ns DIV 1000000000 AS TIMESTAMP)) " +
+          s"< $AbSplitDay AS LONG)").as("pre"),
+        Determinism.cents(col("value")).as("v_c"),
+        (col("event_type") === "purchase").cast("long").as("is_purchase"))
+      .groupBy(col("user_id"))
+      .agg(sum(expr("pre * v_c")).as("x_c"),
+        sum(expr("(1 - pre) * v_c")).as("y_c"),
+        max(expr(s"(1 - pre) * is_purchase * " +
+          s"CAST(v_c > $ConvertCentsMin AS LONG)")).as("converted"))
+      .withColumn("variant", variantCol)
+
+  /** CUPED-adjusted experiment readout (q201) — the variance-reduction
+    * workhorse of every experimentation platform (Deng et al. 2013):
+    * each user's experiment-window metric y is adjusted by their
+    * PRE-period covariate x, ŷ = y − θ(x − x̄), with θ = cov(x,y)/var(x)
+    * pooled across variants. Same exact-integer normal-equation algebra
+    * as q185 (θ and the variance-reduction ρ² in ppm, Cauchy–Schwarz-
+    * bounded r² reorder); the adjusted means are exact nested integer
+    * divisions mirrored in the oracle. Output: one row per hash-split
+    * variant with raw and adjusted means plus the shared θ/ρ².
+    *
+    * Scale: one fact pass to per-user sums (user-keyed partial agg),
+    * then user-bounded aggregations; the 1-row pooled stats broadcast.
+    */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame =
+    cupedAdjustFor(Tables.events(spark, dir))
+
+  def cupedAdjustFor(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    val users = abUsers(events)
+    val pooled = users.agg(count(lit(1)).as("n_all"),
+      sum(col("x_c")).as("sx"), sum(col("y_c")).as("sy"),
+      sum(expr("CAST(x_c AS DECIMAL(38,0)) * x_c")).as("sxx"),
+      sum(expr("CAST(x_c AS DECIMAL(38,0)) * y_c")).as("sxy"),
+      sum(expr("CAST(y_c AS DECIMAL(38,0)) * y_c")).as("syy"))
+      .withColumn("num",
+        expr("CAST(n_all AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den_x",
+        expr("CAST(n_all AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("den_y",
+        expr("CAST(n_all AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("theta_ppm",
+        expr("CASE WHEN den_x = 0 THEN 0 " +
+          "ELSE CAST(num * 1000000 DIV den_x AS BIGINT) END"))
+      .withColumn("rho2_ppm",
+        expr("CASE WHEN den_x = 0 OR den_y = 0 THEN 0 " +
+          "ELSE CAST(((num * 1000000 DIV den_x) * num) DIV den_y AS BIGINT) END"))
+    users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x_c")).as("sx_v"), sum(col("y_c")).as("sy_v"))
+      .crossJoin(broadcast(pooled.select(col("n_all"), col("sx"),
+        col("theta_ppm"), col("rho2_ppm"))))
+      .select(col("variant"), col("n_users"),
+        expr("CAST(CAST(sy_v AS DECIMAL(38,0)) * 1000000 DIV n_users AS BIGINT)")
+          .as("y_mean_ppm"),
+        expr("CAST(CAST(sy_v AS DECIMAL(38,0)) * 1000000 DIV n_users AS BIGINT) - " +
+          "theta_ppm * (CAST(CAST(sx_v AS DECIMAL(38,0)) * 1000000 DIV n_users AS BIGINT) - " +
+          "CAST(CAST(sx AS DECIMAL(38,0)) * 1000000 DIV n_all AS BIGINT)) DIV 1000000")
+          .as("adj_mean_ppm"),
+        col("theta_ppm"), col("rho2_ppm"))
+  }
+
+  /** χ²(1) critical value at α = 0.05, floor-scaled to ppm — shared
+    * with the q202 oracle so the constant cannot drift.
+    */
+  val Chi2Crit05Ppm = 3841458L
+
+  /** Two-proportion z-test panel (q202) — the significance readout for
+    * a conversion experiment, in the repo's exact-integer discipline:
+    * z² = (c₁n₂ − c₂n₁)²·n / (n₁·n₂·c·(n−c)) — the algebraic identity
+    * of the pooled two-proportion z statistic squared, so the
+    * significance cut is z²_ppm > [[Chi2Crit05Ppm]] with no square
+    * root and no float variance. Degenerate pools (c = 0 or c = n)
+    * yield NULL and no flag.
+    *
+    * Scale: rides [[abUsers]]'s one fact pass; everything after is a
+    * 2-row aggregation.
+    */
+  def abProportionTest(spark: SparkSession, dir: String): DataFrame =
+    abProportionTestFor(Tables.events(spark, dir))
+
+  def abProportionTestFor(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    val byVariant = abUsers(events)
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"), sum(col("converted")).as("c_v"))
+    val a = byVariant.filter(col("variant") === "A")
+      .select(col("n_v").as("n1"), col("c_v").as("c1"))
+    val b = byVariant.filter(col("variant") === "B")
+      .select(col("n_v").as("n2"), col("c_v").as("c2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("c", col("c1") + col("c2"))
+      .withColumn("z2_ppm", expr(
+        "CASE WHEN c = 0 OR c = n THEN NULL ELSE CAST(" +
+          "(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1) * " +
+          "(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1) * " +
+          "n * 1000000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2 * c * (n - c)) " +
+          "AS BIGINT) END"))
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        expr("c1 * 1000000 DIV n1").as("p1_ppm"),
+        expr("c2 * 1000000 DIV n2").as("p2_ppm"),
+        col("z2_ppm"),
+        expr(s"CASE WHEN z2_ppm IS NULL THEN false " +
+          s"ELSE z2_ppm > $Chi2Crit05Ppm END").as("significant"))
+  }
+
+  /** Poisson(1) CDF thresholds in floor-ppm (weight w for hash-uniform
+    * u: the smallest k with u < P(X ≤ k)·10⁶) — ONE table injected
+    * into both engines, the BenfordPpm pattern.
+    */
+  val PoissonCdfPpm: Seq[Long] = {
+    // P(X ≤ k) = e⁻¹ · Σ_{i≤k} 1/i!
+    val fact = (0 to 8).scanLeft(1L)((a, i) => if (i == 0) 1L else a * i).tail
+    (0 to 8).map { k =>
+      val s = (0 to k).map(i => 1.0 / fact(i)).sum
+      math.floor(math.exp(-1.0) * s * 1000000.0).toLong
+    }
+  }
+
+  /** Bootstrap resample count for [[bootstrapMeans]]. */
+  val BootstrapB = 32
+
+  /** Deterministic Poisson-bootstrap panel (q203) — confidence
+    * machinery without a random number generator: each of
+    * [[BootstrapB]] resamples weights every day by a Poisson(1) draw
+    * DERIVED from a salted hash against the shared [[PoissonCdfPpm]]
+    * thresholds (deterministic, partition-invariant, oracle-
+    * replayable — the md5-bucket discipline applied to resampling).
+    * Output: one row per resample with its effective mass and mean
+    * daily revenue; the spread of the 32 means IS the bootstrap CI of
+    * the mean, read off by rank.
+    *
+    * Scale: the q179 posture — facts collapse to the day relation
+    * once; the B-fold explode runs on days × B (metadata-sized).
+    */
+  def bootstrapMeans(spark: SparkSession, dir: String): DataFrame =
+    bootstrapMeansFor(Tables.orders(spark, dir))
+
+  def bootstrapMeansFor(orders: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(orders.sparkSession)
+    val fn = graft.functions.GraftFunctions.Md5PrefixName
+    val daily = orders
+      .select(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+        .as("day"),
+        Determinism.cents(col("o_totalprice")).as("xc"))
+      .groupBy(col("day")).agg(sum(col("xc")).as("x_c"))
+    val wExpr = PoissonCdfPpm.zipWithIndex.reverse
+      .foldLeft("9") { case (acc, (thr, k)) =>
+        s"CASE WHEN u < $thr THEN $k ELSE $acc END"
+      }
+    daily
+      .select(col("day"), col("x_c"),
+        explode(sequence(lit(0L), lit(BootstrapB - 1L))).as("b"))
+      .withColumn("u", expr(
+        s"$fn(concat(CAST(day AS STRING), '#bs', CAST(b AS STRING)), 8) " +
+          "% 1000000"))
+      .withColumn("w", expr(s"CAST(($wExpr) AS BIGINT)"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(expr("w * x_c")).as("mass_c"))
+      .select(col("b"), col("n_eff"),
+        expr("CASE WHEN n_eff = 0 THEN NULL " +
+          "ELSE CAST(CAST(mass_c AS DECIMAL(38,0)) DIV n_eff AS BIGINT) END")
+          .as("mean_c"))
+  }
+
   /** Rolling window (days) and band width (k sigmas) for [[bandBreach]]. */
   val BandWindowDays = 7
   val BandK = 2L

@@ -100,6 +100,83 @@ class StatsAuditSpec extends AnyFunSuite {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  // events fixture for the experimentation pair: (user, day, type, value)
+  private def events(rows: (Long, Int, String, Double)*) =
+    rows.zipWithIndex.map { case ((u, d, t, v), i) =>
+      (i.toLong, u, d.toLong * 86400L * 1000000000L, t, v)
+    }.toDF("event_id", "user_id", "ts_ns", "event_type", "value")
+
+  private def md5Bucket(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) %
+      1000000L
+  }
+  private def variantOf(u: Long): String =
+    if (md5Bucket(s"$u#ab") < 500000L) "A" else "B"
+
+  test("q201 CUPED: constant outcome gives theta 0 and adj == raw") {
+    // day 2 (1970-01-03) is pre (< 15), day 20 (1970-01-21) is post
+    val rows = (1L to 6L).flatMap(u => Seq(
+      (u, 2, "view", u * 7.0), (u, 20, "view", 50.0)))
+    val out = StatsAudit.cupedAdjustFor(events(rows: _*)).collect()
+    out.foreach { r =>
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L) // theta, rho2
+      assert(r.getLong(2) == r.getLong(3)) // adj == raw
+      assert(r.getLong(2) == 5000000000L) // 5000 cents in ppm
+    }
+  }
+
+  test("q201 CUPED: exact linear outcome is fully explained (rho2 = 1e6)") {
+    val rows = (1L to 8L).flatMap(u => Seq(
+      (u, 2, "view", u * 10.0), (u, 20, "view", u * 30.0)))
+    val out = StatsAudit.cupedAdjustFor(events(rows: _*))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    out.values.foreach { case (_, theta, rho2) =>
+      assert(theta == 3000000L && rho2 == 1000000L)
+    }
+    // y - theta(x - xbar) = 3*xbar for every user → adjusted means agree
+    val adjs = out.values.map(_._1).toSeq
+    assert(math.abs(adjs.head - adjs.last) <= 5L)
+  }
+
+  test("q202 proportion panel replays the hash split and z2 identity") {
+    // conversion = post purchase above ConvertCentsMin
+    val rows = (1L to 10L).flatMap { u =>
+      val post: (Long, Int, String, Double) =
+        if (u % 3 == 0) (u, 20, "purchase", 200.0) // converts
+        else (u, 20, "purchase", 10.0)             // too small
+      Seq((u, 2, "view", 5.0), post)
+    }
+    val r = StatsAudit.abProportionTestFor(events(rows: _*)).collect().head
+    val users = (1L to 10L)
+    val (aU, bU) = users.partition(u => variantOf(u) == "A")
+    def conv(us: Seq[Long]) = us.count(_ % 3 == 0).toLong
+    val (n1, c1, n2, c2) = (aU.size.toLong, conv(aU), bU.size.toLong, conv(bU))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n1, c1, n2, c2)))
+    val (n, c) = (n1 + n2, c1 + c2)
+    val num = BigInt(c1 * n2 - c2 * n1)
+    val z2 = (num * num * n * 1000000L) /
+      (BigInt(n1) * n2 * c * (n - c))
+    assert(r.getLong(6) == z2.toLong)
+  }
+
+  test("q203 bootstrap: constant daily revenue yields constant resample means") {
+    val rows = (1L to 5L).map(d => (d, 250.0))
+    val out = StatsAudit.bootstrapMeansFor(orders(rows: _*)).collect()
+    assert(out.length == StatsAudit.BootstrapB)
+    out.foreach { r =>
+      val nEff = r.getLong(1)
+      assert(nEff >= 0L && nEff <= 9L * 5L)
+      if (!r.isNullAt(2)) assert(r.getLong(2) == 25000L)
+    }
+    // the CDF constants are the floor'd Poisson(1) values
+    assert(StatsAudit.PoissonCdfPpm.head == 367879L)
+    assert(StatsAudit.PoissonCdfPpm(1) == 735758L)
+  }
+
   test("q200 band breach: a spike leaves the trailing band, constants never do") {
     // 8 days at $100 (zero-variance windows → NULL z², no breach),
     // then a $200 spike: window {100×6, 200}, z² = 6 > k² = 4
