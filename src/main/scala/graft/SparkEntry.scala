@@ -329,6 +329,15 @@ object SparkEntry {
     // deterministic Poisson-bootstrap of the mean daily revenue:
     // hash-derived Poisson(1) weights, 32 resamples on the day relation
     "q203_bootstrap_means" -> (graft.operators.StatsAudit.bootstrapMeans _),
+    // mass-weighted corpus deciles on the value-bounded histogram
+    // (where does the BYTE mass live, not the document count)
+    "q204_mass_deciles" -> (graft.operators.TextOps.massWeightedDeciles _),
+    // per-nation top-3 customers via the native bounded-heap aggregate
+    // (graft_topk) — per-group top-k without a window sort
+    "q205_top_customers" -> ((s: SparkSession, d: String) =>
+      Relational.topCustomersPerNation(s, d)),
+    // canonical LISTAGG: deterministic sorted manifest per order
+    "q206_order_manifest" -> (Relational.orderPartManifest _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4186,6 +4195,42 @@ object SparkEntry {
          |    END AS mean_c
          |FROM w GROUP BY 1""".stripMargin
     },
+    // weighted rank on the (n_chars -> count) histogram; pos rule on
+    // the mass total, HUGEINT widened
+    "q204_mass_deciles" ->
+      """WITH h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT n_chars, CAST(n_chars AS HUGEINT) * cnt AS w FROM h),
+        |r AS (SELECT n_chars,
+        |    SUM(w) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+        |    SUM(w) OVER () AS tot_w
+        |  FROM c),
+        |pos AS (SELECT CAST(t.k AS BIGINT) AS decile,
+        |    (MAX(tot_w) OVER () - 1) * t.k // 10 + 1 AS pos, tot_w
+        |  FROM (SELECT DISTINCT tot_w FROM r) x, range(1, 10) t(k))
+        |SELECT pos.decile, CAST(MIN(r.n_chars) AS BIGINT) AS n_chars,
+        |  CAST(MAX(pos.tot_w) AS BIGINT) AS total_mass
+        |FROM r JOIN pos ON r.cum_w >= pos.pos
+        |GROUP BY 1""".stripMargin,
+    // window replay of the bounded-heap contract: rev DESC, custkey ASC
+    "q205_top_customers" ->
+      s"""WITH pc AS (SELECT o.o_custkey, c.c_nationkey,
+         |    ${sumc("o.o_totalprice")} AS rev_c
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2)
+         |SELECT c_nationkey, CAST(rn AS BIGINT) AS rank,
+         |  o_custkey AS custkey, rev_c
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+         |    ORDER BY rev_c DESC, o_custkey ASC) AS rn FROM pc) t
+         |WHERE rn <= 3""".stripMargin,
+    // numeric sort BEFORE stringify — both engines agree on "9,10"
+    "q206_order_manifest" ->
+      """SELECT l_orderkey,
+        |  CAST(len(list_sort(list(DISTINCT l_partkey))) AS BIGINT) AS n_parts,
+        |  array_to_string(list_transform(list_sort(list(DISTINCT l_partkey)),
+        |    x -> CAST(x AS VARCHAR)), ',') AS manifest
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

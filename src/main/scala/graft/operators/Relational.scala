@@ -387,6 +387,51 @@ object Relational {
     * This is what `percentile_approx` trades away: same shuffle count,
     * exact answers.
     */
+  /** Per-group top-k through the native bounded aggregate (q205) —
+    * "top 3 customers by revenue in every nation" WITHOUT a window
+    * sort: [[graft.functions.BoundedTopK]] keeps a k-slot heap per
+    * group through partial aggregation (map-side combine included), so
+    * the per-nation ranking never materializes or sorts the full
+    * customer list — the q123 global form applied per group, and the
+    * scale-preferred replacement for `row_number() ≤ k` when k is
+    * small and groups are hot. Ordering contract (score DESC, id ASC)
+    * matches the window form exactly; the oracle replays it as
+    * row_number to certify that parity.
+    */
+  def topCustomersPerNation(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .join(Tables.customer(spark, dir).select(
+        col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    perCust
+      .groupBy(col("c_nationkey"))
+      .agg(expr(s"${graft.functions.GraftFunctions.TopKName}(rev_c, o_custkey, $k)")
+        .as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("custkey"), col("col.score").as("rev_c"))
+  }
+
+  /** Sorted manifest string per order (q206) — the canonical LISTAGG
+    * surface: the distinct part keys of each order joined into one
+    * deterministic comma string (numeric sort BEFORE stringify, so
+    * "9,10" never becomes "10,9" or "10" < "9" lexicographics). The
+    * per-group list is basket-bounded (TPC-H ≤ 7 parts), so the
+    * collect_set is safe at any corpus size — the same boundedness
+    * argument as q183's baskets.
+    */
+  def orderPartManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("sort_array(collect_set(l_partkey))").as("ps"))
+      .select(col("l_orderkey"),
+        size(col("ps")).cast("long").as("n_parts"),
+        expr("array_join(transform(ps, x -> CAST(x AS STRING)), ',')")
+          .as("manifest"))
+
   /** Small-lot revenue screen (q193) — the TPC-H Q17 pattern: revenue
     * locked up in lineitems whose quantity is below 20% of their
     * part's average, the correlated-scalar-subquery shape every SQL

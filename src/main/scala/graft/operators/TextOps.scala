@@ -618,6 +618,39 @@ object TextOps {
         expr("sur_sum DIV n_bg").as("avg_surprisal_ppm"))
   }
 
+  /** Mass-weighted corpus deciles (q204) — "half the corpus BYTES live
+    * in documents longer than X": deciles of document length weighted
+    * by the length itself (char mass), the statistic that sizes
+    * chunking/packing budgets where the PLAIN decile (q71's rule)
+    * answers the wrong question — most documents are short, but most
+    * mass is in the long tail. Same histogram discipline as q187/q192:
+    * the weighted rank runs on the value-bounded (n_chars → count)
+    * relation, position rule pos_k = (W−1)·k DIV 10 + 1 on the mass
+    * total W, decile value = min length with cumulative mass ≥ pos.
+    */
+  def massWeightedDeciles(spark: SparkSession, dir: String): DataFrame =
+    massWeightedDecilesFor(Tables.documents(spark, dir))
+
+  def massWeightedDecilesFor(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", expr("CAST(n_chars AS DECIMAL(38,0)) * cnt"))
+    val byV = Window.orderBy(col("n_chars"))
+    val cum = hist
+      .withColumn("cum_w", sum(col("w")).over(
+        byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_w", sum(col("w")).over(Window.partitionBy()))
+    val positions = cum.select(col("tot_w")).distinct()
+      .select(col("tot_w"), explode(sequence(lit(1L), lit(9L))).as("decile"))
+      .select(col("decile"),
+        expr("(tot_w - 1) * decile DIV 10 + 1").as("pos"))
+    cum.join(broadcast(positions), col("cum_w") >= col("pos"))
+      .groupBy(col("decile"))
+      .agg(min(col("n_chars")).as("n_chars"),
+        max(col("tot_w")).cast("long").as("total_mass"))
+  }
+
   /** Cross-source quantile normalization (q187) — the calibration step
     * between per-source scoring and a GLOBAL quality threshold: raw
     * score distributions differ by source (a forum and an encyclopedia

@@ -105,6 +105,53 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == (1L to 9L).map(k => k -> k).toMap)
   }
 
+  test("q204 mass deciles: a heavy tail owns every mass decile") {
+    import spark.implicits._
+    // 9 docs of length 1 + 1 doc of length 91: mass 100, every decile
+    // position (10..90) falls inside the long doc's mass
+    val docs = ((1L to 9L).map(i => (i, 1L)) :+ ((10L, 91L)))
+      .toDF("doc_id", "n_chars")
+    val out = graft.operators.TextOps.massWeightedDecilesFor(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 9)
+    (1L to 9L).foreach(k => assert(out(k) == ((91L, 100L)), s"decile $k"))
+  }
+
+  test("q205 bounded-heap top-k agrees with the window form, ties to low id") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.Relational.topCustomersPerNation(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val perCust = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(graft.operators.Determinism.cents(col("o_totalprice")))
+        .as("rev_c"))
+      .join(graft.sources.Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val ref = perCust.withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("rev_c").desc, col("o_custkey").asc)))
+      .filter(col("rn") <= 3)
+      .collect().map(r =>
+        (r.getAs[Number]("c_nationkey").longValue,
+          r.getAs[Number]("rn").longValue) ->
+        (r.getAs[Long]("o_custkey"), r.getAs[Long]("rev_c"))).toMap
+    assert(got == ref)
+  }
+
+  test("q206 manifests are numerically sorted and sized") {
+    val rows = graft.operators.Relational.orderPartManifest(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getString(2).split(",").map(_.toLong).toSeq
+      assert(parts.size.toLong == r.getLong(1))
+      assert(parts == parts.sorted)
+    }
+  }
+
   test("q193 small lots: exact-integer 0.2-average cut on a hand part") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
