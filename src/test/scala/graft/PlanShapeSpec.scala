@@ -810,6 +810,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window over facts:\n${p.take(2000)}")
   }
 
+  test("q205 per-group top-k: the bounded heap replaces the window sort") {
+    val p = plan(graft.operators.Relational.topCustomersPerNation(spark, sf))
+    assert(!p.contains("Window"), s"no window operator:\n${p.take(2000)}")
+    // the heap aggregate must run with a partial (map-side) phase
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed-imperative aggregate expected:\n${p.take(2000)}")
+  }
+
+  test("q190 PIT enrichment: one user-keyed window, no join") {
+    val p = plan(graft.operators.EventsOps.pitEnrichment(spark, sf))
+    assertNoJoin(p, "pitEnrichment")
+  }
+
+  test("q203 bootstrap: fact agg once, explode on the day relation") {
+    val p = plan(graft.operators.StatsAudit.bootstrapMeans(spark, sf))
+    assertNoJoin(p, "bootstrapMeans")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      s"facts scanned once:\n${p.take(2000)}")
+  }
+
   test("q173 JL projection is a pure map — no join, no shuffle") {
     val p = plan(Similarity.jlProjectionChecksums(spark, sf))
     assertNoJoin(p, "jlProjectionChecksums")
