@@ -338,6 +338,50 @@ object SparkEntry {
       Relational.topCustomersPerNation(s, d)),
     // canonical LISTAGG: deterministic sorted manifest per order
     "q206_order_manifest" -> (Relational.orderPartManifest _),
+    // multi-source BFS hop trajectory over the shared co-supply graph
+    // — the traversal sixth of the graph family; per-round frontier
+    // size, cumulative reach, and a bit_xor membership witness
+    "q207_bfs_reach" -> (graft.operators.GraphOps.bfsReach _),
+    // cross-document boilerplate density: share of each doc's distinct
+    // 3-token shingles recurring in >= BoilerMinDf docs, exact ppm —
+    // rides the shared hashed-shingle relation, two keyed shuffles
+    "q208_boilerplate_density" -> (graft.operators.TextOps.boilerplateDensity _),
+    // DP release of per-(source, lang) counts: geometric mechanism
+    // (ratio 1/2, eps = ln 2) with deterministic hash-derived noise —
+    // trailing-zero geometric + hash sign bit, exact on both engines
+    "q209_dp_noisy_counts" -> (graft.quality.PrivacyAudit.dpNoisyCounts _),
+    // exact rolling 7-day actives per day: (user, day) grid expanded
+    // by a constant <=7x sequence explode, never a corpus window —
+    // sliding distinct counts don't decompose, so this is its own op
+    "q210_rolling_actives" -> (graft.operators.EventsOps.rollingActives _),
+    // calendar gaps-and-islands: maximal consecutive-day streaks via
+    // the day - row_number constant-key trick, histogram output
+    "q211_day_streaks" -> (graft.operators.EventsOps.dayStreaks _),
+    // mergeSchema reconciliation over two staged snapshot versions
+    // (add/drop column pair): per-version presence + value checksums
+    "q212_schema_evolution" -> (graft.lake.SchemaEvolution.mergedReadAudit _),
+    // deequ-shaped declarative contract suite: one agg pass per table,
+    // constraints fan out as explode of structs off the 1-row aggregate
+    "q213_contract_audit" -> (graft.quality.Contracts.contractAudit _),
+    // sketch-cube rolling actives: per-day KMV min-k sketches merged
+    // per trailing window (exact merge algebra), estimate audited
+    // against the q210 exact panel at the 3-sigma bound
+    "q214_kmv_rolling" -> (graft.operators.Sketches.kmvRollingActives _),
+    // weekday-seasonal residual outliers: daily revenue vs its OWN
+    // weekday's exact doubled median, MAD-scaled flag — the seasonal
+    // completion of the anomaly family (q179 shifts, q200 excursions)
+    "q215_seasonal_residuals" -> (graft.operators.StatsAudit.seasonalResiduals _),
+    // executed compaction under the gate: stage 16 shards/year, rewrite
+    // every partition to the row-law width through the atomic swap,
+    // grade the real listing + footer rows + content checksum
+    "q216_compaction_exec" -> (graft.lake.Compaction.execRowsAudit _),
+    // weekly top-k parts with week-over-week rank memory (bounded-heap
+    // aggregate per week, calendar-bounded drift join)
+    "q217_topk_drift" -> ((s: SparkSession, d: String) =>
+      Relational.weeklyTopkDrift(s, d)),
+    // CSV round-trip fidelity with injected separator/quote/newline
+    // hazards — the q153 gate shape across the RFC 4180 boundary
+    "q218_csv_roundtrip" -> (graft.sources.CsvLake.roundtripAudit _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4231,6 +4275,287 @@ object SparkEntry {
         |  array_to_string(list_transform(list_sort(list(DISTINCT l_partkey)),
         |    x -> CAST(x AS VARCHAR)), ',') AS manifest
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // fixed-hop BFS unrolled as chained CTEs over the shared co-supply
+    // graph; frontier = new distinct neighbors minus the reached set
+    "q207_bfs_reach" -> {
+      import graft.operators.GraphOps.{BfsHops, BfsSeeds}
+      def hopCtes(h: Int): String =
+        s"""f_$h AS MATERIALIZED (SELECT DISTINCT adj.nb AS s
+           |  FROM adj JOIN f_${h - 1} f ON adj.s = f.s
+           |  WHERE adj.nb NOT IN (SELECT s FROM r_${h - 1})),
+           |r_$h AS MATERIALIZED (SELECT s FROM r_${h - 1}
+           |  UNION SELECT s FROM f_$h)""".stripMargin
+      def statSelect(h: Int): String =
+        s"""SELECT CAST($h AS BIGINT) AS round,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f_$h) AS n_frontier,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r_$h) AS n_reached,
+           |  (SELECT CAST(BIT_XOR(s) AS BIGINT) FROM f_$h) AS frontier_xor"""
+          .stripMargin
+      val hs = 1 to BfsHops
+      s"""WITH $coSupplyCtes,
+         |adj AS MATERIALIZED (SELECT a AS s, b AS nb FROM edges
+         |  UNION ALL SELECT b AS s, a AS nb FROM edges),
+         |f_0 AS MATERIALIZED (SELECT DISTINCT s FROM adj ORDER BY s LIMIT $BfsSeeds),
+         |r_0 AS MATERIALIZED (SELECT s FROM f_0),
+         |${hs.map(hopCtes).mkString(",\n")}
+         |${(0 +: hs).map(statSelect).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // df on the SAME 60-bit shingle hash the Spark side keys on; ppm
+    // floor-div over the per-doc distinct-shingle count
+    "q208_boilerplate_density" -> {
+      val minDf = graft.operators.TextOps.BoilerMinDf
+      s"""WITH $shingleCte,
+         |hsh AS (SELECT doc_id, n_sh, $shashSql AS shash FROM sh),
+         |dfreq AS MATERIALIZED (SELECT shash, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM hsh GROUP BY 1)
+         |SELECT doc_id, n_sh,
+         |  CAST(SUM(CASE WHEN df >= $minDf THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  CAST(SUM(CASE WHEN df >= $minDf THEN 1 ELSE 0 END) * 1000000
+         |    // n_sh AS BIGINT) AS boiler_ppm
+         |FROM hsh JOIN dfreq USING (shash)
+         |GROUP BY 1, 2""".stripMargin
+    },
+    // same md5-derived trailing-zero geometric draw; DuckDB spells
+    // bitwise xor as xor() (its ^ is POWER)
+    "q209_dp_noisy_counts" -> {
+      import graft.quality.PrivacyAudit.{DpNoiseBits, DpSalt}
+      val m = 1L << DpNoiseBits
+      s"""WITH g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true
+         |  FROM documents GROUP BY 1, 2),
+         |h AS (SELECT source, lang, n_true,
+         |  CAST(concat('0x', substr(md5('$DpSalt:' || source || ':' || lang),
+         |    1, 12)) AS BIGINT) AS fp FROM g),
+         |t AS (SELECT source, lang, n_true,
+         |  CASE WHEN fp % $m = 0 THEN $DpNoiseBits
+         |    ELSE CAST(bit_count(xor(fp % $m, fp % $m - 1)) AS BIGINT) - 1
+         |    END AS tz,
+         |  (fp // $m) % 2 AS sgn FROM h),
+         |n AS (SELECT source, lang, n_true,
+         |  CASE WHEN sgn = 1 THEN tz ELSE -tz END AS noise FROM t)
+         |SELECT source, lang, n_true, noise,
+         |  CAST(GREATEST(0, n_true + noise) AS BIGINT) AS noisy_n
+         |FROM n""".stripMargin
+    },
+    // the same constant-bounded window expansion of the (user, day)
+    // grid, replayed with a range() lateral
+    "q210_rolling_actives" -> {
+      val w = graft.operators.EventsOps.ActiveWindowDays
+      s"""WITH grid AS (SELECT DISTINCT user_id,
+         |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+         |mx AS (SELECT MAX(day) AS max_day FROM grid),
+         |ex AS (SELECT DISTINCT user_id, day + k AS day
+         |  FROM grid, range(0, $w) t(k), mx WHERE day + k <= max_day),
+         |w7 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active_7d
+         |  FROM ex GROUP BY 1),
+         |d1 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active_1d
+         |  FROM grid GROUP BY 1)
+         |SELECT w7.day, w7.n_active_7d,
+         |  CAST(COALESCE(d1.n_active_1d, 0) AS BIGINT) AS n_active_1d
+         |FROM w7 LEFT JOIN d1 USING (day)""".stripMargin
+    },
+    // same island key (day - row_number) over the deduped grid
+    "q211_day_streaks" ->
+      """WITH grid AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |s AS (SELECT user_id, day - ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY day) AS isl FROM grid),
+        |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len
+        |  FROM s GROUP BY user_id, isl)
+        |SELECT streak_len, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM st GROUP BY 1""".stripMargin,
+    // the oracle PREDICTS the merged read from the source table: v1 =
+    // even keys (priority, no year), v2 = odd keys (year, no priority)
+    "q212_schema_evolution" ->
+      s"""WITH o AS (SELECT o_orderkey AS id,
+         |    ${cents("o_totalprice")} AS price_c,
+         |    CAST(year(o_orderdate) AS BIGINT) AS y FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_price,
+         |  CAST(COUNT(*) AS BIGINT) AS n_priority,
+         |  CAST(0 AS BIGINT) AS n_year,
+         |  CAST(SUM(price_c) AS BIGINT) AS price_sum_c,
+         |  CAST(0 AS BIGINT) AS year_sum
+         |FROM o WHERE id % 2 = 0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |  CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(COUNT(*) AS BIGINT), CAST(SUM(price_c) AS BIGINT),
+         |  CAST(SUM(y) AS BIGINT)
+         |FROM o WHERE id % 2 = 1""".stripMargin,
+    // each constraint measured in the same one-pass aggregate shape
+    "q213_contract_audit" ->
+      """WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ok_unique,
+        |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ok_complete,
+        |    CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_pattern,
+        |    CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_domain
+        |  FROM orders),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_qty,
+        |    CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_disc,
+        |    CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_flag,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ok_ship
+        |  FROM lineitem)
+        |SELECT 'c1_orderkey_unique' AS constraint_id, 'orders' AS tbl,
+        |  'o_orderkey' AS col_name, 'unique' AS kind, n AS n_rows,
+        |  ok_unique AS n_ok, CAST(ok_unique * 1000000 // n AS BIGINT) AS ok_ppm,
+        |  ok_unique = n AS pass FROM o
+        |UNION ALL SELECT 'c2_custkey_complete', 'orders', 'o_custkey',
+        |  'complete', n, ok_complete,
+        |  CAST(ok_complete * 1000000 // n AS BIGINT), ok_complete = n FROM o
+        |UNION ALL SELECT 'c3_priority_pattern', 'orders', 'o_orderpriority',
+        |  'pattern', n, ok_pattern,
+        |  CAST(ok_pattern * 1000000 // n AS BIGINT), ok_pattern = n FROM o
+        |UNION ALL SELECT 'c4_status_domain', 'orders', 'o_orderstatus',
+        |  'domain', n, ok_domain,
+        |  CAST(ok_domain * 1000000 // n AS BIGINT), ok_domain = n FROM o
+        |UNION ALL SELECT 'c5_quantity_range', 'lineitem', 'l_quantity',
+        |  'range', n, ok_qty,
+        |  CAST(ok_qty * 1000000 // n AS BIGINT), ok_qty = n FROM l
+        |UNION ALL SELECT 'c6_discount_range', 'lineitem', 'l_discount',
+        |  'range', n, ok_disc,
+        |  CAST(ok_disc * 1000000 // n AS BIGINT), ok_disc = n FROM l
+        |UNION ALL SELECT 'c7_returnflag_domain', 'lineitem', 'l_returnflag',
+        |  'domain', n, ok_flag,
+        |  CAST(ok_flag * 1000000 // n AS BIGINT), ok_flag = n FROM l
+        |UNION ALL SELECT 'c8_shipdate_complete', 'lineitem', 'l_shipdate',
+        |  'complete', n, ok_ship,
+        |  CAST(ok_ship * 1000000 // n AS BIGINT), ok_ship = n FROM l"""
+        .stripMargin,
+    // per-day min-k sketches, window merge by re-taking min-k of the
+    // union, estimate vs the exact q210 panel at the 3-sigma bound
+    "q214_kmv_rolling" -> {
+      import graft.operators.EventsOps.ActiveWindowDays
+      import graft.operators.Sketches.{KmvRollBoundPpm, KmvRollK}
+      s"""WITH grid AS (SELECT DISTINCT user_id,
+         |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+         |mx AS (SELECT MAX(day) AS max_day FROM grid),
+         |hv AS (SELECT DISTINCT day,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) AS hv FROM grid),
+         |ds AS (SELECT day, hv FROM (SELECT day, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv ASC) AS rn
+         |  FROM hv) t WHERE rn <= $KmvRollK),
+         |wx AS (SELECT DISTINCT day + kk AS day, hv
+         |  FROM ds, range(0, $ActiveWindowDays) t(kk), mx
+         |  WHERE day + kk <= max_day),
+         |ws AS (SELECT day, hv, ROW_NUMBER() OVER (
+         |    PARTITION BY day ORDER BY hv ASC) AS rn FROM wx),
+         |sk AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    CAST(MAX(hv) AS BIGINT) AS h_k
+         |  FROM ws WHERE rn <= $KmvRollK GROUP BY 1),
+         |e1 AS (SELECT DISTINCT user_id, day + kk AS day
+         |  FROM grid, range(0, $ActiveWindowDays) t(kk), mx
+         |  WHERE day + kk <= max_day),
+         |ex AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_exact_7d
+         |  FROM e1 GROUP BY 1),
+         |est AS (SELECT sk.day, ex.n_exact_7d, sk.n_kept, sk.h_k,
+         |    CAST(CASE WHEN sk.n_kept < $KmvRollK THEN sk.n_kept
+         |      ELSE (sk.n_kept - 1) * 4294967296 // greatest(sk.h_k, 1)
+         |      END AS BIGINT) AS est_7d
+         |  FROM sk JOIN ex ON sk.day = ex.day)
+         |SELECT day, n_exact_7d, n_kept, h_k, est_7d,
+         |  CAST(abs(est_7d - n_exact_7d) * 1000000 // n_exact_7d AS BIGINT)
+         |    AS err_ppm,
+         |  (abs(est_7d - n_exact_7d) * 1000000 // n_exact_7d)
+         |    <= $KmvRollBoundPpm AS kmv_ok
+         |FROM est""".stripMargin
+    },
+    // per-dow doubled median + doubled MAD replayed with the same
+    // row_number positions; flag law 2*dev2 > K*mad4
+    "q215_seasonal_residuals" -> {
+      val k = graft.operators.StatsAudit.SeasonalMadK
+      s"""WITH daily AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400
+         |      AS day, ${sumc("o_totalprice")} AS x_c
+         |  FROM orders GROUP BY 1),
+         |d AS (SELECT day, x_c, (day + 3) % 7 AS dow FROM daily),
+         |m1 AS (SELECT day, x_c, dow,
+         |    ROW_NUMBER() OVER (PARTITION BY dow ORDER BY x_c, day) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS n FROM d),
+         |med AS (SELECT dow,
+         |    CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN x_c END) +
+         |      MIN(CASE WHEN rn = (n + 2) // 2 THEN x_c END) AS BIGINT)
+         |      AS med2_c
+         |  FROM m1 GROUP BY 1),
+         |dev AS (SELECT d.day, d.x_c, d.dow, med.med2_c,
+         |    abs(d.x_c * 2 - med.med2_c) AS dev2_c
+         |  FROM d JOIN med USING (dow)),
+         |m2 AS (SELECT dow, dev2_c,
+         |    ROW_NUMBER() OVER (PARTITION BY dow ORDER BY dev2_c, day) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS n FROM dev),
+         |mad AS (SELECT dow,
+         |    CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN dev2_c END) +
+         |      MIN(CASE WHEN rn = (n + 2) // 2 THEN dev2_c END) AS BIGINT)
+         |      AS mad4_c
+         |  FROM m2 GROUP BY 1)
+         |SELECT dev.day, dev.dow, dev.x_c, dev.med2_c,
+         |  CAST(dev.x_c * 2 - dev.med2_c AS BIGINT) AS resid2_c,
+         |  dev.dev2_c * 2 > $k * mad.mad4_c AS is_outlier
+         |FROM dev JOIN mad USING (dow)""".stripMargin
+    },
+    // the oracle predicts the POST-compaction filesystem: shard rule
+    // for files_before, ceil-div law for target AND files_after, and
+    // the content checksum the rewrite must preserve
+    "q216_compaction_exec" -> {
+      import graft.lake.Compaction.{RowsPerFileTarget, SmallFileShards}
+      val target =
+        s"greatest(1, (COUNT(*) + $RowsPerFileTarget - 1) // $RowsPerFileTarget)"
+      s"""WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         |    o_orderkey,
+         |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % $SmallFileShards AS shard
+         |  FROM orders)
+         |SELECT year,
+         |  CAST(COUNT(DISTINCT shard) AS BIGINT) AS files_before,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST($target AS BIGINT) AS target_files,
+         |  CAST($target AS BIGINT) AS files_after,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+         |  CAST(BIT_XOR(o_orderkey) AS BIGINT) AS id_xor
+         |FROM o GROUP BY 1""".stripMargin
+    },
+    // window replay of the bounded-heap law (qty DESC, partkey ASC),
+    // then the same calendar-shift self-join with -1 sentinels
+    "q217_topk_drift" -> {
+      val k = graft.operators.Relational.TrendK
+      s"""WITH pw AS (SELECT CAST(epoch(l_shipdate) AS BIGINT) // 604800
+         |      AS week, l_partkey,
+         |    ${sumc("l_quantity")} AS qty_c
+         |  FROM lineitem GROUP BY 1, 2),
+         |tp AS (SELECT week, CAST(rn AS BIGINT) AS rank,
+         |    l_partkey AS partkey, qty_c
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY week
+         |      ORDER BY qty_c DESC, l_partkey ASC) AS rn FROM pw) t
+         |  WHERE rn <= $k)
+         |SELECT tp.week, tp.rank, tp.partkey, tp.qty_c,
+         |  CAST(COALESCE(pv.rank, -1) AS BIGINT) AS prev_rank,
+         |  CAST(CASE WHEN pv.rank IS NULL THEN 0
+         |    ELSE pv.rank - tp.rank END AS BIGINT) AS delta
+         |FROM tp LEFT JOIN tp pv
+         |  ON pv.week + 1 = tp.week AND pv.partkey = tp.partkey"""
+        .stripMargin
+    },
+    // the oracle aggregates the parquet table it never exported, with
+    // the same hazard suffix injected (chr() spells quote + newline)
+    "q218_csv_roundtrip" ->
+      """WITH h AS (SELECT doc_id, source, lang,
+        |    text || ' x,' || chr(34) || 'y' || chr(10) || 'z' AS text
+        |  FROM documents)
+        |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(length(text)) AS BIGINT) AS len_sum,
+        |  CAST(BIT_XOR(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS text_fp_xor
+        |FROM h GROUP BY 1, 2""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

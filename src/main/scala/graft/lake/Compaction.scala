@@ -157,4 +157,76 @@ object Compaction {
     spark.createDataFrame(rows)
       .toDF("year", "n_files", "n_rows", "target_files", "worth_compacting")
   }
+
+  /** Staging dir for the q216 executed-compaction table (q156 rule). */
+  def q216StagingDir(spark: SparkSession, dir: String): String =
+    s"/tmp/graft_q216_lake/${spark.sparkContext.applicationId}/" +
+      new java.io.File(dir).getName
+
+  /** Executed-compaction audit (q216) — q156 PLANS the rewrite, this
+    * RUNS it and grades the outcome: stage the same 16-shards-per-year
+    * fragmented table, rewrite EVERY year partition to the row-law
+    * width (`repartition(target)` — explicit, so AQE never coalesces
+    * it) through the [[AtomicPartitionWriter]] swap, then read the
+    * REAL filesystem back. The oracle predicts the whole panel from
+    * the source table: files_before from the md5 shard rule, the
+    * target from the ceil-div law, files_after = target (a writer that
+    * drops, doubles, or mis-bins a file breaks the gate), and content
+    * preservation via per-year row counts and a bit_xor key checksum
+    * computed from the POST-compaction table.
+    *
+    * Scale: per-partition rewrites are independent jobs over one
+    * partition's data each; listing and footer reads are driver-side
+    * metadata IO (overlapped futures, the q156 lesson); the checksum
+    * pass is one scan of the compacted table.
+    */
+  def execRowsAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val tableDir = q216StagingDir(spark, dir)
+    graft.sources.Tables.orders(spark, dir)
+      .withColumn("year", year(col("o_orderdate")).cast("long"))
+      .withColumn("shard", expr(
+        s"${graft.functions.GraftFunctions.Md5PrefixName}(" +
+          s"CAST(o_orderkey AS STRING), 8) % $SmallFileShards"))
+      .repartition(col("year"), col("shard"))
+      .write.mode("overwrite").partitionBy("year", "shard").parquet(tableDir)
+    val lakeFs = LakeFs.forSpark(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writer = new AtomicPartitionWriter(lakeFs, spark)
+    def countFooterRows(partDir: String): (Long, Long) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val files = lakeFs.lsRecursive(partDir).filter(_.endsWith(".parquet"))
+      val n = Await.result(Future.traverse(files) { f => Future {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }}, Duration.Inf).sum
+      (files.size.toLong, n)
+    }
+    val years = new Compaction(lakeFs, spark).plan(tableDir, Long.MaxValue)
+      .filter(_.partition.matches(".*year=\\d+$"))
+      .map(_.partition.replaceAll(".*year=", "").toLong)
+    val panel = years.map { y =>
+      val part = s"$tableDir/year=$y"
+      val (filesBefore, nRows) = countFooterRows(part)
+      val target = targetFilesFor(nRows, RowsPerFileTarget)
+      // rewrite keeps `shard` as a plain data column so the compacted
+      // table has ONE uniform layout (year=... dirs of flat files)
+      writer.write(spark.read.parquet(part).repartition(target.toInt),
+        tableDir, y.toInt)
+      val (filesAfter, _) = countFooterRows(part)
+      (y, filesBefore, nRows, target, filesAfter)
+    }
+    val checks = spark.read.parquet(tableDir)
+      .groupBy(col("year"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows_after"),
+        expr("bit_xor(o_orderkey)").as("id_xor"))
+    spark.createDataFrame(panel)
+      .toDF("year", "files_before", "n_rows", "target_files", "files_after")
+      .join(checks, Seq("year"))
+  }
 }

@@ -465,6 +465,80 @@ object EventsOps {
         sum(col("w_c")).as("decayed_c"))
   }
 
+  /** Trailing-window length (days) for the q210 rolling-actives panel. */
+  val ActiveWindowDays = 7
+
+  /** Rolling 7-day active users per day (q210) — the WAU/DAU
+    * engagement panel: for every day up to the corpus horizon, the
+    * EXACT count of users active in the trailing [[ActiveWindowDays]]
+    * days, alongside that day's 1-day actives. Sliding distinct counts
+    * do NOT decompose (7-day actives ≠ sum of dailies), which is what
+    * makes this its own operator rather than a window over q21.
+    *
+    * Spark-first shape: dedupe to the (user, day) grid (≪ events),
+    * then CONTRIBUTE each activity day to the ≤ [[ActiveWindowDays]]
+    * windows it can serve via an integer `sequence` explode — a
+    * constant-bounded expansion of the grid, NOT of the fact table —
+    * dedupe (user, window) and count per window. Two keyed shuffles
+    * over grid-sized relations; the only broadcast is the 1-row
+    * horizon; no corpus-wide window function, no per-day rescan. The
+    * same plan holds at 100 TB because the expansion factor is the
+    * window length, independent of data volume.
+    */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame =
+    rollingActivesFor(Tables.events(spark, dir))
+
+  def rollingActivesFor(events: DataFrame): DataFrame = {
+    val dayNs = 86400000000000L
+    val grid = events
+      .select(col("user_id"), expr(s"ts_ns DIV $dayNs").as("day"))
+      .distinct()
+    val horizon = grid.agg(max(col("day")).as("max_day"))
+    val windows = grid
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${ActiveWindowDays - 1})"))
+          .as("day"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") <= col("max_day"))
+      .select(col("user_id"), col("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active_7d"))
+    val daily = grid.groupBy(col("day")).agg(count(lit(1)).as("n_active_1d"))
+    windows.join(daily, Seq("day"), "left_outer")
+      .na.fill(0L, Seq("n_active_1d"))
+  }
+
+  /** Consecutive-day activity streaks (q211) — the gaps-and-islands
+    * shape, distinct from q46's time-gap sessionization: islands live
+    * on the CALENDAR grid (a streak breaks when a whole day is
+    * missed), found with the classic day − row_number() constant-key
+    * trick, no gap parameter and no lag comparison chain. Output is
+    * the streak-length histogram: how many maximal streaks of each
+    * length exist and how many users own one — the habit-formation
+    * panel engagement teams read weekly.
+    *
+    * Scale: one user-keyed shuffle for the in-partition window over
+    * the deduped (user, day) grid, then a histogram aggregation on the
+    * streak relation (≤ grid-sized). No corpus-wide window, no joins.
+    */
+  def dayStreaks(spark: SparkSession, dir: String): DataFrame =
+    dayStreaksFor(Tables.events(spark, dir))
+
+  def dayStreaksFor(events: DataFrame): DataFrame = {
+    val dayNs = 86400000000000L
+    val grid = events
+      .select(col("user_id"), expr(s"ts_ns DIV $dayNs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    grid
+      .withColumn("isl", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy(col("streak_len"))
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Event types that define the SCD state in [[pitEnrichment]]. */
   val PitStateTypes = Seq("signup", "purchase", "error")
 

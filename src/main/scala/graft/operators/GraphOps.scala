@@ -342,6 +342,72 @@ object GraphOps {
     stats.reduce(_.unionByName(_))
   }
 
+  /** Seed-set size for the q207 multi-source BFS: the [[BfsSeeds]]
+    * smallest node ids of the co-supply node set — a deterministic,
+    * scale-independent rule (TakeOrdered on a node-sized relation,
+    * never a full sort).
+    */
+  val BfsSeeds = 4
+
+  /** Fixed hop count the graded BFS (q207) unrolls — the q154/q178
+    * fixed-round discipline: deterministic, SQL-replayable, and the
+    * trajectory itself shows saturation (empty frontiers) instead of
+    * hiding it behind a data-dependent loop.
+    */
+  val BfsHops = 4
+
+  /** Multi-source BFS hop trajectory (q207) — the TRAVERSAL sixth of
+    * the graph family (labels q70, values q154, motifs q176, cores
+    * q178, communities q189): from the [[BfsSeeds]] smallest co-supply
+    * nodes, expand one hop per round; output per round the frontier
+    * size (newly reached nodes), the cumulative reach, and a bit_xor
+    * witness of the frontier's membership. Hop histograms from fixed
+    * seed sets are the reachability / influence-radius signal curation
+    * uses on link graphs (how much of the crawl is within h hops of
+    * the trusted seed hosts — the TrustRank neighborhood question).
+    *
+    * Scale design: each round is one semi-join of the adjacency
+    * relation against the (node-sized, shrinking-growth) frontier,
+    * one distinct, and one anti-join against the reached set — all
+    * keyed shuffles, no broadcast of data-sized relations; frontier
+    * and reached are checkpointed per round (the q154/q178 lineage
+    * discipline; reliable dir optional). The adjacency relation is
+    * materialized once and reused by every round.
+    */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame =
+    bfsReachFor(coSupplyEdges(Tables.lineitem(spark, dir)))
+
+  def bfsReachFor(edges0: DataFrame, hops: Int = BfsHops,
+      seeds: Int = BfsSeeds, checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = Dedup.checkpointer(edges0.sparkSession, checkpointDir)
+    val edges = ckpt(edges0)
+    val adj = ckpt(edges.select(col("a").as("s"), col("b").as("nb"))
+      .unionByName(edges.select(col("b").as("s"), col("a").as("nb"))))
+    // TakeOrdered: a bounded heap per partition + a seeds-sized merge,
+    // never a global sort of the node relation
+    var frontier = ckpt(adj.select(col("s")).distinct()
+      .orderBy(col("s")).limit(seeds))
+    var reached = frontier
+    def statRow(round: Int, f: DataFrame, r: DataFrame): DataFrame =
+      f.agg(count(lit(1)).as("n_frontier"),
+          expr("bit_xor(s)").as("frontier_xor"))
+        .crossJoin(broadcast(r.agg(count(lit(1)).as("n_reached"))))
+        .select(lit(round.toLong).as("round"), col("n_frontier"),
+          col("n_reached"), col("frontier_xor"))
+    val rows = Seq.newBuilder[DataFrame]
+    rows += statRow(0, frontier, reached)
+    for (h <- 1 to hops) {
+      val next = ckpt(adj
+        .join(frontier, Seq("s"), "left_semi")
+        .select(col("nb").as("s")).distinct()
+        .join(reached, Seq("s"), "left_anti"))
+      reached = ckpt(reached.unionByName(next))
+      frontier = next
+      rows += statRow(h, frontier, reached)
+    }
+    rows.result().reduce(_.unionByName(_))
+  }
+
   /** Fixed synchronous rounds the graded LPA query (q189) unrolls. */
   val LpaRounds = 4
 

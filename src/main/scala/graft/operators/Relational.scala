@@ -415,6 +415,52 @@ object Relational {
         col("col.id").as("custkey"), col("col.score").as("rev_c"))
   }
 
+  /** Weekly top-k size for [[weeklyTopkDrift]]. */
+  val TrendK = 10
+
+  /** Weekly top-k rank drift (q217) — the trending panel: each ship
+    * week's top [[TrendK]] parts by shipped quantity, annotated with
+    * the SAME part's rank in the PREVIOUS week (−1 when it just
+    * entered) and the rank movement — the what's-rising/what-dropped
+    * surface every operational dashboard carries on top of plain
+    * heavy hitters (q75 is corpus-global; this is per-period with
+    * memory).
+    *
+    * Scale: per-(week, part) quantities are one fact-keyed
+    * aggregation; each week's top-k rides the native bounded-heap
+    * aggregate ([[graft.functions.BoundedTopK]] — no per-week window
+    * sort over the part relation), and the week-over-week join is
+    * between two (weeks × k) relations — calendar-bounded, so the
+    * previous-week side broadcasts at any data volume.
+    */
+  def weeklyTopkDrift(spark: SparkSession, dir: String): DataFrame =
+    weeklyTopkDriftFor(spark, Tables.lineitem(spark, dir))
+
+  def weeklyTopkDriftFor(spark: SparkSession, li: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val perWeek = li
+      .select(expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) DIV 604800")
+        .as("week"),
+        col("l_partkey"), cents(col("l_quantity")).as("q_c"))
+      .groupBy(col("week"), col("l_partkey"))
+      .agg(sum(col("q_c")).as("qty_c"))
+    val top = perWeek
+      .groupBy(col("week"))
+      .agg(expr(s"${graft.functions.GraftFunctions.TopKName}(" +
+        s"qty_c, l_partkey, $TrendK)").as("top"))
+      .select(col("week"), posexplode(col("top")))
+      .select(col("week"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("partkey"), col("col.score").as("qty_c"))
+    val prev = top.select((col("week") + 1L).as("week"), col("partkey"),
+      col("rank").as("prev_rank"))
+    top.join(broadcast(prev), Seq("week", "partkey"), "left_outer")
+      .na.fill(-1L, Seq("prev_rank"))
+      .select(col("week"), col("rank"), col("partkey"), col("qty_c"),
+        col("prev_rank"),
+        expr("CASE WHEN prev_rank = -1 THEN CAST(0 AS BIGINT) " +
+          "ELSE prev_rank - rank END").as("delta"))
+  }
+
   /** Sorted manifest string per order (q206) — the canonical LISTAGG
     * surface: the distinct part keys of each order joined into one
     * deterministic comma string (numeric sort BEFORE stringify, so

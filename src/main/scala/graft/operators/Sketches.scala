@@ -335,6 +335,80 @@ object Sketches {
         (col("err_ppm") <= boundPpm).as("kmv_ok"))
   }
 
+  /** Sketch size for [[kmvRollingActives]] — deliberately small so the
+    * GRADED corpus already saturates it and the estimator branch runs
+    * (the production posture: at 100 TB every window saturates any k).
+    */
+  val KmvRollK = 64
+
+  /** 3σ relative-error bound for [[KmvRollK]] in ppm: 3/√(k−2). */
+  val KmvRollBoundPpm: Long =
+    math.ceil(3000000.0 / math.sqrt(KmvRollK - 2.0)).toLong
+
+  /** Rolling 7-day actives from MERGED per-day KMV sketches (q214) —
+    * the sketch-cube twin of q210's exact panel, and the reason a
+    * 100 TB engagement pipeline keeps sketches at all: per-day min-k
+    * sketches are built ONCE (day-local rank, k rows per day), and any
+    * trailing window is answered by merging ≤ 7 day-sketches — touch
+    * 7k values per window instead of re-scanning the (user, day) grid
+    * per window. The merge is EXACT sketch algebra (the q142 law:
+    * min-k(∪ min-k(Sᵈ)) = min-k(∪ Sᵈ), since a window's k-smallest
+    * hash is necessarily k-smallest within its own day), so ONLY the
+    * estimate is approximate, and `kmv_ok` audits it against q210's
+    * exact count at the 3σ bound per window.
+    *
+    * Scale: day sketches via one day-keyed window over the distinct
+    * (day, hash) relation; the window merge expands sketch rows by the
+    * constant window length (≤ 7k rows per window day) — never the
+    * grid; the exact side rides the q210 plan. No broadcasts beyond
+    * the 1-row horizon.
+    */
+  def kmvRollingActives(spark: SparkSession, dir: String): DataFrame =
+    kmvRollingActivesFor(Tables.events(spark, dir))
+
+  def kmvRollingActivesFor(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    val k = KmvRollK
+    val win = EventsOps.ActiveWindowDays
+    val dayNs = 86400000000000L
+    val grid = events
+      .select(col("user_id"), expr(s"ts_ns DIV $dayNs").as("day"))
+      .distinct()
+    val hv = grid.select(col("day"),
+        expr(s"${graft.functions.GraftFunctions.Md5PrefixName}(" +
+          "CAST(user_id AS STRING), 8)").as("hv"))
+      .distinct() // hash collisions collapse identically on both engines
+    val daySketch = hv
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("day")).orderBy(col("hv").asc)))
+      .filter(col("rn") <= k)
+      .select(col("day"), col("hv"))
+    val horizon = grid.agg(max(col("day")).as("max_day"))
+    val merged = daySketch
+      .select(col("hv"),
+        explode(expr(s"sequence(day, day + ${win - 1})")).as("day"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") <= col("max_day"))
+      .select(col("day"), col("hv")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("day")).orderBy(col("hv").asc)))
+      .filter(col("rn") <= k)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("h_k"))
+      .withColumn("est_7d",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr("(n_kept - 1) * 4294967296 DIV greatest(h_k, 1)")))
+    val exact = EventsOps.rollingActivesFor(events)
+      .select(col("day"), col("n_active_7d").as("n_exact_7d"))
+    merged.join(exact, Seq("day"))
+      .withColumn("err_ppm",
+        expr("abs(est_7d - n_exact_7d) * 1000000 DIV n_exact_7d"))
+      .select(col("day"), col("n_exact_7d"), col("n_kept"), col("h_k"),
+        col("est_7d"), col("err_ppm"),
+        (col("err_ppm") <= KmvRollBoundPpm).as("kmv_ok"))
+  }
+
   /** `percentile_approx` accuracy knob for [[quantileSketchChecked]]:
     * rank error ≤ n / accuracy.
     */

@@ -357,6 +357,56 @@ object StatsAudit {
           s"${BandK * BandK * 1000000L} END").as("breach"))
   }
 
+  /** Outlier multiple for [[seasonalResiduals]]: flag dev > K·MAD. */
+  val SeasonalMadK = 3L
+
+  /** Weekday-seasonal residual outliers (q215) — the seasonal
+    * completion of the anomaly family (CUSUM q179 finds level SHIFTS,
+    * band-breach q200 trailing-window excursions, MAD q146 global
+    * outliers): daily revenue is compared against its OWN WEEKDAY's
+    * median, so a quiet Sunday is not an anomaly and a Sunday-sized
+    * Tuesday is. Residuals are doubled-median exact integers (the q146
+    * trick: med2 = v_lo + v_hi, no halving, no floats), the flag is
+    * dev > [[SeasonalMadK]]·MAD on the same doubled scale
+    * (2·dev2 > K·mad4, since dev2 = 2·dev and mad4 = 4·MAD).
+    *
+    * Scale: the q179 posture — one partial-aggregated fact pass to the
+    * day-bounded daily relation; weekday medians are windows over that
+    * CALENDAR-bounded relation (days grow with time, not volume), and
+    * the per-dow median/MAD relations broadcast at 7 rows.
+    */
+  def seasonalResiduals(spark: SparkSession, dir: String): DataFrame =
+    seasonalResidualsFor(Tables.orders(spark, dir))
+
+  def seasonalResidualsFor(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+        .as("day"),
+        Determinism.cents(col("o_totalprice")).as("xc"))
+      .groupBy(col("day")).agg(sum(col("xc")).as("x_c"))
+      // day 0 = 1970-01-01, a Thursday: +3 makes 0 = Monday
+      .withColumn("dow", expr("(day + 3) % 7"))
+    val byDow = Window.partitionBy(col("dow"))
+    def doubled2(rel: DataFrame, vCol: String, out: String): DataFrame =
+      rel
+        .withColumn("rn", row_number().over(
+          byDow.orderBy(col(vCol), col("day"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byDow))
+        .groupBy(col("dow"))
+        .agg((min(when(col("rn") === expr("(n + 1) DIV 2"), col(vCol))) +
+          min(when(col("rn") === expr("(n + 2) DIV 2"), col(vCol))))
+          .as(out))
+    val med = doubled2(daily, "x_c", "med2_c")
+    val dev = daily.join(broadcast(med), Seq("dow"))
+      .withColumn("dev2_c", abs(col("x_c") * 2L - col("med2_c")))
+    val mad = doubled2(dev, "dev2_c", "mad4_c")
+    dev.join(broadcast(mad), Seq("dow"))
+      .select(col("day"), col("dow"), col("x_c"), col("med2_c"),
+        (col("x_c") * 2L - col("med2_c")).as("resid2_c"),
+        (col("dev2_c") * 2L > lit(SeasonalMadK) * col("mad4_c"))
+          .as("is_outlier"))
+  }
+
   /** Categorical-drift contingency audit (q191) — the independence
     * check of the statistical family: does the order-priority MIX
     * drift across years? Observed vs expected cell shares of the

@@ -696,4 +696,41 @@ object TextOps {
         min(col("n_chars")).as("min_score"),
         max(col("n_chars")).as("max_score"))
   }
+
+  /** Minimum distinct-document frequency for a shingle to count as
+    * boilerplate in [[boilerplateDensity]]: present in ≥ this many
+    * documents.
+    */
+  val BoilerMinDf = 3L
+
+  /** Cross-document boilerplate density (q208): the share of each
+    * document's distinct 3-token shingles that recur in at least
+    * [[BoilerMinDf]] documents — headers, footers, navigation chrome,
+    * license blocks. Curation drops or down-weights high-density docs:
+    * repetition ACROSS documents is template noise even when each doc
+    * passes the intra-document repetition screen (q66).
+    *
+    * Scale design: rides the ONE hashed-shingle relation the whole
+    * dedup family shares ([[Dedup.hashedShingles]] — md5 once per
+    * (doc, distinct shingle)); document frequency is a shingle-keyed
+    * aggregation and rejoins the shingle relation ON ITS OWN KEY, so
+    * the plan is scan → two keyed shuffles (shash, then doc_id) — no
+    * broadcast of a corpus-sized side, no window over the corpus. The
+    * density is exact-integer ppm over the doc's distinct-shingle count.
+    */
+  def boilerplateDensity(spark: SparkSession, dir: String): DataFrame =
+    boilerplateDensityFor(Tables.documents(spark, dir))
+
+  def boilerplateDensityFor(docs: DataFrame): DataFrame = {
+    val hs = Dedup.hashedShingles(docs)
+      .select(col("doc_id"), col("n_sh"), col("shash"))
+    // (doc_id, shash) is distinct by construction (per-doc list_distinct),
+    // so COUNT(*) per shash IS the distinct-document frequency
+    val dfreq = hs.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+    hs.join(dfreq, Seq("shash"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(when(col("df") >= BoilerMinDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_sh"), col("n_boiler"),
+        expr("n_boiler * 1000000 DIV n_sh").as("boiler_ppm"))
+  }
 }

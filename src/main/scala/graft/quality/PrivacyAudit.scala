@@ -79,4 +79,59 @@ object PrivacyAudit {
       .groupBy(col("nation"), col("segment")))
     lvl0.unionByName(lvl1)
   }
+
+  /** Bits of the per-group hash feeding the geometric noise sampler —
+    * also the cap on the trailing-zero count (P(cap) = 2^−cap, never
+    * observed in practice).
+    */
+  val DpNoiseBits = 16
+
+  /** Domain-prefixed salt for the q209 noise hash — a release under a
+    * different salt draws fresh noise (the "new epsilon budget, new
+    * randomness" discipline).
+    */
+  val DpSalt = "dp1"
+
+  /** Differentially-private release of per-(source, lang) document
+    * counts (q209) — the geometric mechanism (Ghosh–Roughgarden–
+    * Sundararajan): additive two-sided geometric noise with ratio 1/2,
+    * i.e. ε = ln 2 per released count. Published aggregate panels over
+    * curated corpora (the "dataset card" counts) need exactly this
+    * before leaving the enclave; k-anonymity (the audit above) gates
+    * row releases, the noisy panel gates AGGREGATE releases.
+    *
+    * The noise is deterministic given (salt, group key) — the
+    * portable-hash discipline every sampler in the engine uses, which
+    * is what makes the mechanism oracle-gradable: a trailing-zero
+    * count of a [[DpNoiseBits]]-bit md5-derived value is Geometric(1/2)
+    * (tz = bit_count(v XOR (v−1)) − 1, pure integer on both engines),
+    * a further hash bit supplies the sign. The release panel keeps the
+    * true count and the noise term ALONGSIDE the noisy count — it is
+    * the mechanism-calibration audit; the publishable projection drops
+    * them.
+    *
+    * Scale: one hash-aggregate on the group key plus a map-only
+    * projection over the group-cardinality-bounded relation. No
+    * shuffle beyond the count itself.
+    */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame =
+    dpNoisyCountsFor(Tables.documents(spark, dir))
+
+  def dpNoisyCountsFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val md5p = graft.functions.GraftFunctions.Md5PrefixName
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("fp",
+        expr(s"$md5p(concat('$DpSalt:', source, ':', lang), 12)"))
+      .withColumn("tz", expr(
+        s"""CASE WHEN fp % ${1L << DpNoiseBits} = 0 THEN $DpNoiseBits
+           |ELSE CAST(bit_count((fp % ${1L << DpNoiseBits})
+           |  ^ (fp % ${1L << DpNoiseBits} - 1)) AS BIGINT) - 1
+           |END""".stripMargin))
+      .withColumn("noise", expr(
+        s"CASE WHEN (fp DIV ${1L << DpNoiseBits}) % 2 = 1 THEN tz ELSE -tz END"))
+      .select(col("source"), col("lang"), col("n_true"), col("noise"),
+        greatest(lit(0L), col("n_true") + col("noise")).as("noisy_n"))
+  }
 }

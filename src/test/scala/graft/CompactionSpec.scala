@@ -113,4 +113,33 @@ class CompactionSpec extends AnyFunSuite {
       assert(target === Compaction.targetFilesFor(nRows, Compaction.RowsPerFileTarget))
     }
   }
+
+  test("q216 executed compaction hits the row-law width and keeps content") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Compaction.execRowsAudit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    // independent content expectation straight from the source table
+    val expect = graft.sources.Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(o_orderkey)").as("x"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fs = LakeFs.local()
+    val tableDir = Compaction.q216StagingDir(spark, sf)
+    out.foreach { case (y, before, nRows, target, after, nAfter, xor) =>
+      assert(before > after, s"year $y must shrink")
+      assert(after === target && target ===
+        Compaction.targetFilesFor(nRows, Compaction.RowsPerFileTarget))
+      assert((nRows, xor) === ((expect(y)._1, expect(y)._2)), s"year $y content")
+      assert(nAfter === nRows, s"year $y rows preserved")
+      // the real listing agrees and no _tmp/_old residue remains
+      val listed = fs.lsRecursive(s"$tableDir/year=$y")
+        .count(_.endsWith(".parquet"))
+      assert(listed.toLong === after, s"year $y listing")
+      assert(!fs.exists(s"$tableDir/year=${y}_tmp"))
+      assert(!fs.exists(s"$tableDir/year=${y}_old"))
+    }
+  }
 }

@@ -223,6 +223,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getLong(4) == 0L)
   }
 
+  test("q207 BFS walks a path one hop per round") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("a", "b")
+    val out = GraphOps.bfsReachFor(path, seeds = 1)
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    // seed {1}; each round reaches exactly the next path node
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      (0L to 4L).map(h => (h, 1L, h + 1L)))
+    assert(out.map(_._4).toSeq == (1L to 5L).map(Some(_)))
+  }
+
+  test("q207 BFS saturates on a star and never crosses components") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("a", "b")
+    val out = GraphOps.bfsReachFor(g, seeds = 1)
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 1L, 1L, Some(1L))))
+    assert(out(1) == ((1L, 3L, 4L, Some(2L ^ 3L ^ 4L))))
+    // saturated: empty frontiers, reach pinned at the component size
+    assert(out.drop(2).forall(t => t._2 == 0L && t._3 == 4L && t._4.isEmpty))
+  }
+
+  test("q207 BFS trajectory is invariant to input partitioning") {
+    val a = GraphOps.bfsReachFor(twoTriangles).collect().toSeq
+    val b = GraphOps.bfsReachFor(twoTriangles.repartition(5)).collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+  }
+
   test("q189 LPA honors a reliable checkpoint dir") {
     val dir = java.nio.file.Files.createTempDirectory("lpa_ckpt").toString
     val a = GraphOps.labelPropagationFor(twoTriangles,

@@ -835,4 +835,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoJoin(p, "jlProjectionChecksums")
     assert(shuffles(p) == 0, s"expected map-only plan:\n${p.take(2000)}")
   }
+
+  test("q208 boilerplate density: keyed equi-join on shash, no corpus window") {
+    val p = plan(graft.operators.TextOps.boilerplateDensity(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the df rejoin is an EQUI-join keyed on shash; at tiny SFs the
+    // stats-estimated df aggregate legitimately broadcasts — at scale
+    // the estimate tracks the corpus and the same plan merges — what
+    // must never appear is an unkeyed pairing or a corpus window
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[shash".r
+      .findFirstIn(p).isDefined,
+      s"df rejoin must be keyed on shash:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"no corpus window:\n${p.take(2000)}")
+  }
+
+  test("q210 rolling actives: constant-bounded explode, no corpus window") {
+    val p = plan(graft.operators.EventsOps.rollingActives(spark, sf))
+    assert(!p.contains("Window"), s"no window operator:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Generate explode"),
+      s"window expansion must be the sequence explode:\n${p.take(2000)}")
+  }
+
+  test("q213 contract suite: one scan per table, constraints fan out scan-free") {
+    val p = plan(graft.quality.Contracts.contractAudit(spark, sf))
+    assertNoJoin(p, "contractAudit")
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"orders + lineitem scanned once each:\n${p.take(2000)}")
+  }
+
+  test("q217 top-k drift: bounded heap per week, prior week broadcasts") {
+    val p = plan(graft.operators.Relational.weeklyTopkDrift(spark, sf))
+    assert(!p.contains("Window"), s"no window sort over parts:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"calendar-bounded drift join must broadcast:\n${p.take(2000)}")
+  }
 }

@@ -55,4 +55,52 @@ class PrivacyAuditSpec extends AnyFunSuite {
     assert(out.contains((0L, "B", false)))
     assert(out.contains((1L, "*", true)))
   }
+
+  /** JVM replay of the q209 draw: trailing zeros of the low 16 bits of
+    * the md5-prefix hash, sign from bit 16 — the exact contract the
+    * oracle SQL replays.
+    */
+  private def drawNoise(source: String, lang: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${PrivacyAudit.DpSalt}:$source:$lang"
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fp = java.lang.Long.parseLong(hex.take(12), 16)
+    val v = fp % (1L << PrivacyAudit.DpNoiseBits)
+    val tz =
+      if (v == 0L) PrivacyAudit.DpNoiseBits.toLong
+      else java.lang.Long.numberOfTrailingZeros(v).toLong
+    if ((fp >> PrivacyAudit.DpNoiseBits) % 2 == 1) tz else -tz
+  }
+
+  private def docsOf(rows: (String, String, Int)*) =
+    rows.flatMap { case (src, lg, n) =>
+      (1 to n).map(i => (i.toLong, "t", lg, src, 1L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("q209 noise replays the hash draw per group") {
+    val out = PrivacyAudit.dpNoisyCountsFor(
+        docsOf(("web", "en", 5), ("web", "de", 3), ("wiki", "en", 7)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    for (((src, lg), (n, noise, noisy)) <- out) {
+      assert(noise == drawNoise(src, lg), s"group ($src, $lg)")
+      assert(noisy == math.max(0L, n + noise))
+      assert(math.abs(noise) <= PrivacyAudit.DpNoiseBits.toLong)
+    }
+    assert(out(("web", "en"))._1 == 5L)
+  }
+
+  test("q209 release clamps a negative draw at zero") {
+    // hunt a group key whose deterministic draw is <= -1, then release
+    // a count of 1 under it — the mechanism must clamp, not go negative
+    val (src, lg) = (for {
+      s <- Iterator.range(0, 200).map(i => s"s$i")
+      if drawNoise(s, "en") <= -1L
+    } yield (s, "en")).next()
+    val out = PrivacyAudit.dpNoisyCountsFor(docsOf((src, lg, 1))).collect()
+    assert(out.head.getLong(3) <= -1L)
+    assert(out.head.getLong(4) == 0L)
+  }
 }

@@ -164,4 +164,28 @@ class RelationalSpec extends AnyFunSuite {
     val r = graft.operators.Relational.belowAvgPartsFor(li).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3000L, 2L, 1L)))
   }
+
+  test("q217 weekly top-k drift carries prior-week rank memory") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = Seq((0L, 1L, 30.0), (0L, 2L, 20.0), (0L, 3L, 10.0),
+      (1L, 1L, 10.0), (1L, 2L, 40.0), (1L, 4L, 5.0))
+      .toDF("week", "l_partkey", "l_quantity")
+      .select(to_timestamp(col("week") * 604800L + 100L).as("l_shipdate"),
+        col("l_partkey"), col("l_quantity"))
+    val out = graft.operators.Relational.weeklyTopkDriftFor(spark, li)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    // week 0: everything is new (−1 sentinel, delta 0)
+    assert(out((0L, 1L)) == ((1L, -1L, 0L)))
+    assert(out((0L, 2L)) == ((2L, -1L, 0L)))
+    assert(out((0L, 3L)) == ((3L, -1L, 0L)))
+    // week 1: part 2 rose 2→1, part 1 fell 1→2, part 4 entered
+    assert(out((1L, 1L)) == ((2L, 2L, 1L)))
+    assert(out((1L, 2L)) == ((1L, 1L, -1L)))
+    assert(out((1L, 3L)) == ((4L, -1L, 0L)))
+    assert(out.size == 6)
+  }
 }

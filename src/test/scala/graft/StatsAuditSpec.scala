@@ -56,6 +56,30 @@ class StatsAuditSpec extends AnyFunSuite {
     assert(exp(1) == 301029L && exp(9) == 45757L)
   }
 
+  test("q215 seasonal residuals: weekday-local medians and MAD flags") {
+    // dow 3 (days 0/7/14): median 200 → the 1000 day is >3·MAD out;
+    // dow 4 (days 1/8): constant series, zero MAD, never flagged
+    val rows = Seq((0L, 100.0), (7L, 200.0), (14L, 1000.0),
+      (1L, 50.0), (8L, 50.0))
+    val out = StatsAudit.seasonalResidualsFor(orders(rows: _*))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(0L) == ((3L, 10000L, 40000L, -20000L, false)))
+    assert(out(7L) == ((3L, 20000L, 40000L, 0L, false)))
+    assert(out(14L) == ((3L, 100000L, 40000L, 160000L, true)))
+    assert(out(1L) == ((4L, 5000L, 10000L, 0L, false)))
+    assert(out(8L) == ((4L, 5000L, 10000L, 0L, false)))
+  }
+
+  test("q215 a weekday-normal day is not flagged by another weekday's scale") {
+    // global MAD would flag the quiet Sundays; weekday-local must not:
+    // dow A runs at ~$10, dow B at ~$1000, both with tiny jitter
+    val rows = Seq((0L, 10.0), (7L, 11.0), (14L, 12.0),
+      (1L, 1000.0), (8L, 1100.0), (15L, 1200.0))
+    val out = StatsAudit.seasonalResidualsFor(orders(rows: _*)).collect()
+    assert(out.forall(!_.getBoolean(5)))
+  }
+
   // q185 fixture plumbing: one customer per nation, one order per
   // (nation, month); month index m = y*12 + month - 1
   private def trendFixture(rows: Seq[(Long, Int, Double)]) = {
