@@ -382,6 +382,20 @@ object SparkEntry {
     // CSV round-trip fidelity with injected separator/quote/newline
     // hazards — the q153 gate shape across the RFC 4180 boundary
     "q218_csv_roundtrip" -> (graft.sources.CsvLake.roundtripAudit _),
+    // sweep-line concurrency timeline: 2 boundary deltas per session,
+    // prefix sum on the hour relation — the whole curve in one pass
+    // where q110 answers per-point stabbing queries
+    "q219_concurrency_curve" -> (graft.operators.AsOf.concurrencyCurve _),
+    // Zipf rank-frequency fit on floor-log2 coordinates (bin() on both
+    // engines) through the q185 exact normal equations
+    "q220_zipf_fit" -> (TextOps.zipfFit _),
+    // per-source dataset card: volume, language spread, length shape,
+    // exact-dup rate — the release panel every public corpus ships
+    "q221_dataset_card" -> (graft.operators.CorpusPrep.datasetCard _),
+    // B-cubed precision/recall of the LSH dedup clustering against the
+    // exact-fingerprint truth — the trust-the-clusters gate; all cell
+    // algebra on label-sized relations, no pairwise expansion
+    "q222_cluster_eval" -> (Dedup.clusterEval _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4556,6 +4570,117 @@ object SparkEntry {
         |  CAST(BIT_XOR(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
         |    AS BIGINT) AS text_fp_xor
         |FROM h GROUP BY 1, 2""".stripMargin,
+    // the q110 session chain, then boundary deltas + one ordered
+    // prefix sum over the hour relation
+    "q219_concurrency_curve" -> {
+      val hourNs = graft.operators.AsOf.CurveHourNs
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+         |l AS (SELECT *, lag(ts_ns) OVER
+         |        (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev_ns FROM e),
+         |b AS (SELECT *, CASE WHEN prev_ns IS NULL
+         |        OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, SUM(brk) OVER (
+         |        PARTITION BY user_id ORDER BY ts_ns, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM b),
+         |iv AS (SELECT user_id, session_id, MIN(ts_ns) AS s_start,
+         |         MAX(ts_ns) AS s_end FROM s GROUP BY 1, 2),
+         |d AS (SELECT s_start // $hourNs AS hour, 1 AS d FROM iv
+         |      UNION ALL SELECT s_end // $hourNs + 1, -1 FROM iv),
+         |g AS (SELECT hour, CAST(SUM(d) AS BIGINT) AS delta FROM d GROUP BY 1)
+         |SELECT hour, delta,
+         |  CAST(SUM(delta) OVER (ORDER BY hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS open_sessions
+         |FROM g""".stripMargin
+    },
+    // floor-log2 via length(bin(n)) - 1 on both engines; q185 algebra
+    "q220_zipf_fit" ->
+      s"""WITH f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest($toks) AS token FROM documents) t
+         |  WHERE token <> '' GROUP BY 1),
+         |r AS (SELECT length(bin(CAST(ROW_NUMBER() OVER (
+         |      ORDER BY n DESC, token ASC) AS BIGINT))) - 1 AS x,
+         |    length(bin(n)) - 1 AS y FROM f),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM r),
+         |k AS (SELECT *,
+         |    CAST(n_pts AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    CAST(n_pts AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+         |    CAST(n_pts AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+         |  FROM s)
+         |SELECT n_pts,
+         |  CASE WHEN den_x = 0 THEN NULL
+         |    ELSE CAST(num * 1000000 // den_x AS BIGINT) END AS slope_ppm,
+         |  CASE WHEN den_x = 0 THEN NULL
+         |    ELSE CAST((CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy)
+         |      * 1000000 // den_x AS BIGINT) END AS intercept_ppm,
+         |  CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+         |    ELSE CAST(((num * 1000000 // den_x) * num) // den_y AS BIGINT)
+         |    END AS r2_ppm
+         |FROM k""".stripMargin,
+    // per-source panel; dup mass via the q35 fingerprint law within
+    // the source block
+    "q221_dataset_card" -> {
+      val short = graft.operators.CorpusPrep.CardShortChars
+      s"""WITH base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |    CAST(SUM(CASE WHEN n_chars < $short THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_short
+         |  FROM documents GROUP BY 1),
+         |fp AS (SELECT source,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |dups AS (SELECT source,
+         |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS n_dup_docs
+         |  FROM fp GROUP BY 1)
+         |SELECT base.source, n_docs, n_langs, chars_sum,
+         |  CAST(chars_sum // n_docs AS BIGINT) AS mean_chars,
+         |  CAST(n_short * 1000000 // n_docs AS BIGINT) AS short_ppm,
+         |  n_dup_docs,
+         |  CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm
+         |FROM base JOIN dups USING (source)""".stripMargin
+    },
+    // recursive component closure over the LSH pairs (the q140 CTE),
+    // fingerprint truth, then the per-cell B-cubed algebra
+    "q222_cluster_eval" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |reach(doc, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+         |comp AS (SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+         |         FROM reach GROUP BY doc),
+         |lab AS (SELECT d.doc_id,
+         |    md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS fp,
+         |    COALESCE(comp.component, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp USING (doc_id)),
+         |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_c
+         |  FROM lab GROUP BY 1),
+         |tsz AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_t
+         |  FROM lab GROUP BY 1),
+         |cells AS (SELECT cluster, fp, CAST(COUNT(*) AS BIGINT) AS n_ct
+         |  FROM lab GROUP BY 1, 2),
+         |m AS (SELECT CAST(SUM(n_ct) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_ct * (n_ct * 1000000 // n_c)) AS BIGINT) AS p_mass,
+         |    CAST(SUM(n_ct * (n_ct * 1000000 // n_t)) AS BIGINT) AS r_mass
+         |  FROM cells JOIN cs USING (cluster) JOIN tsz USING (fp))
+         |SELECT n_docs, CAST(p_mass // n_docs AS BIGINT) AS b3_precision_ppm,
+         |  CAST(r_mass // n_docs AS BIGINT) AS b3_recall_ppm,
+         |  CAST(CASE WHEN p_mass + r_mass = 0 THEN 0 ELSE
+         |    2 * (p_mass // n_docs) * (r_mass // n_docs) //
+         |    (p_mass // n_docs + r_mass // n_docs) END AS BIGINT) AS b3_f1_ppm
+         |FROM m""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -79,11 +79,14 @@ object AsOf {
     * shared front half of [[sessionizeEvents]] and [[sessionConversion]]
     * (one user-keyed shuffle, two in-partition windows).
     */
-  private def sessionAssigned(spark: SparkSession, dir: String): DataFrame = {
+  private def sessionAssigned(spark: SparkSession, dir: String): DataFrame =
+    sessionAssignedFor(Tables.events(spark, dir))
+
+  private[operators] def sessionAssignedFor(events: DataFrame): DataFrame = {
     val gapNs = 30L * 60 * 1000000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
     val runningBreaks = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
       .withColumn("brk",
         when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
@@ -114,6 +117,45 @@ object AsOf {
         binSize = 3600000000000L) // 1 h in ns: gap-bounded sessions span few bins
       .groupBy(col("event_id"))
       .agg(count(lit(1)).as("open_sessions"))
+  }
+
+  /** Hour grain for the q219 concurrency sweep. */
+  val CurveHourNs = 3600000000000L
+
+  /** Hourly session-concurrency curve (q219) — the SWEEP-LINE /
+    * difference-array pattern, the third interval idiom beside the
+    * binned range join (q110: open sessions AT EACH POINT query) and
+    * the capped overlap join (q125: interval×interval pairs): the
+    * GLOBAL concurrency timeline needs no join at all. Every session
+    * interval emits two boundary deltas (+1 at its first hour, −1
+    * after its last), deltas aggregate per hour, and a prefix sum over
+    * the hour relation reconstructs how many sessions overlap each
+    * breakpoint hour — capacity planning's load curve.
+    *
+    * Scale: 2 boundary rows per interval regardless of span, one
+    * hour-keyed aggregation, and ONE ordered window over the
+    * hour-bounded delta relation (calendar-sized, like the q179 day
+    * relation — never over facts). q110 answers "how many at THIS
+    * point" per point; this answers "the whole curve" in one pass.
+    */
+  def concurrencyCurve(spark: SparkSession, dir: String): DataFrame =
+    concurrencyCurveFor(Tables.events(spark, dir))
+
+  def concurrencyCurveFor(events: DataFrame): DataFrame = {
+    val intervals = sessionAssignedFor(events)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ns")).as("s_start"), max(col("ts_ns")).as("s_end"))
+    val deltas = intervals
+      .select(expr(s"s_start DIV $CurveHourNs").as("hour"), lit(1L).as("d"))
+      .unionByName(intervals
+        .select(expr(s"s_end DIV $CurveHourNs + 1").as("hour"),
+          lit(-1L).as("d")))
+      .groupBy(col("hour")).agg(sum(col("d")).as("delta"))
+    deltas
+      .withColumn("open_sessions", sum(col("delta")).over(
+        Window.orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("hour"), col("delta"), col("open_sessions"))
   }
 
   /** Session path analysis (q115) — the top-of-session event-type

@@ -468,4 +468,45 @@ object CorpusPrep {
         col("n_symbols_after"))
     (rebuilt, stats)
   }
+
+  /** Short-document threshold for the q221 card's `short_ppm` column. */
+  val CardShortChars = 100L
+
+  /** Per-source dataset card (q221) — the release artifact every
+    * public corpus ships (C4, The Pile, Dolma all publish one): for
+    * each source, the composition and hygiene numbers a consumer reads
+    * before training — volume (docs, characters), language spread,
+    * length shape (mean chars, short-doc share), and the exact-dup
+    * rate (share of docs whose normalized fingerprint collides with
+    * another doc of the SAME source — the q35 fingerprint law).
+    *
+    * Scale: two keyed aggregation pipelines over the corpus (direct
+    * per-source stats; fingerprint groups → per-source dup mass)
+    * joined on the source key — source cardinality is catalog-sized,
+    * so the join broadcasts; no windows, no corpus-sized state.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardFor(Tables.documents(spark, dir))
+
+  def datasetCardFor(docs: DataFrame): DataFrame = {
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(when(col("n_chars") < CardShortChars, 1L).otherwise(0L))
+          .as("n_short"))
+    val dups = docs
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("cnt") > 1L, col("cnt")).otherwise(0L))
+        .as("n_dup_docs"))
+    base.join(broadcast(dups), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("chars_sum"),
+        expr("chars_sum DIV n_docs").as("mean_chars"),
+        expr("n_short * 1000000 DIV n_docs").as("short_ppm"),
+        col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
+  }
 }

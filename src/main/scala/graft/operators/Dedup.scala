@@ -589,6 +589,59 @@ object Dedup {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(lshCandidatePairs(spark, dir))
 
+  /** B-cubed cluster-quality eval (q222) — the STANDARD clustering
+    * metric (Bagga & Baldwin 1998; the dedup-eval choice in entity
+    * resolution because, unlike pairwise F1, it weights every DOCUMENT
+    * equally instead of quadratically favoring big clusters): the LSH
+    * dedup clustering ([[dedupComponents]], singletons = their own
+    * cluster) is scored against the exact-fingerprint truth (the q35
+    * law). Per doc, precision = |C(d) ∩ T(d)| / |C(d)| and recall =
+    * |C(d) ∩ T(d)| / |T(d)|; the corpus score is the doc-average, in
+    * exact ppm (per-cell quantization, identical on both engines).
+    * This is the gate a pipeline runs before TRUSTING a banded
+    * candidate generator's clusters enough to delete documents.
+    *
+    * Scale: every |C ∩ T| is a (cluster, truth) CELL size — one keyed
+    * aggregation of the label relation; per-doc ratios then collapse
+    * per cell (each cell contributes n_ct identical per-doc terms), so
+    * the whole metric is three keyed aggregations over label-sized
+    * relations — no pairwise expansion anywhere.
+    */
+  def clusterEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truth = docs.select(col("doc_id"),
+      graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+    val clusters = dedupComponents(spark, dir)
+    val labeled = truth
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    bcubed(labeled)
+  }
+
+  /** The B-cubed algebra over a (doc_id, fp, cluster) label relation —
+    * separated so the spec can pin the cell arithmetic on hand labels
+    * and other clusterings (media bands, semantic dedup) can reuse it.
+    */
+  def bcubed(labeled: DataFrame): DataFrame = {
+    val cSize = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
+    val tSize = labeled.groupBy(col("fp")).agg(count(lit(1)).as("n_t"))
+    val cells = labeled.groupBy(col("cluster"), col("fp"))
+      .agg(count(lit(1)).as("n_ct"))
+    cells
+      .join(cSize, Seq("cluster"))
+      .join(tSize, Seq("fp"))
+      .agg(sum(col("n_ct")).as("n_docs"),
+        sum(expr("n_ct * (n_ct * 1000000 DIV n_c)")).as("p_mass"),
+        sum(expr("n_ct * (n_ct * 1000000 DIV n_t)")).as("r_mass"))
+      .select(col("n_docs"),
+        expr("p_mass DIV n_docs").as("b3_precision_ppm"),
+        expr("r_mass DIV n_docs").as("b3_recall_ppm"),
+        expr("CASE WHEN p_mass + r_mass = 0 THEN 0 ELSE " +
+          "2 * (p_mass DIV n_docs) * (r_mass DIV n_docs) DIV " +
+          "(p_mass DIV n_docs + r_mass DIV n_docs) END").as("b3_f1_ppm"))
+  }
+
   /** Canonical-survivor selection per near-dup cluster (q91) — the step
     * a production dedup actually ships: [[dedupComponents]]' clusters
     * reduced to one kept document each, with the removed mass accounted

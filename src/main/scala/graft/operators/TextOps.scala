@@ -697,6 +697,59 @@ object TextOps {
         max(col("n_chars")).as("max_score"))
   }
 
+  /** Zipf rank-frequency fit (q220) — the vocabulary-health probe: a
+    * natural corpus's token frequencies follow f(r) ∝ r^(−s) with
+    * s ≈ 1; a far-flatter or far-steeper fitted slope flags template
+    * spam or vocabulary collapse before any model sees the data. To
+    * stay byte-identical across engines, the log-log regression runs
+    * on FLOOR-LOG2 coordinates — `length(bin(n)) − 1`, pure integers,
+    * the same `bin` builtin on Spark and DuckDB — through q185's exact
+    * normal-equation algebra (slope/intercept/r² in ppm, DECIMAL-38
+    * widened).
+    *
+    * Scale: one corpus pass to the VOCAB-bounded frequency relation;
+    * the rank window and the regression both run there. Output is one
+    * row. Binned-log coordinates cost fit precision (each octave
+    * collapses), not determinism — the health-screen verdict s ≈ −1
+    * survives the quantization.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitFor(Tables.documents(spark, dir))
+
+  def zipfFitFor(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .select(expr("length(bin(rank)) - 1").as("x"),
+        expr("length(bin(n)) - 1").as("y"))
+    ranked
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("num",
+        expr("CAST(n_pts AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den_x",
+        expr("CAST(n_pts AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("den_y",
+        expr("CAST(n_pts AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("n_pts"),
+        expr("CASE WHEN den_x = 0 THEN NULL " +
+          "ELSE CAST(num * 1000000 DIV den_x AS BIGINT) END").as("slope_ppm"),
+        expr("CASE WHEN den_x = 0 THEN NULL ELSE CAST((CAST(sy AS DECIMAL(38,0)) " +
+          "* sxx - CAST(sx AS DECIMAL(38,0)) * sxy) * 1000000 DIV den_x AS BIGINT) " +
+          "END").as("intercept_ppm"),
+        expr("CASE WHEN den_x = 0 OR den_y = 0 THEN NULL " +
+          "ELSE CAST(((num * 1000000 DIV den_x) * num) DIV den_y AS BIGINT) END")
+          .as("r2_ppm"))
+  }
+
   /** Minimum distinct-document frequency for a shingle to count as
     * boilerplate in [[boilerplateDensity]]: present in ≥ this many
     * documents.

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusPrep, TextOps}
+
+/** Hand fixtures for the q220 Zipf fit (integer log-log OLS replayed
+  * by hand) and the q221 dataset card (dup/short/lang panel).
+  */
+class CorpusCardSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+  import spark.implicits._
+
+  test("q220 Zipf fit replays the floor-log2 normal equations") {
+    // freqs a=4, b=2, c=1 → points (x=log2 rank, y=log2 freq):
+    // (0,2), (1,1), (1,0) → slope -3/2, intercept 2, r² 3/4 (in ppm)
+    val docs = Seq((1L, "s", "a a a a b b c"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.zipfFitFor(docs).collect().head
+    assert(out.getLong(0) == 3L)
+    assert(out.getLong(1) == -1500000L)
+    assert(out.getLong(2) == 2000000L)
+    assert(out.getLong(3) == 750000L)
+  }
+
+  test("q220 slope is negative and near -1e6 on a true Zipf corpus") {
+    // f(r) = 2^(10 - log2 r): rank-2^k tokens with frequency 2^(10-k)
+    val words = (0 to 9).flatMap { k =>
+      val reps = 1 << (10 - k) // frequency per token at this octave
+      (0 until (1 << k)).flatMap(i => Seq.fill(reps)(s"w${k}_$i"))
+    }
+    val docs = Seq((1L, "s", words.mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.zipfFitFor(docs).collect().head
+    val slope = out.getLong(1)
+    assert(slope < -900000L && slope > -1100000L, s"slope $slope")
+  }
+
+  test("q222 B-cubed algebra on hand labels") {
+    // truth {1,2} + {3}; clustering glues all three: per-doc precision
+    // 2/3, 2/3, 1/3 → 555555 ppm; recall perfect; F1 by the quantized
+    // harmonic mean
+    val labeled = Seq(
+      (1L, "fpA", 10L), (2L, "fpA", 10L), (3L, "fpB", 10L))
+      .toDF("doc_id", "fp", "cluster")
+    val m = invokeBcubed(labeled).collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      ((3L, 555555L, 1000000L, 714285L)))
+  }
+
+  test("q222 perfect clustering scores 1e6 on both axes") {
+    val labeled = Seq(
+      (1L, "fpA", 1L), (2L, "fpA", 1L), (3L, "fpB", 3L))
+      .toDF("doc_id", "fp", "cluster")
+    val m = invokeBcubed(labeled).collect().head
+    assert((m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      ((1000000L, 1000000L, 1000000L)))
+  }
+
+  private def invokeBcubed(labeled: org.apache.spark.sql.DataFrame) =
+    graft.operators.Dedup.bcubed(labeled)
+
+  test("q221 dataset card: dup mass, short share, language spread") {
+    val docs = Seq(
+      (1L, "dup text", "en", "s1", 8L),
+      (2L, "Dup  Text", "en", "s1", 9L), // normalizes to the same fp
+      (3L, "unique", "de", "s1", 6L),
+      (4L, "solo", "fr", "s2", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPrep.datasetCardFor(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(out("s1") == ((3L, 2L, 23L, 7L, 1000000L, 2L, 666666L)))
+    assert(out("s2") == ((1L, 1L, 200L, 200L, 0L, 0L, 0L)))
+  }
+}

@@ -60,4 +60,30 @@ class EngagementSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq == Seq((3L, 1L, 1L)))
   }
+
+  /** Events fixture from explicit (user, ts seconds) marks. */
+  private def evAt(rows: (Long, Long)*) =
+    rows.zipWithIndex.map { case ((u, sec), i) =>
+      (i.toLong, u, sec * 1000000000L, "view", 1.0)
+    }.toDF("event_id", "user_id", "ts_ns", "event_type", "value")
+
+  test("q219 sweep-line curve counts overlapping sessions per hour") {
+    // u1: one session inside hour 0; u2: two single-event sessions in
+    // hours 0 and 2; u3: one session SPANNING hours 0-1 (20 min gap)
+    val out = graft.operators.AsOf.concurrencyCurveFor(evAt(
+        (1L, 60L), (1L, 600L),
+        (2L, 1800L), (2L, 7200L),
+        (3L, 3000L), (3L, 4200L)))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 3L, 3L), (1L, -2L, 1L), (2L, 0L, 1L), (3L, -1L, 0L)))
+  }
+
+  test("q219 running sum returns to zero after the last session") {
+    val out = graft.operators.AsOf.concurrencyCurveFor(evAt(
+        (1L, 100L), (2L, 5000L), (3L, 9000L)))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.last._3 == 0L)
+    assert(out.map(_._2).sum == 0L)
+  }
 }
