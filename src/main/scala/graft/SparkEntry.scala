@@ -396,6 +396,15 @@ object SparkEntry {
     // exact-fingerprint truth — the trust-the-clusters gate; all cell
     // algebra on label-sized relations, no pairwise expansion
     "q222_cluster_eval" -> (Dedup.clusterEval _),
+    // TextRank keywords: the damped walk (q154's exact-integer engine)
+    // over the vocabulary-bounded word co-occurrence graph (q166's
+    // adjacency law) — text × graph composition
+    "q223_textrank_keywords" -> (CorpusPrep.textrankKeywords _),
+    // common-neighbor/Jaccard link prediction on the co-supply graph:
+    // capped wedge generation (the band-cap posture), one anti-join,
+    // node-sized degree broadcasts — the prediction fifth of the graph
+    // family
+    "q224_link_prediction" -> (graft.operators.GraphOps.linkPrediction _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4681,6 +4690,72 @@ object SparkEntry {
          |    2 * (p_mass // n_docs) * (r_mass // n_docs) //
          |    (p_mass // n_docs + r_mass // n_docs) END AS BIGINT) AS b3_f1_ppm
          |FROM m""".stripMargin,
+    // the q154 iteration CTEs replayed over the word co-occurrence
+    // graph; node ids are the q155 48-bit md5-prefix ordering hash
+    "q223_textrank_keywords" -> {
+      import graft.operators.GraphOps.{PrDampPct, PrIters, PrScale}
+      import graft.operators.CorpusPrep.{TextrankMinW, TextrankTopK}
+      def fp(c: String) =
+        s"CAST(concat('0x', substr(md5($c), 1, 12)) AS BIGINT)"
+      val iters = (1 to PrIters).map { i =>
+        s"""r$i AS (SELECT e2.dst AS node,
+           |    t.tele + ($PrDampPct * SUM((r.rank_q * e2.w) // e2.out_w)) // 100
+           |      AS rank_q
+           |  FROM e2 JOIN r${i - 1} r ON e2.src = r.node, t
+           |  GROUP BY e2.dst, t.tele)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+')
+         |    AS toks FROM documents),
+         |bp AS (SELECT x.p.a AS a, x.p.b AS b
+         |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+         |    FROM tk WHERE len(toks) >= 2) x
+         |  WHERE x.p.a <> x.p.b),
+         |aj AS (SELECT least(a, b) AS u, greatest(a, b) AS v, COUNT(*) AS w
+         |  FROM bp GROUP BY 1, 2 HAVING COUNT(*) >= $TextrankMinW),
+         |ed AS (SELECT ${fp("u")} AS src, ${fp("v")} AS dst, w FROM aj
+         |  UNION ALL SELECT ${fp("v")}, ${fp("u")}, w FROM aj),
+         |outw AS (SELECT src, SUM(w) AS out_w FROM ed GROUP BY 1),
+         |e2 AS (SELECT ed.src, ed.dst, ed.w, outw.out_w
+         |       FROM ed JOIN outw USING (src)),
+         |t AS (SELECT ($PrScale // COUNT(*)) AS base,
+         |    (15 * ($PrScale // COUNT(*))) // 100 AS tele FROM outw),
+         |r0 AS (SELECT src AS node, t.base AS rank_q FROM outw, t),
+         |$iters,
+         |vm AS (SELECT u AS tok, ${fp("u")} AS node FROM aj
+         |  UNION SELECT v, ${fp("v")} FROM aj)
+         |SELECT tok, rank_q, kw_rank FROM (
+         |  SELECT vm.tok, CAST(r.rank_q AS BIGINT) AS rank_q,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY r.rank_q DESC, vm.tok ASC)
+         |      AS INT) AS kw_rank
+         |  FROM r$PrIters r JOIN vm USING (node)) s
+         |WHERE kw_rank <= $TextrankTopK""".stripMargin
+    },
+    // capped wedges per middle node (smallest-id neighbors), common
+    // counts, anti-join against the edge set, exact-degree Jaccard
+    "q224_link_prediction" -> {
+      import graft.operators.GraphOps.{LpMinCommon, LpNeighborCap}
+      s"""WITH $coSupplyCtes,
+         |sym AS (SELECT a AS m, b AS n FROM edges
+         |  UNION ALL SELECT b, a FROM edges),
+         |deg AS (SELECT m AS s, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY 1),
+         |cap AS (SELECT m, n FROM (
+         |    SELECT m, n, ROW_NUMBER() OVER (PARTITION BY m ORDER BY n) AS rn
+         |    FROM sym) t
+         |  WHERE rn <= $LpNeighborCap),
+         |cn AS (SELECT l.n AS a, r.n AS b, CAST(COUNT(*) AS BIGINT)
+         |    AS n_common
+         |  FROM cap l JOIN cap r ON l.m = r.m AND l.n < r.n
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $LpMinCommon),
+         |ne AS (SELECT cn.* FROM cn
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+         |    WHERE e.a = cn.a AND e.b = cn.b))
+         |SELECT ne.a, ne.b, ne.n_common, da.deg AS deg_a, db.deg AS deg_b,
+         |  ne.n_common * 1000000 // (da.deg + db.deg - ne.n_common)
+         |    AS jaccard_ppm
+         |FROM ne JOIN deg da ON ne.a = da.s JOIN deg db ON ne.b = db.s""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

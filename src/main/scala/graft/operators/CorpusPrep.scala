@@ -509,4 +509,74 @@ object CorpusPrep {
         col("n_dup_docs"),
         expr("n_dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
   }
+
+  /** Minimum adjacency count for a TextRank co-occurrence edge. */
+  val TextrankMinW = 2L
+
+  /** Keywords emitted by [[textrankKeywords]]. */
+  val TextrankTopK = 25
+
+  /** q223: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    * damped random walk over the word co-occurrence graph whose fixed
+    * point ranks corpus keywords; the composition of the text family's
+    * counting posture (q166's adjacency relation) with the graph
+    * family's converge-on-values engine ([[GraphOps.pagerank]], the
+    * exact-integer q154 contract).
+    *
+    * Graph: nodes are lowercased tokens, an undirected edge joins two
+    * DISTINCT tokens adjacent in some document, weighted by adjacency
+    * count and kept only at [[TextrankMinW]] support (self-loops add
+    * rank mass an undirected walk never earns — dropped). Node ids are
+    * 48-bit md5 prefixes of the token (the q155 ordering hash), so the
+    * walk runs on longs and the token strings ride a vocabulary-sized
+    * broadcast joined back only at the end.
+    *
+    * Scale: the corpus-sized explode collapses immediately to the
+    * vocabulary-bounded adjacency relation (the q166 law — megabytes
+    * when the corpus is terabytes), and every PageRank iteration runs
+    * over THAT relation, inheriting q154's size-guarded broadcast /
+    * merge-join dual plan. Output is the top-[[TextrankTopK]] keywords
+    * (rank_q desc, token asc — deterministic under ties).
+    */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame =
+    textrankKeywordsFor(Tables.documents(spark, dir))
+
+  def textrankKeywordsFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val fp = graft.functions.GraftFunctions.Md5PrefixName
+    val toks = docs.select(TextOps.tokens(lower(col("text"))).as("toks"))
+    val adj = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .select(least(col("p.a"), col("p.b")).as("u"),
+        greatest(col("p.a"), col("p.b")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TextrankMinW)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = adj.select(explode(array(
+        struct(expr(s"$fp(u, 12)").as("src"), expr(s"$fp(v, 12)").as("dst"),
+          col("w")),
+        struct(expr(s"$fp(v, 12)").as("src"), expr(s"$fp(u, 12)").as("dst"),
+          col("w")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+    val vocab = adj.select(col("u").as("tok"))
+      .union(adj.select(col("v").as("tok"))).distinct()
+      .select(col("tok"), expr(s"$fp(tok, 12)").as("node"))
+    // pagerank(materialize = true) runs the edge pipeline, warming the
+    // adj cache the vocab join then reads; materialize the top-k before
+    // releasing it (25 rows — localCheckpoint is a no-op-sized copy)
+    val ranked = GraphOps.pagerank(edges)
+      .join(broadcast(vocab), Seq("node"))
+      .orderBy(col("rank_q").desc, col("tok").asc)
+      .limit(TextrankTopK)
+      .select(col("tok"), col("rank_q"),
+        row_number().over(
+          Window.orderBy(col("rank_q").desc, col("tok").asc)).as("kw_rank"))
+      .localCheckpoint()
+    adj.unpersist()
+    ranked
+  }
 }

@@ -526,4 +526,61 @@ object GraphOps {
           "DIV (CAST(m AS DECIMAL(38,0)) * m * 4) AS BIGINT)")
           .as("q_cell_ppm"))
   }
+
+  /** Per-middle-node neighbor-list cap for [[linkPrediction]]'s wedge
+    * generation — the LSH band-cap posture: candidate generation is
+    * bounded BY CONSTRUCTION, never by hoping degrees stay small.
+    */
+  val LpNeighborCap = 32
+
+  /** Minimum (capped) common-neighbor count for a predicted link. */
+  val LpMinCommon = 2L
+
+  /** q224: common-neighbor / Jaccard link prediction (Liben-Nowell &
+    * Kleinberg 2003) on the heavy-tail co-supply graph — the
+    * PREDICTION fifth of the graph family (labels q70/q189, values
+    * q154, motifs q176, subgraphs q178): which supplier pairs that
+    * have NOT co-supplied an order are most likely to, scored by
+    * common neighbors and the Jaccard of their neighborhoods (exact
+    * ppm, true degrees in the denominator).
+    *
+    * Scale: wedges (a–m–b) are enumerated per middle node from its
+    * neighbor list CAPPED at [[LpNeighborCap]] (smallest ids —
+    * deterministic), so a hub contributes O(cap²) wedges instead of
+    * O(deg²); existing edges leave via one anti-join and degrees ride
+    * a node-sized broadcast. The same capped-candidates-then-exact-
+    * score shape as the LSH dedup path.
+    */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionFor(coSupplyEdges(Tables.lineitem(spark, dir)))
+
+  def linkPredictionFor(edges0: DataFrame): DataFrame = {
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col("a").as("m"), col("b").as("n"))
+      .union(edges.select(col("b").as("m"), col("a").as("n")))
+    val deg = sym.groupBy(col("m").as("s")).agg(count(lit(1)).as("deg"))
+    val capped = sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("m")).orderBy(col("n"))))
+      .filter(col("rn") <= LpNeighborCap)
+      .select(col("m"), col("n"))
+    val wedges = capped.as("l")
+      .join(capped.as("r"), col("l.m") === col("r.m") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"))
+    val cn = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= LpMinCommon)
+      .join(edges, Seq("a", "b"), "left_anti")
+    val out = cn
+      .join(broadcast(deg.select(col("s").as("a"), col("deg").as("deg_a"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("s").as("b"), col("deg").as("deg_b"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+        expr("n_common * 1000000 DIV (deg_a + deg_b - n_common)")
+          .as("jaccard_ppm"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
 }

@@ -195,4 +195,35 @@ class CorpusPrepSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(out("x") == 1000000L && out("y") == 2000000L)
   }
+
+  test("q223 textrank: hub outranks leaves; self-loops and rare pairs drop") {
+    val out = CorpusPrep.textrankKeywordsFor(docs(
+      (1L, "x hub y hub z hub x hub y hub z hub", "s"),
+      (2L, "x hub y hub z hub x hub y hub z hub", "s"),
+      (3L, "solo solo solo solo", "s"),    // self-loop adjacencies only
+      (4L, "once twice", "s")))            // support-1 pair
+      .collect()
+    val toks = out.map(_.getString(0)).toSet
+    assert(toks == Set("hub", "x", "y", "z"))
+    val rank = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("x", "y", "z").forall(rank("hub") > rank(_)))
+    // kw_rank is the dense 1..n positional contract
+    assert(out.sortBy(r => (-r.getLong(1), r.getString(0)))
+      .map(_.getInt(2)).toSeq == (1 to out.length))
+  }
+
+  test("q223 textrank: symmetric two-node walk splits rank equally") {
+    val out = CorpusPrep.textrankKeywordsFor(docs((1L, "p q p q p q", "s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("p", "q"))
+    assert(out(0)._2 == out(1)._2)
+  }
+
+  test("q223 textrank: case-folds before graphing") {
+    // "HUB hub" adjacency is a self-loop after lower() → no edge
+    val out = CorpusPrep.textrankKeywordsFor(docs(
+      (1L, "HUB hub HUB hub", "s"), (2L, "a b a b a b", "s")))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("a", "b"))
+  }
 }

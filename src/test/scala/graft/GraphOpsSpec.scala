@@ -258,4 +258,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
     assert(new java.io.File(dir).listFiles.nonEmpty)
   }
+
+  test("q224 link prediction: hand-computed 4-cycle predictions") {
+    // C4: 1-3, 1-4, 2-3, 2-4. Non-edges (1,2) and (3,4) each share
+    // both middles; every degree is 2 → jaccard = 2e6/(2+2-2) = 1e6.
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val out = GraphOps.linkPredictionFor(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set((1L, 2L, 2L, 2L, 2L, 1000000L),
+      (3L, 4L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("q224 link prediction: hub wedges stop at the neighbor cap") {
+    // two hubs (100, 101) each adjacent to leaves 1..40: leaf pairs
+    // inside the 32-smallest cap get both middles; pairs past the cap
+    // never become candidates; the hub pair keeps its TRUE degree in
+    // the Jaccard denominator while the numerator is wedge-counted
+    val edges = (1L to 40L).flatMap(i =>
+      Seq((i, 100L), (i, 101L))).toDF("a", "b")
+    val out = GraphOps.linkPredictionFor(edges).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out((1L, 2L)) == ((2L, 2L, 2L, 1000000L)))
+    assert(!out.contains((33L, 34L)))
+    assert(out((100L, 101L)) == ((40L, 40L, 40L, 1000000L)))
+  }
 }
