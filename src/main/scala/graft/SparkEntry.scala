@@ -405,6 +405,17 @@ object SparkEntry {
     // node-sized degree broadcasts — the prediction fifth of the graph
     // family
     "q224_link_prediction" -> (graft.operators.GraphOps.linkPrediction _),
+    // MAP/MRR/P@5/hit-rate in exact ppm over the production IVF top-5
+    // with label relevance — the one-row ranking scorecard beside the
+    // q90 recall audit
+    "q225_retrieval_metrics" -> (Similarity.retrievalLabelMetrics _),
+    // per-IVF-bucket coherence outliers: bottom 5% by centroid cosine
+    // — the embedding-space twin of the q146 MAD screen
+    "q226_centroid_outliers" -> (Similarity.centroidOutliers _),
+    // the IVF tuning curve: recall@5 vs brute truth and candidates
+    // scanned at nprobe ∈ {1,2,4,8} — one scored relation, four
+    // filters, never four searches
+    "q227_ivf_probe_sweep" -> (Similarity.ivfProbeSweep _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4755,6 +4766,131 @@ object SparkEntry {
          |  ne.n_common * 1000000 // (da.deg + db.deg - ne.n_common)
          |    AS jaccard_ppm
          |FROM ne JOIN deg da ON ne.a = da.s JOIN deg db ON ne.b = db.s""".stripMargin
+    },
+    // the q106 search CTEs, then the exact-ppm AP/RR/P@5 algebra over
+    // the 5-row-per-query top-k relation with label relevance
+    "q225_retrieval_metrics" ->
+      s"""WITH $ivfDerivedCtes,
+         |topk AS (SELECT q_id, vec_id AS neighbor_id, cos_ppm, rank FROM (
+         |    SELECT q_id, vec_id, cos_ppm,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cos_ppm DESC, vec_id ASC) AS rank
+         |    FROM c) t
+         |  WHERE rank <= 5),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings),
+         |lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+         |       FROM lab GROUP BY 1),
+         |rws AS (SELECT t.q_id, t.rank, ql.label AS q_label,
+         |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+         |  FROM topk t JOIN lab ql ON t.q_id = ql.vec_id
+         |  JOIN lab nl ON t.neighbor_id = nl.vec_id),
+         |h AS (SELECT *, SUM(rel) OVER (PARTITION BY q_id ORDER BY rank)
+         |    AS hits_at FROM rws),
+         |pq AS (SELECT q_id, q_label,
+         |    CAST(SUM(CASE WHEN rel = 1 THEN hits_at * 1000000 // rank
+         |      ELSE 0 END) AS BIGINT) AS sum_prec_ppm,
+         |    CAST(SUM(rel) AS BIGINT) AS n_hits,
+         |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+         |  FROM h GROUP BY 1, 2),
+         |m AS (SELECT pq.*,
+         |    GREATEST(1, LEAST(lc.n_label - 1, 5)) AS denom
+         |  FROM pq JOIN lc ON pq.q_label = lc.label)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(sum_prec_ppm // denom) // COUNT(*) AS BIGINT) AS map_ppm,
+         |  CAST(SUM(CASE WHEN first_rel IS NULL THEN 0
+         |    ELSE 1000000 // first_rel END) // COUNT(*) AS BIGINT) AS mrr_ppm,
+         |  CAST(SUM(n_hits * 1000000 // 5) // COUNT(*) AS BIGINT) AS p5_ppm,
+         |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS hit_ppm
+         |FROM m""".stripMargin,
+    // the derived-width assignment CTEs, centroid cosine per member,
+    // then the bottom-5% rank cut per bucket
+    "q226_centroid_outliers" -> {
+      import graft.operators.Similarity.OutlierDenom
+      s"""WITH $ivfDerivedCtes,
+         |sc AS (SELECT a.vec_id, a.bucket,
+         |    CAST(floor(CAST(${dotSql("e.embedding", "c.c_emb")} AS DOUBLE)
+         |      * 1000000.0 / (sqrt(CAST(e.n_emb AS DOUBLE)) *
+         |      sqrt(CAST(${dotSql("c.c_emb", "c.c_emb")} AS DOUBLE))))
+         |      AS BIGINT) AS cos_ppm
+         |  FROM asg a JOIN e ON a.vec_id = e.vec_id
+         |  JOIN cents c ON a.bucket = c.c_id),
+         |rk AS (SELECT bucket, vec_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+         |      ORDER BY cos_ppm ASC, vec_id ASC) AS INT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_bucket
+         |  FROM sc)
+         |SELECT bucket, vec_id, cos_ppm, rn, n_bucket FROM rk
+         |WHERE rn * $OutlierDenom <= n_bucket""".stripMargin
+    },
+    // the derived-width CTEs with probe RANK retained to the max sweep
+    // value, brute top-5 truth, then per-sweep-value filter + top-5
+    "q227_ivf_probe_sweep" -> {
+      val maxP = graft.operators.Similarity.SweepNprobes.max
+      val vals = graft.operators.Similarity.SweepNprobes
+        .map(v => s"($v)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT))
+         |       AS nlist FROM e),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
+         |      FROM e WHERE vec_id % 100 = 0),
+         |pr AS (
+         |  SELECT q_id, q_emb, n_q, c_id AS bucket, rk AS probe_rank FROM (
+         |    SELECT q.q_id, q.q_emb, q.n_q, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM q, cents c) t
+         |  WHERE rk <= $maxP),
+         |sc AS MATERIALIZED (
+         |  SELECT p.q_id, e.vec_id, p.probe_rank,
+         |    CAST(floor(CAST(${dotSql("p.q_emb", "e.embedding")} AS DOUBLE)
+         |      * 1000000.0 / (sqrt(CAST(p.n_q AS DOUBLE)) *
+         |      sqrt(CAST(e.n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN pr p ON asg.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |bf AS (
+         |  SELECT q_id, e.vec_id, CAST(floor(
+         |      CAST(${dotSql("q.q_emb", "e.embedding")} AS DOUBLE) * 1000000.0
+         |      / (sqrt(CAST(q.n_q AS DOUBLE)) * sqrt(CAST(e.n_emb AS DOUBLE))))
+         |      AS BIGINT) AS cos_ppm
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |b5 AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS rk FROM bf) t
+         |  WHERE rk <= 5),
+         |v(nprobe) AS (VALUES $vals),
+         |t5 AS (SELECT nprobe, q_id, vec_id FROM (
+         |    SELECT v.nprobe, sc.q_id, sc.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.nprobe, sc.q_id
+         |        ORDER BY sc.cos_ppm DESC, sc.vec_id ASC) AS rk
+         |    FROM sc JOIN v ON sc.probe_rank <= v.nprobe) t
+         |  WHERE rk <= 5),
+         |hits AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM t5 JOIN b5 USING (q_id, vec_id) GROUP BY 1),
+         |cand AS (SELECT v.nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |  FROM sc JOIN v ON sc.probe_rank <= v.nprobe GROUP BY 1),
+         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+         |SELECT CAST(v.nprobe AS INT) AS nprobe, nq.n_queries,
+         |  COALESCE(hits.n_hits, 0) AS n_hits,
+         |  COALESCE(hits.n_hits, 0) * 1000000 // (5 * nq.n_queries)
+         |    AS recall_ppm,
+         |  COALESCE(cand.n_cand, 0) // nq.n_queries AS mean_cand
+         |FROM v LEFT JOIN hits ON v.nprobe = hits.nprobe
+         |LEFT JOIN cand ON v.nprobe = cand.nprobe, nq""".stripMargin
     },
   )
 

