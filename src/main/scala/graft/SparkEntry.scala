@@ -416,6 +416,13 @@ object SparkEntry {
     // scanned at nprobe ∈ {1,2,4,8} — one scored relation, four
     // filters, never four searches
     "q227_ivf_probe_sweep" -> (Similarity.ivfProbeSweep _),
+    // the LSH operating-point curve: precision/recall/F1 per band
+    // threshold vs the exact-Jaccard truth — the dedup twin of q227
+    "q228_lsh_band_sweep" -> (Dedup.lshBandSweep _),
+    // reliability panel: 1-NN label accuracy per cosine bin — the
+    // calibration check before any fixed similarity threshold is
+    // trusted
+    "q229_knn_calibration" -> (Similarity.knnCalibration _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -679,10 +686,10 @@ object SparkEntry {
        |${(1 to rounds).map(lpaCtes).mkString(",\n")}""".stripMargin
   }
 
-  // The 1-NN label-confusion algebra over a bucketed `e`/`asg` prefix
-  // — ONE definition shared by the pinned (q181) and derived-width
-  // (q182) oracles so the probe semantics cannot drift between them
-  private lazy val knnConfusionTail: String =
+  // The capped-bucket 1-NN relation `p` over a bucketed `e`/`asg`
+  // prefix — ONE definition shared by the q181/q182 confusion matrices
+  // and the q229 calibration panel so the probe semantics cannot drift
+  private lazy val knnNn1Ctes: String =
     s"""lb AS (SELECT vec_id, label FROM embeddings),
        |ea AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket, lb.label,
@@ -692,17 +699,40 @@ object SparkEntry {
        |capped AS MATERIALIZED (SELECT * FROM ea
        |  WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
        |p AS (SELECT x.vec_id, x.label AS label_true, y.label AS label_pred,
+       |    CAST(floor(CAST(${dotSql("x.embedding", "y.embedding")} AS DOUBLE)
+       |      * 1000000.0 / (sqrt(CAST(x.n_emb AS DOUBLE))
+       |      * sqrt(CAST(y.n_emb AS DOUBLE)))) AS BIGINT) AS cos_ppm,
        |    ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
        |      CAST(floor(CAST(${dotSql("x.embedding", "y.embedding")} AS DOUBLE)
        |        * 1000000.0 / (sqrt(CAST(x.n_emb AS DOUBLE))
        |        * sqrt(CAST(y.n_emb AS DOUBLE)))) AS BIGINT) DESC,
        |      y.vec_id ASC) AS rk
        |  FROM capped x JOIN capped y
-       |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)""".stripMargin
+
+  private lazy val knnConfusionTail: String =
+    s"""$knnNn1Ctes
        |SELECT CAST(label_true AS BIGINT) AS label_true,
        |  CAST(label_pred AS BIGINT) AS label_pred,
        |  CAST(COUNT(*) AS BIGINT) AS n
        |FROM p WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+
+  // The derived-width (nlist = max(16, √N)) e/cents/asg prefix —
+  // shared by the q182 confusion and q229 calibration oracles
+  private lazy val derivedAsgPrefix: String =
+    s"""e AS (SELECT vec_id, embedding,
+       |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
+       |nl AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
+       |         CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM e),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |          FROM e, nl WHERE vec_id < nl.nlist),
+       |asg AS (
+       |  SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+       |    FROM e, cents c) t
+       |  WHERE rk = 1)""".stripMargin
 
   private val bpeStepRange = 1 to graft.operators.CorpusPrep.BpeSteps
 
@@ -3792,19 +3822,7 @@ object SparkEntry {
     // same confusion algebra on the DERIVED √N width (the q99/q106
     // index scheme: nlist = GREATEST(16, ROUND(SQRT(N))))
     "q182_knn_label_derived" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  ${dotSql("embedding", "embedding")} AS n_emb FROM embeddings),
-         |nl AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
-         |         CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM e),
-         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |          FROM e, nl WHERE vec_id < nl.nlist),
-         |asg AS (
-         |  SELECT vec_id, c_id AS bucket FROM (
-         |    SELECT e.vec_id, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
-         |    FROM e, cents c) t
-         |  WHERE rk = 1),
+      s"""WITH $derivedAsgPrefix,
          |$knnConfusionTail""".stripMargin,
     // frequent part pairs over the shared basket CTEs
     "q183_frequent_pairs" ->
@@ -4891,6 +4909,67 @@ object SparkEntry {
          |  COALESCE(cand.n_cand, 0) // nq.n_queries AS mean_cand
          |FROM v LEFT JOIN hits ON v.nprobe = hits.nprobe
          |LEFT JOIN cand ON v.nprobe = cand.nprobe, nq""".stripMargin
+    },
+    // q96's truth chain at the sweep threshold + the q39 candidate
+    // pipeline, swept over every feasible band threshold
+    "q228_lsh_band_sweep" -> {
+      import graft.operators.Dedup.{DfCap, MinhashK, SweepTruthJPpm}
+      val vals = (1 to MinhashK / 2).map(t => s"($t)").mkString(", ")
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, source, n_sh, $shashSql AS shash FROM sh),
+         |keep AS (SELECT source, shash FROM hs GROUP BY 1, 2
+         |         HAVING COUNT(*) BETWEEN 2 AND $DfCap),
+         |hs2 AS (SELECT hs.* FROM hs JOIN keep USING (source, shash)),
+         |jpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+         |  FROM hs2 a JOIN hs2 b ON a.source = b.source AND a.shash = b.shash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS MATERIALIZED (SELECT doc_a, doc_b FROM jpairs
+         |  WHERE inter * 1000000 // (n_a + n_b - inter) >= $SweepTruthJPpm),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |$lshPairsTail,
+         |v(t) AS (VALUES $vals),
+         |cnt AS (SELECT v.t, CAST(COUNT(*) AS BIGINT) AS n_pred,
+         |    CAST(SUM(CASE WHEN tr.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp
+         |  FROM lsh_pairs c JOIN v ON c.n_bands >= v.t
+         |  LEFT JOIN truth tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b
+         |  GROUP BY 1),
+         |mets AS (SELECT v.t AS band_threshold,
+         |    COALESCE(cnt.n_pred, 0) AS n_pred, COALESCE(cnt.tp, 0) AS tp,
+         |    nt.n_truth,
+         |    CASE WHEN COALESCE(cnt.n_pred, 0) = 0 THEN 0
+         |      ELSE COALESCE(cnt.tp, 0) * 1000000 // cnt.n_pred END
+         |      AS precision_ppm,
+         |    CASE WHEN nt.n_truth = 0 THEN 0
+         |      ELSE COALESCE(cnt.tp, 0) * 1000000 // nt.n_truth END
+         |      AS recall_ppm
+         |  FROM v LEFT JOIN cnt ON v.t = cnt.t, nt)
+         |SELECT CAST(band_threshold AS INT) AS band_threshold, n_pred, tp,
+         |  n_truth, precision_ppm, recall_ppm,
+         |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+         |    ELSE 2 * precision_ppm * recall_ppm //
+         |      (precision_ppm + recall_ppm) END AS f1_ppm
+         |FROM mets""".stripMargin
+    },
+    // the derived-width 1-NN relation binned by shifted cosine — the
+    // reliability panel in exact ppm
+    "q229_knn_calibration" -> {
+      import graft.operators.Similarity.CalibBinPpm
+      s"""WITH $derivedAsgPrefix,
+         |$knnNn1Ctes,
+         |nn AS (SELECT * FROM p WHERE rk = 1),
+         |b AS (SELECT (cos_ppm + 1000000) // $CalibBinPpm AS bin,
+         |    CASE WHEN label_true = label_pred THEN 1 ELSE 0 END AS correct,
+         |    cos_ppm FROM nn)
+         |SELECT CAST(bin * $CalibBinPpm - 1000000 AS BIGINT) AS bin_lo_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(correct) AS BIGINT) AS n_correct,
+         |  CAST(SUM(correct) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+         |  CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT) AS mean_cos_ppm
+         |FROM b GROUP BY bin""".stripMargin
     },
   )
 

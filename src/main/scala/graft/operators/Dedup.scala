@@ -779,6 +779,56 @@ object Dedup {
       .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_true"))
   }
 
+  /** Exact-Jaccard threshold defining a TRUE near-dup pair for the
+    * q228 operating-point sweep.
+    */
+  val SweepTruthJPpm = 500000L
+
+  /** q228: the LSH operating-point sweep — precision / recall / F1 (in
+    * exact ppm) of "pair shares ≥ t bands" against the exact-Jaccard
+    * truth (≥ [[SweepTruthJPpm]]), for every feasible band threshold
+    * t ∈ 1..[[MinhashK]]/2. q96 fixes the operating point and reports
+    * recall per similarity band; this reports the whole curve — the
+    * panel that decides which band threshold the dedup endgame (q140)
+    * is allowed to delete documents at, the dedup twin of q227's
+    * nprobe curve.
+    *
+    * Scale: both relations are the existing cap-bounded pair pipelines
+    * (band-bucket-local candidates, df-capped truth); the sweep is one
+    * outer join + a 4-way threshold explode over the candidate-sized
+    * relation. Nothing quadratic, nothing new shuffles.
+    */
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val maxT = MinhashK / 2
+    val truth = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard_ppm") >= SweepTruthJPpm)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+    val cand = lshCandidatePairs(spark, dir)
+    val nTruth = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val counts = cand
+      .join(broadcast(truth), Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("n_bands"), coalesce(col("is_true"), lit(0L)).as("is_true"),
+        explode(expr(s"sequence(1, $maxT)")).as("t"))
+      .filter(col("n_bands") >= col("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pred"), sum(col("is_true")).as("tp"))
+    val ts = spark.range(1, maxT + 1)
+      .select(col("id").cast("int").as("t"))
+    ts.join(broadcast(counts), Seq("t"), "left_outer")
+      .na.fill(0L, Seq("n_pred", "tp"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("t").as("band_threshold"), col("n_pred"), col("tp"),
+        col("n_truth"),
+        expr("CASE WHEN n_pred = 0 THEN 0 " +
+          "ELSE tp * 1000000 DIV n_pred END").as("precision_ppm"),
+        expr("CASE WHEN n_truth = 0 THEN 0 " +
+          "ELSE tp * 1000000 DIV n_truth END").as("recall_ppm"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN precision_ppm + recall_ppm = 0 THEN 0 " +
+          "ELSE 2 * precision_ppm * recall_ppm DIV " +
+          "(precision_ppm + recall_ppm) END"))
+  }
+
   /** Curation-impact delta report (q95) — the before/after accounting a
     * curation run publishes: every document classified as `removed_dup`
     * (a non-survivor of its near-dup cluster, [[dedupSurvivors]]' rule),

@@ -715,6 +715,18 @@ object Similarity {
       nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings")))
 
   private def knnLabelEvalAt(spark: SparkSession, dir: String,
+      nlist: Int): DataFrame =
+    nn1At(spark, dir, nlist)
+      .groupBy(col("label_true").cast("long").as("label_true"),
+        col("label_pred").cast("long").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The per-vector 1-NN relation inside capped IVF buckets —
+    * (vec_id, label_true, label_pred, cos_ppm) — shared by the q181/
+    * q182 confusion matrices and the q229 calibration panel so the
+    * probe semantics cannot drift between them.
+    */
+  private def nn1At(spark: SparkSession, dir: String,
       nlist: Int): DataFrame = {
     withFns(spark)
     val dot = graft.functions.GraftFunctions.DotName
@@ -739,10 +751,41 @@ object Similarity {
           "(sqrt(CAST(n_a AS DOUBLE)) * sqrt(CAST(n_b AS DOUBLE)))) AS BIGINT)"))
       .withColumn("rk", row_number().over(wNn))
       .filter(col("rk") === 1)
-      .groupBy(col("label_true").cast("long").as("label_true"),
-        col("label_pred").cast("long").as("label_pred"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("vec_id"), col("label_true"), col("label_pred"),
+        col("cos_ppm"))
   }
+
+  /** Calibration bin width in ppm for [[knnCalibration]]. */
+  val CalibBinPpm = 100000L
+
+  /** q229: the reliability panel for similarity scores — per cosine
+    * bin ([[CalibBinPpm]]-wide, shifted by +10⁶ so the bin id is a
+    * clean truncating div on both engines), how often the 1-NN's label
+    * actually agrees. This is the calibration check a pipeline runs
+    * BEFORE trusting a fixed cos threshold (q172's semantic-dedup cut,
+    * q118's hard-negative margins): if accuracy does not rise with the
+    * score, the threshold is noise. Bin means use the floor-division
+    * correction so Spark's truncating DIV replays DuckDB's flooring
+    * `//` on negative sums.
+    *
+    * Scale: rides the q182 1-NN relation (capped-bucket pairs); the
+    * panel itself is a ≤ 21-row aggregation.
+    */
+  def knnCalibration(spark: SparkSession, dir: String): DataFrame =
+    nn1At(spark, dir,
+      nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings")))
+      .withColumn("bin", expr(s"(cos_ppm + 1000000) DIV $CalibBinPpm"))
+      .withColumn("correct",
+        when(col("label_true") === col("label_pred"), 1L).otherwise(0L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"),
+        sum(col("cos_ppm")).as("sum_cos"))
+      .select(
+        expr(s"bin * $CalibBinPpm - 1000000").as("bin_lo_ppm"),
+        col("n"), col("n_correct"),
+        expr("n_correct * 1000000 DIV n").as("acc_ppm"),
+        expr("sum_cos DIV n - (CASE WHEN sum_cos % n <> 0 AND sum_cos < 0 " +
+          "THEN 1 ELSE 0 END)").as("mean_cos_ppm"))
 
   /** q225: the standard ranked-retrieval eval panel — MAP@5 / MRR /
     * P@5 / hit-rate in exact ppm — graded over the PRODUCTION search

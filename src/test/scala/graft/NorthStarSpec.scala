@@ -737,4 +737,31 @@ class NorthStarSpec extends AnyFunSuite {
     assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
       s"candidates must not fall as nprobe grows: ${cands.toSeq}")
   }
+
+  test("q228 band sweep: thresholds tighten monotonically") {
+    val rows = Dedup.lshBandSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to graft.operators.Dedup.MinhashK / 2))
+    // predicted set and true positives can only shrink as t grows;
+    // tp is bounded by both sides; recall is non-increasing
+    rows.foreach { case (_, nPred, tp, nTruth, _, _, _) =>
+      assert(tp <= nPred && tp <= nTruth) }
+    val preds = rows.map(_._2); val recalls = rows.map(_._6)
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q229 calibration: bin means sit inside their bins") {
+    val rows = Similarity.knnCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, n, nc, acc, mean) =>
+      assert(n > 0 && nc <= n)
+      assert(acc == nc * 1000000L / n)
+      assert(mean >= lo && mean < lo + 100000L, s"bin $lo mean $mean")
+      assert(lo >= -1000000L && lo < 1000000L)
+    }
+  }
 }
