@@ -423,6 +423,10 @@ object SparkEntry {
     // calibration check before any fixed similarity threshold is
     // trusted
     "q229_knn_calibration" -> (Similarity.knnCalibration _),
+    // self-join-size (F2) from an explicit 4×1024 CMS vs the exact
+    // pair mass — the planner statistic behind every pair explosion,
+    // cell-replayable in SQL unlike the opaque q75 sketch
+    "q230_cms_selfjoin_size" -> (Sketches.cmsSelfJoinSize _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4970,6 +4974,35 @@ object SparkEntry {
          |  CAST(SUM(correct) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
          |  CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT) AS mean_cos_ppm
          |FROM b GROUP BY bin""".stripMargin
+    },
+    // every CMS cell replayed (md5-prefix row hashes), min row-F2 vs
+    // the exact keyed pair mass, Markov bound in HUGEINT
+    "q230_cms_selfjoin_size" -> {
+      import graft.operators.Sketches.{CmsF2Depth, CmsF2Width}
+      s"""WITH k AS (SELECT l_partkey AS k FROM lineitem),
+         |ex AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys
+         |  FROM (SELECT k, COUNT(*) AS cnt FROM k GROUP BY 1) t),
+         |cells AS (SELECT ri, CAST(concat('0x', substr(md5(
+         |      concat(CAST(ri AS VARCHAR), ':', CAST(k AS VARCHAR))), 1, 12))
+         |      AS BIGINT) % $CmsF2Width AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cell
+         |  FROM k, unnest(generate_series(0, ${CmsF2Depth - 1})) u(ri)
+         |  GROUP BY 1, 2),
+         |est AS (SELECT CAST(MIN(row_est) AS BIGINT) AS f2_est FROM (
+         |    SELECT ri, SUM(cell * cell) AS row_est FROM cells GROUP BY 1) t)
+         |SELECT n_rows, n_keys, f2_exact, f2_est,
+         |  (f2_est - f2_exact) * 1000000 // f2_exact AS err_ppm,
+         |  CAST(3 * (CAST(n_rows AS HUGEINT) * n_rows - f2_exact) * 1000000
+         |    // ($CmsF2Width * CAST(f2_exact AS HUGEINT)) AS BIGINT)
+         |    AS bound_ppm,
+         |  f2_est >= f2_exact AND
+         |    (f2_est - f2_exact) * 1000000 // f2_exact <=
+         |    CAST(3 * (CAST(n_rows AS HUGEINT) * n_rows - f2_exact) * 1000000
+         |      // ($CmsF2Width * CAST(f2_exact AS HUGEINT)) AS BIGINT)
+         |    AS f2_ok
+         |FROM ex, est""".stripMargin
     },
   )
 

@@ -554,8 +554,13 @@ object GraphOps {
   def linkPrediction(spark: SparkSession, dir: String): DataFrame =
     linkPredictionFor(coSupplyEdges(Tables.lineitem(spark, dir)))
 
-  def linkPredictionFor(edges0: DataFrame): DataFrame = {
-    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+  /** `materialize = false` returns the lazy plan (no persist/checkpoint)
+    * for plan-shape inspection — the caller owns execution cost.
+    */
+  def linkPredictionFor(edges0: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    val edges =
+      if (materialize) edges0.persist(StorageLevel.MEMORY_AND_DISK) else edges0
     val sym = edges.select(col("a").as("m"), col("b").as("n"))
       .union(edges.select(col("b").as("m"), col("a").as("n")))
     val deg = sym.groupBy(col("m").as("s")).agg(count(lit(1)).as("deg"))
@@ -571,7 +576,7 @@ object GraphOps {
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= LpMinCommon)
       .join(edges, Seq("a", "b"), "left_anti")
-    val out = cn
+    val scored = cn
       .join(broadcast(deg.select(col("s").as("a"), col("deg").as("deg_a"))),
         Seq("a"))
       .join(broadcast(deg.select(col("s").as("b"), col("deg").as("deg_b"))),
@@ -579,8 +584,11 @@ object GraphOps {
       .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
         expr("n_common * 1000000 DIV (deg_a + deg_b - n_common)")
           .as("jaccard_ppm"))
-      .localCheckpoint()
-    edges.unpersist()
-    out
+    if (!materialize) scored
+    else {
+      val out = scored.localCheckpoint()
+      edges.unpersist()
+      out
+    }
   }
 }

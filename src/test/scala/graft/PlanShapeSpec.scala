@@ -871,4 +871,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"calendar-bounded drift join must broadcast:\n${p.take(2000)}")
   }
+
+  test("q224 link prediction: keyed wedge join, no unkeyed pairing") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val p = plan(graft.operators.GraphOps
+      .linkPredictionFor(edges, materialize = false))
+    // the wedge self-join must be an EQUI-join on the middle node —
+    // an unkeyed pairing here is the O(n²) cliff the cap exists for
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedges must pair through the middle-node key:\n${p.take(2000)}")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[m".r
+      .findFirstIn(p).isDefined,
+      s"wedge join must be keyed on m:\n${p.take(2000)}")
+  }
+
+  test("q226 centroid outliers: map-only assignment, one bucket exchange") {
+    val p = plan(Similarity.centroidOutliers(spark, sf))
+    // assignment is the native argmax-dot projection; the centroid
+    // cosine join is nlist-sized and must broadcast; the two windows
+    // (rank, bucket size) share the ONE bucket-keyed exchange
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"centroid join must broadcast:\n${p.take(2000)}")
+    assert(shuffles(p) <= 1,
+      s"rank and size windows must share one bucket exchange:\n${p.take(2000)}")
+  }
 }

@@ -197,4 +197,26 @@ class SketchAuditSpec extends AnyFunSuite {
         s"${r.getString(0)}/${r.getString(1)}: est $est != exact $exact")
     }
   }
+
+  test("q230 CMS F2 is one-sided and inside the Markov bound") {
+    val r = Sketches.cmsSelfJoinSize(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nRows, nKeys, f2x, f2e) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // F2 bounds: at least F1²/n_keys (uniform), at most F1² (one key)
+    assert(f2x >= nRows * nRows / math.max(nKeys, 1L) && f2x <= nRows * nRows)
+    // collisions only ADD mass — the estimate can never undershoot
+    assert(f2e >= f2x, s"one-sidedness violated: est $f2e < exact $f2x")
+    assert(row.getBoolean(6), s"Markov bound breached: $row")
+  }
+
+  test("q230 exact F2 replays a driver-side count") {
+    val keys = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).collect().map(_.getLong(0))
+    val f2 = keys.groupBy(identity).map { case (_, v) =>
+      v.length.toLong * v.length }.sum
+    val got = Sketches.cmsSelfJoinSize(spark, sf).collect().head.getLong(2)
+    assert(got == f2)
+  }
 }
