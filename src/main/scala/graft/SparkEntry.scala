@@ -427,6 +427,9 @@ object SparkEntry {
     // pair mass — the planner statistic behind every pair explosion,
     // cell-replayable in SQL unlike the opaque q75 sketch
     "q230_cms_selfjoin_size" -> (Sketches.cmsSelfJoinSize _),
+    // per-source novelty of the incoming crawl batch vs the standing
+    // corpus (distinct-shingle anti-join) — the keep-crawling signal
+    "q231_crawl_novelty" -> (Dedup.crawlNovelty _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5003,6 +5006,33 @@ object SparkEntry {
          |      // ($CmsF2Width * CAST(f2_exact AS HUGEINT)) AS BIGINT)
          |    AS f2_ok
          |FROM ex, est""".stripMargin
+    },
+    // the q89 split over the shared shingle relation: distinct batch
+    // shingles anti-joined against the same source's corpus set
+    "q231_crawl_novelty" -> {
+      val bucket =
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+      s"""WITH $shingleCte,
+         |hb AS (SELECT doc_id, source, $bucket AS b, $shashSql AS shash
+         |       FROM sh),
+         |corpus AS (SELECT DISTINCT source, shash FROM hb WHERE b < 800000),
+         |batch AS (SELECT DISTINCT source, shash FROM hb WHERE b >= 900000),
+         |bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch_shingles
+         |       FROM batch GROUP BY 1),
+         |cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_corpus_shingles
+         |       FROM corpus GROUP BY 1),
+         |bd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch_docs
+         |       FROM documents WHERE $bucket >= 900000 GROUP BY 1),
+         |nv AS (SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_novel
+         |  FROM batch b WHERE NOT EXISTS (SELECT 1 FROM corpus c
+         |    WHERE c.source = b.source AND c.shash = b.shash)
+         |  GROUP BY 1)
+         |SELECT bs.source, bd.n_batch_docs, bs.n_batch_shingles,
+         |  cs.n_corpus_shingles, COALESCE(nv.n_novel, 0) AS n_novel,
+         |  COALESCE(nv.n_novel, 0) * 1000000 // bs.n_batch_shingles
+         |    AS novelty_ppm
+         |FROM bs JOIN bd USING (source) JOIN cs USING (source)
+         |LEFT JOIN nv ON bs.source = nv.source""".stripMargin
     },
   )
 

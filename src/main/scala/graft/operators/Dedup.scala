@@ -327,6 +327,50 @@ object Dedup {
     * rows before any state is built, so pair emission is bounded by
     * BandCap² per bucket regardless of skew.
     */
+  /** q231: crawl novelty report — per source, how much genuinely NEW
+    * shingle mass an incoming batch (the q89 ≥ 0.9 md5 split) adds
+    * over the standing corpus (the < 0.8 split): batch docs, distinct
+    * batch shingles, the share of them unseen in the same source's
+    * corpus (exact ppm), and the corpus size for context. This is the
+    * keep-crawling signal a data-acquisition loop reads — a source
+    * whose novelty_ppm decays toward its dup floor has been exhausted,
+    * and the crawler's budget (q79's mix weights, q94's token budget)
+    * should move elsewhere.
+    *
+    * Scale: one shingle pass to two DISTINCT (source, shash) relations
+    * (the q37 shuffle class), one keyed anti-join batch→corpus, then
+    * source-bounded aggregates. No pairwise anything.
+    */
+  def crawlNovelty(spark: SparkSession, dir: String): DataFrame =
+    crawlNoveltyFor(Tables.documents(spark, dir))
+
+  def crawlNoveltyFor(docs: DataFrame): DataFrame = {
+    val b = Sampling.hashBucket("doc_id")
+    val hs = hashedShingles(docs.filter(b < 800000L || b >= 900000L))
+      .filter(col("shash").isNotNull)
+      .withColumn("side",
+        when(Sampling.hashBucket("doc_id") < 800000L, lit(0)).otherwise(lit(1)))
+    val corpus = hs.filter(col("side") === 0)
+      .select(col("source"), col("shash")).distinct()
+    val batch = hs.filter(col("side") === 1)
+      .select(col("source"), col("shash")).distinct()
+    val novel = batch.join(corpus, Seq("source", "shash"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+    val bs = batch.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch_shingles"))
+    val cs = corpus.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_corpus_shingles"))
+    val bd = docs.filter(b >= 900000L)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_batch_docs"))
+    bs.join(broadcast(bd), Seq("source"))
+      .join(broadcast(cs), Seq("source"))
+      .join(broadcast(novel), Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_novel"))
+      .select(col("source"), col("n_batch_docs"), col("n_batch_shingles"),
+        col("n_corpus_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 DIV n_batch_shingles").as("novelty_ppm"))
+  }
+
   def incrementalLshPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val b = Sampling.hashBucket("doc_id")

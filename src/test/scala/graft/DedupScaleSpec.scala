@@ -63,4 +63,26 @@ class DedupScaleSpec extends AnyFunSuite {
     // orthogonal pair in bucket 1 is below the cosine threshold
     assert(!pairs.exists(r => r.getLong(0) == 100L))
   }
+
+  test("q231 crawl novelty: dup batch scores 0, fresh batch scores 1e6") {
+    // pick real ids on each side of the md5 split so the fixture uses
+    // the production split rule, not a mocked one
+    def bucket(id: Long): Long = graft.functions.Md5PrefixLong.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString), 8) %
+      1000000L
+    val corpusIds = (1L to 500L).filter(bucket(_) < 800000L).take(2)
+    val batchIds = (1L to 500L).filter(bucket(_) >= 900000L).take(2)
+    assert(corpusIds.size == 2 && batchIds.size == 2)
+    val docs = Seq(
+      (corpusIds(0), "src0", "a b c d e"),   // corpus: 3 shingles
+      (corpusIds(1), "src0", "k l m"),       // corpus: 1 shingle
+      (batchIds(0), "src0", "a b c d e"),    // batch dup: 0 novel
+      (batchIds(1), "src0", "x y z w v"))    // batch fresh: 3 novel
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.crawlNoveltyFor(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((2L, 6L, 4L, 3L, 500000L)))
+  }
 }
