@@ -430,6 +430,9 @@ object SparkEntry {
     // per-source novelty of the incoming crawl batch vs the standing
     // corpus (distinct-shingle anti-join) — the keep-crawling signal
     "q231_crawl_novelty" -> (Dedup.crawlNovelty _),
+    // the q227 tuning curve on a FIXED 64-query budget — the
+    // serving-shaped, linear-in-corpus form for live corpora
+    "q232_ivf_sweep_budget" -> (Similarity.ivfProbeSweepBudget _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -4851,7 +4854,17 @@ object SparkEntry {
     },
     // the derived-width CTEs with probe RANK retained to the max sweep
     // value, brute top-5 truth, then per-sweep-value filter + top-5
-    "q227_ivf_probe_sweep" -> {
+    "q227_ivf_probe_sweep" -> probeSweepSql("vec_id % 100 = 0"),
+    // the serving-shaped twin: fixed 64-query budget, linear-in-corpus
+    "q232_ivf_sweep_budget" -> probeSweepSql(
+      s"vec_id < ${graft.operators.Similarity.SweepQueryBudget}"),
+  ) ++ oracleSqlMore
+
+  /** The q227/q232 sweep oracle, parameterized by the query-subset
+    * predicate (the only difference between the commissioning and
+    * serving-shaped forms).
+    */
+  private def probeSweepSql(qPred: String): String = {
       val maxP = graft.operators.Similarity.SweepNprobes.max
       val vals = graft.operators.Similarity.SweepNprobes
         .map(v => s"($v)").mkString(", ")
@@ -4870,7 +4883,7 @@ object SparkEntry {
          |    FROM e, cents c) t
          |  WHERE rk = 1),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n_emb AS n_q
-         |      FROM e WHERE vec_id % 100 = 0),
+         |      FROM e WHERE $qPred),
          |pr AS (
          |  SELECT q_id, q_emb, n_q, c_id AS bucket, rk AS probe_rank FROM (
          |    SELECT q.q_id, q.q_emb, q.n_q, c.c_id,
@@ -4916,7 +4929,9 @@ object SparkEntry {
          |  COALESCE(cand.n_cand, 0) // nq.n_queries AS mean_cand
          |FROM v LEFT JOIN hits ON v.nprobe = hits.nprobe
          |LEFT JOIN cand ON v.nprobe = cand.nprobe, nq""".stripMargin
-    },
+  }
+
+  private lazy val oracleSqlMore: Map[String, String] = Map(
     // q96's truth chain at the sweep threshold + the q39 candidate
     // pipeline, swept over every feasible band threshold
     "q228_lsh_band_sweep" -> {

@@ -873,13 +873,31 @@ object Similarity {
     * baseline is the q41 audit (quadratic, AUDIT-ONLY — the sweep is a
     * commissioning query, not a per-batch one).
     */
-  def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+  def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame =
+    ivfProbeSweepAt(spark, dir, None)
+
+  /** Query budget of the serving-shaped sweep (q232). */
+  val SweepQueryBudget = 64L
+
+  /** q232: [[ivfProbeSweep]] on the FIXED [[SweepQueryBudget]]-query
+    * subset — the serving-shaped form whose cost is linear in the
+    * corpus (64 brute rows per corpus vector) instead of the %100
+    * rule's quadratic O(N²/100): the documented path when the tuning
+    * curve must run against a live corpus rather than at commissioning
+    * time. Same panel, same exact contract, same oracle algebra.
+    */
+  def ivfProbeSweepBudget(spark: SparkSession, dir: String): DataFrame =
+    ivfProbeSweepAt(spark, dir, Some(SweepQueryBudget))
+
+  private def ivfProbeSweepAt(spark: SparkSession, dir: String,
+      queryBudget: Option[Long]): DataFrame = {
     withFns(spark)
     val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
     val maxP = SweepNprobes.max
     val emb = Tables.embeddings(spark, dir)
     val cents = centroidLits(spark, dir, nlist)
-    val q = queries(emb).withColumn("n_q", normQ("q_emb"))
+    val qBase = queryBudget.fold(queries(emb))(b => queriesBudget(emb, b))
+    val q = qBase.withColumn("n_q", normQ("q_emb"))
     val probes = q
       .select(col("q_id"), col("q_emb"), col("n_q"),
         posexplode(slice(sort_array(probeRanking(cents, "q_emb")), 1, maxP))
@@ -896,9 +914,21 @@ object Similarity {
           "(sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
       .select(col("q_id"), col("vec_id"), col("cos_ppm"), col("probe_rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val brute = bruteForceKnn(spark, dir)
-      .select(col("q_id"), col("neighbor_id").as("vec_id"))
-    val nq = queries(emb).count()
+    // brute truth over the SAME query set (inlined bruteForceKnn shape:
+    // broadcast queries × full scan, identical ranking contract)
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ppm").desc, col("vec_id").asc)
+    val brute = emb
+      .select(col("vec_id"), col("embedding"), normQ("embedding").as("n_emb"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dot_q", dotQ("q_emb", "embedding"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val nq = qBase.count()
     val perV = SweepNprobes.map { v =>
       val cand = scored.filter(col("probe_rank") <= v)
       val hits = topkPerQuery(cand, "cos_ppm", 5)

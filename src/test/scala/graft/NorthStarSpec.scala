@@ -752,6 +752,18 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q232 budgeted sweep: same panel law on the fixed query set") {
+    val rows = Similarity.ivfProbeSweepBudget(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.SweepNprobes)
+    // the budget rule: queries are vec_id < 64, a fixed set at any SF
+    assert(rows.forall(_._2 == rows.head._2) && rows.head._2 <= 64)
+    val recs = rows.map(_._3); val cands = rows.map(_._4)
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b })
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q229 calibration: bin means sit inside their bins") {
     val rows = Similarity.knnCalibration(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
