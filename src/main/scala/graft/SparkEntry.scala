@@ -433,6 +433,10 @@ object SparkEntry {
     // the q227 tuning curve on a FIXED 64-query budget — the
     // serving-shaped, linear-in-corpus form for live corpora
     "q232_ivf_sweep_budget" -> (Similarity.ivfProbeSweepBudget _),
+    // Kaplan–Meier lifetime survival with right-censoring at the
+    // horizon — the churn curve q98's retention matrix biases; the KM
+    // product is a per-step-floored fold both engines replay
+    "q233_kaplan_meier" -> (EventsOps.kaplanMeier _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5049,6 +5053,36 @@ object SparkEntry {
          |FROM bs JOIN bd USING (source) JOIN cs USING (source)
          |LEFT JOIN nv ON bs.source = nv.source""".stripMargin
     },
+    // lifetimes from one user aggregation; the KM fold replayed as a
+    // recursive CTE with the same per-step floor
+    "q233_kaplan_meier" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |lv AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld
+        |       FROM e GROUP BY 1),
+        |m AS (SELECT MAX(ld) AS m FROM lv),
+        |du AS (SELECT ld - fd AS t,
+        |    CASE WHEN ld < (SELECT m FROM m) THEN 1 ELSE 0 END AS death
+        |  FROM lv),
+        |dc AS (SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+        |    CAST(SUM(1 - death) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_at
+        |  FROM du GROUP BY 1),
+        |cur AS (SELECT t, CAST(SUM(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk, d, c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t ASC) AS BIGINT) AS i
+        |  FROM dc),
+        |km AS (
+        |  SELECT i, t, n_risk, d, c,
+        |    (1000000 * (n_risk - d)) // n_risk AS s
+        |  FROM cur WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.i, o.t, o.n_risk, o.d, o.c,
+        |    (km.s * (o.n_risk - o.d)) // o.n_risk
+        |  FROM cur o JOIN km ON o.i = km.i + 1)
+        |SELECT t, n_risk, d, c, d * 1000000 // n_risk AS hazard_ppm,
+        |  s AS survival_ppm FROM km""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

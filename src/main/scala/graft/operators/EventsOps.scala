@@ -575,4 +575,70 @@ object EventsOps {
       .groupBy(col("state"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
   }
+
+  /** q233: Kaplan–Meier survival over user lifetimes (Kaplan & Meier
+    * 1958) — the censoring-aware churn curve q98's retention matrix
+    * cannot give: a user whose last event falls on the corpus's final
+    * observed day has not churned, only left observation, and counting
+    * them as dead biases every lifetime estimate downward. Lifetime =
+    * last − first active day; death = lifetime ended before the
+    * horizon; right-censored otherwise.
+    *
+    * Exact contract (both engines replay it): per distinct lifetime t
+    * (ascending), n_risk = users with lifetime ≥ t, d = deaths at t,
+    * c = censored at t, hazard_ppm = d·10⁶ div n_risk, and the KM
+    * product survival_ppm = fold over rows ≤ t of
+    * `s ← (s · (n_risk − d)) div n_risk` from s = 10⁶ — the floor
+    * applied AT EACH STEP, so the sequential fold is the contract
+    * (DuckDB replays it as a recursive CTE; Spark as one `aggregate`
+    * lambda over the sorted curve array).
+    *
+    * Scale: one user-keyed aggregation (first/last day) collapses the
+    * corpus; everything after runs on the HORIZON-bounded lifetime
+    * relation (≤ observed days), where the suffix-sum window and the
+    * fold cost nothing at any corpus size.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    kaplanMeierFor(Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ns DIV $dayNs").as("day")))
+  }
+
+  /** [[kaplanMeier]]'s algebra over an explicit (user_id, day)
+    * activity relation — fixture-testable.
+    */
+  def kaplanMeierFor(activity: DataFrame): DataFrame = {
+    val lives = activity
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+    val horizon = lives.agg(max(col("ld")).as("m"))
+    val durs = lives.crossJoin(broadcast(horizon))
+      .select((col("ld") - col("fd")).as("t"),
+        when(col("ld") < col("m"), 1L).otherwise(0L).as("death"))
+      .groupBy(col("t"))
+      .agg(sum(col("death")).as("d"),
+        sum(lit(1L) - col("death")).as("c"),
+        count(lit(1)).as("n_at"))
+    val wSuffix = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = durs
+      .withColumn("n_risk", sum(col("n_at")).over(wSuffix))
+      .select(col("t"), col("n_risk"), col("d"), col("c"))
+    curve
+      .agg(sort_array(collect_list(struct(col("t"), col("n_risk"),
+        col("d"), col("c")))).as("rows"))
+      .select(explode(expr(
+        """aggregate(rows,
+          |  CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT,
+          |    d: BIGINT, c: BIGINT, s: BIGINT>>),
+          |  (acc, x) -> acc || array(struct(x.t AS t, x.n_risk AS n_risk,
+          |    x.d AS d, x.c AS c,
+          |    (IF(size(acc) = 0, 1000000L, element_at(acc, -1).s)
+          |      * (x.n_risk - x.d)) DIV x.n_risk AS s)))""".stripMargin))
+        .as("r"))
+      .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d").as("d"), col("r.c").as("c"),
+        expr("r.d * 1000000 DIV r.n_risk").as("hazard_ppm"),
+        col("r.s").as("survival_ppm"))
+  }
 }

@@ -86,4 +86,37 @@ class EngagementSpec extends AnyFunSuite {
     assert(out.last._3 == 0L)
     assert(out.map(_._2).sum == 0L)
   }
+
+  test("q233 kaplan-meier: hand-computed curve with censoring") {
+    // horizon M = 10. Users: u1 days {0..2} → t=2 death; u2 {0..2} →
+    // t=2 death; u3 {0,5} → t=5 death; u4 {3..10} → t=7 CENSORED
+    // (ld = M); u5 {10} → t=0 censored.
+    // t=0: n=5 d=0 c=1 → s = 1e6
+    // t=2: n=4 d=2 c=0 → s = 1e6*2/4 = 500000
+    // t=5: n=2 d=1 c=0 → s = 500000*1/2 = 250000
+    // t=7: n=1 d=0 c=1 → s = 250000
+    val act = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 2L),
+      (3L, 0L), (3L, 5L),
+      (4L, 3L), (4L, 10L),
+      (5L, 10L)).toDF("user_id", "day")
+    val out = EventsOps.kaplanMeierFor(act).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 5L, 0L, 1L, 0L, 1000000L),
+      (2L, 4L, 2L, 0L, 500000L, 500000L),
+      (5L, 2L, 1L, 0L, 500000L, 250000L),
+      (7L, 1L, 0L, 1L, 0L, 250000L)))
+  }
+
+  test("q233 kaplan-meier: all-censored corpus never loses survival") {
+    // every user's last day is the horizon → zero deaths, s stays 1e6
+    val act = Seq((1L, 0L), (1L, 9L), (2L, 4L), (2L, 9L), (3L, 9L))
+      .toDF("user_id", "day")
+    val out = EventsOps.kaplanMeierFor(act).collect()
+    assert(out.forall(_.getLong(5) == 1000000L))
+    assert(out.map(_.getLong(2)).sum == 0L)
+  }
 }
