@@ -437,6 +437,10 @@ object SparkEntry {
     // horizon — the churn curve q98's retention matrix biases; the KM
     // product is a per-step-floored fold both engines replay
     "q233_kaplan_meier" -> (EventsOps.kaplanMeier _),
+    // version-driven selective backfill, EXECUTED: stale partitions
+    // rebuilt in capped waves through the atomic swap, ledger graded
+    // against the source-predicted panel
+    "q234_backfill_exec" -> (graft.lake.Backfill.backfillExec _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5083,6 +5087,25 @@ object SparkEntry {
         |  FROM cur o JOIN km ON o.i = km.i + 1)
         |SELECT t, n_risk, d, c, d * 1000000 // n_risk AS hazard_ppm,
         |  s AS survival_ppm FROM km""".stripMargin,
+    // the whole post-backfill ledger predicted from the source table:
+    // parity rule for version_before, rank rule for waves, corrected
+    // sums everywhere
+    "q234_backfill_exec" -> {
+      import graft.lake.Backfill.{PipelineVersion, WaveCap}
+      s"""WITH src AS (SELECT year(o_orderdate) AS y,
+         |    ${cents("o_totalprice")} AS price_c FROM orders),
+         |yr AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(price_c) AS BIGINT) AS total_c FROM src GROUP BY 1),
+         |st AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rnk
+         |       FROM yr WHERE y % 2 = 0)
+         |SELECT CAST(yr.y AS BIGINT) AS year,
+         |  CAST(CASE WHEN yr.y % 2 = 0 THEN 1 ELSE $PipelineVersion END
+         |    AS BIGINT) AS version_before,
+         |  CAST($PipelineVersion AS BIGINT) AS version_after,
+         |  CAST(COALESCE((st.rnk - 1) // $WaveCap + 1, 0) AS BIGINT) AS wave,
+         |  yr.n_rows, yr.total_c
+         |FROM yr LEFT JOIN st ON yr.y = st.y""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

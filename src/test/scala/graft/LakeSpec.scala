@@ -207,4 +207,23 @@ class LakeSpec extends AnyFunSuite {
     assert(v.cleanup(2023).toSet == ids.dropRight(3).toSet)
     assert(v.list(2023) == ids.reverse.take(3))
   }
+
+  test("q234 backfill: stale-only rewrites, capped waves, data fixed") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Backfill.backfillExec(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.nonEmpty)
+    // everything ends at the current version, stale = even years only
+    assert(out.forall(_._3 == Backfill.PipelineVersion))
+    out.foreach { case (y, vb, _, w, _, _) =>
+      assert(vb == (if (y % 2 == 0) 1L else Backfill.PipelineVersion))
+      assert((w > 0) == (y % 2 == 0), s"year $y wave $w") }
+    // waves fill in year order at the cap
+    val staleWaves = out.filter(_._1 % 2 == 0).map(_._4)
+    assert(staleWaves.zipWithIndex.forall { case (w, i) =>
+      w == i / Backfill.WaveCap + 1 })
+    // the backfill actually fixed the zeroed cents column
+    assert(out.forall(_._6 > 0L))
+  }
 }
