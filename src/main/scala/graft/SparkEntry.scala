@@ -441,6 +441,12 @@ object SparkEntry {
     // rebuilt in capped waves through the atomic swap, ledger graded
     // against the source-predicted panel
     "q234_backfill_exec" -> (graft.lake.Backfill.backfillExec _),
+    // |A ⋈ B| from two explicit CMS rows (sketch inner product) vs the
+    // exact keyed join size — the second planner statistic
+    "q235_cms_join_size" -> (Sketches.cmsJoinSize _),
+    // range selectivity from a 64-bucket equi-width histogram, graded
+    // against the partial-bucket error theorem — the third
+    "q236_histogram_selectivity" -> (Sketches.histogramSelectivity _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5105,6 +5111,77 @@ object SparkEntry {
          |  CAST(COALESCE((st.rnk - 1) // $WaveCap + 1, 0) AS BIGINT) AS wave,
          |  yr.n_rows, yr.total_c
          |FROM yr LEFT JOIN st ON yr.y = st.y""".stripMargin
+    },
+    // two sketch sides, the inner-product estimate, the exact keyed
+    // join size, the Markov bound in HUGEINT
+    "q235_cms_join_size" -> {
+      import graft.operators.Sketches.{CmsF2Depth, CmsF2Width,
+        JoinSizeYearA, JoinSizeYearB}
+      def cellSql(src: String, name: String) =
+        s"""(SELECT ri, CAST(concat('0x', substr(md5(
+           |      concat(CAST(ri AS VARCHAR), ':', CAST(k AS VARCHAR))), 1, 12))
+           |      AS BIGINT) % $CmsF2Width AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS $name
+           |  FROM $src, unnest(generate_series(0, ${CmsF2Depth - 1})) u(ri)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH a AS (SELECT l_suppkey AS k FROM lineitem
+         |           WHERE year(l_shipdate) = $JoinSizeYearA),
+         |b AS (SELECT l_suppkey AS k FROM lineitem
+         |      WHERE year(l_shipdate) = $JoinSizeYearB),
+         |ca AS (SELECT k, COUNT(*) AS cnt FROM a GROUP BY 1),
+         |cb AS (SELECT k, COUNT(*) AS cnt FROM b GROUP BY 1),
+         |ex AS (SELECT CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS join_exact
+         |       FROM ca JOIN cb USING (k)),
+         |sa AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_a,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys_a FROM ca),
+         |sb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys_b FROM cb),
+         |cea AS ${cellSql("a", "cell_a")},
+         |ceb AS ${cellSql("b", "cell_b")},
+         |est AS (SELECT CAST(MIN(row_est) AS BIGINT) AS join_est FROM (
+         |    SELECT ri, SUM(cell_a * cell_b) AS row_est
+         |    FROM cea JOIN ceb USING (ri, bucket) GROUP BY 1) t)
+         |SELECT n_a, n_b, n_keys_a, n_keys_b, join_exact, join_est,
+         |  (join_est - join_exact) * 1000000 // join_exact AS err_ppm,
+         |  CAST(3 * (CAST(n_a AS HUGEINT) * n_b - join_exact) * 1000000
+         |    // ($CmsF2Width * CAST(join_exact AS HUGEINT)) AS BIGINT)
+         |    AS bound_ppm,
+         |  join_est >= join_exact AND
+         |    (join_est - join_exact) * 1000000 // join_exact <=
+         |    CAST(3 * (CAST(n_a AS HUGEINT) * n_b - join_exact) * 1000000
+         |      // ($CmsF2Width * CAST(join_exact AS HUGEINT)) AS BIGINT)
+         |    AS join_ok
+         |FROM sa, sb, ex, est""".stripMargin
+    },
+    // the histogram, the uniform interpolation, the exact count, the
+    // partial-bucket error theorem
+    "q236_histogram_selectivity" -> {
+      import graft.operators.Sketches.HistBuckets
+      s"""WITH v AS (SELECT ${cents("o_totalprice")} AS v FROM orders),
+         |sp AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    (MAX(v) - MIN(v)) // $HistBuckets + 1 AS width,
+         |    MIN(v) + (MAX(v) - MIN(v)) * 3 // 10 AS lo,
+         |    MIN(v) + (MAX(v) - MIN(v)) * 6 // 10 AS hi
+         |  FROM v),
+         |h AS (SELECT (v - sp.vmin) // sp.width AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM v, sp GROUP BY 1),
+         |es AS (SELECT
+         |    CAST(SUM(cnt * greatest(0, least(sp.hi, sp.vmin + bucket *
+         |      sp.width + sp.width - 1) - greatest(sp.lo, sp.vmin + bucket *
+         |      sp.width) + 1) // sp.width) AS BIGINT) AS est,
+         |    CAST(SUM(CASE WHEN bucket = (sp.lo - sp.vmin) // sp.width
+         |        OR bucket = (sp.hi - sp.vmin) // sp.width
+         |      THEN cnt ELSE 0 END) AS BIGINT) AS partial_mass
+         |  FROM h, sp),
+         |exq AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact FROM v, sp
+         |        WHERE v.v >= sp.lo AND v.v <= sp.hi)
+         |SELECT sp.n_rows, sp.lo, sp.hi, es.est, exq.exact,
+         |  exq.exact * 1000000 // sp.n_rows AS sel_exact_ppm,
+         |  es.est * 1000000 // sp.n_rows AS sel_est_ppm,
+         |  es.partial_mass,
+         |  abs(es.est - exq.exact) <= es.partial_mass AS hist_ok
+         |FROM sp, es, exq""".stripMargin
     },
   )
 

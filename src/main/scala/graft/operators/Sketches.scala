@@ -505,4 +505,113 @@ object Sketches {
           "AS BIGINT)").as("bound_ppm"))
       .withColumn("f2_ok", expr("f2_est >= f2_exact AND err_ppm <= bound_ppm"))
   }
+
+  /** The q235 join's two fact slices: shipments of these years, keyed
+    * by supplier.
+    */
+  val JoinSizeYearA = 1995
+  val JoinSizeYearB = 1996
+
+  /** q235: general join-size estimation from two explicit CMS rows —
+    * the companion planner statistic to q230's F2: |A ⋈ B| on a key =
+    * Σ_k cntA(k)·cntB(k), estimated as min over [[CmsF2Depth]] rows of
+    * the sketch inner product Σ_j cellA_j·cellB_j (Cormode &
+    * Muthukrishnan 2005 §4.2). A and B are two year-slices of the fact
+    * table keyed by supplier — exactly the shape ("how big is the
+    * filtered-fact × filtered-fact join?") a planner must answer
+    * before picking a strategy. One-sided by the same cross-term
+    * argument as q230; Markov excess bound (F1A·F1B − J)/w per row.
+    *
+    * Scale: two filtered corpus passes each collapsing to 4 096 cells;
+    * the exact side is one keyed join of two key-count relations.
+    */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val fp = GraftFunctions.Md5PrefixName
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("k"), year(col("l_shipdate")).as("yr"))
+    def side(y: Int) = li.filter(col("yr") === y).select(col("k"))
+    def counts(df: DataFrame) = df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val ca = counts(side(JoinSizeYearA))
+    val cb = counts(side(JoinSizeYearB))
+    val exact = ca.join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("k"))
+      .agg(sum(expr("cnt * cnt_b")).as("join_exact"))
+      .crossJoin(ca.agg(sum(col("cnt")).as("n_a"),
+        count(lit(1)).as("n_keys_a")))
+      .crossJoin(cb.agg(sum(col("cnt")).as("n_b"),
+        count(lit(1)).as("n_keys_b")))
+    def cells(df: DataFrame, name: String) = df
+      .select(col("k"), explode(expr(s"sequence(0, ${CmsF2Depth - 1})")).as("ri"))
+      .select(col("ri"), expr(
+        s"$fp(concat(CAST(ri AS STRING), ':', CAST(k AS STRING)), 12) " +
+          s"% $CmsF2Width").as("bucket"))
+      .groupBy(col("ri"), col("bucket")).agg(count(lit(1)).as(name))
+    val est = cells(side(JoinSizeYearA), "cell_a")
+      .join(cells(side(JoinSizeYearB), "cell_b"), Seq("ri", "bucket"))
+      .groupBy(col("ri")).agg(sum(expr("cell_a * cell_b")).as("row_est"))
+      .agg(min(col("row_est")).as("join_est"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("n_keys_a"), col("n_keys_b"),
+        col("join_exact"), col("join_est"),
+        expr("(join_est - join_exact) * 1000000 DIV join_exact").as("err_ppm"),
+        expr("CAST(3 * (CAST(n_a AS DECIMAL(38,0)) * n_b - join_exact) " +
+          s"* 1000000 DIV ($CmsF2Width * CAST(join_exact AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("bound_ppm"))
+      .withColumn("join_ok",
+        expr("join_est >= join_exact AND err_ppm <= bound_ppm"))
+  }
+
+  /** Equi-width histogram buckets for [[histogramSelectivity]]. */
+  val HistBuckets = 64L
+
+  /** q236: range-selectivity estimation from an equi-width histogram —
+    * the third planner statistic (q230 F2, q235 join size): build a
+    * [[HistBuckets]]-bucket histogram over order totals (cents), then
+    * estimate the row count of a range predicate by counting full
+    * buckets exactly and interpolating the two partial end buckets
+    * uniformly. The range is derived from the observed span (30%–60%
+    * of it), so the query is deterministic at any SF. The audit grades
+    * the estimator's THEOREM, not a hope: full buckets contribute
+    * exactly, so |est − exact| ≤ mass of the two partial buckets.
+    *
+    * Scale: one aggregation to the bucket histogram (bucket-bounded),
+    * one exact-count pass; all interpolation algebra on ≤ 64 rows.
+    */
+  def histogramSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(spark, dir)
+      .select(graft.operators.Determinism.cents(col("o_totalprice")).as("v"))
+    val span = vals.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+      count(lit(1)).as("n_rows"))
+    val withB = vals.crossJoin(broadcast(span))
+      .withColumn("width", expr(s"(vmax - vmin) DIV $HistBuckets + 1"))
+      .withColumn("bucket", expr("(v - vmin) DIV width"))
+    val hist = withB.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    // the predicate: [lo, hi] = [min + 30% span, min + 60% span]
+    val bounds = span
+      .withColumn("lo", expr("vmin + (vmax - vmin) * 3 DIV 10"))
+      .withColumn("hi", expr("vmin + (vmax - vmin) * 6 DIV 10"))
+      .withColumn("width", expr(s"(vmax - vmin) DIV $HistBuckets + 1"))
+    val est = hist.crossJoin(broadcast(bounds))
+      .withColumn("b_lo", expr("(lo - vmin) DIV width"))
+      .withColumn("b_hi", expr("(hi - vmin) DIV width"))
+      .withColumn("b_start", expr("vmin + bucket * width"))
+      // per-bucket estimated contribution to [lo, hi]: overlap of the
+      // bucket's value interval with the range, uniform within bucket
+      .withColumn("overlap", expr(
+        "greatest(0L, least(hi, b_start + width - 1) - greatest(lo, b_start) + 1)"))
+      .withColumn("contrib", expr("cnt * overlap DIV width"))
+      .agg(sum(col("contrib")).as("est"),
+        sum(when(expr("bucket = b_lo OR bucket = b_hi"), col("cnt"))
+          .otherwise(0L)).as("partial_mass"))
+    val exact = vals.crossJoin(broadcast(bounds))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .agg(count(lit(1)).as("exact"))
+    bounds.select(col("n_rows"), col("lo"), col("hi"))
+      .crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("lo"), col("hi"), col("est"), col("exact"),
+        expr("exact * 1000000 DIV n_rows").as("sel_exact_ppm"),
+        expr("est * 1000000 DIV n_rows").as("sel_est_ppm"),
+        col("partial_mass"))
+      .withColumn("hist_ok", expr("abs(est - exact) <= partial_mass"))
+  }
 }

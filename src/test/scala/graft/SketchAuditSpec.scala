@@ -219,4 +219,37 @@ class SketchAuditSpec extends AnyFunSuite {
     val got = Sketches.cmsSelfJoinSize(spark, sf).collect().head.getLong(2)
     assert(got == f2)
   }
+
+  test("q235 join-size estimate is one-sided and replays the exact join") {
+    val r = Sketches.cmsJoinSize(spark, sf).collect().head
+    val (nA, nB, jx, je) =
+      (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))
+    assert(nA > 0 && nB > 0 && jx > 0)
+    assert(je >= jx, s"one-sidedness violated: est $je < exact $jx")
+    assert(jx <= nA * nB)
+    assert(r.getBoolean(8), s"Markov bound breached: $r")
+    // driver-side exact replay
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("l_suppkey", "year(l_shipdate) AS y").collect()
+    val a = rows.filter(_.getInt(1) == Sketches.JoinSizeYearA)
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    val b = rows.filter(_.getInt(1) == Sketches.JoinSizeYearB)
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    val exact = a.map { case (k, n) => n * b.getOrElse(k, 0L) }.sum
+    assert(jx == exact)
+  }
+
+  test("q236 histogram selectivity: exact full buckets, bounded partials") {
+    val r = Sketches.histogramSelectivity(spark, sf).collect().head
+    val (n, lo, hi, est, exact, pm) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7))
+    assert(lo < hi && exact > 0 && exact <= n)
+    assert(math.abs(est - exact) <= pm, s"theorem breached: $r")
+    assert(r.getBoolean(8))
+    // driver-side exact replay of the range count
+    val got = Tables.orders(spark, sf)
+      .select(graft.operators.Determinism.cents(col("o_totalprice")))
+      .collect().map(_.getLong(0)).count(v => v >= lo && v <= hi)
+    assert(exact == got)
+  }
 }
