@@ -447,6 +447,13 @@ object SparkEntry {
     // range selectivity from a 64-bucket equi-width histogram, graded
     // against the partial-bucket error theorem — the third
     "q236_histogram_selectivity" -> (Sketches.histogramSelectivity _),
+    // Mann–Whitney U with exact tie handling on the value histogram;
+    // rank-biserial effect size in ppm — the nonparametric member of
+    // the test family (q143 KS, q202 z²)
+    "q237_mann_whitney" -> (graft.operators.StatsAudit.mannWhitneyU _),
+    // out-of-orderness profile: lateness quantiles in arrival order —
+    // the panel that picks every streaming query's watermark delay
+    "q238_watermark_tuning" -> (EventsOps.watermarkTuning _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5182,6 +5189,64 @@ object SparkEntry {
          |  es.partial_mass,
          |  abs(es.est - exq.exact) <= es.partial_mass AS hist_ok
          |FROM sp, es, exq""".stripMargin
+    },
+    // doubled-rank algebra on the value histogram; ties exact; HUGEINT
+    // where products exceed a long
+    "q237_mann_whitney" -> {
+      import graft.operators.StatsAudit.{MwYearA, MwYearB}
+      s"""WITH v AS (SELECT year(o_orderdate) AS yr,
+         |    ${cents("o_totalprice")} AS v FROM orders
+         |  WHERE year(o_orderdate) IN ($MwYearA, $MwYearB)),
+         |h AS (SELECT v,
+         |    CAST(SUM(CASE WHEN yr = $MwYearA THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cnt_a,
+         |    CAST(SUM(CASE WHEN yr = $MwYearB THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cnt_b
+         |  FROM v GROUP BY 1),
+         |r AS (SELECT *, cnt_a + cnt_b AS t,
+         |    SUM(cnt_a + cnt_b) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |agg AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         |    CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+         |    CAST(SUM(cnt_a * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2_a,
+         |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie_mass
+         |  FROM r)
+         |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, n_a * n_b AS mu2,
+         |  tie_mass,
+         |  CAST(CAST(r2_a - n_a * (n_a + 1) AS HUGEINT) * 1000000
+         |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) - 1000000
+         |    AS rank_biserial_ppm
+         |FROM agg""".stripMargin
+    },
+    // user-keyed arrival-order running max, then the q71 rank rule on
+    // the lateness histogram
+    "q238_watermark_tuning" -> {
+      val qs = graft.operators.EventsOps.WatermarkQuantiles.mkString(", ")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns
+         |           FROM events),
+         |l AS (SELECT (MAX(ts_ns) OVER (PARTITION BY user_id
+         |      ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_ns)
+         |      // 1000000 AS late_ms
+         |  FROM e),
+         |h AS (SELECT late_ms, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM l GROUP BY 1),
+         |c AS (SELECT *, SUM(cnt) OVER (ORDER BY late_ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cnt) OVER () AS tot,
+         |    SUM(CASE WHEN late_ms > 0 THEN cnt ELSE 0 END) OVER () AS n_late
+         |  FROM h),
+         |p AS (SELECT DISTINCT tot, n_late, u.quantile,
+         |    (tot - 1) * u.quantile // 100 + 1 AS pos
+         |  FROM c, unnest([$qs]) u(quantile))
+         |SELECT CAST(p.quantile AS BIGINT) AS quantile,
+         |  CAST(MIN(c.late_ms) AS BIGINT) AS late_ms,
+         |  CAST(MAX(c.tot) AS BIGINT) AS n_events,
+         |  CAST(MAX(c.n_late) AS BIGINT) AS n_ooo,
+         |  CAST(MAX(c.n_late) * 1000000 // MAX(c.tot) AS BIGINT) AS ooo_ppm
+         |FROM c JOIN p ON c.cum >= p.pos
+         |GROUP BY p.quantile""".stripMargin
     },
   )
 

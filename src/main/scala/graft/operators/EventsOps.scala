@@ -598,6 +598,56 @@ object EventsOps {
     * relation (≤ observed days), where the suffix-sum window and the
     * fold cost nothing at any corpus size.
     */
+  /** Lateness quantiles reported by [[watermarkTuning]] (percent). */
+  val WatermarkQuantiles: Seq[Long] = Seq(50L, 90L, 95L, 99L, 100L)
+
+  /** q238: the out-of-orderness profile that PICKS the watermark delay
+    * every streaming query in the engine must declare (q21 windows,
+    * q133/q152/q167 joins, q147 sessions, q163 screens): per event,
+    * lateness = running event-time max in ARRIVAL order (event_id
+    * within user) minus the event's own time — how late this event
+    * was, relative to what had already been seen — then the exact
+    * lateness quantiles ([[WatermarkQuantiles]]) plus the out-of-order
+    * share. Set the delay at p99 and q152's state bound follows; set
+    * it at p50 and half the late events are dropped — this panel is
+    * the measurement that decision reads.
+    *
+    * Scale: one user-keyed window pass (the sessionize shuffle), then
+    * exact order statistics from the LATENESS-VALUE histogram (the
+    * q71/q204 rank rule) — never a corpus-scale sort.
+    */
+  def watermarkTuning(spark: SparkSession, dir: String): DataFrame =
+    watermarkTuningFor(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns")))
+
+  def watermarkTuningFor(ev: DataFrame): DataFrame = {
+    val wArr = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateness = ev
+      .withColumn("run_max", max(col("ts_ns")).over(wArr))
+      .select(expr("(run_max - ts_ns) DIV 1000000").as("late_ms"))
+    val hist = lateness.groupBy(col("late_ms")).agg(count(lit(1)).as("cnt"))
+    val byV = Window.orderBy(col("late_ms"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        byV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("n_late", sum(when(col("late_ms") > 0L, col("cnt"))
+        .otherwise(0L)).over(Window.partitionBy()))
+    val positions = cum.select(col("tot")).distinct()
+      .select(col("tot"),
+        explode(expr(s"array(${WatermarkQuantiles.mkString("L, ")}L)"))
+          .as("quantile"))
+      .select(col("quantile"),
+        expr("(tot - 1) * quantile DIV 100 + 1").as("pos"))
+    cum.join(broadcast(positions), col("cum") >= col("pos"))
+      .groupBy(col("quantile"))
+      .agg(min(col("late_ms")).as("late_ms"),
+        max(col("tot")).as("n_events"),
+        max(col("n_late")).as("n_ooo"),
+        expr("max(n_late) * 1000000 DIV max(tot)").as("ooo_ppm"))
+  }
+
   def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400000000000L
     kaplanMeierFor(Tables.events(spark, dir)

@@ -493,4 +493,59 @@ object StatsAudit {
           "ELSE CAST(((num * 1000000 DIV den_x) * num) DIV den_y AS BIGINT) END")
           .as("r2_ppm"))
   }
+
+  /** The q237 comparison slices (order totals of these two years). */
+  val MwYearA = 1995
+  val MwYearB = 1996
+
+  /** q237: Mann–Whitney U — the nonparametric two-sample location test
+    * (Mann & Whitney 1947), completing the test family beside the
+    * parametric z² (q202) and distribution-shape KS (q143): did order
+    * values SHIFT between two years, with no normality assumption and
+    * exact tie handling. Everything is exact integers in doubled rank
+    * units: per distinct value, 2·avg_rank = 2·cum_before + t + 1
+    * (always an integer), 2R_A = Σ cnt_A·(2·cum_before + t + 1),
+    * u2_a = 2·U_A = 2R_A − n_A(n_A+1). Reported effect size is the
+    * rank-biserial correlation r = 1 − 2U/(n_A·n_B) in exact ppm
+    * (positive ⇒ year A stochastically larger); mu2 = n_A·n_B (= 2·E[U])
+    * and the tie mass Σ(t³−t) ride along so a consumer can form the
+    * variance/z-score at whatever precision it wants.
+    *
+    * Scale: ranks come from the VALUE-HISTOGRAM (the q143/q187
+    * posture) — one aggregation to the value-bounded relation, one
+    * running sum over it, never a corpus-scale sort. The t³ tie mass
+    * and n_A·n_B products are DECIMAL-widened.
+    */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyUFor(Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        Determinism.cents(col("o_totalprice")).as("v"))
+      .filter(col("yr") === MwYearA || col("yr") === MwYearB)
+      .select((col("yr") === MwYearA).as("is_a"), col("v")))
+
+  /** [[mannWhitneyU]]'s algebra over an explicit (is_a, v) sample
+    * relation — fixture-testable.
+    */
+  def mannWhitneyUFor(vals: DataFrame): DataFrame = {
+    val hist = vals.groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("t", expr("cnt_a + cnt_b"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("rank2", expr("2 * (cum - t) + t + 1"))
+    ranked.agg(
+        sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+        sum(expr("cnt_a * rank2")).as("r2_a"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie_mass_d"))
+      .select(col("n_a"), col("n_b"),
+        expr("r2_a - n_a * (n_a + 1)").as("u2_a"),
+        expr("n_a * n_b").as("mu2"),
+        expr("CAST(tie_mass_d AS BIGINT)").as("tie_mass"),
+        expr("CAST(CAST(r2_a - n_a * (n_a + 1) AS DECIMAL(38,0)) " +
+          "* 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) " +
+          "- 1000000").as("rank_biserial_ppm"))
+  }
 }

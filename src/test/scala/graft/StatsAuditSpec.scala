@@ -248,4 +248,47 @@ class StatsAuditSpec extends AnyFunSuite {
     val b = trendFixture(rows.reverse).collect().toSeq
     assert(a == b)
   }
+
+  test("q237 mann-whitney: hand-computed U with ties") {
+    val spark2 = spark; import spark2.implicits._
+    // A = {1, 2, 2}, B = {2, 3}. Joint ranks: 1→1; 2,2,2→avg 3 (2·r=6);
+    // 3→5. 2R_A = 2·1 + 6 + 6 = 14; u2_a = 14 − 3·4 = 2 (U_A = 1:
+    // pair (2>?) ... A beats B in 0 pairs, ties in 2 → U = 0 + 2/2 = 1)
+    // mu2 = 6; ties: t=3 at v=2 → tie_mass = 27 − 3 = 24
+    // rank-biserial = 2·1/6 − 1 = −2/3 → u2·1e6 DIV 6 − 1e6 = −666667
+    val vals = Seq((true, 1L), (true, 2L), (true, 2L), (false, 2L),
+      (false, 3L)).toDF("is_a", "v")
+    val r = StatsAudit.mannWhitneyUFor(vals).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 2L, 2L, 6L, 24L, -666667L)))
+  }
+
+  test("q237 mann-whitney: identical samples land at zero effect") {
+    val spark2 = spark; import spark2.implicits._
+    val vals = (1L to 50L).flatMap(v => Seq((true, v), (false, v)))
+      .toDF("is_a", "v")
+    val r = StatsAudit.mannWhitneyUFor(vals).collect().head
+    // u2 = mu2 exactly under symmetry → effect 0
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getLong(5) == 0L)
+  }
+
+  test("q238 watermark tuning: hand-computed lateness quantiles") {
+    val spark2 = spark; import spark2.implicits._
+    // arrival order 1..5 with event times (s): 10, 5, 20, 6, 21 →
+    // lateness ms: 0, 5000, 0, 14000, 0. n=5, ooo=2 → 400000 ppm.
+    // positions (n−1)·q DIV 100 + 1 over sorted [0,0,0,5000,14000]:
+    // p50→3rd=0, p90/p95/p99→4th=5000, p100→5th=14000
+    val ev = Seq((7L, 1L, 10L), (7L, 2L, 5L), (7L, 3L, 20L),
+      (7L, 4L, 6L), (7L, 5L, 21L))
+      .map { case (u, id, s) => (u, id, s * 1000000000L) }
+      .toDF("user_id", "event_id", "ts_ns")
+    val out = graft.operators.EventsOps.watermarkTuningFor(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(50L) == ((0L, 5L, 2L, 400000L)))
+    assert(out(90L) == ((5000L, 5L, 2L, 400000L)))
+    assert(out(99L) == ((5000L, 5L, 2L, 400000L)))
+    assert(out(100L) == ((14000L, 5L, 2L, 400000L)))
+  }
 }
