@@ -454,6 +454,9 @@ object SparkEntry {
     // out-of-orderness profile: lateness quantiles in arrival order —
     // the panel that picks every streaming query's watermark delay
     "q238_watermark_tuning" -> (EventsOps.watermarkTuning _),
+    // A/A null calibration: 20 salted no-treatment splits through the
+    // q202 z² — the platform-validation gate for the experiment stack
+    "q239_aa_calibration" -> (graft.operators.StatsAudit.aaCalibration _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5247,6 +5250,37 @@ object SparkEntry {
          |  CAST(MAX(c.n_late) * 1000000 // MAX(c.tot) AS BIGINT) AS ooo_ppm
          |FROM c JOIN p ON c.cum >= p.pos
          |GROUP BY p.quantile""".stripMargin
+    },
+    // the shared per-user converted relation, K salted re-splits, the
+    // q202 z² per split
+    "q239_aa_calibration" -> {
+      import graft.operators.StatsAudit.{AaSplits, Chi2Crit05Ppm}
+      s"""WITH $abUsersCte,
+         |s AS (SELECT au.user_id, au.converted, CAST(t.s AS BIGINT)
+         |      AS split_id,
+         |    CAST(concat('0x', substr(md5(concat(CAST(au.user_id AS VARCHAR),
+         |      '#aa', CAST(t.s AS VARCHAR))), 1, 8)) AS BIGINT)
+         |      % 1000000 < 500000 AS is_a
+         |  FROM au, range(0, $AaSplits) t(s)),
+         |g AS (SELECT split_id,
+         |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE converted END) AS BIGINT)
+         |      AS c2
+         |  FROM s GROUP BY 1),
+         |z AS (SELECT *,
+         |    CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL ELSE CAST(
+         |      (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) *
+         |      (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) *
+         |      (n1 + n2) * 1000000 // (CAST(n1 AS HUGEINT) * n2 *
+         |        (c1 + c2) * (n1 + n2 - c1 - c2)) AS BIGINT) END AS z2_ppm
+         |  FROM g)
+         |SELECT split_id, n1, c1, n2, c2, z2_ppm,
+         |  CASE WHEN z2_ppm IS NULL THEN false
+         |    ELSE z2_ppm > $Chi2Crit05Ppm END AS rejected
+         |FROM z""".stripMargin
     },
   )
 

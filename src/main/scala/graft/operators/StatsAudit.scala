@@ -494,6 +494,54 @@ object StatsAudit {
           .as("r2_ppm"))
   }
 
+  /** Number of synthetic A/A splits the q239 calibration runs. */
+  val AaSplits = 20
+
+  /** q239: A/A null calibration — the check every experimentation
+    * platform runs BEFORE trusting its significance machinery (q202):
+    * assign the same users to [[AaSplits]] different no-treatment
+    * splits (independent salted hashes), run the identical z² test on
+    * each, and read how often the null is rejected. A healthy stack
+    * rejects ≈ α·K (1 of 20 at α = 0.05); systematic inflation means
+    * the assignment, the metric, or the variance is broken — and every
+    * "significant" experiment readout is suspect. Deterministic: the
+    * hash splits are fixed, so the panel is a regression gate, not a
+    * Monte-Carlo run.
+    *
+    * Scale: ONE fact pass to the per-user converted relation (shared
+    * with q201/q202), a K-way explode of the USER relation (not the
+    * fact table), and K 4-number aggregations.
+    */
+  def aaCalibration(spark: SparkSession, dir: String): DataFrame =
+    aaCalibrationFor(Tables.events(spark, dir))
+
+  def aaCalibrationFor(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    val fp = graft.functions.GraftFunctions.Md5PrefixName
+    val per = abUsers(events).select(col("user_id"), col("converted"))
+      .select(col("user_id"), col("converted"),
+        explode(expr(s"sequence(0, ${AaSplits - 1})")).as("split_id"))
+      .withColumn("is_a", expr(
+        s"$fp(concat(CAST(user_id AS STRING), '#aa', " +
+          s"CAST(split_id AS STRING)), 8) % 1000000") < 500000L)
+      .groupBy(col("split_id"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("is_a"), col("converted")).otherwise(0L)).as("c1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("is_a"), col("converted")).otherwise(0L)).as("c2"))
+    per
+      .withColumn("z2_ppm", expr(
+        "CASE WHEN c1 + c2 = 0 OR c1 + c2 = n1 + n2 THEN NULL ELSE CAST(" +
+          "(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1) * " +
+          "(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1) * " +
+          "(n1 + n2) * 1000000 DIV (CAST(n1 AS DECIMAL(38,0)) * n2 * " +
+          "(c1 + c2) * (n1 + n2 - c1 - c2)) AS BIGINT) END"))
+      .select(col("split_id").cast("long").as("split_id"),
+        col("n1"), col("c1"), col("n2"), col("c2"), col("z2_ppm"),
+        expr(s"CASE WHEN z2_ppm IS NULL THEN false " +
+          s"ELSE z2_ppm > $Chi2Crit05Ppm END").as("rejected"))
+  }
+
   /** The q237 comparison slices (order totals of these two years). */
   val MwYearA = 1995
   val MwYearB = 1996

@@ -273,6 +273,22 @@ class StatsAuditSpec extends AnyFunSuite {
     assert(r.getLong(5) == 0L)
   }
 
+  test("q239 A/A calibration: splits differ, rejects stay near alpha") {
+    val out = StatsAudit.aaCalibration(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until StatsAudit.AaSplits.toLong))
+    // every user lands on exactly one side per split
+    val total = out.head._2 + out.head._3
+    assert(out.forall { case (_, n1, n2, _, _) => n1 + n2 == total })
+    // the salted hashes genuinely re-split (not one assignment reused)
+    assert(out.map(_._2).distinct.length > 1)
+    // null calibration: a healthy stack rejects about alpha*K; allow a
+    // generous margin before calling the machinery broken
+    assert(out.count(_._5) <= 4, s"A/A rejects inflated: $out")
+  }
+
   test("q238 watermark tuning: hand-computed lateness quantiles") {
     val spark2 = spark; import spark2.implicits._
     // arrival order 1..5 with event times (s): 10, 5, 20, 6, 21 →
