@@ -457,6 +457,9 @@ object SparkEntry {
     // A/A null calibration: 20 salted no-treatment splits through the
     // q202 z² — the platform-validation gate for the experiment stack
     "q239_aa_calibration" -> (graft.operators.StatsAudit.aaCalibration _),
+    // the salt planner: top-10 join keys with exact shares, heavy
+    // flags, and the salt factors q111's salted join would consume
+    "q240_salt_planner" -> (SkewJoin.saltPlanner _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5281,6 +5284,24 @@ object SparkEntry {
          |  CASE WHEN z2_ppm IS NULL THEN false
          |    ELSE z2_ppm > $Chi2Crit05Ppm END AS rejected
          |FROM z""".stripMargin
+    },
+    // keyed counts, 1-row total, bounded top-k, threshold/ceil algebra
+    "q240_salt_planner" -> {
+      import graft.operators.SkewJoin.{SaltPanelK, SaltShareThresholdPpm,
+        SaltTargetSharePpm}
+      s"""WITH c AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c),
+         |top AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k ASC
+         |        LIMIT $SaltPanelK)
+         |SELECT k, cnt, t.n_total,
+         |  cnt * 1000000 // t.n_total AS share_ppm,
+         |  cnt * 1000000 // t.n_total > $SaltShareThresholdPpm AS is_heavy,
+         |  CASE WHEN cnt * 1000000 // t.n_total > $SaltShareThresholdPpm
+         |    THEN (cnt * 1000000 // t.n_total + $SaltTargetSharePpm - 1)
+         |      // $SaltTargetSharePpm
+         |    ELSE 1 END AS salt_factor
+         |FROM top, t""".stripMargin
     },
   )
 

@@ -53,4 +53,51 @@ object SkewJoin {
         count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("value_c"))
   }
+
+  /** Rows a single reducer should carry before a key is salted, as a
+    * ppm share of the table (5% — a key above one-twentieth of the
+    * table serializes the stage).
+    */
+  val SaltShareThresholdPpm = 50000L
+
+  /** Target per-reducer share after salting (1%). */
+  val SaltTargetSharePpm = 10000L
+
+  /** Keys in the q240 panel (the candidates a planner inspects). */
+  val SaltPanelK = 10
+
+  /** q240: the salt planner — the pre-pass that DECIDES what q111's
+    * salted join executes: the [[SaltPanelK]] heaviest join keys
+    * (event user_id against the customer dimension) with their exact
+    * fact share in ppm, the heavy flag (share >
+    * [[SaltShareThresholdPpm]] — one key serializing a 20th of the
+    * stage), and the salt factor ceil(share / [[SaltTargetSharePpm]])
+    * that spreads a heavy key back to the target per-reducer share
+    * (1 when no salting is needed). At 100 TB this relation is what a
+    * job submits alongside its join so the stage survives one hot
+    * user; AQE's skew join splits sort-merge partitions at runtime,
+    * but a salted plan fixes the BUILD side too — and the factors
+    * must exist before launch.
+    *
+    * Scale: one keyed fact aggregation (map-side combined), a 1-row
+    * total broadcast, a bounded top-k; the panel is K rows at any
+    * corpus size.
+    */
+  def saltPlanner(spark: SparkSession, dir: String): DataFrame =
+    saltPlannerFor(graft.sources.Tables.events(spark, dir)
+      .select(col("user_id").as("k")))
+
+  def saltPlannerFor(facts: DataFrame): DataFrame = {
+    val counts = facts.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .orderBy(col("cnt").desc, col("k").asc)
+      .limit(SaltPanelK)
+      .withColumn("share_ppm", expr("cnt * 1000000 DIV n_total"))
+      .select(col("k"), col("cnt"), col("n_total"), col("share_ppm"),
+        (col("share_ppm") > SaltShareThresholdPpm).as("is_heavy"),
+        expr(s"CASE WHEN share_ppm > $SaltShareThresholdPpm THEN " +
+          s"(share_ppm + $SaltTargetSharePpm - 1) DIV $SaltTargetSharePpm " +
+          "ELSE 1 END").as("salt_factor"))
+  }
 }

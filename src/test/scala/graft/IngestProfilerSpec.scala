@@ -121,4 +121,19 @@ class IngestProfilerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
     assert(salted == plain)
   }
+
+  test("q240 salt planner: heavy key gets its ceil factor, light keys 1") {
+    val spark = GraftSession.local(4)
+    import spark.implicits._
+    // key 1 holds 60% of 100 rows → heavy, factor ceil(600000/10000)=60;
+    // singles hold 1% each → not heavy, factor 1; top-10 = {1, 2..10}
+    val facts = (Seq.fill(60)(1L) ++ (2L to 41L)).toDF("k")
+    val out = SkewJoin.saltPlannerFor(facts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4), r.getLong(5))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    assert(out.head == ((1L, 60L, 600000L, true, 60L)))
+    assert(out.tail.forall { case (_, c, s, h, f) =>
+      c == 1L && s == 10000L && !h && f == 1L })
+  }
 }
