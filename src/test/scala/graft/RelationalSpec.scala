@@ -11,7 +11,10 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   // queries whose correct result CAN be empty at tiny scale factors
-  val mayBeEmpty = Set("q12_anti_join", "q35_fingerprint_clusters")
+  // q224: the sf0.001 co-supply graph is too sparse for any non-edge
+  // pair to share 2 capped common neighbors (137 rows at sf0.01)
+  val mayBeEmpty = Set("q12_anti_join", "q35_fingerprint_clusters",
+    "q224_link_prediction")
   // non-SQL-expressible operators checked rows-only by the driver
   val rowsOnly = Set("q42_knn_ivf", "q52_embed_neardup_bucketed",
     "q55_cardinality_profile", "q56_key_skew_profile")
