@@ -460,6 +460,12 @@ object SparkEntry {
     // the salt planner: top-10 join keys with exact shares, heavy
     // flags, and the salt factors q111's salted join would consume
     "q240_salt_planner" -> (SkewJoin.saltPlanner _),
+    // per-class precision/recall/F1 over the q33 confusion — accuracy
+    // hides a never-predicted class; this doesn't
+    "q241_langid_prf" -> (TextOps.langIdPrf _),
+    // Cohen's kappa over the same confusion — the chance-corrected
+    // agreement a dominant class cannot inflate
+    "q242_langid_kappa" -> (TextOps.langIdKappa _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -868,6 +874,22 @@ object SparkEntry {
        |    AND l.k2 = r.k2 AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)""".stripMargin
   private val lshPairsCtes = s"""$shingleCte,\n$lshPairsTail"""
+
+  // The q33 lang-ID confusion relation `cm(lang, pred_lang, n)` — ONE
+  // definition shared by q33 itself and the q241/q242 metric oracles
+  private lazy val langidCmCte: String =
+    s"""scored AS (
+       |  SELECT lang, $langScores
+       |  FROM (SELECT lang, $toks AS toks FROM documents) d),
+       |pred AS (
+       |  SELECT lang, CASE
+       |    WHEN greatest(score_en, score_es, score_de, score_zh) = 0 THEN 'und'
+       |    WHEN score_en = greatest(score_en, score_es, score_de, score_zh) THEN 'en'
+       |    WHEN score_es = greatest(score_en, score_es, score_de, score_zh) THEN 'es'
+       |    WHEN score_de = greatest(score_en, score_es, score_de, score_zh) THEN 'de'
+       |    ELSE 'zh' END AS pred_lang
+       |  FROM scored),
+       |cm AS (SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2)""".stripMargin
   private val langScores =
     """len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS score_en,
       |    len(list_filter(toks, t -> t IN ('el','la','de','y'))) AS score_es,
@@ -1055,18 +1077,8 @@ object SparkEntry {
          |FROM (SELECT unnest($toks) AS token FROM documents) t
          |GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
     "q33_langid_confusion" ->
-      s"""WITH scored AS (
-         |  SELECT lang, $langScores
-         |  FROM (SELECT lang, $toks AS toks FROM documents) d),
-         |pred AS (
-         |  SELECT lang, CASE
-         |    WHEN greatest(score_en, score_es, score_de, score_zh) = 0 THEN 'und'
-         |    WHEN score_en = greatest(score_en, score_es, score_de, score_zh) THEN 'en'
-         |    WHEN score_es = greatest(score_en, score_es, score_de, score_zh) THEN 'es'
-         |    WHEN score_de = greatest(score_en, score_es, score_de, score_zh) THEN 'de'
-         |    ELSE 'zh' END AS pred_lang
-         |  FROM scored)
-         |SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin,
+      s"""WITH $langidCmCte
+         |SELECT lang, pred_lang, n FROM cm""".stripMargin,
     "q34_quality_buckets" ->
       s"""WITH d AS (
          |  SELECT doc_id, len($toks) AS n_tokens,
@@ -5303,6 +5315,53 @@ object SparkEntry {
          |    ELSE 1 END AS salt_factor
          |FROM top, t""".stripMargin
     },
+    // marginals + diagonal of the shared confusion CTE; the q222 F1
+    // ppm rule
+    "q241_langid_prf" ->
+      s"""WITH $langidCmCte,
+         |rm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+         |       FROM cm GROUP BY 1),
+         |pm AS (SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+         |       FROM cm GROUP BY 1),
+         |tp AS (SELECT lang, CAST(n AS BIGINT) AS tp FROM cm
+         |       WHERE lang = pred_lang),
+         |m AS (SELECT rm.lang, rm.n_true, COALESCE(pm.n_pred, 0) AS n_pred,
+         |    COALESCE(tp.tp, 0) AS tp,
+         |    CASE WHEN COALESCE(pm.n_pred, 0) = 0 THEN 0
+         |      ELSE COALESCE(tp.tp, 0) * 1000000 // pm.n_pred END
+         |      AS precision_ppm,
+         |    COALESCE(tp.tp, 0) * 1000000 // rm.n_true AS recall_ppm
+         |  FROM rm LEFT JOIN pm ON rm.lang = pm.lang
+         |  LEFT JOIN tp ON rm.lang = tp.lang)
+         |SELECT lang, n_true, n_pred, tp, precision_ppm, recall_ppm,
+         |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+         |    ELSE 2 * precision_ppm * recall_ppm //
+         |      (precision_ppm + recall_ppm) END AS f1_ppm
+         |FROM m""".stripMargin,
+    // diagonal share vs the marginal-product chance agreement; n²
+    // widened to HUGEINT
+    "q242_langid_kappa" ->
+      s"""WITH $langidCmCte,
+         |rm AS (SELECT lang AS label, CAST(SUM(n) AS BIGINT) AS n_row
+         |       FROM cm GROUP BY 1),
+         |pm AS (SELECT pred_lang AS label, CAST(SUM(n) AS BIGINT) AS n_col
+         |       FROM cm GROUP BY 1),
+         |pe AS (SELECT CAST(SUM(CAST(n_row AS HUGEINT) * n_col) AS HUGEINT)
+         |       AS pe_num FROM rm JOIN pm USING (label)),
+         |ag AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+         |      AS BIGINT) AS agree
+         |  FROM cm),
+         |k AS (SELECT n_docs, agree,
+         |    agree * 1000000 // n_docs AS po_ppm,
+         |    CAST(pe_num * 1000000 //
+         |      (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_ppm
+         |  FROM ag, pe)
+         |SELECT n_docs, agree, po_ppm, pe_ppm,
+         |  CASE WHEN pe_ppm = 1000000 THEN NULL
+         |    ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END
+         |    AS kappa_ppm
+         |FROM k""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -172,6 +172,74 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q241: per-class precision / recall / F1 (exact ppm) over the q33
+    * lang-ID confusion — the standard classifier scorecard a pipeline
+    * reads before TRUSTING a heuristic labeler for routing or
+    * filtering: accuracy alone hides a class the model never predicts.
+    * One row per true class; precision uses the PREDICTED marginal
+    * (tp+fp), recall the true marginal, F1 the q222 ppm harmonic rule.
+    *
+    * Scale: rides the q33 confusion relation (classes² rows at most);
+    * everything here is label-bounded algebra.
+    */
+  def langIdPrf(spark: SparkSession, dir: String): DataFrame =
+    confusionPrfFor(langIdConfusion(spark, dir))
+
+  def confusionPrfFor(cm: DataFrame): DataFrame = {
+    val rowM = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    val colM = cm.groupBy(col("pred_lang")).agg(sum(col("n")).as("n_pred"))
+    val tp = cm.filter(col("lang") === col("pred_lang"))
+      .select(col("lang"), col("n").as("tp"))
+    rowM
+      .join(broadcast(tp), Seq("lang"), "left_outer")
+      .join(broadcast(colM.withColumnRenamed("pred_lang", "lang")),
+        Seq("lang"), "left_outer")
+      .na.fill(0L, Seq("tp", "n_pred"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        expr("CASE WHEN n_pred = 0 THEN 0 " +
+          "ELSE tp * 1000000 DIV n_pred END").as("precision_ppm"),
+        expr("tp * 1000000 DIV n_true").as("recall_ppm"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN precision_ppm + recall_ppm = 0 THEN 0 " +
+          "ELSE 2 * precision_ppm * recall_ppm DIV " +
+          "(precision_ppm + recall_ppm) END"))
+  }
+
+  /** q242: Cohen's kappa (1960) over the same confusion — the
+    * chance-corrected agreement that accuracy is NOT: on a corpus
+    * where one language dominates, always-predict-it scores high
+    * accuracy and kappa ≈ 0. Exact contract: po_ppm = agree·10⁶ div n;
+    * pe_ppm = (Σ_label row·col)·10⁶ div n² (HUGEINT/DECIMAL — n²
+    * overflows a long at 3×10⁹ docs); kappa_ppm =
+    * (po_ppm − pe_ppm)·10⁶ div (10⁶ − pe_ppm), NULL at pe = 1.
+    */
+  def langIdKappa(spark: SparkSession, dir: String): DataFrame =
+    confusionKappaFor(langIdConfusion(spark, dir))
+
+  def confusionKappaFor(cm: DataFrame): DataFrame = {
+    val rowM = cm.groupBy(col("lang").as("label"))
+      .agg(sum(col("n")).as("n_row"))
+    val colM = cm.groupBy(col("pred_lang").as("label"))
+      .agg(sum(col("n")).as("n_col"))
+    val peNum = rowM.join(colM, Seq("label"))
+      .agg(sum(expr("CAST(n_row AS DECIMAL(38,0)) * n_col")).as("pe_num"))
+    cm.agg(sum(col("n")).as("n_docs"),
+        sum(when(col("lang") === col("pred_lang"), col("n"))
+          .otherwise(0L)).as("agree"))
+      .crossJoin(broadcast(peNum))
+      .select(col("n_docs"), col("agree"),
+        expr("agree * 1000000 DIV n_docs").as("po_ppm"),
+        expr("CAST(pe_num * 1000000 DIV " +
+          "(CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)").as("pe_ppm"))
+      // negative kappa (worse than chance) must floor like the oracle's
+      // `//`, not truncate: the standard correction rides along
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN pe_ppm = 1000000 THEN NULL " +
+          "ELSE (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) " +
+          "- (CASE WHEN (po_ppm - pe_ppm) * 1000000 % (1000000 - pe_ppm) <> 0 " +
+          "AND po_ppm < pe_ppm THEN 1 ELSE 0 END) END"))
+  }
+
   /** Quality scoring: token count, mean token length and stopword ratio
     * (both in exact ppm), bucketed into quality classes. The bucket rule
     * is a plain CASE so the whole operator is one codegen'd projection +

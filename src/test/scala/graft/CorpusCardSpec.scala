@@ -74,4 +74,43 @@ class CorpusCardSpec extends AnyFunSuite {
     assert(out("s1") == ((3L, 2L, 23L, 7L, 1000000L, 2L, 666666L)))
     assert(out("s2") == ((1L, 1L, 200L, 200L, 0L, 0L, 0L)))
   }
+
+  private def cm(rows: (String, String, Long)*) =
+    rows.toDF("lang", "pred_lang", "n")
+
+  test("q241 PRF: hand-computed marginals, zero-prediction class safe") {
+    // en: tp 8 of 10 true, 13 predicted; es: tp 5 of 10 true, 7 predicted
+    val out = TextOps.confusionPrfFor(cm(
+      ("en", "en", 8L), ("en", "es", 2L), ("es", "es", 5L), ("es", "en", 5L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val pEn = 8L * 1000000 / 13; val rEn = 800000L
+    assert(out("en") == ((10L, 13L, 8L, pEn, rEn,
+      2 * pEn * rEn / (pEn + rEn))))
+    val pEs = 5L * 1000000 / 7; val rEs = 500000L
+    assert(out("es") == ((10L, 7L, 5L, pEs, rEs,
+      2 * pEs * rEs / (pEs + rEs))))
+    // a class the model never predicts gets precision 0, not a crash
+    val und = TextOps.confusionPrfFor(cm(("de", "en", 4L), ("en", "en", 4L)))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(und("de") == 0L)
+  }
+
+  test("q242 kappa: chance-corrected, floors negative agreement") {
+    // po = 13/20, pe = (10·13 + 10·7)/400 = 1/2 → kappa = 0.30
+    val k1 = TextOps.confusionKappaFor(cm(
+      ("en", "en", 8L), ("en", "es", 2L), ("es", "es", 5L), ("es", "en", 5L)))
+      .collect().head
+    assert((k1.getLong(2), k1.getLong(3), k1.getLong(4)) ==
+      ((650000L, 500000L, 300000L)))
+    // worse-than-chance: po = 1/3, pe = 5/9 → −222222000000/444445 =
+    // −499998.12…, which must FLOOR to −499999 (the truncating DIV
+    // alone gives −499998 — the correction is the point of this
+    // fixture; DuckDB's // floors natively)
+    val k2 = TextOps.confusionKappaFor(cm(
+      ("en", "en", 1L), ("en", "es", 1L), ("es", "en", 1L)))
+      .collect().head
+    assert((k2.getLong(2), k2.getLong(3), k2.getLong(4)) ==
+      ((333333L, 555555L, -499999L)))
+  }
 }
