@@ -466,6 +466,10 @@ object SparkEntry {
     // Cohen's kappa over the same confusion — the chance-corrected
     // agreement a dominant class cannot inflate
     "q242_langid_kappa" -> (TextOps.langIdKappa _),
+    // the decontamination-aggressiveness curve: q84's plan swept over
+    // token n-gram sizes {2,3,5} — what each choice of n costs in
+    // flagged train mass
+    "q243_decontam_sweep" -> (TextOps.decontamSweep _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -5362,6 +5366,53 @@ object SparkEntry {
          |    ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END
          |    AS kappa_ppm
          |FROM k""".stripMargin,
+    // the q84 plan replayed per sweep point, UNION ALL of the three
+    // summaries
+    "q243_decontam_sweep" -> {
+      import graft.operators.TextOps.{ContamPpm, DecontamSweepNs}
+      val bucket =
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+      def chain(n: Int) =
+        s"""ev_$n AS (SELECT DISTINCT CAST(concat('0x', substr(md5(g), 1, 15))
+           |      AS BIGINT) AS ghash
+           |  FROM (SELECT unnest(CASE WHEN len($toks) >= $n THEN
+           |      list_transform(generate_series(1, len($toks) - ${n - 1}),
+           |        i -> array_to_string(($toks)[i:i+${n - 1}], ' '))
+           |    ELSE [] END) AS g
+           |    FROM documents WHERE $bucket >= 900000) u),
+           |tg_$n AS (SELECT doc_id, n_chars,
+           |    CAST(len(gs) AS BIGINT) AS n_g,
+           |    unnest(CASE WHEN len(gs) = 0 THEN [NULL] ELSE gs END) AS g
+           |  FROM (SELECT doc_id, n_chars,
+           |      CASE WHEN len($toks) >= $n THEN list_distinct(
+           |        list_transform(generate_series(1, len($toks) - ${n - 1}),
+           |          i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))
+           |      ELSE CAST([] AS VARCHAR[]) END AS gs
+           |    FROM documents WHERE $bucket < 800000) d),
+           |pd_$n AS (SELECT doc_id, n_chars, n_g,
+           |    CAST(SUM(CASE WHEN e.ghash IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hits
+           |  FROM (SELECT doc_id, n_chars, n_g,
+           |      CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS ghash
+           |    FROM tg_$n) t
+           |  LEFT JOIN ev_$n e USING (ghash)
+           |  GROUP BY 1, 2, 3),
+           |sm_$n AS (SELECT $n AS gram_n,
+           |    CAST(COUNT(*) AS BIGINT) AS n_train,
+           |    CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           |    CAST(SUM(flagged * n_chars) AS BIGINT) AS flagged_chars,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ev_$n) AS n_eval_grams
+           |  FROM (SELECT n_chars, CASE WHEN n_g = 0 THEN 0
+           |      WHEN n_hits * 1000000 // n_g >= $ContamPpm THEN 1
+           |      ELSE 0 END AS flagged
+           |    FROM pd_$n) f)""".stripMargin
+      s"""WITH ${DecontamSweepNs.map(chain).mkString(",\n")}
+         |${DecontamSweepNs.map(n =>
+            s"""SELECT gram_n, n_train, n_flagged,
+               |  n_flagged * 1000000 // n_train AS flagged_ppm,
+               |  flagged_chars, n_eval_grams FROM sm_$n""".stripMargin)
+          .mkString("\nUNION ALL\n")}""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -477,6 +477,65 @@ object TextOps {
       .select(col("doc_id"), col("n_sh"), col("n_eval_hits"), col("contam_ppm"))
   }
 
+  /** n-gram sizes the q243 decontamination sweep measures. */
+  val DecontamSweepNs: Seq[Int] = Seq(2, 3, 5)
+
+  /** q243: the decontamination-aggressiveness curve — q84 applies ONE
+    * n-gram size (token 3-grams, the GPT-3 unit); this measures what
+    * the choice costs at each n ∈ [[DecontamSweepNs]]: flagged train
+    * docs, the flagged character mass, and the eval-side distinct-gram
+    * pool. Short grams collide on common phrases and over-delete
+    * (recall of eval leakage at the price of train mass); long grams
+    * under-flag. The curve is how a pipeline picks n with its token
+    * budget in view — the q227/q228 sweep discipline applied to the
+    * contamination knob.
+    *
+    * Scale: per sweep point, the q84 plan verbatim (eval collapses to
+    * distinct hashes and broadcasts; the train side explodes map-side
+    * and re-aggregates per doc); three sweep points = three corpus
+    * passes, each summary-bounded. Never a shingle-keyed shuffle of
+    * the train side.
+    */
+  def decontamSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val fp = graft.functions.GraftFunctions.Md5PrefixName
+    val docs = Tables.documents(spark, dir)
+    def grams(n: Int) = when(size(col("toks")) >= n,
+      array_distinct(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val perN = DecontamSweepNs.map { n =>
+      val ev = docs.filter(Sampling.hashBucket("doc_id") >= 900000L)
+        .withColumn("toks", tokens(col("text")))
+        .select(explode(grams(n)).as("g"))
+        .select(expr(s"$fp(g, 15)").as("ghash")).distinct()
+      val evCount = ev.agg(count(lit(1)).as("n_eval_grams"))
+      val tr = docs.filter(Sampling.hashBucket("doc_id") < 800000L)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"), col("n_chars"), grams(n).as("gs"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("gs")).cast("long").as("n_g"),
+          explode_outer(col("gs")).as("g"))
+        .withColumn("ghash", expr(s"$fp(g, 15)"))
+      tr.join(broadcast(ev.withColumn("hit", lit(1L))), Seq("ghash"),
+          "left_outer")
+        .groupBy(col("doc_id"), col("n_chars"), col("n_g"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("flagged", expr("CASE WHEN n_g = 0 THEN 0 " +
+          s"WHEN n_hits * 1000000 DIV n_g >= $ContamPpm THEN 1 " +
+          "ELSE 0 END"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(col("flagged")).as("n_flagged"),
+          sum(expr("flagged * n_chars")).as("flagged_chars"))
+        .crossJoin(broadcast(evCount))
+        .select(lit(n).as("gram_n"), col("n_train"), col("n_flagged"),
+          expr("n_flagged * 1000000 DIV n_train").as("flagged_ppm"),
+          col("flagged_chars"), col("n_eval_grams"))
+    }
+    perN.reduce(_.unionAll(_))
+  }
+
   /** Winnow-overlap pairs (q64, the MOSS shape): documents in the same
     * source whose shared fingerprint count is ≥ [[WinnowScorePpm]] of
     * the smaller document's fingerprint set — local substring overlap

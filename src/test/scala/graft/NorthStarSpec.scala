@@ -764,6 +764,24 @@ class NorthStarSpec extends AnyFunSuite {
     assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q243 decontam sweep: one row per n, sane panel invariants") {
+    val rows = TextOps.decontamSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == TextOps.DecontamSweepNs)
+    // the train universe is the same at every sweep point
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 > 0)
+    rows.foreach { case (n, nTrain, nFlagged, ppm, chars, evGrams) =>
+      assert(nFlagged >= 0 && nFlagged <= nTrain, s"n=$n")
+      assert(ppm == nFlagged * 1000000L / nTrain)
+      assert(chars >= 0 && evGrams > 0)
+    }
+    // the aggressiveness direction on this corpus: short grams collide
+    // on the narrow vocabulary and over-flag relative to long grams
+    assert(rows.head._3 >= rows.last._3,
+      s"2-grams should flag at least as much as 5-grams: $rows")
+  }
+
   test("q229 calibration: bin means sit inside their bins") {
     val rows = Similarity.knnCalibration(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
