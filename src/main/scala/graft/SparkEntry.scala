@@ -5054,12 +5054,14 @@ object SparkEntry {
          |est AS (SELECT CAST(MIN(row_est) AS BIGINT) AS f2_est FROM (
          |    SELECT ri, SUM(cell * cell) AS row_est FROM cells GROUP BY 1) t)
          |SELECT n_rows, n_keys, f2_exact, f2_est,
-         |  (f2_est - f2_exact) * 1000000 // f2_exact AS err_ppm,
+         |  CAST(CAST(f2_est - f2_exact AS HUGEINT) * 1000000 // f2_exact
+         |    AS BIGINT) AS err_ppm,
          |  CAST(3 * (CAST(n_rows AS HUGEINT) * n_rows - f2_exact) * 1000000
          |    // ($CmsF2Width * CAST(f2_exact AS HUGEINT)) AS BIGINT)
          |    AS bound_ppm,
          |  f2_est >= f2_exact AND
-         |    (f2_est - f2_exact) * 1000000 // f2_exact <=
+         |    CAST(CAST(f2_est - f2_exact AS HUGEINT) * 1000000 // f2_exact
+         |      AS BIGINT) <=
          |    CAST(3 * (CAST(n_rows AS HUGEINT) * n_rows - f2_exact) * 1000000
          |      // ($CmsF2Width * CAST(f2_exact AS HUGEINT)) AS BIGINT)
          |    AS f2_ok
@@ -5171,12 +5173,14 @@ object SparkEntry {
          |    SELECT ri, SUM(cell_a * cell_b) AS row_est
          |    FROM cea JOIN ceb USING (ri, bucket) GROUP BY 1) t)
          |SELECT n_a, n_b, n_keys_a, n_keys_b, join_exact, join_est,
-         |  (join_est - join_exact) * 1000000 // join_exact AS err_ppm,
+         |  CAST(CAST(join_est - join_exact AS HUGEINT) * 1000000
+         |    // join_exact AS BIGINT) AS err_ppm,
          |  CAST(3 * (CAST(n_a AS HUGEINT) * n_b - join_exact) * 1000000
          |    // ($CmsF2Width * CAST(join_exact AS HUGEINT)) AS BIGINT)
          |    AS bound_ppm,
          |  join_est >= join_exact AND
-         |    (join_est - join_exact) * 1000000 // join_exact <=
+         |    CAST(CAST(join_est - join_exact AS HUGEINT) * 1000000
+         |      // join_exact AS BIGINT) <=
          |    CAST(3 * (CAST(n_a AS HUGEINT) * n_b - join_exact) * 1000000
          |      // ($CmsF2Width * CAST(join_exact AS HUGEINT)) AS BIGINT)
          |    AS join_ok

@@ -327,6 +327,41 @@ object Dedup {
     * rows before any state is built, so pair emission is bounded by
     * BandCap² per bucket regardless of skew.
     */
+  def incrementalLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val b = Sampling.hashBucket("doc_id")
+    val both = Tables.documents(spark, dir)
+      .filter(b < 800000L || b >= 900000L)
+    // side re-derived per signature row (one md5 per doc, not per shingle)
+    val bands = bandKeysOfSig(minhashSignaturesFor(both))
+      .withColumn("side",
+        when(Sampling.hashBucket("doc_id") < 800000L, lit(0)).otherwise(lit(1)))
+    // ONE window partitioning, shared with the groupBy below (keying the
+    // window by (bucket, side) added a fourth shuffle): corpus rows sort
+    // first, so side-0 rank is `rn` and side-1 rank is `rn − n_corpus`
+    val w = Window.partitionBy(col("band"), col("k1"), col("k2"))
+      .orderBy(col("side"), col("doc_id"))
+    val wAll = Window.partitionBy(col("band"), col("k1"), col("k2"))
+    bands
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n0", sum(when(col("side") === 0, 1L).otherwise(0L)).over(wAll))
+      .filter(
+        (col("side") === 0 && col("rn") <= BandCap) ||
+          (col("side") === 1 && col("rn") - col("n0") <= BandCap))
+      .groupBy(col("band"), col("k1"), col("k2"))
+      .agg(
+        collect_list(when(col("side") === 0, col("doc_id"))).as("corpus_docs"),
+        collect_list(when(col("side") === 1, col("doc_id"))).as("batch_docs"))
+      .filter(size(col("corpus_docs")) >= 1 && size(col("batch_docs")) >= 1)
+      .select(explode(expr(
+        "flatten(transform(corpus_docs, a -> transform(batch_docs, " +
+          "b -> struct(a AS corpus_doc, b AS batch_doc))))")).as("p"))
+      .select(col("p.corpus_doc").as("corpus_doc"), col("p.batch_doc").as("batch_doc"))
+      .groupBy(col("corpus_doc"), col("batch_doc"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+
   /** q231: crawl novelty report — per source, how much genuinely NEW
     * shingle mass an incoming batch (the q89 ≥ 0.9 md5 split) adds
     * over the standing corpus (the < 0.8 split): batch docs, distinct
@@ -369,40 +404,6 @@ object Dedup {
       .select(col("source"), col("n_batch_docs"), col("n_batch_shingles"),
         col("n_corpus_shingles"), col("n_novel"),
         expr("n_novel * 1000000 DIV n_batch_shingles").as("novelty_ppm"))
-  }
-
-  def incrementalLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val b = Sampling.hashBucket("doc_id")
-    val both = Tables.documents(spark, dir)
-      .filter(b < 800000L || b >= 900000L)
-    // side re-derived per signature row (one md5 per doc, not per shingle)
-    val bands = bandKeysOfSig(minhashSignaturesFor(both))
-      .withColumn("side",
-        when(Sampling.hashBucket("doc_id") < 800000L, lit(0)).otherwise(lit(1)))
-    // ONE window partitioning, shared with the groupBy below (keying the
-    // window by (bucket, side) added a fourth shuffle): corpus rows sort
-    // first, so side-0 rank is `rn` and side-1 rank is `rn − n_corpus`
-    val w = Window.partitionBy(col("band"), col("k1"), col("k2"))
-      .orderBy(col("side"), col("doc_id"))
-    val wAll = Window.partitionBy(col("band"), col("k1"), col("k2"))
-    bands
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n0", sum(when(col("side") === 0, 1L).otherwise(0L)).over(wAll))
-      .filter(
-        (col("side") === 0 && col("rn") <= BandCap) ||
-          (col("side") === 1 && col("rn") - col("n0") <= BandCap))
-      .groupBy(col("band"), col("k1"), col("k2"))
-      .agg(
-        collect_list(when(col("side") === 0, col("doc_id"))).as("corpus_docs"),
-        collect_list(when(col("side") === 1, col("doc_id"))).as("batch_docs"))
-      .filter(size(col("corpus_docs")) >= 1 && size(col("batch_docs")) >= 1)
-      .select(explode(expr(
-        "flatten(transform(corpus_docs, a -> transform(batch_docs, " +
-          "b -> struct(a AS corpus_doc, b AS batch_doc))))")).as("p"))
-      .select(col("p.corpus_doc").as("corpus_doc"), col("p.batch_doc").as("batch_doc"))
-      .groupBy(col("corpus_doc"), col("batch_doc"))
-      .agg(count(lit(1)).as("n_bands"))
   }
 
   /** Embedding-cosine near-duplicates, exact: all vector pairs with

@@ -61,9 +61,19 @@ object Similarity {
     */
   def bruteForceKnn(spark: SparkSession, dir: String): DataFrame = {
     withFns(spark)
-    val emb = Tables.embeddings(spark, dir)
+    bruteTop5For(Tables.embeddings(spark, dir),
+      queries(Tables.embeddings(spark, dir)))
+  }
+
+  /** The ONE brute top-5 ranking contract (broadcast `q(q_id, q_emb)`
+    * × full scan, quantized cosine, vec_id tie-break) — shared by
+    * [[bruteForceKnn]] and the q227/q232 sweep truth so the contract
+    * cannot drift between the graded baseline and its consumers.
+    */
+  private def bruteTop5For(emb0: DataFrame, q0: DataFrame): DataFrame = {
+    val emb = emb0
       .select(col("vec_id"), col("embedding"), normQ("embedding").as("n_emb"))
-    val q = queries(Tables.embeddings(spark, dir))
+    val q = q0.select(col("q_id"), col("q_emb"))
       .withColumn("n_q", normQ("q_emb"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("dot_q", dotQ("q_emb", "embedding"))
@@ -774,7 +784,13 @@ object Similarity {
   def knnCalibration(spark: SparkSession, dir: String): DataFrame =
     nn1At(spark, dir,
       nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings")))
-      .withColumn("bin", expr(s"(cos_ppm + 1000000) DIV $CalibBinPpm"))
+      // element-wise floor quantization can push cos_ppm one ulp past
+      // −10⁶, making the shifted value negative — floor-correct the
+      // bin div so it matches the oracle's `//` there too
+      .withColumn("bin", expr(
+        s"(cos_ppm + 1000000) DIV $CalibBinPpm - " +
+          s"(CASE WHEN (cos_ppm + 1000000) % $CalibBinPpm <> 0 " +
+          s"AND cos_ppm < -1000000 THEN 1 ELSE 0 END)"))
       .withColumn("correct",
         when(col("label_true") === col("label_pred"), 1L).otherwise(0L))
       .groupBy(col("bin"))
@@ -914,20 +930,12 @@ object Similarity {
           "(sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
       .select(col("q_id"), col("vec_id"), col("cos_ppm"), col("probe_rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // brute truth over the SAME query set (inlined bruteForceKnn shape:
-    // broadcast queries × full scan, identical ranking contract)
-    val wB = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_ppm").desc, col("vec_id").asc)
-    val brute = emb
-      .select(col("vec_id"), col("embedding"), normQ("embedding").as("n_emb"))
-      .join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("dot_q", dotQ("q_emb", "embedding"))
-      .withColumn("cos_ppm", expr(
-        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
-          "(sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
-      .withColumn("rank", row_number().over(wB))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"))
+    // brute truth over the SAME query set, via the ONE shared ranking
+    // contract — persisted: the O(queries × corpus) scan must run once,
+    // not once per sweep point
+    val brute = bruteTop5For(emb, qBase)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nq = qBase.count()
     val perV = SweepNprobes.map { v =>
       val cand = scored.filter(col("probe_rank") <= v)
@@ -944,6 +952,7 @@ object Similarity {
         expr(s"n_cand DIV $nq").as("mean_cand"))
       .localCheckpoint()
     scored.unpersist()
+    brute.unpersist()
     out
   }
 

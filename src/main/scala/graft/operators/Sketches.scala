@@ -481,29 +481,47 @@ object Sketches {
     */
   def cmsSelfJoinSize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val fp = GraftFunctions.Md5PrefixName
     val keys = Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))
-    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    // ONE corpus pass to the key-count relation; the exact F2 and every
+    // CMS cell (cell = Σ cnt over the bucket's keys) derive from it
+    val counts = keys.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = counts
       .agg(sum(expr("cnt * cnt")).as("f2_exact"),
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"))
-    val cells = keys
-      .select(col("k"),
-        explode(expr(s"sequence(0, ${CmsF2Depth - 1})")).as("ri"))
-      .select(col("ri"), expr(
-        s"$fp(concat(CAST(ri AS STRING), ':', CAST(k AS STRING)), 12) " +
-          s"% $CmsF2Width").as("bucket"))
-      .groupBy(col("ri"), col("bucket")).agg(count(lit(1)).as("cell"))
-    val est = cells.groupBy(col("ri"))
+    val est = cmsCellsOf(counts).groupBy(col("ri"))
       .agg(sum(expr("cell * cell")).as("row_est"))
       .agg(min(col("row_est")).as("f2_est"))
-    exact.crossJoin(broadcast(est))
+    val out = exact.crossJoin(broadcast(est))
       .select(col("n_rows"), col("n_keys"), col("f2_exact"), col("f2_est"),
-        expr("(f2_est - f2_exact) * 1000000 DIV f2_exact").as("err_ppm"),
+        // the excess is ~F1²/width — DECIMAL-widened like the bound, or
+        // ×10⁶ wraps a long already near 10⁸ rows
+        expr("CAST(CAST(f2_est - f2_exact AS DECIMAL(38,0)) * 1000000 " +
+          "DIV f2_exact AS BIGINT)").as("err_ppm"),
         expr("CAST(3 * (CAST(n_rows AS DECIMAL(38,0)) * n_rows - f2_exact) " +
           s"* 1000000 DIV ($CmsF2Width * CAST(f2_exact AS DECIMAL(38,0))) " +
           "AS BIGINT)").as("bound_ppm"))
       .withColumn("f2_ok", expr("f2_est >= f2_exact AND err_ppm <= bound_ppm"))
+      .localCheckpoint() // 1 row — materialize before releasing the cache
+    counts.unpersist()
+    out
+  }
+
+  /** CMS cell relation from a key-count relation `(k, cnt)`: explode
+    * the [[CmsF2Depth]] hash rows and sum COUNTS per bucket — key-
+    * bounded input, 4 096-cell-bounded output, never a corpus re-scan.
+    * Shared by q230 and q235.
+    */
+  private def cmsCellsOf(counts: DataFrame): DataFrame = {
+    val fp = GraftFunctions.Md5PrefixName
+    counts
+      .select(col("k"), col("cnt"),
+        explode(expr(s"sequence(0, ${CmsF2Depth - 1})")).as("ri"))
+      .select(col("ri"), col("cnt"), expr(
+        s"$fp(concat(CAST(ri AS STRING), ':', CAST(k AS STRING)), 12) " +
+          s"% $CmsF2Width").as("bucket"))
+      .groupBy(col("ri"), col("bucket")).agg(sum(col("cnt")).as("cell"))
   }
 
   /** The q235 join's two fact slices: shipments of these years, keyed
@@ -527,38 +545,39 @@ object Sketches {
     */
   def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
-    val fp = GraftFunctions.Md5PrefixName
     val li = Tables.lineitem(spark, dir)
       .select(col("l_suppkey").as("k"), year(col("l_shipdate")).as("yr"))
-    def side(y: Int) = li.filter(col("yr") === y).select(col("k"))
-    def counts(df: DataFrame) = df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-    val ca = counts(side(JoinSizeYearA))
-    val cb = counts(side(JoinSizeYearB))
+    // one filtered pass per side to its key-count relation; the exact
+    // join, the marginals, and every CMS cell all derive from those
+    def counts(y: Int) = li.filter(col("yr") === y)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = counts(JoinSizeYearA)
+    val cb = counts(JoinSizeYearB)
     val exact = ca.join(cb.withColumnRenamed("cnt", "cnt_b"), Seq("k"))
       .agg(sum(expr("cnt * cnt_b")).as("join_exact"))
       .crossJoin(ca.agg(sum(col("cnt")).as("n_a"),
         count(lit(1)).as("n_keys_a")))
       .crossJoin(cb.agg(sum(col("cnt")).as("n_b"),
         count(lit(1)).as("n_keys_b")))
-    def cells(df: DataFrame, name: String) = df
-      .select(col("k"), explode(expr(s"sequence(0, ${CmsF2Depth - 1})")).as("ri"))
-      .select(col("ri"), expr(
-        s"$fp(concat(CAST(ri AS STRING), ':', CAST(k AS STRING)), 12) " +
-          s"% $CmsF2Width").as("bucket"))
-      .groupBy(col("ri"), col("bucket")).agg(count(lit(1)).as(name))
-    val est = cells(side(JoinSizeYearA), "cell_a")
-      .join(cells(side(JoinSizeYearB), "cell_b"), Seq("ri", "bucket"))
+    val est = cmsCellsOf(ca).withColumnRenamed("cell", "cell_a")
+      .join(cmsCellsOf(cb).withColumnRenamed("cell", "cell_b"),
+        Seq("ri", "bucket"))
       .groupBy(col("ri")).agg(sum(expr("cell_a * cell_b")).as("row_est"))
       .agg(min(col("row_est")).as("join_est"))
-    exact.crossJoin(broadcast(est))
+    val out = exact.crossJoin(broadcast(est))
       .select(col("n_a"), col("n_b"), col("n_keys_a"), col("n_keys_b"),
         col("join_exact"), col("join_est"),
-        expr("(join_est - join_exact) * 1000000 DIV join_exact").as("err_ppm"),
+        expr("CAST(CAST(join_est - join_exact AS DECIMAL(38,0)) * 1000000 " +
+          "DIV join_exact AS BIGINT)").as("err_ppm"),
         expr("CAST(3 * (CAST(n_a AS DECIMAL(38,0)) * n_b - join_exact) " +
           s"* 1000000 DIV ($CmsF2Width * CAST(join_exact AS DECIMAL(38,0))) " +
           "AS BIGINT)").as("bound_ppm"))
       .withColumn("join_ok",
         expr("join_est >= join_exact AND err_ppm <= bound_ppm"))
+      .localCheckpoint() // 1 row — materialize before releasing caches
+    ca.unpersist(); cb.unpersist()
+    out
   }
 
   /** Equi-width histogram buckets for [[histogramSelectivity]]. */

@@ -584,15 +584,18 @@ object StatsAudit {
       .withColumn("t", expr("cnt_a + cnt_b"))
       .withColumn("cum", sum(col("t")).over(wCum))
       .withColumn("rank2", expr("2 * (cum - t) + t + 1"))
+    // r2_a ≈ 2n² — DECIMAL-widened like the tie mass (it wraps a long
+    // at ~2×10⁹ sampled rows); the emitted BIGINTs inherit that ceiling
     ranked.agg(
         sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
-        sum(expr("cnt_a * rank2")).as("r2_a"),
+        sum(expr("CAST(cnt_a AS DECIMAL(38,0)) * rank2")).as("r2_a"),
         sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie_mass_d"))
       .select(col("n_a"), col("n_b"),
-        expr("r2_a - n_a * (n_a + 1)").as("u2_a"),
+        expr("CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)")
+          .as("u2_a"),
         expr("n_a * n_b").as("mu2"),
         expr("CAST(tie_mass_d AS BIGINT)").as("tie_mass"),
-        expr("CAST(CAST(r2_a - n_a * (n_a + 1) AS DECIMAL(38,0)) " +
+        expr("CAST((r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) " +
           "* 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) " +
           "- 1000000").as("rank_biserial_ppm"))
   }
