@@ -4896,8 +4896,11 @@ object SparkEntry {
          |WHERE rn * $OutlierDenom <= n_bucket""".stripMargin
     },
     // the derived-width CTEs with probe RANK retained to the max sweep
-    // value, brute top-5 truth, then per-sweep-value filter + top-5
-    "q227_ivf_probe_sweep" -> probeSweepSql("vec_id % 100 = 0"),
+    // value, brute top-5 truth, then per-sweep-value filter + top-5 —
+    // on the FIXED 256-query commissioning budget (linear-in-corpus
+    // truth; the unbounded %100 form is ivfProbeSweepFull, audit-only)
+    "q227_ivf_probe_sweep" -> probeSweepSql(
+      s"vec_id < ${graft.operators.Similarity.SweepCommissionBudget}"),
     // the serving-shaped twin: fixed 64-query budget, linear-in-corpus
     "q232_ivf_sweep_budget" -> probeSweepSql(
       s"vec_id < ${graft.operators.Similarity.SweepQueryBudget}"),
@@ -5088,10 +5091,12 @@ object SparkEntry {
          |    WHERE c.source = b.source AND c.shash = b.shash)
          |  GROUP BY 1)
          |SELECT bs.source, bd.n_batch_docs, bs.n_batch_shingles,
-         |  cs.n_corpus_shingles, COALESCE(nv.n_novel, 0) AS n_novel,
+         |  COALESCE(cs.n_corpus_shingles, 0) AS n_corpus_shingles,
+         |  COALESCE(nv.n_novel, 0) AS n_novel,
          |  COALESCE(nv.n_novel, 0) * 1000000 // bs.n_batch_shingles
          |    AS novelty_ppm
-         |FROM bs JOIN bd USING (source) JOIN cs USING (source)
+         |FROM bs JOIN bd USING (source)
+         |LEFT JOIN cs ON bs.source = cs.source
          |LEFT JOIN nv ON bs.source = nv.source""".stripMargin
     },
     // lifetimes from one user aggregation; the KM fold replayed as a
@@ -5235,7 +5240,11 @@ object SparkEntry {
          |  FROM h),
          |agg AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
          |    CAST(SUM(cnt_b) AS BIGINT) AS n_b,
-         |    CAST(SUM(cnt_a * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2_a,
+         |    -- HUGEINT-widened product: the Spark side carries this sum in
+         |    -- DECIMAL(38,0); near ~2e9 sampled rows an unwidened BIGINT
+         |    -- product would overflow here where Spark still returns a value
+         |    CAST(SUM(CAST(cnt_a AS HUGEINT) * (2 * (cum - t) + t + 1))
+         |      AS BIGINT) AS r2_a,
          |    CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie_mass
          |  FROM r)
          |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, n_a * n_b AS mu2,

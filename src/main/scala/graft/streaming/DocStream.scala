@@ -126,7 +126,9 @@ object DocStream {
         NearDupStream.corpusBandRelation(corpus)),
       name)
     q.stop()
-    spark.table(name)
+    // checkpoint-and-drop (EventsStream.releaseSink scaladoc): the sink
+    // must not stay rooted behind its temp view after the drain
+    EventsStream.releaseSink(spark, name)
       .groupBy(col("corpus_doc"), col("batch_doc"))
       .agg(count(lit(1)).as("n_bands"))
   }
