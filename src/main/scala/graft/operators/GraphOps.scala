@@ -68,13 +68,35 @@ object GraphOps {
     */
   val PrIters = 6
 
-  /** Node-count ceiling for the broadcast-rank iteration. 50 M nodes
-    * of (long, long) is ~800 MB hashed on the driver — the edge of
-    * sane for a large driver; past it the shuffled form is mandatory.
-    * Override per call, or session-wide via the
-    * `graft.pagerank.broadcastNodeLimit` conf.
+  /** Node-count ceiling for broadcasting any NODE-sized relation
+    * (ranks, degrees, labels) into an edge-sized scan, family-wide.
+    * 50 M nodes of (long, long) is ~800 MB hashed on the driver — the
+    * edge of sane for a large driver; past it the shuffled form is
+    * mandatory. Override per call, or session-wide via the
+    * `graft.graph.broadcastNodeLimit` conf (`graft.pagerank
+    * .broadcastNodeLimit` still wins for pagerank, its original key).
     */
   val DefaultBroadcastNodeLimit = 50000000L
+
+  /** The family-wide broadcast-vs-merge plan switch (q154's guard,
+    * shared by triangles and link prediction): TRUE while the node
+    * relation's EXACT row count is at or under the explicit limit /
+    * the `graft.graph.broadcastNodeLimit` conf /
+    * [[DefaultBroadcastNodeLimit]]. Decided from a real count, never
+    * optimizer size estimates, so tiny test graphs and misestimated
+    * stats both get the plan the node count demands; above the limit
+    * the caller must hint merge joins — on a power-law 100 TB graph
+    * the node relation is ~10⁹ rows and an unconditional broadcast
+    * hint OOMs the driver.
+    */
+  private[operators] def nodeBroadcastOk(nodes: DataFrame,
+      broadcastNodeLimit: Option[Long]): Boolean = {
+    val spark = nodes.sparkSession
+    val lim = broadcastNodeLimit.getOrElse(
+      spark.conf.get("graft.graph.broadcastNodeLimit",
+        DefaultBroadcastNodeLimit.toString).toLong)
+    nodes.count() <= lim
+  }
 
   /** One damped integer PageRank sweep over `edges` (`src`, `dst`, `w`
     * — longs, weights positive). Returns (`node`, `rank_q`) after
@@ -111,7 +133,8 @@ object GraphOps {
     val spark = edges.sparkSession
     val bcLimit = broadcastNodeLimit.getOrElse(
       spark.conf.get("graft.pagerank.broadcastNodeLimit",
-        DefaultBroadcastNodeLimit.toString).toLong)
+        spark.conf.get("graft.graph.broadcastNodeLimit",
+          DefaultBroadcastNodeLimit.toString)).toLong)
     // cache the edge relation FIRST: the out-degree aggregate and the
     // annotated edge relation both derive from it, so the (expensive)
     // edge-building pipeline upstream runs exactly once
@@ -212,7 +235,11 @@ object GraphOps {
     * join cannot fan out on hub nodes — the reason this survives a
     * power-law 100 TB graph where the naive a<b orientation dies.
     * Oriented out-neighbor pairs then semi-join the oriented edge set
-    * once. Degrees ride a dimension-bounded broadcast.
+    * once. The NODE-sized degree relation attaches under the q154
+    * guard ([[nodeBroadcastOk]]): broadcast while the exact node count
+    * is under the limit, hinted merge joins above it — both plans
+    * execute the identical contract (GraphOpsSpec asserts byte-equal
+    * motif counts).
     */
   /** The heavy-tail co-supply edge relation shared by the q176 motif
     * count and the q178 k-core peel: undirected (a < b) supplier pairs
@@ -256,19 +283,38 @@ object GraphOps {
   def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
     supplierTrianglesFor(Tables.lineitem(spark, dir))
 
-  def supplierTrianglesFor(li: DataFrame): DataFrame = {
-    val edges = coSupplyEdges(li)
-    val deg = edges
+  /** `materialize = false` returns the lazy plan (no persist, no
+    * checkpoint) for plan-shape inspection — the caller owns cost.
+    */
+  def supplierTrianglesFor(li: DataFrame,
+      broadcastNodeLimit: Option[Long] = None,
+      materialize: Boolean = true): DataFrame = {
+    val edges0 = coSupplyEdges(li)
+    // persist the shared relations: edges feed the degree pass, the
+    // orientation join and the closing semi-join; degrees feed both
+    // orientation sides and the final coefficient join — without the
+    // cache the whole coSupplyEdges pipeline (a fact-table aggregation)
+    // replays once per consumer inside ONE query
+    val edges =
+      if (materialize) edges0.persist(StorageLevel.MEMORY_AND_DISK) else edges0
+    val deg0 = edges
       .select(explode(array(col("a"), col("b"))).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val deg =
+      if (materialize) deg0.persist(StorageLevel.MEMORY_AND_DISK) else deg0
+    val bcast = nodeBroadcastOk(deg, broadcastNodeLimit)
     // total order (deg, id) as one comparable key; supplier ids are
     // far below 1e9 at every graded scale (asserted cheaply upstream
     // by key ranges), so the packing is collision-free
     def okey(d: Column, id: Column): Column = d * lit(1000000000L) + id
     val degA = deg.select(col("s").as("a"), col("deg").as("deg_a"))
     val degB = deg.select(col("s").as("b"), col("deg").as("deg_b"))
-    val oriented = edges
-      .join(broadcast(degA), Seq("a")).join(broadcast(degB), Seq("b"))
+    val annotated =
+      if (bcast) edges.join(broadcast(degA), Seq("a"))
+        .join(broadcast(degB), Seq("b"))
+      else edges.hint("merge").join(degA, Seq("a"))
+        .hint("merge").join(degB, Seq("b"))
+    val oriented = annotated
       .select(
         when(okey(col("deg_a"), col("a")) < okey(col("deg_b"), col("b")),
           col("a")).otherwise(col("b")).as("u"),
@@ -287,11 +333,18 @@ object GraphOps {
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n_tri"))
-    deg.join(perNode, Seq("s"), "left_outer")
+    val out = deg.join(perNode, Seq("s"), "left_outer")
       .na.fill(0L, Seq("n_tri"))
       .select(col("s").as("suppkey"), col("deg"), col("n_tri"),
         expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 DIV (deg * (deg - 1)) " +
           "ELSE 0 END").as("clust_ppm"))
+    if (!materialize) out
+    else {
+      // materialize before releasing the caches the plan depends on
+      val m = out.localCheckpoint()
+      deg.unpersist(); edges.unpersist()
+      m
+    }
   }
 
   /** Minimum degree a node needs to survive a q178 peel round. */
@@ -547,9 +600,12 @@ object GraphOps {
     * Scale: wedges (a–m–b) are enumerated per middle node from its
     * neighbor list CAPPED at [[LpNeighborCap]] (smallest ids —
     * deterministic), so a hub contributes O(cap²) wedges instead of
-    * O(deg²); existing edges leave via one anti-join and degrees ride
-    * a node-sized broadcast. The same capped-candidates-then-exact-
-    * score shape as the LSH dedup path.
+    * O(deg²); existing edges leave via one anti-join and the NODE-sized
+    * degree relation attaches under the q154 guard ([[nodeBroadcastOk]]):
+    * broadcast under the limit, hinted merge joins above it — both
+    * plans score identically (GraphOpsSpec asserts byte-equal rows).
+    * The same capped-candidates-then-exact-score shape as the LSH
+    * dedup path.
     */
   def linkPrediction(spark: SparkSession, dir: String): DataFrame =
     linkPredictionFor(coSupplyEdges(Tables.lineitem(spark, dir)))
@@ -558,12 +614,16 @@ object GraphOps {
     * for plan-shape inspection — the caller owns execution cost.
     */
   def linkPredictionFor(edges0: DataFrame,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      broadcastNodeLimit: Option[Long] = None): DataFrame = {
     val edges =
       if (materialize) edges0.persist(StorageLevel.MEMORY_AND_DISK) else edges0
     val sym = edges.select(col("a").as("m"), col("b").as("n"))
       .union(edges.select(col("b").as("m"), col("a").as("n")))
-    val deg = sym.groupBy(col("m").as("s")).agg(count(lit(1)).as("deg"))
+    val deg0 = sym.groupBy(col("m").as("s")).agg(count(lit(1)).as("deg"))
+    val deg =
+      if (materialize) deg0.persist(StorageLevel.MEMORY_AND_DISK) else deg0
+    val bcast = nodeBroadcastOk(deg, broadcastNodeLimit)
     val capped = sym
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("m")).orderBy(col("n"))))
@@ -576,18 +636,21 @@ object GraphOps {
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= LpMinCommon)
       .join(edges, Seq("a", "b"), "left_anti")
-    val scored = cn
-      .join(broadcast(deg.select(col("s").as("a"), col("deg").as("deg_a"))),
-        Seq("a"))
-      .join(broadcast(deg.select(col("s").as("b"), col("deg").as("deg_b"))),
-        Seq("b"))
+    val degA = deg.select(col("s").as("a"), col("deg").as("deg_a"))
+    val degB = deg.select(col("s").as("b"), col("deg").as("deg_b"))
+    val annotated =
+      if (bcast) cn.join(broadcast(degA), Seq("a"))
+        .join(broadcast(degB), Seq("b"))
+      else cn.hint("merge").join(degA, Seq("a"))
+        .hint("merge").join(degB, Seq("b"))
+    val scored = annotated
       .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
         expr("n_common * 1000000 DIV (deg_a + deg_b - n_common)")
           .as("jaccard_ppm"))
     if (!materialize) scored
     else {
       val out = scored.localCheckpoint()
-      edges.unpersist()
+      deg.unpersist(); edges.unpersist()
       out
     }
   }

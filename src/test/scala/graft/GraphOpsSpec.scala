@@ -284,4 +284,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!out.contains((33L, 34L)))
     assert(out((100L, 101L)) == ((40L, 40L, 40L, 1000000L)))
   }
+
+  test("q176 triangles: over-limit merge plan is byte-identical to the broadcast plan") {
+    // the q154 dual-plan law, extended family-wide: limit 0 forces the
+    // merge-join path every >50M-node graph takes; same motif counts
+    val li = liFixture(Seq(
+      (1L, Seq(1L, 2L), 2), (2L, Seq(1L, 3L), 2),
+      (3L, Seq(2L, 3L), 2), (4L, Seq(3L, 4L), 2)) ++
+      (0 until 80).map(k => (100L + k, Seq(50L + 2 * k, 51L + 2 * k), 1)))
+    def rows(lim: Option[Long]) =
+      GraphOps.supplierTrianglesFor(li, broadcastNodeLimit = lim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(rows(Some(0L)) === rows(None))
+  }
+
+  test("q224 link prediction: over-limit merge plan is byte-identical to the broadcast plan") {
+    val edges = (1L to 40L).flatMap(i =>
+      Seq((i, 100L), (i, 101L))).toDF("a", "b")
+    def rows(lim: Option[Long]) =
+      GraphOps.linkPredictionFor(edges, broadcastNodeLimit = lim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows(Some(0L)) === rows(None))
+  }
 }

@@ -763,12 +763,41 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q176 triangles: every join is keyed or a 1-row broadcast — no cartesian") {
-    val p = plan(graft.operators.GraphOps.supplierTriangles(spark, sf))
+    // materialize=false exposes the full motif plan (the production form
+    // checkpoints the result, which collapses the visible plan)
+    val p = plan(graft.operators.GraphOps.supplierTrianglesFor(
+      graft.sources.Tables.lineitem(spark, sf), materialize = false))
     assert(!p.contains("CartesianProduct"), p.take(2000))
     // the only nested-loop joins are the 1-row threshold/stat
     // broadcasts (Cross); a data-sized nested loop would be Inner
     assert(!"BroadcastNestedLoopJoin BuildRight, Inner".r.findFirstIn(p).isDefined,
       s"no data-sized nested-loop join:\n${p.take(2000)}")
+  }
+
+  /** Builds `df`'s plan with stats-based auto-broadcast disabled, so any
+    * BroadcastHashJoin left in it can only come from an explicit
+    * `broadcast()` hint — isolating exactly what the over-limit guard
+    * must remove (a stats decision would never broadcast a 10⁹-row node
+    * relation; an unconditional hint would).
+    */
+  private def planNoAutoBroadcast(df: => DataFrame): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try plan(df) finally spark.conf.set(key, saved)
+  }
+
+  test("q176 triangles over the broadcast limit: degrees never ride a hinted broadcast") {
+    // broadcastNodeLimit=0 is the >50M-node posture: the node-sized
+    // degree relation must attach via sort-merge, not a driver-hashed
+    // broadcast (the q154 guard, extended family-wide)
+    val p = planNoAutoBroadcast(graft.operators.GraphOps.supplierTrianglesFor(
+      graft.sources.Tables.lineitem(spark, sf), materialize = false,
+      broadcastNodeLimit = Some(0L)))
+    assert(!p.contains("BroadcastHashJoin"),
+      s"over-limit motif count must not hint-broadcast degrees:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"),
+      s"over-limit degree joins must sort-merge:\n${p.take(2000)}")
   }
 
   test("q179 CUSUM: one fact aggregation; windows run on the day relation") {
@@ -885,6 +914,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[m".r
       .findFirstIn(p).isDefined,
       s"wedge join must be keyed on m:\n${p.take(2000)}")
+  }
+
+  test("q224 link prediction over the broadcast limit: degrees never ride a hinted broadcast") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val p = planNoAutoBroadcast(graft.operators.GraphOps
+      .linkPredictionFor(edges, materialize = false,
+        broadcastNodeLimit = Some(0L)))
+    assert(!p.contains("BroadcastHashJoin"),
+      s"over-limit scoring must not hint-broadcast degrees:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"),
+      s"over-limit degree joins must sort-merge:\n${p.take(2000)}")
   }
 
   test("q226 centroid outliers: map-only assignment, one bucket exchange") {
