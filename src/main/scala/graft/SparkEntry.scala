@@ -470,6 +470,21 @@ object SparkEntry {
     // token n-gram sizes {2,3,5} — what each choice of n costs in
     // flagged train mass
     "q243_decontam_sweep" -> (TextOps.decontamSweep _),
+    // executed index commit: train + atomically commit the full IVF/PQ
+    // artifact (bucket-partitioned members/codes, model, version
+    // sidecar), then audit the COMMITTED tables — the q216/q234
+    // executed-lake posture applied to the ANN index
+    "q244_ann_index_commit" -> (graft.operators.AnnIndex.commitAudit _),
+    // the q106 IVF search served FROM the committed artifact —
+    // hash-equal to the live q106 with ZERO corpus re-assignment in
+    // the serving plan (AnnIndexSpec locks it)
+    "q245_ann_ivf_serve" -> (graft.operators.AnnIndex.ivfServe _),
+    // the q108 ADC search served FROM the committed 8-byte code rows
+    "q246_ann_ivfpq_serve" -> (graft.operators.AnnIndex.ivfPqServe _),
+    // committed-vs-arrivals staleness panel: the artifact's member
+    // counts + sidecar version against the fresh-crawl split assigned
+    // with the COMMITTED centroids — the q132 handoff
+    "q247_ann_index_staleness" -> (graft.operators.AnnIndex.stalenessReport _),
   )
 
   // Shared SQL fragments for the oracle (DuckDB), delegating to
@@ -2336,60 +2351,7 @@ object SparkEntry {
     },
     // the COMPLETE derived IVF-PQ search: the q83 ADC pipeline with
     // nlist/nprobe/k all recomputed in SQL from the corpus size
-    "q108_ivfpq_derived_search" -> {
-      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
-         |       FROM e),
-         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
-         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
-         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-         |          FROM e, nl WHERE vec_id < nl.nlist),
-         |asg AS (
-         |  SELECT vec_id, c_id AS bucket FROM (
-         |    SELECT e.vec_id, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
-         |    FROM e, cents c) t
-         |  WHERE rk = 1),
-         |q AS (SELECT vec_id, list_transform(embedding,
-         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
-         |    FROM embeddings),
-         |kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
-         |       FROM q),
-         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk WHERE vec_id < kk.k),
-         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
-         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
-         |    FROM q, c,
-         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
-         |    GROUP BY 1, 2, 3),
-         |code AS (SELECT vec_id, m, c_id AS code FROM (
-         |    SELECT vec_id, m, c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
-         |    FROM d) t
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT q_id, c_id AS bucket FROM (
-         |    SELECT e.vec_id AS q_id, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
-         |    FROM e, cents c WHERE e.vec_id % 100 = 0) t
-         |  WHERE rk <= (SELECT nprobe FROM np)),
-         |adc AS (
-         |  SELECT p.q_id, a.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
-         |  FROM probes p
-         |  JOIN asg a ON a.bucket = p.bucket
-         |  JOIN code co ON co.vec_id = a.vec_id
-         |  JOIN d l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
-         |  WHERE a.vec_id <> p.q_id
-         |  GROUP BY 1, 2)
-         |SELECT q_id, neighbor_id, adc_q, rank FROM (
-         |  SELECT q_id, vec_id AS neighbor_id, adc_q,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
-         |  FROM adc) t
-         |WHERE rank <= 5""".stripMargin
-    },
+    "q108_ivfpq_derived_search" -> q108Sql,
     // two Lloyd rounds replayed in SQL: exact-integer argmin assignment
     // (dist ASC, c_id ASC ties), integer-mean update, final model report
     "q109_kmeans_train" -> kmeansTrainSql(
@@ -5426,6 +5388,96 @@ object SparkEntry {
                |  flagged_chars, n_eval_grams FROM sm_$n""".stripMargin)
           .mkString("\nUNION ALL\n")}""".stripMargin
     },
+    // the committed-artifact audit replayed from the raw corpus: the
+    // derived-knob assignment (q106's asg), the PQ argmin codes
+    // (q107/q108's code CTE) rolled to per-vector mass, per-bucket
+    // membership count + bit_xor witness — a torn commit, a dropped
+    // bucket, or a knob drift breaks the hash
+    "q244_ann_index_commit" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nl AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
+         |    CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM e),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |       FROM q),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk WHERE vec_id < kk.k),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, c_id AS code FROM (
+         |    SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |cm AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS mass
+         |       FROM code GROUP BY 1)
+         |SELECT asg.bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  bit_xor(asg.vec_id) AS vec_xor,
+         |  CAST(COUNT(*) AS BIGINT) AS n_codes,
+         |  CAST(SUM(cm.mass) AS BIGINT) AS code_mass,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version,
+         |  (SELECT nlist FROM nl) AS nlist,
+         |  (SELECT nprobe FROM np) AS nprobe,
+         |  (SELECT k FROM kk) AS k
+         |FROM asg JOIN cm USING (vec_id)
+         |GROUP BY 1""".stripMargin
+    },
+    // served-from-artifact searches are hash-equal to the live q106/q108
+    // by construction — same oracle algebra
+    "q245_ann_ivf_serve" -> q106Sql,
+    "q246_ann_ivfpq_serve" -> q108Sql,
+    // the staleness panel: full-corpus committed membership vs the
+    // ≥ 0.9 fresh-crawl split assigned to the same derived-width
+    // centroids (q132's growth/mean-dot algebra, artifact-side counts)
+    "q247_ann_index_staleness" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nl AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
+         |    CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM e),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |b AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |a AS (SELECT vec_id, c_id AS bucket, d AS dot_q FROM (
+         |    SELECT e.vec_id, c.c_id, ${dotSql("c.c_emb", "e.embedding")} AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |idx AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_index
+         |        FROM a GROUP BY 1),
+         |arr AS (SELECT a.bucket, CAST(COUNT(*) AS BIGINT) AS n_new,
+         |    CAST(SUM(a.dot_q) AS BIGINT) AS sum_new
+         |  FROM a JOIN b USING (vec_id) WHERE b.hb >= 900000 GROUP BY 1)
+         |SELECT idx.bucket, idx.n_index,
+         |  COALESCE(arr.n_new, 0) AS n_new,
+         |  COALESCE(arr.n_new, 0) * 1000000 // idx.n_index AS growth_ppm,
+         |  CASE WHEN arr.n_new IS NULL THEN NULL
+         |    ELSE CAST(arr.sum_new // arr.n_new
+         |      - (CASE WHEN arr.sum_new % arr.n_new <> 0 AND arr.sum_new < 0
+         |        THEN 1 ELSE 0 END) AS BIGINT) END AS mean_dot_new_q,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version
+         |FROM idx LEFT JOIN arr ON idx.bucket = arr.bucket""".stripMargin,
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by
@@ -5618,6 +5670,61 @@ object SparkEntry {
          |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
          |  FROM c) t
          |WHERE rank <= 5""".stripMargin
+
+  private lazy val q108Sql = {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+         |       FROM e),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |       FROM q),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk WHERE vec_id < kk.k),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, c_id AS code FROM (
+         |    SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT q_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id AS q_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c WHERE e.vec_id % 100 = 0) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |adc AS (
+         |  SELECT p.q_id, a.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+         |  FROM probes p
+         |  JOIN asg a ON a.bucket = p.bucket
+         |  JOIN code co ON co.vec_id = a.vec_id
+         |  JOIN d l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
+         |  WHERE a.vec_id <> p.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, neighbor_id, adc_q, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, adc_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 5""".stripMargin
+  }
 
   private lazy val q118Sql =
       s"""WITH e AS (

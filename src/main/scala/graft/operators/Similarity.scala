@@ -29,12 +29,12 @@ object Similarity {
     * primitive loop in whole-stage codegen instead of an interpreted
     * lambda per element).
     */
-  private def dotQ(a: String, b: String): Column =
+  private[operators] def dotQ(a: String, b: String): Column =
     expr(s"${graft.functions.GraftFunctions.DotName}($a, $b)")
 
-  private def normQ(a: String): Column = dotQ(a, a)
+  private[operators] def normQ(a: String): Column = dotQ(a, a)
 
-  private def withFns(spark: SparkSession): Unit =
+  private[operators] def withFns(spark: SparkSession): Unit =
     graft.functions.GraftFunctions.ensureRegistered(spark)
 
   /** The deterministic query subset: every 100th vector. NOTE this set
@@ -43,7 +43,7 @@ object Similarity {
     * axes as data grows. [[queriesBudget]] is the serving-shaped
     * alternative for scale rehearsals.
     */
-  private def queries(df: DataFrame): DataFrame =
+  private[operators] def queries(df: DataFrame): DataFrame =
     df.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
@@ -51,7 +51,7 @@ object Similarity {
     * ids at every corpus scale — isolates PER-QUERY search cost in
     * rehearsals (corpus grows 100×, query traffic does not).
     */
-  private def queriesBudget(df: DataFrame, budget: Long): DataFrame =
+  private[operators] def queriesBudget(df: DataFrame, budget: Long): DataFrame =
     df.filter(col("vec_id") < budget)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
@@ -239,7 +239,7 @@ object Similarity {
     * driver — the IVF index-build step. nlist rows; at real scale this
     * is the k-means model, still O(nlist·dims) and driver-resident.
     */
-  private def centroidLits(spark: SparkSession, dir: String,
+  private[operators] def centroidLits(spark: SparkSession, dir: String,
       nlist: Int = IvfNlist): Seq[(Long, Array[Float])] =
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") < nlist)
@@ -258,13 +258,13 @@ object Similarity {
     * expression keeps plan size, analyzer time, and generated-method
     * size O(1) in the index width.
     */
-  private def centMatrixLit(cents: Seq[(Long, Array[Float])]): Column =
+  private[operators] def centMatrixLit(cents: Seq[(Long, Array[Float])]): Column =
     typedLit(cents.map(_._2.toSeq))
 
   /** Centroid ids (in matrix-row order) for mapping the expression's
     * positional argmax back to a centroid id.
     */
-  private def centIdsLit(cents: Seq[(Long, Array[Float])]): Column =
+  private[operators] def centIdsLit(cents: Seq[(Long, Array[Float])]): Column =
     typedLit(cents.map(_._1))
 
   /** Attach the argmax `bucket` (max quantized dot, lowest c_id
@@ -335,7 +335,7 @@ object Similarity {
     * native [[graft.functions.QuantizedDotTable]] zipped with centroid
     * ids into (−dot, c_id) structs, ready for `sort_array` + `slice`.
     */
-  private def probeRanking(cents: Seq[(Long, Array[Float])], embCol: String): Column =
+  private[operators] def probeRanking(cents: Seq[(Long, Array[Float])], embCol: String): Column =
     zip_with(
       call_function(graft.functions.GraftFunctions.DotTableName,
         col(embCol), centMatrixLit(cents)),
@@ -464,7 +464,7 @@ object Similarity {
     * results by the shared total order (score desc — or asc when
     * `asc` — then lowest vec_id); the graded oracles are unchanged.
     */
-  private def topkPerQuery(df: DataFrame, scoreCol: String, k: Int,
+  private[operators] def topkPerQuery(df: DataFrame, scoreCol: String, k: Int,
       asc: Boolean = false): DataFrame = {
     val scoreExpr = if (asc) s"-$scoreCol" else scoreCol
     df.groupBy(col("q_id"))
@@ -1107,7 +1107,7 @@ object Similarity {
     * as ONE `ARRAY<ARRAY<FLOAT>>` literal for the native L2-table
     * expression. Codebook ids are 0..k−1 in row order.
     */
-  private def subCodebookLit(cents: Seq[(Long, Array[Float])], m: Int): Column =
+  private[operators] def subCodebookLit(cents: Seq[(Long, Array[Float])], m: Int): Column =
     typedLit(cents.map(_._2.slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq))
 
   /** Per-subspace distance ARRAYS against the codebook: one native
@@ -1195,7 +1195,7 @@ object Similarity {
     * This is the 100 TB index layout: 8 code bytes + 1 bucket id per
     * vector instead of 256 float bytes.
     */
-  private def pqCodedCorpus(spark: SparkSession, dir: String,
+  private[operators] def pqCodedCorpus(spark: SparkSession, dir: String,
       nlist: Int = IvfNlist, k: Int = PqK): DataFrame = {
     withFns(spark)
     val ivfCents = centroidLits(spark, dir, nlist)
