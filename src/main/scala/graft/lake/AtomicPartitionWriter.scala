@@ -20,16 +20,75 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * overwrite: that is not crash-atomic across the metastore sync, and the
   * explicit protocol is unit-testable against an injected filesystem.
   */
+/** Raised when a second committer races an in-flight commit on the same
+  * table directory — the caller must back off / retry, never proceed:
+  * proceeding is silent last-writer-wins with possible `_old` orphans.
+  */
+class ConcurrentCommitException(tableDir: String, holder: String)
+  extends IllegalStateException(
+    s"concurrent commit on $tableDir — lease held by $holder")
+
+object AtomicPartitionWriter {
+  /** Commit-lease time-to-live: a lease older than this belongs to a
+    * crashed committer (a live one holds it for one staging+swap
+    * sequence, minutes at most) and is stolen. Kept generous — stealing
+    * a LIVE committer's lease reintroduces the race this guard exists
+    * to close.
+    */
+  val LeaseTtlMs: Long = 15L * 60L * 1000L
+}
+
 class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
 
   def partitionPath(tableDir: String, year: Int, suffix: String = ""): String =
     s"$tableDir/year=$year$suffix"
 
+  private def leasePath(tableDir: String) = s"$tableDir/_commit_lease"
+
+  /** Exclusive commit lease over `tableDir` for the duration of `body` —
+    * the single-writer guard for the whole swap protocol. Two committers
+    * racing the same table previously interleaved silently: both staged
+    * into the SAME `_tmp` path (torn staging), and the loser's `_old`
+    * backup could orphan. Now the second committer fails fast with
+    * [[ConcurrentCommitException]].
+    *
+    * The lease is an atomic create-if-absent file ([[LakeFs
+    * .createExclusive]]) recording the holder's app id; it is released
+    * in a `finally`, so an in-process failure (the crash matrix's
+    * injected faults) never leaks it. A PROCESS-kill crash does leak
+    * it — past [[AtomicPartitionWriter.LeaseTtlMs]] the next committer
+    * (and [[repair]]) treats it as litter and steals/reaps it.
+    */
+  def withCommitLease[T](tableDir: String)(body: => T): T = {
+    val lp = leasePath(tableDir)
+    val owner = s"""{"app":"${spark.sparkContext.applicationId}",""" +
+      s""""ts":${System.currentTimeMillis()}}"""
+    def tryAcquire(): Boolean = fsOps.createExclusive(lp, owner)
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val age =
+        try System.currentTimeMillis() - fsOps.fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(lp)).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue } // gone: retry
+      if (age > AtomicPartitionWriter.LeaseTtlMs) {
+        fsOps.delete(lp)
+        acquired = tryAcquire()
+      }
+    }
+    if (!acquired) {
+      val holder = try fsOps.readString(lp) catch {
+        case _: java.io.IOException => "<unreadable>"
+      }
+      throw new ConcurrentCommitException(tableDir, holder)
+    }
+    try body finally fsOps.delete(lp)
+  }
+
   /** Write `df` as the new content of partition `year=Y` of `tableDir`.
     * Returns the committed partition path.
     */
   def write(df: DataFrame, tableDir: String, year: Int,
-      table: Option[String] = None): String = {
+      table: Option[String] = None): String = withCommitLease(tableDir) {
     val tmp = partitionPath(tableDir, year, "_tmp")
     val fin = partitionPath(tableDir, year)
     val old = partitionPath(tableDir, year, "_old")
@@ -55,7 +114,7 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     * curation endgame to commit `split=train/val/test` atomically.
     */
   def writePartitionDir(df: DataFrame, tableDir: String,
-      partDir: String): String = {
+      partDir: String): String = withCommitLease(tableDir) {
     val tmp = s"$tableDir/${partDir}_tmp"
     val fin = s"$tableDir/$partDir"
     val old = s"$tableDir/${partDir}_old"
@@ -91,7 +150,7 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     * Returns committed paths keyed by partition value.
     */
   def commitPartitioned(df: DataFrame, tableDir: String,
-      partCol: String): Map[String, String] = {
+      partCol: String): Map[String, String] = withCommitLease(tableDir) {
     val staging = s"$tableDir/${partCol}_stage_tmp"
     try {
       df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
@@ -151,11 +210,17 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
   def repair(tableDir: String): Seq[String] = {
     if (!fsOps.exists(tableDir)) return Seq.empty // fresh lake root: nothing to reap
     val status = fsOps.fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-    val reaped = status.map(_.getPath.toUri.getPath).filter { p =>
-      val name = p.split('/').last
+    val now = System.currentTimeMillis()
+    val reaped = status.filter { s =>
+      val name = s.getPath.getName
       name.endsWith("_tmp") ||
-        (name.endsWith("_old") && fsOps.exists(p.stripSuffix("_old")))
-    }
+        (name.endsWith("_old") &&
+          fsOps.exists(s.getPath.toUri.getPath.stripSuffix("_old"))) ||
+        // a commit lease outliving its TTL belongs to a process-killed
+        // committer (in-process failures release in a finally) — litter
+        (name == "_commit_lease" &&
+          now - s.getModificationTime > AtomicPartitionWriter.LeaseTtlMs)
+    }.map(_.getPath.toUri.getPath)
     reaped.foreach(fsOps.delete)
     reaped.toSeq
   }

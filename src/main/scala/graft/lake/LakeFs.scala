@@ -44,6 +44,25 @@ class LakeFs(val fs: FileSystem) {
 
   def mkdirs(path: String): Unit = fs.mkdirs(new Path(path))
 
+  /** Atomic create-if-absent — the LEASE primitive: true when THIS call
+    * created the file, false when it already existed. HDFS `create`
+    * with `overwrite=false` is atomic against concurrent creators (the
+    * namenode serializes); the local test filesystem approximates it
+    * (check-then-create), which is enough for single-JVM specs.
+    */
+  def createExclusive(path: String, content: String): Boolean = {
+    val p = new Path(path)
+    Option(p.getParent).foreach(fs.mkdirs(_))
+    try {
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException => false
+    }
+  }
+
   /** Small-file write (S13 — the `_version.json` sidecar channel). */
   def writeString(path: String, content: String): Unit = {
     val out = fs.create(new Path(path), true)

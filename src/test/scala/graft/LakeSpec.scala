@@ -90,6 +90,65 @@ class LakeSpec extends AnyFunSuite {
     assert(!fs.exists(s"$table/year=2024_old"))
   }
 
+  test("two committers racing one table: the second fails fast, state stays whole") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    w.write(writeDf(3), table, 2023)
+    // committer A is mid-commit: its lease is on the table
+    w.withCommitLease(table) {
+      // committer B (every entry point) must refuse, not interleave
+      val e = intercept[ConcurrentCommitException] {
+        new AtomicPartitionWriter(fs, spark).write(writeDf(9), table, 2023)
+      }
+      assert(e.getMessage.contains(table))
+      intercept[ConcurrentCommitException] {
+        new AtomicPartitionWriter(fs, spark)
+          .commitPartitioned(writeDf(4).withColumn("shard",
+            org.apache.spark.sql.functions.lit(0L)), table, "shard")
+      }
+    }
+    // the loser touched nothing: no _tmp litter, old content intact
+    assert(spark.read.parquet(s"$table/year=2023").count() == 3)
+    assert(!fs.exists(s"$table/year=2023_tmp"))
+    // lease released with the block: the next commit proceeds
+    w.write(writeDf(5), table, 2023)
+    assert(spark.read.parquet(s"$table/year=2023").count() == 5)
+  }
+
+  test("commit lease: in-process failure releases it; a stale one is stolen and reaped") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    // an injected mid-commit failure must release the lease (finally)
+    val failing = new AtomicPartitionWriter(fs, spark) {
+      override protected def syncMetastore(t: String, d: String, y: Int): Unit =
+        sys.error("injected")
+    }
+    intercept[RuntimeException] {
+      failing.write(writeDf(2), table, 2023, table = Some("lease_rel_test"))
+    }
+    assert(!fs.exists(s"$table/_commit_lease"),
+      "in-process failure must release the lease")
+    // a process-killed committer leaks the lease; past the TTL the next
+    // committer steals it...
+    fs.createExclusive(s"$table/_commit_lease", """{"app":"dead","ts":0}""")
+    val stale = new org.apache.hadoop.fs.Path(s"$table/_commit_lease")
+    fs.fs.setTimes(stale,
+      System.currentTimeMillis() - AtomicPartitionWriter.LeaseTtlMs - 1000L, -1L)
+    w.write(writeDf(4), table, 2024)
+    assert(spark.read.parquet(s"$table/year=2024").count() == 4)
+    // ...and repair reaps a stale lease as litter (a fresh one it keeps)
+    fs.createExclusive(s"$table/_commit_lease", """{"app":"dead","ts":0}""")
+    fs.fs.setTimes(stale,
+      System.currentTimeMillis() - AtomicPartitionWriter.LeaseTtlMs - 1000L, -1L)
+    assert(w.repair(table).exists(_.endsWith("_commit_lease")))
+    assert(!fs.exists(s"$table/_commit_lease"))
+    fs.createExclusive(s"$table/_commit_lease", """{"app":"live","ts":1}""")
+    assert(!w.repair(table).exists(_.endsWith("_commit_lease")))
+    fs.delete(s"$table/_commit_lease")
+  }
+
   test("commitPartitioned removes partitions a shrinking re-commit dropped") {
     val table = tmpDir()
     val w = new AtomicPartitionWriter(fsOps, spark)
