@@ -147,6 +147,13 @@ object Bench {
       }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    // per-family subtotals (sidecar only): at 247 queries one total
+    // hides where time goes — family rows make a round-over-round
+    // regression attributable without per-query archaeology
+    def famTotals(rs: Seq[(String, Double)]): Seq[(String, Double)] =
+      rs.groupBy { case (n, _) =>
+        SparkEntry.queryFamilies.getOrElse(n, "unclassified")
+      }.map { case (f, xs) => f -> xs.map(_._2).sum }.toSeq.sortBy(_._1)
     def line(detail: Boolean): String = {
       // The driver stores only a bounded TAIL of stdout; even a
       // millisecond-precision per-query map (~2.6 KB at 79 queries)
@@ -158,6 +165,10 @@ object Bench {
         (if (detail) s""""queries":${fmt(cold)},""" else "") +
         s""""warm_value":$warmTotal,""" +
         (if (detail) s""""warm_queries":${fmt(warm)},""" else "") +
+        (if (detail)
+          s""""families":${fmt(famTotals(cold), 3)},""" +
+            s""""warm_families":${fmt(famTotals(warm), 3)},"""
+         else "") +
         s""""failures":$coldFailures,"warm_failures":$warmFailures,""" +
         s""""warm_reruns":$reruns,""" +
         // per-query ANN serving cost at the fixed 1000-query budget —

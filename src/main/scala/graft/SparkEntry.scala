@@ -487,6 +487,49 @@ object SparkEntry {
     "q247_ann_index_staleness" -> (graft.operators.AnnIndex.stalenessReport _),
   )
 
+  /** Bench family of every registered query (one coarse label per
+    * query), so the bench sidecar can attribute round-over-round
+    * movement to a FAMILY subtotal instead of per-query archaeology —
+    * at 247 queries one JSON total hides where the time goes. Families
+    * mirror the operator modules; RelationalSpec asserts the map covers
+    * the registry exactly (an unregistered number maps to
+    * "unclassified" and fails the spec, never a runtime throw).
+    */
+  lazy val queryFamilies: Map[String, String] = {
+    def fam(f: String)(ns: Int*): Seq[(Int, String)] = ns.map(_ -> f)
+    val byNum: Map[Int, String] = (
+      fam("relational")(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+        16, 17, 18, 19, 20, 23, 24, 25, 26, 27, 28, 29, 30, 45, 46, 47, 53,
+        58, 59, 69, 71, 97, 98, 101, 102, 103, 110, 111, 112, 113, 114, 115,
+        116, 117, 122, 123, 124, 159, 160, 162, 164, 183, 184, 190, 192,
+        193, 204, 205, 206, 210, 211) ++
+      fam("dedup")(35, 36, 37, 38, 39, 40, 51, 52, 60, 61, 62, 63, 64, 70,
+        73, 74, 82, 87, 89, 91, 93, 94, 95, 96, 104, 105, 125, 136, 138,
+        140, 141, 144, 145, 172, 208, 222, 228, 231) ++
+      fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
+        118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
+        227, 229, 232, 244, 245, 246, 247) ++
+      fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
+      fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
+        166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
+      fam("sampling")(48, 49, 65, 68, 79, 86, 119, 131, 151, 155, 165, 186,
+        187, 196, 221) ++
+      fam("sketch")(55, 56, 75, 77, 80, 135, 139, 142, 197, 214, 230, 235,
+        236, 240) ++
+      fam("stats")(54, 143, 146, 169, 179, 180, 185, 191, 200, 201, 202,
+        203, 209, 215, 217, 233, 237, 239) ++
+      fam("streaming")(21, 22, 127, 129, 133, 137, 147, 152, 163, 167, 195,
+        238) ++
+      fam("lake")(148, 149, 150, 153, 156, 161, 168, 199, 212, 213, 216,
+        218, 219, 234) ++
+      fam("multimodal")(44, 57, 126, 134, 198)
+    ).toMap
+    queries.keySet.iterator.map { name =>
+      val n = name.drop(1).takeWhile(_.isDigit).toInt
+      name -> byNum.getOrElse(n, "unclassified")
+    }.toMap
+  }
+
   // Shared SQL fragments for the oracle (DuckDB), delegating to
   // Determinism so the Spark and oracle formulas cannot diverge.
   private def cents(e: String): String = graft.operators.Determinism.centsSql(e)

@@ -27,6 +27,14 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("every query carries a bench family") {
+    val unfam = SparkEntry.queryFamilies.collect {
+      case (n, "unclassified") => n
+    }
+    assert(unfam.isEmpty, s"unclassified queries: ${unfam.toSeq.sorted}")
+    assert(SparkEntry.queryFamilies.keySet === SparkEntry.queries.keySet)
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
