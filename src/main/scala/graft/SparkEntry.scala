@@ -485,6 +485,10 @@ object SparkEntry {
     // counts + sidecar version against the fresh-crawl split assigned
     // with the COMMITTED centroids — the q132 handoff
     "q247_ann_index_staleness" -> (graft.operators.AnnIndex.stalenessReport _),
+    // the incremental ingest EXECUTED: base-split build, arrivals
+    // assigned+coded with the committed model (map-only over the
+    // delta), per-bucket upsert commit — only touched buckets rewrite
+    "q248_ann_index_ingest" -> (graft.operators.AnnIndex.incrementalIngestCommit _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -508,7 +512,7 @@ object SparkEntry {
         140, 141, 144, 145, 172, 208, 222, 228, 231) ++
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
-        227, 229, 232, 244, 245, 246, 247) ++
+        227, 229, 232, 244, 245, 246, 247, 248) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -5521,6 +5525,74 @@ object SparkEntry {
          |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
          |    AS index_version
          |FROM idx LEFT JOIN arr ON idx.bucket = arr.bucket""".stripMargin,
+    // the incremental-commit audit replayed from the raw corpus: the
+    // BASE split derives the knobs and seeds the model (lowest base
+    // ids, not vec_id < width — base ids are not dense), and the full
+    // corpus assigned/coded under that base model IS base-build ∪
+    // delta-ingest — a dropped delta, a clobbered untouched bucket, a
+    // wrong-model arrival coding, or a knob drift breaks the hash
+    "q248_ann_index_ingest" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |hbt AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |base AS (SELECT emb.vec_id, emb.embedding
+         |         FROM emb JOIN hbt USING (vec_id) WHERE hbt.hb < 900000),
+         |nb AS (SELECT
+         |    GREATEST(${graft.operators.Similarity.IvfNlist},
+         |      CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist,
+         |    GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |  FROM base),
+         |cents AS (SELECT c_id, c_emb FROM (
+         |    SELECT vec_id AS c_id, embedding AS c_emb,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM base) t, nb
+         |  WHERE rn <= nb.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM emb e, cents c) t
+         |  WHERE rk = 1),
+         |qq AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |cb AS (SELECT cpos, cq FROM (
+         |    SELECT list_transform(embedding,
+         |        x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS cq,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cpos FROM base) t, nb
+         |  WHERE cpos < nb.k),
+         |-- codes are POSITIONAL (0..k−1, codebook rows in c_id order):
+         |-- that is what indexes the ADC LUT; the base split's seed ids
+         |-- are not dense, so position ≠ original id here
+         |d AS (SELECT q.vec_id, c.cpos, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM qq q, cb c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, cpos AS code FROM (
+         |    SELECT vec_id, m, cpos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cpos) AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |cm AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS mass
+         |       FROM code GROUP BY 1)
+         |SELECT asg.bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  bit_xor(asg.vec_id) AS vec_xor,
+         |  CAST(COUNT(*) AS BIGINT) AS n_codes,
+         |  CAST(SUM(cm.mass) AS BIGINT) AS code_mass,
+         |  CAST(SUM(CASE WHEN hbt.hb >= 900000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_arrived,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version,
+         |  (SELECT nlist FROM nb) AS nlist,
+         |  (SELECT k FROM nb) AS k
+         |FROM asg JOIN hbt USING (vec_id) JOIN cm USING (vec_id)
+         |GROUP BY 1""".stripMargin
+    },
   )
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by

@@ -179,6 +179,41 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     }
   }
 
+  /** [[commitPartitioned]]'s UPSERT twin: stage `df` once via
+    * `partitionBy(partCol)` and swap each staged partition into place —
+    * but partitions ABSENT from `df` are left untouched (no
+    * removal sweep). This is the delta-commit primitive: an incremental
+    * ingest rewrites only the partitions that received new rows, paying
+    * IO proportional to the touched mass instead of the table. Same
+    * lease, same per-partition atomicity, same `_tmp`/`_old` litter
+    * discipline ([[repair]] reaps a crashed run's leftovers; a crash
+    * mid-upsert leaves each partition either old or new — callers
+    * needing all-or-nothing visibility must version-gate readers, as
+    * [[graft.operators.AnnIndex]] does with its sidecar).
+    */
+  def upsertPartitions(df: DataFrame, tableDir: String,
+      partCol: String): Map[String, String] = withCommitLease(tableDir) {
+    val staging = s"$tableDir/${partCol}_stage_tmp"
+    try {
+      df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
+      fsOps.fs
+        .listStatus(new org.apache.hadoop.fs.Path(staging))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$partCol="))
+        .sorted
+        .map { p =>
+          val fin = s"$tableDir/$p"
+          swap(s"$staging/$p", fin, s"$tableDir/${p}_old")
+          if (fsOps.exists(s"$tableDir/${p}_old"))
+            fsOps.delete(s"$tableDir/${p}_old")
+          p.stripPrefix(s"$partCol=") -> fin
+        }.toMap
+    } finally {
+      if (fsOps.exists(staging)) fsOps.delete(staging)
+    }
+  }
+
   /** The rename dance with rollback (reference `_hdfs_swap`,
     * `jobs/utils/retry.py:130-165`).
     */

@@ -231,27 +231,130 @@ object AnnIndex {
     Similarity.withFns(spark)
     val meta = ensureCommitted(spark, dir)
     val root = indexRoot(spark, dir)
+    // the ONE ADC pipeline (per-q_id LUT broadcasts + the slice rule —
+    // Similarity.adcSearch), with the candidate side swapped for the
+    // committed 8-byte code rows and the model read off the artifact
+    Similarity.adcSearch(
+      bucketTable(spark, codesDir(root)),
+      Similarity.queries(Tables.embeddings(spark, dir)),
+      modelLits(spark, root, "ivf"), modelLits(spark, root, "pq"),
+      meta.nprobe, meta.k, meta.n / 100L + 1L)
+  }
+
+  /** Root of the INCREMENTAL-lifecycle artifact (q248) — separate from
+    * the full-build root on purpose: the incremental index is built
+    * from the crawl BASE split with base-derived knobs/seeds, so its
+    * model differs from the full build's; sharing a root would let
+    * [[ensureCommitted]] serve q245/q246 from the wrong model.
+    */
+  private def incRoot(spark: SparkSession, dir: String): String =
+    indexRoot(spark, dir) + "_inc"
+
+  /** Lowest-`width` vector ids of `corpus` as the model seed set — the
+    * [[Similarity.centroidLits]] rule generalized to a corpus whose ids
+    * are not dense from 0 (the crawl base split). TakeOrdered, never a
+    * full sort.
+    */
+  private def seedDf(corpus: DataFrame, width: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(width)
+      .select(col("vec_id").as("c_id"), col("embedding"))
+
+  private def assignedFor(df: DataFrame,
+      ivfCents: Seq[(Long, Array[Float])]): DataFrame =
+    Similarity.withBucket(df.select(col("vec_id"), col("embedding")),
+      ivfCents, "embedding")
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+
+  private def codedFor(df: DataFrame, ivfCents: Seq[(Long, Array[Float])],
+      pqCents: Seq[(Long, Array[Float])]): DataFrame =
+    Similarity.withPqDistanceArrays(assignedFor(df, ivfCents), pqCents)
+      .select(col("vec_id") +: col("bucket") +:
+        (0 until Similarity.PqSubspaces)
+          .map(m => Similarity.pqCode(m).as(s"code_$m")): _*)
+
+  /** q248: the incremental ingest EXECUTED — q132 reports what an
+    * ingest WOULD do to each bucket; this DOES it. The artifact is
+    * built from the crawl BASE split (< 0.9 md5, base-derived knobs,
+    * lowest-base-id seeds), then the fresh arrivals (≥ 0.9) are
+    * assigned + PQ-coded with the COMMITTED model — one map-only pass
+    * over the DELTA only — and committed per bucket through
+    * [[graft.lake.AtomicPartitionWriter.upsertPartitions]]: only
+    * buckets that received arrivals rewrite (IO ∝ touched mass, never
+    * the table; the touched set is nlist-bounded, ≤ √N literals in the
+    * pruning filter), untouched buckets' files never move, and the
+    * version sidecar advances its corpus count LAST so readers gate on
+    * a consistent artifact. No full rebuild anywhere.
+    *
+    * The audit panel reads back the COMMITTED tables: per bucket,
+    * member count, bit_xor witness, code rows, how many members are
+    * arrivals, plus the frozen base-derived knobs — the oracle replays
+    * all of it from the raw corpus (base-seeded centroids over the
+    * FULL corpus ≡ base build ∪ delta ingest), so a dropped delta, a
+    * clobbered untouched bucket, or a knob drift breaks the hash.
+    */
+  def incrementalIngestCommit(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = incRoot(spark, dir)
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(hb < 900000L)
+    val arrivals = emb.filter(hb >= 900000L)
+    // ---- base build (the q244 machinery, corpus + seeds parameterized)
+    val nBase = base.count()
+    val nlist = Similarity.nlistFor(nBase)
+    val k = Similarity.pqKFor(nBase)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), codesDir(root), modelDir(root))
+      .foreach(writer.repair(_))
+    writer.commitPartitioned(
+      seedDf(base, nlist).withColumn("kind", lit("ivf"))
+        .unionByName(seedDf(base, k).withColumn("kind", lit("pq"))),
+      modelDir(root), "kind")
     val ivfCents = modelLits(spark, root, "ivf")
     val pqCents = modelLits(spark, root, "pq")
-    val q = Similarity.queries(Tables.embeddings(spark, dir))
-    val lutCols = (0 until Similarity.PqSubspaces).map { m =>
-      call_function(graft.functions.GraftFunctions.L2TableName,
-        slice(col("q_emb"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim),
-        Similarity.subCodebookLit(pqCents, m)).as(s"lut_$m")
-    }
-    val probes = q
-      .select(col("q_id") +: col("q_emb") +:
-        explode(slice(sort_array(Similarity.probeRanking(ivfCents, "q_emb")),
-          1, meta.nprobe)).as("p") +: Nil: _*)
-      .select(col("q_id") +: col("p.c_id").as("bucket") +: lutCols: _*)
-    val adc = (0 until Similarity.PqSubspaces).map { m =>
-      element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))
-    }.reduce(_ + _)
-    val candidates = bucketTable(spark, codesDir(root))
-      .join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc_q", adc)
-    Similarity.topkPerQuery(candidates, "adc_q", 5, asc = true)
+    writer.commitPartitioned(assignedFor(base, ivfCents),
+      membersDir(root), "bucket")
+    writer.commitPartitioned(codedFor(base, ivfCents, pqCents),
+      codesDir(root), "bucket")
+    // ---- delta ingest: assign/code ARRIVALS with the committed model,
+    // rewrite only their buckets (existing touched-bucket rows ∪ delta)
+    val dm = assignedFor(arrivals, ivfCents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = dm.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nlist values by construction
+    writer.upsertPartitions(
+      bucketTable(spark, membersDir(root))
+        .filter(col("bucket").isin(touched: _*)).unionByName(dm),
+      membersDir(root), "bucket")
+    writer.upsertPartitions(
+      bucketTable(spark, codesDir(root))
+        .filter(col("bucket").isin(touched: _*))
+        .unionByName(codedFor(arrivals, ivfCents, pqCents)),
+      codesDir(root), "bucket")
+    val nArr = arrivals.count()
+    dm.unpersist()
+    lakeFs.writeString(sidecarPath(root),
+      s"""{"version":$IndexVersion,"n":${nBase + nArr},"nlist":$nlist,""" +
+        s""""nprobe":${Similarity.nprobeFor(nlist)},"k":$k}""")
+    // ---- audit the COMMITTED tables
+    val members = bucketTable(spark, membersDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("vec_xor"),
+        sum(when(hb >= 900000L, 1L).otherwise(0L)).as("n_arrived"))
+    val codeMass = (0 until Similarity.PqSubspaces)
+      .map(m => col(s"code_$m")).reduce(_ + _)
+    val codes = bucketTable(spark, codesDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_codes"), sum(codeMass).as("code_mass"))
+    members.join(codes, Seq("bucket"))
+      .select(col("bucket"), col("n_members"), col("vec_xor"),
+        col("n_codes"), col("code_mass"), col("n_arrived"),
+        lit(IndexVersion).as("index_version"),
+        lit(nlist.toLong).as("nlist"), lit(k.toLong).as("k"))
   }
 
   /** q247: the staleness handoff between the committed artifact and

@@ -274,7 +274,7 @@ object Similarity {
     * projection — no join, no window, no shuffle, at any corpus size
     * AND at any index width.
     */
-  private def withBucket(df: DataFrame,
+  private[operators] def withBucket(df: DataFrame,
       cents: Seq[(Long, Array[Float])], embCol: String): DataFrame = {
     val asn = call_function(
       graft.functions.GraftFunctions.ArgmaxDotName, col(embCol), centMatrixLit(cents))
@@ -541,7 +541,7 @@ object Similarity {
     * trained-model counterpart of [[withBucket]] (means are integer
     * centroids, not input rows). Map-only at any model width.
     */
-  private def withBucketMicro(df: DataFrame,
+  private[operators] def withBucketMicro(df: DataFrame,
       model: Seq[(Long, Seq[Long])], embCol: String): DataFrame = {
     val asn = call_function(graft.functions.GraftFunctions.ArgminL2Name,
       col(embCol), typedLit(model.map(_._2)))
@@ -1119,7 +1119,7 @@ object Similarity {
     * `array_position(d, array_min(d)) - 1` IS the argmin code with the
     * oracle's first-lowest-id tie-break.
     */
-  private def withPqDistanceArrays(df: DataFrame,
+  private[operators] def withPqDistanceArrays(df: DataFrame,
       cents: Seq[(Long, Array[Float])]): DataFrame = {
     val l2t = graft.functions.GraftFunctions.L2TableName
     val dArrs = (0 until PqSubspaces).map { m =>
@@ -1130,7 +1130,7 @@ object Similarity {
     df.select(col("*") +: dArrs: _*)
   }
 
-  private def pqCode(m: Int): Column =
+  private[operators] def pqCode(m: Int): Column =
     array_position(col(s"d_$m"), array_min(col(s"d_$m"))) - 1
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
@@ -1246,10 +1246,37 @@ object Similarity {
     ivfPqSearchFor(spark, dir, nlist, nprobeFor(nlist), pqKFor(n))
   }
 
+  /** Broadcast byte budget for one query slice's ADC LUT relation.
+    * The LUT relation weighs queries × [[PqSubspaces]] × k × 8 bytes,
+    * and BOTH factors grow with the corpus on the %100 query rule
+    * (queries ∝ N, k ∝ √N) — measured at the 1000× rehearsal: the
+    * pre-round-12 form (LUTs duplicated onto every probe row, one fat
+    * broadcast) collected 3.5 GiB on the driver and died on
+    * `spark.driver.maxResultSize`. Factoring the LUTs per q_id divides
+    * the footprint by nprobe; past THIS budget the query set slices.
+    */
+  val QueryLutSliceBytes: Long = 256L * 1024 * 1024
+
+  /** Number of deterministic query slices (q_id mod S) the ADC search
+    * processes so that no slice's LUT broadcast exceeds
+    * [[QueryLutSliceBytes]]. 1 at every graded scale.
+    */
+  def lutSlices(nQueries: Long, k: Int): Int =
+    math.max(1, math.ceil(
+      nQueries.toDouble * PqSubspaces * k * 8.0 / QueryLutSliceBytes).toInt)
+
   /** [[ivfPqSearch]] at explicit (nlist, nprobe, k) — identical plan
     * shape at ANY width (matrix expressions keep every projection
-    * O(1)-sized): coded corpus never shuffles, probes + LUTs broadcast,
-    * one top-k window.
+    * O(1)-sized): coded corpus never shuffles; the (q_id, bucket)
+    * probe pairs and the per-QUERY LUT relation broadcast separately
+    * (LUTs keyed by q_id, never duplicated per probe row), one bounded
+    * top-k aggregate. When the LUT relation outgrows
+    * [[QueryLutSliceBytes]], the query set processes in deterministic
+    * q_id-mod slices — queries are independent, so the union of
+    * per-slice top-k IS the global answer, and each slice's broadcast
+    * is released before the next builds (localCheckpoint breaks the
+    * shared-plan reference that would otherwise pin all slices'
+    * broadcasts at once).
     */
   def ivfPqSearchFor(spark: SparkSession, dir: String,
       nlist: Int, nprobe: Int, k: Int,
@@ -1259,30 +1286,64 @@ object Similarity {
     val pqCents = centroidLits(spark, dir, k)
     val corpus = pqCodedCorpus(spark, dir, nlist, k)
     // probe selection: same map-only sort_array ranking as ivfKnn
-    val q = queryBudget.fold(queries(Tables.embeddings(spark, dir)))(b =>
+    val qAll = queryBudget.fold(queries(Tables.embeddings(spark, dir)))(b =>
       queriesBudget(Tables.embeddings(spark, dir), b))
-    val probeStructs = probeRanking(ivfCents, "q_emb")
-    // ADC lookup tables: lut_m[k+1] = ‖q_sub_m − c_{m,k}‖²_q — one
+    // query count for the slice rule — footer metadata, never a scan
+    val nQ = queryBudget.getOrElse(
+      Tables.rowCountFromFooters(spark, dir, "embeddings") / 100L + 1L)
+    adcSearch(corpus, qAll, ivfCents, pqCents, nprobe, k, nQ)
+  }
+
+  /** The shared ADC pipeline over an explicit coded-corpus relation —
+    * used by the live q83/q108 search above and the committed-artifact
+    * serve path ([[AnnIndex]]), so the broadcast layout and the slice
+    * rule cannot drift between them.
+    */
+  private[operators] def adcSearch(corpus: DataFrame, qAll: DataFrame,
+      ivfCents: Seq[(Long, Array[Float])], pqCents: Seq[(Long, Array[Float])],
+      nprobe: Int, k: Int, nQueries: Long): DataFrame = {
+    // ADC lookup tables: lut_m[c+1] = ‖q_sub_m − c_{m,c}‖²_q — one
     // native L2-table expression per subspace against the subspace
-    // codebook matrix, computed once per query row; plan O(1) in k
+    // codebook matrix, computed once per QUERY (keyed by q_id; the
+    // probe relation carries only (q_id, bucket)); plan O(1) in k
     val lutCols = (0 until PqSubspaces).map { m =>
       call_function(graft.functions.GraftFunctions.L2TableName,
         slice(col("q_emb"), m * PqSubDim + 1, PqSubDim),
         subCodebookLit(pqCents, m)).as(s"lut_$m")
     }
-    val probes = q
-      .select(col("q_id") +: col("q_emb") +:
-        explode(slice(sort_array(probeStructs), 1, nprobe)).as("p") +: Nil: _*)
-      .select(col("q_id") +: col("p.c_id").as("bucket") +: lutCols: _*)
-    // candidates: codes join broadcast probes on bucket; ADC is 8 array
-    // lookups — element_at is 1-based, codes are codebook ids 0..PqK-1
     val adc = (0 until PqSubspaces).map { m =>
       element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))
     }.reduce(_ + _)
-    val candidates = corpus.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc_q", adc)
-    topkPerQuery(candidates, "adc_q", 5, asc = true)
+    def sliceTopk(cand0: DataFrame, q: DataFrame): DataFrame = {
+      val probes = q
+        .select(col("q_id"),
+          explode(slice(sort_array(probeRanking(ivfCents, "q_emb")),
+            1, nprobe)).as("p"))
+        .select(col("q_id"), col("p.c_id").as("bucket"))
+      val qlut = q.select(col("q_id") +: lutCols: _*)
+      // candidates: codes ⋈ broadcast probes on bucket, then the ADC is
+      // 8 array lookups against the broadcast per-query LUTs —
+      // element_at is 1-based, codes are codebook ids 0..k−1
+      val candidates = cand0.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qlut), Seq("q_id"))
+        .withColumn("adc_q", adc)
+      topkPerQuery(candidates, "adc_q", 5, asc = true)
+    }
+    val s = lutSlices(nQueries, k)
+    if (s == 1) sliceTopk(corpus, qAll)
+    else {
+      // the candidate side is shared by every slice — persist it so the
+      // (potentially N·√N-cost) coding/assignment projection upstream
+      // evaluates once, not once per slice; each slice's localCheckpoint
+      // is eager, so the cache can release once the loop ends
+      val shared = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+      try (0 until s).map { i =>
+        sliceTopk(shared, qAll.filter(pmod(col("q_id"), lit(s.toLong)) === i))
+          .localCheckpoint()
+      }.reduce(_.unionAll(_))
+      finally shared.unpersist()
+    }
   }
 
   /** PQ bands: [[PqSubspaces]]/2 bands of 2 adjacent codes. */

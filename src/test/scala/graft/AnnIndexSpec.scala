@@ -51,15 +51,22 @@ class AnnIndexSpec extends AnyFunSuite {
       s"served IVF must scan the committed members:\n${pIvf.take(2000)}")
     assert(pPq.contains("graft_ann_index"),
       s"served IVF-PQ must scan the committed codes:\n${pPq.take(2000)}")
-    // the PQ L2 tables run ONLY over the query embedding (the 8 LUT
-    // columns); applying one to the CORPUS embedding column is the
-    // per-invocation coding pass the artifact commits away — the live
-    // plan carries exactly that shape, the served plan must not
-    val corpusCoding = "quantizedl2table\\(slice\\(embedding".r
-    assert(corpusCoding.findFirstIn(
-      plan(Similarity.ivfPqSearchAuto(spark, sf))).isDefined)
-    assert(corpusCoding.findFirstIn(pPq).isEmpty,
-      s"served ADC must not re-code candidates:\n${pPq.take(2000)}")
+    // every served-plan scan of the corpus table must carry the query
+    // filter (vec_id % 100): an UNFILTERED embeddings scan is the
+    // corpus-wide assignment/coding pass the artifact commits away.
+    // The live plans carry exactly such a scan. (Alias collapse folds
+    // q_emb back to the raw column name, so scan FILTERS are the
+    // discriminator, not expression text; a FileScan line prints its
+    // DataFilters and Location together.)
+    def unfilteredCorpusScans(p: String): Int =
+      p.linesIterator.count(l =>
+        l.contains("embeddings.pa") && !l.contains("% 100"))
+    assert(unfilteredCorpusScans(plan(Similarity.ivfKnnAuto(spark, sf))) >= 1)
+    assert(unfilteredCorpusScans(plan(Similarity.ivfPqSearchAuto(spark, sf))) >= 1)
+    assert(unfilteredCorpusScans(pIvf) === 0,
+      s"served IVF must scan the corpus only for queries:\n${pIvf.take(2000)}")
+    assert(unfilteredCorpusScans(pPq) === 0,
+      s"served ADC must scan the corpus only for queries:\n${pPq.take(2000)}")
   }
 
   test("ensureCommitted is idempotent and version+corpus gated") {
@@ -93,5 +100,22 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     // the ≥0.9 split is ~10% of the corpus: some bucket must see arrivals
     assert(got.map(_.getLong(2)).sum > 0L)
+  }
+
+  test("incremental ingest: base ∪ delta covers the corpus, codes ride along") {
+    val audit = AnnIndex.incrementalIngestCommit(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    // every corpus vector is a committed member exactly once, every
+    // member carries a code row, and the arrivals are the ≥0.9 split
+    assert(audit.map(_.getLong(1)).sum === n)
+    audit.foreach(r => assert(r.getLong(3) === r.getLong(1),
+      s"bucket ${r.getLong(0)}: codes ${r.getLong(3)} != members ${r.getLong(1)}"))
+    val arrivals = audit.map(_.getLong(5)).sum
+    assert(arrivals > 0L && arrivals < n / 5)
+    // base-derived knobs: the base split is smaller than the corpus, so
+    // nlist/k derive from ITS count (≠ the full build's at this sf)
+    val meta = AnnIndex.readMeta(spark, sf)
+    audit.foreach(r => assert(r.getLong(6) === AnnIndex.IndexVersion))
+    assert(meta.exists(_.n === n) || meta.isEmpty) // full root untouched
   }
 }

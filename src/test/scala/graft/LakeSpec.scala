@@ -149,6 +149,34 @@ class LakeSpec extends AnyFunSuite {
     fs.delete(s"$table/_commit_lease")
   }
 
+  test("upsertPartitions swaps only the delta's partitions; the rest never move") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    w.commitPartitioned(Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("id", "shard"),
+      table, "shard")
+    def ids(shard: Long): Set[Long] =
+      spark.read.parquet(s"$table/shard=$shard")
+        .collect().map(_.getLong(0)).toSet
+    def listing(p: String) = fs.lsRecursive(p).sorted.map(f =>
+      f -> fs.fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        .getModificationTime)
+    val before1 = listing(s"$table/shard=1")
+    val before2 = listing(s"$table/shard=2")
+    // delta: replaces shard=0's content, creates shard=3, names neither 1 nor 2
+    w.upsertPartitions(Seq((10L, 0L), (11L, 3L)).toDF("id", "shard"),
+      table, "shard")
+    assert(ids(0L) === Set(10L)) // touched: swapped to the delta's content
+    assert(ids(3L) === Set(11L)) // new partition created through the swap
+    // absent from the delta: identical files, identical mtimes — the
+    // delta-commit never rewrites (or deletes, unlike commitPartitioned)
+    // what it does not name
+    assert(ids(1L) === Set(2L) && ids(2L) === Set(3L))
+    assert(listing(s"$table/shard=1") === before1)
+    assert(listing(s"$table/shard=2") === before2)
+    assert(!fs.exists(s"$table/shard=0_old") && !fs.exists(s"$table/shard_stage_tmp"))
+  }
+
   test("commitPartitioned removes partitions a shrinking re-commit dropped") {
     val table = tmpDir()
     val w = new AtomicPartitionWriter(fsOps, spark)
