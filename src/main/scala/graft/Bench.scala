@@ -154,6 +154,16 @@ object Bench {
       rs.groupBy { case (n, _) =>
         SparkEntry.queryFamilies.getOrElse(n, "unclassified")
       }.map { case (f, xs) => f -> xs.map(_._2).sum }.toSeq.sortBy(_._1)
+    // family regression tripwire (full surface only: a filtered run's
+    // subtotals are partial by construction) — flags are reported,
+    // never fatal; the band law lives in BenchBands, spec-pinned
+    val familyFlags: Seq[String] =
+      if (filters.nonEmpty) Seq.empty
+      else BenchBands.flags(famTotals(warm).toMap)
+    familyFlags.foreach { f =>
+      System.err.println(s"[bench] FAMILY BAND: $f")
+      blog.warn("family outside quiet band", "flag" -> f)
+    }
     def line(detail: Boolean): String = {
       // The driver stores only a bounded TAIL of stdout; even a
       // millisecond-precision per-query map (~2.6 KB at 79 queries)
@@ -171,6 +181,11 @@ object Bench {
          else "") +
         s""""failures":$coldFailures,"warm_failures":$warmFailures,""" +
         s""""warm_reruns":$reruns,""" +
+        s""""family_flags":${familyFlags.size},""" +
+        (if (detail && familyFlags.nonEmpty)
+          familyFlags.map("\"" + _.replace("\"", "'") + "\"")
+            .mkString("\"family_flag_detail\":[", ",", "],")
+         else "") +
         // per-query ANN serving cost at the fixed 1000-query budget —
         // one compact number on stdout (the bounded-tail constraint);
         // the sidecar carries the full breakdown

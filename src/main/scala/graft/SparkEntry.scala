@@ -489,6 +489,20 @@ object SparkEntry {
     // assigned+coded with the committed model (map-only over the
     // delta), per-bucket upsert commit — only touched buckets rewrite
     "q248_ann_index_ingest" -> (graft.operators.AnnIndex.incrementalIngestCommit _),
+    // the staleness-TRIGGERED refresh policy EXECUTED: one lifecycle
+    // root walks noop → touched-bucket ingest → full rebuild, decided
+    // by threshold against the same growth ppm, each row carrying the
+    // post-action committed witnesses (the q247→q248 operational gap)
+    "q249_ann_index_refresh" -> (graft.operators.AnnIndex.refreshPolicy _),
+    // write amplification under K successive delta waves: per wave,
+    // arrivals, touched buckets, member rows physically rewritten by
+    // the wholesale bucket swap, amplification ppm, committed total
+    "q250_ann_index_write_amp" -> (graft.operators.AnnIndex.fragmentationAudit _),
+    // the STREAMING twin of q248: arrivals drain as a parquet file
+    // stream, one touched-bucket ingest per micro-batch (foreachBatch,
+    // AvailableNow, 1 file/trigger), final artifact hash-equal to the
+    // batch ingest — shares q248's oracle verbatim
+    "q251_ann_index_ingest_stream" -> (graft.operators.AnnIndex.streamingIngestCommit _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -512,7 +526,7 @@ object SparkEntry {
         140, 141, 144, 145, 172, 208, 222, 228, 231) ++
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
-        227, 229, 232, 244, 245, 246, 247, 248) ++
+        227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -4986,7 +5000,12 @@ object SparkEntry {
          |LEFT JOIN cand ON v.nprobe = cand.nprobe, nq""".stripMargin
   }
 
-  private lazy val oracleSqlMore: Map[String, String] = Map(
+  /** [[oracleSqlMore]] minus the alias entries that reuse another
+    * query's SQL verbatim (q251 ≡ q248: the streaming twin's parity IS
+    * the claim, so the oracle must be the shared string, not a copy
+    * that could drift).
+    */
+  private lazy val oracleSqlMoreBase: Map[String, String] = Map(
     // q96's truth chain at the sweep threshold + the q39 candidate
     // pipeline, swept over every feasible band threshold
     "q228_lsh_band_sweep" -> {
@@ -5593,7 +5612,151 @@ object SparkEntry {
          |FROM asg JOIN hbt USING (vec_id) JOIN cm USING (vec_id)
          |GROUP BY 1""".stripMargin
     },
+    // the refresh-policy panel replayed from counts + two models: the
+    // BASE-seeded assignment (q248's algebra) carries the noop/ingest
+    // arms, the FULL-corpus model (q244's) the rebuild arm; decisions
+    // are the same CASE over the same growth ratio the engine computes
+    "q249_ann_index_refresh" -> {
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |hbt AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |base AS (SELECT emb.vec_id, emb.embedding
+         |         FROM emb JOIN hbt USING (vec_id) WHERE hbt.hb < 900000),
+         |nb AS (SELECT
+         |    GREATEST(${graft.operators.Similarity.IvfNlist},
+         |      CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist,
+         |    GREATEST(${graft.operators.Similarity.PqK},
+         |      CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |  FROM base),
+         |nf AS (SELECT
+         |    GREATEST(${graft.operators.Similarity.IvfNlist},
+         |      CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist,
+         |    GREATEST(${graft.operators.Similarity.PqK},
+         |      CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |  FROM emb),
+         |g AS (SELECT CAST((SELECT COUNT(*) FROM hbt WHERE hb >= 900000)
+         |    * 1000000 // (SELECT COUNT(*) FROM base) AS BIGINT) AS growth_ppm),
+         |bcents AS (SELECT c_id, c_emb FROM (
+         |    SELECT vec_id AS c_id, embedding AS c_emb,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM base) t, nb
+         |  WHERE rn <= nb.nlist),
+         |fcents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |           FROM emb, nf WHERE vec_id < nf.nlist),
+         |basg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM emb e, bcents c) t
+         |  WHERE rk = 1),
+         |fasg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM emb e, fcents c) t
+         |  WHERE rk = 1),
+         |wfresh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(basg.vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT basg.bucket) AS BIGINT) AS n_buckets
+         |  FROM basg JOIN hbt USING (vec_id) WHERE hbt.hb < 900000),
+         |wstale AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets FROM basg),
+         |wdrift AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets FROM fasg),
+         |sc AS (SELECT * FROM (VALUES
+         |    ('fresh', CAST(200000 AS BIGINT), CAST(500000 AS BIGINT)),
+         |    ('stale', CAST(50000 AS BIGINT), CAST(500000 AS BIGINT)),
+         |    ('drift', CAST(10000 AS BIGINT), CAST(50000 AS BIGINT)))
+         |  AS t(scenario, low_ppm, high_ppm))
+         |SELECT sc.scenario,
+         |  CASE WHEN g.growth_ppm < sc.low_ppm THEN 'noop'
+         |    WHEN g.growth_ppm < sc.high_ppm THEN 'ingest'
+         |    ELSE 'rebuild' END AS decision,
+         |  g.growth_ppm, sc.low_ppm, sc.high_ppm,
+         |  w.n_members, w.vec_xor, w.n_buckets,
+         |  w.n_members AS n_codes,
+         |  CASE WHEN sc.scenario = 'drift' AND g.growth_ppm >= sc.high_ppm
+         |    THEN (SELECT nlist FROM nf) ELSE (SELECT nlist FROM nb) END AS nlist,
+         |  CASE WHEN sc.scenario = 'drift' AND g.growth_ppm >= sc.high_ppm
+         |    THEN (SELECT k FROM nf) ELSE (SELECT k FROM nb) END AS k
+         |FROM sc, g,
+         |  LATERAL (SELECT w1.* FROM wfresh w1 WHERE sc.scenario = 'fresh'
+         |    UNION ALL SELECT w2.* FROM wstale w2 WHERE sc.scenario = 'stale'
+         |    UNION ALL SELECT w3.* FROM wdrift w3 WHERE sc.scenario = 'drift') w
+         |""".stripMargin
+    },
+    // write-amplification waves replayed from the base(<0.7)-seeded
+    // assignment: per wave, arrivals in [lo, hi), distinct touched
+    // buckets, pre-wave occupancy of those buckets (hb < lo), and the
+    // committed running total — pure relational algebra on the asg
+    "q250_ann_index_write_amp" -> {
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |hbt AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |base AS (SELECT emb.vec_id, emb.embedding
+         |         FROM emb JOIN hbt USING (vec_id) WHERE hbt.hb < 700000),
+         |nb AS (SELECT
+         |    GREATEST(${graft.operators.Similarity.IvfNlist},
+         |      CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM base),
+         |bcents AS (SELECT c_id, c_emb FROM (
+         |    SELECT vec_id AS c_id, embedding AS c_emb,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM base) t, nb
+         |  WHERE rn <= nb.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM emb e, bcents c) t
+         |  WHERE rk = 1),
+         |j AS (SELECT asg.vec_id, asg.bucket, hbt.hb
+         |      FROM asg JOIN hbt USING (vec_id)),
+         |wv AS (SELECT * FROM (VALUES
+         |    (CAST(1 AS BIGINT), CAST(700000 AS BIGINT), CAST(800000 AS BIGINT)),
+         |    (CAST(2 AS BIGINT), CAST(800000 AS BIGINT), CAST(900000 AS BIGINT)),
+         |    (CAST(3 AS BIGINT), CAST(900000 AS BIGINT), CAST(1000000 AS BIGINT)))
+         |  AS t(w, lo, hi)),
+         |aw AS (SELECT wv.w, j.vec_id, j.bucket
+         |       FROM wv JOIN j ON j.hb >= wv.lo AND j.hb < wv.hi),
+         |arrc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_arrivals
+         |         FROM aw GROUP BY 1),
+         |tb AS (SELECT DISTINCT w, bucket FROM aw),
+         |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_touched
+         |       FROM tb GROUP BY 1),
+         |ex AS (SELECT tb.w, CAST(COUNT(*) AS BIGINT) AS n_exist
+         |  FROM tb JOIN wv USING (w) JOIN j
+         |    ON j.bucket = tb.bucket AND j.hb < wv.lo
+         |  GROUP BY tb.w),
+         |tot AS (SELECT wv.w, CAST(COUNT(*) AS BIGINT) AS n_total
+         |        FROM wv JOIN j ON j.hb < wv.hi GROUP BY 1)
+         |SELECT wv.w AS wave,
+         |  COALESCE(arrc.n_arrivals, 0) AS n_arrivals,
+         |  COALESCE(tc.n_touched, 0) AS n_touched,
+         |  COALESCE(ex.n_exist, 0) + COALESCE(arrc.n_arrivals, 0)
+         |    AS rows_rewritten,
+         |  CASE WHEN COALESCE(arrc.n_arrivals, 0) = 0 THEN 0
+         |    ELSE (COALESCE(ex.n_exist, 0) + arrc.n_arrivals) * 1000000
+         |      // arrc.n_arrivals END AS write_amp_ppm,
+         |  tot.n_total
+         |FROM wv
+         |LEFT JOIN arrc USING (w)
+         |LEFT JOIN tc USING (w)
+         |LEFT JOIN ex USING (w)
+         |JOIN tot USING (w)""".stripMargin
+    },
   )
+
+  private lazy val oracleSqlMore: Map[String, String] =
+    oracleSqlMoreBase + ("q251_ann_index_ingest_stream" ->
+      oracleSqlMoreBase("q248_ann_index_ingest"))
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by
     * the round-0 seed CTE (must define `c0(c_id, cq)` over `q`): shared

@@ -30,12 +30,26 @@ class ConcurrentCommitException(tableDir: String, holder: String)
 
 object AtomicPartitionWriter {
   /** Commit-lease time-to-live: a lease older than this belongs to a
-    * crashed committer (a live one holds it for one staging+swap
-    * sequence, minutes at most) and is stolen. Kept generous — stealing
-    * a LIVE committer's lease reintroduces the race this guard exists
-    * to close.
+    * crashed committer (a live one HEARTBEATS — bumps the lease mtime
+    * every [[AtomicPartitionWriter.LeaseTtlMs]]/3 — so however long its
+    * staging runs, its lease never ages past TTL/3) and is stolen.
+    * Kept generous — stealing a LIVE committer's lease reintroduces the
+    * race this guard exists to close; the heartbeat makes that require
+    * a 10-minute total process stall, and the pre-swap ownership
+    * re-check fences even that.
     */
   val LeaseTtlMs: Long = 15L * 60L * 1000L
+
+  /** Raised at a swap point when the committer's own lease is gone or
+    * rewritten — the live-but-stalled-holder fence: a committer whose
+    * lease was stolen (heartbeat starved past TTL, thief moved in) must
+    * ABORT before touching the table, because the thief may be mid-swap
+    * on the same partitions. The staged `_tmp` data is litter for
+    * [[AtomicPartitionWriter.repair]]; nothing committed is torn.
+    */
+  class LeaseLostException(tableDir: String)
+    extends IllegalStateException(
+      s"commit lease on $tableDir was lost mid-commit — aborting before swap")
 }
 
 class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
@@ -45,25 +59,66 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
 
   private def leasePath(tableDir: String) = s"$tableDir/_commit_lease"
 
+  /** Heartbeat period — how often a live holder bumps its lease mtime.
+    * TTL/3 means a holder must miss THREE consecutive beats (a 10-minute
+    * process stall) before a concurrent committer can judge it dead.
+    * Overridable so the spec can exercise the beat without wall-clock
+    * TTLs.
+    */
+  protected def leaseHeartbeatMs: Long = AtomicPartitionWriter.LeaseTtlMs / 3
+
+  /** The lease this thread holds mid-`withCommitLease`, as (path, token)
+    * — [[swap]] re-verifies it before every backup rename. Thread-local
+    * because the in-JVM race specs drive one writer from two threads;
+    * on a cluster each committer is its own driver process anyway.
+    */
+  private val heldLease =
+    new ThreadLocal[Option[(String, String)]] {
+      override def initialValue(): Option[(String, String)] = None
+    }
+
   /** Exclusive commit lease over `tableDir` for the duration of `body` —
     * the single-writer guard for the whole swap protocol. Two committers
     * racing the same table previously interleaved silently: both staged
     * into the SAME `_tmp` path (torn staging), and the loser's `_old`
     * backup could orphan. Now the second committer fails fast with
-    * [[ConcurrentCommitException]].
+    * [[ConcurrentCommitException]] — callers expecting benign
+    * same-table contention (different-partition writers serialized by
+    * the table-level lease) wrap the commit in [[withLeaseRetry]].
     *
     * The lease is an atomic create-if-absent file ([[LakeFs
-    * .createExclusive]]) recording the holder's app id; it is released
-    * in a `finally`, so an in-process failure (the crash matrix's
-    * injected faults) never leaks it. A PROCESS-kill crash does leak
-    * it — past [[AtomicPartitionWriter.LeaseTtlMs]] the next committer
-    * (and [[repair]]) treats it as litter and steals/reaps it.
+    * .createExclusive]]) recording the holder's app id plus a per-
+    * acquisition nonce; it is released in a `finally`, so an in-process
+    * failure (the crash matrix's injected faults) never leaks it. A
+    * PROCESS-kill crash does leak it — past [[AtomicPartitionWriter
+    * .LeaseTtlMs]] the next committer (and [[repair]]) treats it as
+    * litter and steals/reaps it.
+    *
+    * Liveness + safety against the two classic lease races:
+    *  - STEAL IS ATOMIC: a stale lease is stolen by renaming it to a
+    *    unique tombstone — rename is atomic, so of two committers that
+    *    both judged it stale, exactly one wins the rename; the loser
+    *    falls through to `createExclusive`, which arbitrates atomically
+    *    again. The old delete-then-create steal let the slow stealer's
+    *    `delete` remove the fast stealer's FRESH lease (TOCTOU — two
+    *    holders).
+    *  - LIVE HOLDERS HEARTBEAT: a background daemon bumps the lease
+    *    mtime every [[leaseHeartbeatMs]] while `body` runs, so a
+    *    legitimate commit whose staging exceeds the TTL (plausible at
+    *    100 TB) is never judged dead. If the beat ever finds the lease
+    *    content is not its own token, the lease was stolen — it stops
+    *    beating and the next [[swap]] aborts via the ownership re-check
+    *    rather than interleaving with the thief.
+    *  - RELEASE IS OWNERSHIP-CHECKED: the `finally` deletes the lease
+    *    only while it still carries this holder's token, so a (stolen)
+    *    successor's lease is never reaped by the victim's exit.
     */
   def withCommitLease[T](tableDir: String)(body: => T): T = {
     val lp = leasePath(tableDir)
-    val owner = s"""{"app":"${spark.sparkContext.applicationId}",""" +
-      s""""ts":${System.currentTimeMillis()}}"""
-    def tryAcquire(): Boolean = fsOps.createExclusive(lp, owner)
+    val token = s"""{"app":"${spark.sparkContext.applicationId}",""" +
+      s""""ts":${System.currentTimeMillis()},""" +
+      s""""nonce":"${java.util.UUID.randomUUID().toString}"}"""
+    def tryAcquire(): Boolean = fsOps.createExclusive(lp, token)
     var acquired = tryAcquire()
     if (!acquired) {
       val age =
@@ -71,7 +126,46 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
           new org.apache.hadoop.fs.Path(lp)).getModificationTime
         catch { case _: java.io.IOException => Long.MaxValue } // gone: retry
       if (age > AtomicPartitionWriter.LeaseTtlMs) {
-        fsOps.delete(lp)
+        // Stealing is SERIALIZED through a steal-lock (atomic
+        // create-if-absent, held for microseconds): the old
+        // judge-then-delete steal let a slow stealer act on a stale
+        // VERDICT against a lease a faster stealer had already
+        // replaced — deleting (or renaming away) the thief's FRESH
+        // lease and re-opening the two-holder race. With the lock,
+        // at most one stealer operates on the lease path at a time,
+        // and ordinary acquirers can't interfere (they only create
+        // when the path is absent; it stays present until the reap).
+        // Under the lock the reap itself is still belt-and-braces:
+        // re-verify staleness, rename to a private tombstone, and
+        // re-verify ON the tombstone before discarding — so even a
+        // crashed-stealer's leaked lock (reaped past TTL below, the
+        // same liveness rule as the lease) degrades to a restored
+        // lease + ConcurrentCommitException, never to two holders.
+        // Whatever residual interleave one constructs, the swap
+        // fence keeps committed data safe.
+        def mtimeOf(p: String): Option[Long] =
+          try Some(fsOps.fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(p)).getModificationTime)
+          catch { case _: java.io.IOException => None }
+        def isStale(mtime: Option[Long]): Boolean = mtime.exists(t =>
+          System.currentTimeMillis() - t > AtomicPartitionWriter.LeaseTtlMs)
+        val sl = s"${lp}_steal"
+        if (isStale(mtimeOf(sl))) fsOps.delete(sl) // crashed stealer's litter
+        if (fsOps.createExclusive(sl, token)) {
+          try {
+            if (isStale(mtimeOf(lp))) {
+              val tomb =
+                s"${lp}_tomb_${java.util.UUID.randomUUID().toString.take(8)}"
+              val won =
+                try fsOps.rename(lp, tomb)
+                catch { case _: java.io.IOException => false }
+              if (won) {
+                if (isStale(mtimeOf(tomb))) fsOps.delete(tomb) // corpse
+                else if (!fsOps.rename(tomb, lp)) fsOps.delete(tomb)
+              }
+            }
+          } finally fsOps.delete(sl)
+        }
         acquired = tryAcquire()
       }
     }
@@ -81,7 +175,71 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
       }
       throw new ConcurrentCommitException(tableDir, holder)
     }
-    try body finally fsOps.delete(lp)
+    val beat = startHeartbeat(lp, token)
+    heldLease.set(Some((lp, token)))
+    try body finally {
+      heldLease.set(None)
+      beat.interrupt()
+      if (ownsLease(lp, token)) fsOps.delete(lp)
+    }
+  }
+
+  /** True while the lease file still carries `token` — i.e. it was
+    * neither reaped nor stolen since acquisition.
+    */
+  private def ownsLease(lp: String, token: String): Boolean =
+    try fsOps.readString(lp) == token
+    catch { case _: java.io.IOException => false }
+
+  private def startHeartbeat(lp: String, token: String): Thread = {
+    val t = new Thread(() => {
+      try {
+        var mine = true
+        while (mine && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(leaseHeartbeatMs)
+          try {
+            // stolen → stop beating; the next swap's re-check aborts
+            mine = ownsLease(lp, token)
+            if (mine) fsOps.fs.setTimes(new org.apache.hadoop.fs.Path(lp),
+              System.currentTimeMillis(), -1L)
+          } catch { case _: java.io.IOException => () } // transient: next beat
+        }
+      } catch { case _: InterruptedException => () } // released: exit
+    })
+    t.setDaemon(true)
+    t.setName(s"graft-lease-heartbeat-${Integer.toHexString(lp.hashCode)}")
+    t.start()
+    t
+  }
+
+  /** Retry wrapper for benign commit contention: re-attempts `body`
+    * under the reference backoff law (X1) when — and ONLY when — it
+    * fails with [[ConcurrentCommitException]]; any other failure
+    * surfaces immediately (re-staging a whole commit three times over a
+    * data error is not a retry, it is a bill). This is the caller-facing
+    * answer to the table-level lease serializing commits to DIFFERENT
+    * partitions of one table: writers that used to interleave safely on
+    * disjoint `year=` paths now queue behind each other here.
+    */
+  def withLeaseRetry[T](label: String,
+      maxRetries: Int = Retry.DefaultMaxRetries,
+      delaySeconds: Double = Retry.DefaultDelaySeconds,
+      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))(
+      body: => T): T = {
+    val attempts = math.max(1, maxRetries)
+    var attempt = 0
+    var last: ConcurrentCommitException = null
+    while (attempt < attempts) {
+      attempt += 1
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          last = e
+          if (attempt < attempts)
+            sleep(delaySeconds * math.pow(2, attempt - 1))
+      }
+    }
+    throw Retry.RetriesExhausted(label, attempts, last)
   }
 
   /** Write `df` as the new content of partition `year=Y` of `tableDir`.
@@ -215,9 +373,21 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
   }
 
   /** The rename dance with rollback (reference `_hdfs_swap`,
-    * `jobs/utils/retry.py:130-165`).
+    * `jobs/utils/retry.py:130-165`). Before touching anything it
+    * re-verifies the calling thread's commit lease: a holder whose lease
+    * was stolen (process stall past the heartbeat's tolerance) aborts
+    * with [[AtomicPartitionWriter.LeaseLostException]] INSTEAD of
+    * interleaving its renames with the thief's — staged `_tmp` data
+    * becomes reapable litter, committed state stays whole. Checked per
+    * swap so a multi-partition commit fences every partition, at the
+    * cost of one tiny-file read each.
     */
   private[lake] def swap(tmp: String, fin: String, old: String): Unit = {
+    heldLease.get().foreach { case (lp, token) =>
+      if (!ownsLease(lp, token))
+        throw new AtomicPartitionWriter.LeaseLostException(
+          lp.stripSuffix("/_commit_lease"))
+    }
     val hadBackup = fsOps.exists(fin)
     if (hadBackup) {
       if (fsOps.exists(old)) fsOps.delete(old) // stale backup from a crash
@@ -252,8 +422,11 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
         (name.endsWith("_old") &&
           fsOps.exists(s.getPath.toUri.getPath.stripSuffix("_old"))) ||
         // a commit lease outliving its TTL belongs to a process-killed
-        // committer (in-process failures release in a finally) — litter
-        (name == "_commit_lease" &&
+        // committer (in-process failures release in a finally; live
+        // holders heartbeat) — litter. The prefix also reaps steal
+        // tombstones leaked by a stealer killed between its rename and
+        // its delete.
+        (name.startsWith("_commit_lease") &&
           now - s.getModificationTime > AtomicPartitionWriter.LeaseTtlMs)
     }.map(_.getPath.toUri.getPath)
     reaped.foreach(fsOps.delete)

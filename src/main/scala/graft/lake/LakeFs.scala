@@ -47,13 +47,23 @@ class LakeFs(val fs: FileSystem) {
   /** Atomic create-if-absent — the LEASE primitive: true when THIS call
     * created the file, false when it already existed. HDFS `create`
     * with `overwrite=false` is atomic against concurrent creators (the
-    * namenode serializes); the local test filesystem approximates it
-    * (check-then-create), which is enough for single-JVM specs.
+    * namenode serializes). Hadoop's LOCAL filesystem is NOT — it
+    * check-then-creates, which would let every stealer in a
+    * concurrent-commit spec "win" — so the `file:` scheme drops to the
+    * OS's O_EXCL (`File.createNewFile`), atomic at the kernel.
     */
   def createExclusive(path: String, content: String): Boolean = {
     val p = new Path(path)
     Option(p.getParent).foreach(fs.mkdirs(_))
-    try {
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      try {
+        if (!f.createNewFile()) return false
+        java.nio.file.Files.write(f.toPath,
+          content.getBytes(StandardCharsets.UTF_8))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else try {
       val out = fs.create(p, false)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()

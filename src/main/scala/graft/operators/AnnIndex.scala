@@ -54,11 +54,47 @@ object AnnIndex {
 
   /** App-id-isolated lake root for the index artifact (the q234
     * staging-dir rule: concurrent Verify ∥ Bench runs never read each
-    * other's mid-commit state).
+    * other's mid-commit state). Keyed on the corpus dir's FULL
+    * canonical path (hashed, basename kept for readability): two
+    * corpora sharing a basename — `/a/sf0.01` and `/b/sf0.01` — must
+    * never resolve to one artifact, or the second would be served the
+    * first's buckets.
     */
-  def indexRoot(spark: SparkSession, dir: String): String =
+  def indexRoot(spark: SparkSession, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
     s"/tmp/graft_ann_index/${spark.sparkContext.applicationId}/" +
-      new java.io.File(dir).getName
+      s"${new java.io.File(canonical).getName}_$pathHash"
+  }
+
+  /** Content fingerprint of the corpus' embeddings table from file
+    * METADATA only (sorted relative names + sizes + mtimes, MD5-folded
+    * to a long) — no data scan, the same footer-listing cost
+    * [[ensureCommitted]]'s row count already pays. Catches the case the
+    * row count cannot: a corpus whose content changed (rewrite,
+    * repartition, same-N replacement) must invalidate the committed
+    * artifact, or searches silently serve the OLD corpus' buckets.
+    */
+  def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+        .flatMap(s => files(s.getPath))
+      else Seq(st)
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    files(root).foreach { st =>
+      digest.update(
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime};"
+          .getBytes("UTF-8"))
+    }
+    java.nio.ByteBuffer.wrap(digest.digest()).getLong
+  }
 
   private def membersDir(root: String) = s"$root/members"
   private def codesDir(root: String) = s"$root/codes"
@@ -66,10 +102,11 @@ object AnnIndex {
   private def sidecarPath(root: String) = s"$root/_index_version.json"
 
   /** The committed index's identity card: layout version, corpus size
-    * at build time, and the derived knobs frozen into the artifact.
+    * AND content fingerprint at build time, and the derived knobs
+    * frozen into the artifact.
     */
   final case class Meta(version: Long, n: Long, nlist: Int, nprobe: Int,
-    k: Int)
+    k: Int, fp: Long)
 
   /** Train + commit the full artifact; returns its meta. Build cost is
     * ONE assignment pass for members and ONE combined assignment+coding
@@ -77,12 +114,21 @@ object AnnIndex {
     * swapped per bucket — the cost the live q106/q108 pay on EVERY
     * invocation, paid here once per corpus version.
     */
-  def buildAndCommit(spark: SparkSession, dir: String): Meta = {
+  def buildAndCommit(spark: SparkSession, dir: String): Meta =
+    buildInto(spark, dir, indexRoot(spark, dir))
+
+  /** [[buildAndCommit]] parameterized by target root — the FULL-rebuild
+    * arm of the refresh policy (q249) rebuilds a lifecycle root in
+    * place with full-corpus knobs and seeds; `commitPartitioned`'s
+    * replace semantics guarantee the result is byte-independent of
+    * whatever artifact state preceded it.
+    */
+  private def buildInto(spark: SparkSession, dir: String,
+      root: String): Meta = {
     val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
     val nlist = Similarity.nlistFor(n)
     val nprobe = Similarity.nprobeFor(nlist)
     val k = Similarity.pqKFor(n)
-    val root = indexRoot(spark, dir)
     val lakeFs = graft.lake.LakeFs.forSpark(spark)
     val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
     // a rebuild invalidates the previous artifact the moment it starts:
@@ -105,10 +151,11 @@ object AnnIndex {
         .unionByName(
           emb.filter(col("c_id") < k).withColumn("kind", lit("pq"))),
       modelDir(root), "kind")
-    val meta = Meta(IndexVersion, n, nlist, nprobe, k)
+    val meta = Meta(IndexVersion, n, nlist, nprobe, k,
+      corpusFingerprint(spark, dir))
     lakeFs.writeString(sidecarPath(root),
       s"""{"version":${meta.version},"n":${meta.n},"nlist":${meta.nlist},""" +
-        s""""nprobe":${meta.nprobe},"k":${meta.k}}""")
+        s""""nprobe":${meta.nprobe},"k":${meta.k},"fp":${meta.fp}}""")
     meta
   }
 
@@ -124,20 +171,24 @@ object AnnIndex {
       def f(key: String): Option[Long] =
         s""""$key":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       for (v <- f("version"); n <- f("n"); nl <- f("nlist");
-           np <- f("nprobe"); k <- f("k"))
-        yield Meta(v, n, nl.toInt, np.toInt, k.toInt)
+           np <- f("nprobe"); k <- f("k"); fp <- f("fp"))
+        yield Meta(v, n, nl.toInt, np.toInt, k.toInt, fp)
     }
   }
 
   /** The serving entry: reuse the committed artifact when its sidecar
-    * certifies the current layout version AND the corpus row count it
-    * was built from (footer metadata, no scan) — rebuild otherwise.
-    * Idempotent: a second call is a sidecar read, no jobs.
+    * certifies the current layout version AND the corpus row count AND
+    * the corpus content fingerprint it was built from (all file
+    * metadata, no scan) — rebuild otherwise. A same-row-count content
+    * rewrite therefore invalidates the artifact instead of being
+    * silently served stale buckets. Idempotent: a second call is a
+    * sidecar read plus one directory listing, no jobs.
     */
   def ensureCommitted(spark: SparkSession, dir: String): Meta = {
     val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val fp = corpusFingerprint(spark, dir)
     readMeta(spark, dir)
-      .filter(m => m.version == IndexVersion && m.n == n)
+      .filter(m => m.version == IndexVersion && m.n == n && m.fp == fp)
       .getOrElse(buildAndCommit(spark, dir))
   }
 
@@ -302,7 +353,25 @@ object AnnIndex {
       .select(col("vec_id"), col("embedding"))
     val base = emb.filter(hb < 900000L)
     val arrivals = emb.filter(hb >= 900000L)
-    // ---- base build (the q244 machinery, corpus + seeds parameterized)
+    val b = commitBaseArtifact(spark, root, base, writer, lakeFs)
+    val (nArr, _, _) =
+      ingestDelta(spark, root, arrivals, b.ivfCents, b.pqCents, writer)
+    writeSidecar(spark, dir, lakeFs, root, b.nBase + nArr, b.nlist, b.k)
+    ingestAuditPanel(spark, root, b.nlist, b.k)
+  }
+
+  /** The base half of an incremental-lifecycle artifact: derive knobs
+    * from the BASE split's count, seed the model from its lowest ids,
+    * and commit model + members + codes (the q244 machinery with corpus
+    * and seeds parameterized). Drops the sidecar FIRST — a crash
+    * mid-build must leave a certifiably incomplete artifact.
+    */
+  private final case class BaseBuild(nBase: Long, nlist: Int, k: Int,
+    ivfCents: Seq[(Long, Array[Float])], pqCents: Seq[(Long, Array[Float])])
+
+  private def commitBaseArtifact(spark: SparkSession, root: String,
+      base: DataFrame, writer: graft.lake.AtomicPartitionWriter,
+      lakeFs: graft.lake.LakeFs): BaseBuild = {
     val nBase = base.count()
     val nlist = Similarity.nlistFor(nBase)
     val k = Similarity.pqKFor(nBase)
@@ -319,27 +388,66 @@ object AnnIndex {
       membersDir(root), "bucket")
     writer.commitPartitioned(codedFor(base, ivfCents, pqCents),
       codesDir(root), "bucket")
-    // ---- delta ingest: assign/code ARRIVALS with the committed model,
-    // rewrite only their buckets (existing touched-bucket rows ∪ delta)
-    val dm = assignedFor(arrivals, ivfCents)
+    BaseBuild(nBase, nlist, k, ivfCents, pqCents)
+  }
+
+  /** The delta-commit primitive shared by q248/q249/q250/q251: assign +
+    * PQ-code `delta` with the COMMITTED model (one map-only pass over
+    * the delta only), then rewrite ONLY the buckets that received
+    * arrivals via [[graft.lake.AtomicPartitionWriter.upsertPartitions]]
+    * — IO ∝ touched mass, never the table; the touched set is
+    * nlist-bounded (≤ √N literals in the pruning filter); untouched
+    * buckets' files never move. REPLAY-IDEMPOTENT: existing rows with
+    * the delta's vec_ids are anti-joined out before the union, so an
+    * at-least-once re-application (the q251 foreachBatch contract, a
+    * crashed-and-rerun batch job) rewrites the same rows instead of
+    * duplicating them.
+    *
+    * Returns (delta rows, touched buckets, member rows rewritten) — the
+    * write-amplification observables the q250 fragmentation audit
+    * grades.
+    */
+  private def ingestDelta(spark: SparkSession, root: String,
+      delta: DataFrame, ivfCents: Seq[(Long, Array[Float])],
+      pqCents: Seq[(Long, Array[Float])],
+      writer: graft.lake.AtomicPartitionWriter): (Long, Long, Long) = {
+    val dm = assignedFor(delta, ivfCents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = dm.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)) // ≤ nlist values by construction
-    writer.upsertPartitions(
-      bucketTable(spark, membersDir(root))
-        .filter(col("bucket").isin(touched: _*)).unionByName(dm),
+    val nArr = dm.count()
+    if (nArr == 0L) { dm.unpersist(); return (0L, 0L, 0L) }
+    val keptMembers = bucketTable(spark, membersDir(root))
+      .filter(col("bucket").isin(touched: _*))
+      .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val nKept = keptMembers.count()
+    writer.upsertPartitions(keptMembers.unionByName(dm),
       membersDir(root), "bucket")
     writer.upsertPartitions(
       bucketTable(spark, codesDir(root))
         .filter(col("bucket").isin(touched: _*))
-        .unionByName(codedFor(arrivals, ivfCents, pqCents)),
+        .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(codedFor(delta, ivfCents, pqCents)),
       codesDir(root), "bucket")
-    val nArr = arrivals.count()
     dm.unpersist()
+    (nArr, touched.length.toLong, nKept + nArr)
+  }
+
+  private def writeSidecar(spark: SparkSession, dir: String,
+      lakeFs: graft.lake.LakeFs, root: String, n: Long, nlist: Int,
+      k: Int): Unit =
     lakeFs.writeString(sidecarPath(root),
-      s"""{"version":$IndexVersion,"n":${nBase + nArr},"nlist":$nlist,""" +
-        s""""nprobe":${Similarity.nprobeFor(nlist)},"k":$k}""")
-    // ---- audit the COMMITTED tables
+      s"""{"version":$IndexVersion,"n":$n,"nlist":$nlist,""" +
+        s""""nprobe":${Similarity.nprobeFor(nlist)},"k":$k,""" +
+        s""""fp":${corpusFingerprint(spark, dir)}}""")
+
+  /** The q248-shaped read-back audit of a lifecycle root: per bucket,
+    * committed member count, bit_xor witness, code rows + mass, how
+    * many members are ≥0.9-split arrivals, and the frozen knobs.
+    */
+  private def ingestAuditPanel(spark: SparkSession, root: String,
+      nlist: Int, k: Int): DataFrame = {
+    val hb = Sampling.hashBucket("vec_id")
     val members = bucketTable(spark, membersDir(root))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_members"),
@@ -355,6 +463,194 @@ object AnnIndex {
         col("n_codes"), col("code_mass"), col("n_arrived"),
         lit(IndexVersion).as("index_version"),
         lit(nlist.toLong).as("nlist"), lit(k.toLong).as("k"))
+  }
+
+  /** q249's decision thresholds: (scenario, low ppm, high ppm). The
+    * ≥0.9 md5 arrival split is ~11% of the base (~111k ppm), so the
+    * three rows land one per policy arm at EVERY scale — growth is a
+    * count ratio, invariant under corpus growth.
+    */
+  val PolicyScenarios: Seq[(String, Long, Long)] = Seq(
+    ("fresh", 200000L, 500000L),
+    ("stale", 50000L, 500000L),
+    ("drift", 10000L, 50000L))
+
+  /** The pure decision rule — growth below `low` leaves the artifact
+    * alone, inside [low, high) pays the touched-bucket ingest, at or
+    * above `high` the model itself is judged drifted and the artifact
+    * is rebuilt with current-corpus knobs.
+    */
+  def refreshDecision(growthPpm: Long, lowPpm: Long, highPpm: Long): String =
+    if (growthPpm < lowPpm) "noop"
+    else if (growthPpm < highPpm) "ingest"
+    else "rebuild"
+
+  /** q249: the staleness-TRIGGERED refresh policy EXECUTED — the
+    * operational gap between q247 (report) and q248 (mechanism): given
+    * a committed base artifact and the pending ≥0.9 arrivals, evaluate
+    * [[refreshDecision]] at each [[PolicyScenarios]] threshold pair and
+    * EXECUTE the chosen action through the commit lease (the q234
+    * executed-backfill posture; reference seam: the 5-minute pipeline
+    * tick, `airflow/dags/hadoop_dag.py:115-118`, applied to the index
+    * artifact). One lifecycle root walks the three arms in sequence —
+    * noop (artifact stays base-only), ingest (touched-bucket delta
+    * commit), rebuild (full-corpus knobs + seeds, wholesale replace) —
+    * and each row carries the post-action COMMITTED witnesses (member
+    * count, global bit_xor, bucket count, code rows, frozen knobs), so
+    * a policy that executes the wrong arm, tears a commit, or drifts a
+    * knob breaks the hash.
+    */
+  def refreshPolicy(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = indexRoot(spark, dir) + "_policy"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(hb < 900000L)
+    val arrivals = emb.filter(hb >= 900000L)
+    val b = commitBaseArtifact(spark, root, base, writer, lakeFs)
+    writeSidecar(spark, dir, lakeFs, root, b.nBase, b.nlist, b.k)
+    val nArr = arrivals.count()
+    val growthPpm = nArr * 1000000L / b.nBase
+    def witness(): (Long, Long, Long, Long) = {
+      val m = bucketTable(spark, membersDir(root))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(vec_id)").as("x"),
+          countDistinct(col("bucket")).as("b")).collect()(0)
+      (m.getLong(0), m.getLong(1), m.getLong(2),
+        bucketTable(spark, codesDir(root)).count())
+    }
+    val rows = PolicyScenarios.map { case (scenario, low, high) =>
+      val decision = refreshDecision(growthPpm, low, high)
+      val (nlist, k) = decision match {
+        case "noop" => (b.nlist, b.k) // artifact untouched
+        case "ingest" =>
+          val (got, _, _) =
+            ingestDelta(spark, root, arrivals, b.ivfCents, b.pqCents, writer)
+          writeSidecar(spark, dir, lakeFs, root, b.nBase + got, b.nlist, b.k)
+          (b.nlist, b.k)
+        case _ =>
+          val meta = buildInto(spark, dir, root)
+          (meta.nlist, meta.k)
+      }
+      val (nMembers, vecXor, nBuckets, nCodes) = witness()
+      (scenario, decision, growthPpm, low, high,
+        nMembers, vecXor, nBuckets, nCodes, nlist.toLong, k.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("scenario", "decision", "growth_ppm", "low_ppm", "high_ppm",
+      "n_members", "vec_xor", "n_buckets", "n_codes", "nlist", "k")
+  }
+
+  /** q250's wave boundaries on the md5 hash split: base < 0.7, then
+    * three successive delta waves of ~10% of the corpus each — the
+    * repeated-ingest shape a production crawl feeds the artifact.
+    */
+  val FragWaves: Seq[(Long, Long, Long)] =
+    Seq((1L, 700000L, 800000L), (2L, 800000L, 900000L),
+      (3L, 900000L, 1000000L))
+
+  /** q250: index-artifact write amplification under REPEATED ingests —
+    * the round-12 open question: q248 rewrites touched buckets
+    * wholesale, so what does K successive delta waves cost? Per wave:
+    * arrivals, touched buckets, member rows physically rewritten
+    * (pre-wave touched-bucket occupancy + the delta — the exact
+    * rows-out of the upsert's swap), write amplification in exact ppm
+    * (rewritten·10⁶ div arrivals), and the committed total. The
+    * FILE-COUNT half of fragmentation is structural, not measured:
+    * each upsert REPLACES a touched bucket's directory through the
+    * swap, so files/bucket is bounded by the writer's partition count
+    * per commit and does NOT accumulate across waves (AnnIndexSpec
+    * asserts it; LakeSpec's upsert test pins the never-moves half).
+    * The oracle replays every number from the raw corpus (base-seeded
+    * assignment of all waves), so a wave that clobbers an untouched
+    * bucket or double-ingests breaks the hash.
+    */
+  def fragmentationAudit(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = indexRoot(spark, dir) + "_frag"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val b = commitBaseArtifact(spark, root, emb.filter(hb < 700000L),
+      writer, lakeFs)
+    var committed = b.nBase
+    val rows = FragWaves.map { case (wave, lo, hi) =>
+      val (nArr, nTouched, nRewritten) = ingestDelta(spark, root,
+        emb.filter(hb >= lo && hb < hi), b.ivfCents, b.pqCents, writer)
+      committed += nArr
+      writeSidecar(spark, dir, lakeFs, root, committed, b.nlist, b.k)
+      val ampPpm = if (nArr == 0L) 0L else nRewritten * 1000000L / nArr
+      (wave, nArr, nTouched, nRewritten, ampPpm, committed)
+    }
+    import spark.implicits._
+    rows.toDF("wave", "n_arrivals", "n_touched", "rows_rewritten",
+      "write_amp_ppm", "n_total")
+  }
+
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q251: the STREAMING twin of q248 — arrivals land as a parquet file
+    * stream (the production crawl shape) and each micro-batch pays one
+    * touched-bucket [[ingestDelta]] through the commit lease
+    * (`foreachBatch`, `Trigger.AvailableNow`, `maxFilesPerTrigger=1` —
+    * several genuine micro-batches, serialized by the streaming
+    * engine). The final committed artifact is IDENTICAL to the batch
+    * q248's by construction — same base split, same base-seeded model,
+    * and union-over-batches ≡ union-over-delta — so it shares q248's
+    * oracle verbatim (the q137 batch/stream parity posture).
+    * `foreachBatch` is at-least-once; replay safety is
+    * [[ingestDelta]]'s anti-join idempotence, not luck. The checkpoint
+    * is fresh per invocation (a reused one would skip every file after
+    * the base rebuild and serve a base-only artifact).
+    */
+  def streamingIngestCommit(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = incRoot(spark, dir) + "_stream"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(hb < 900000L)
+    val arrivals = emb.filter(hb >= 900000L)
+    val b = commitBaseArtifact(spark, root, base, writer, lakeFs)
+    val run = streamRunCounter.incrementAndGet()
+    val srcDir = s"${root}_arrivals_src"
+    val ckptDir = s"${root}_ckpt_$run"
+    // stage the arrivals as 4 files so AvailableNow+maxFilesPerTrigger=1
+    // drains them across 4 micro-batches — a real multi-batch ingest,
+    // not a single-batch disguise
+    arrivals.repartition(4, col("vec_id")).write.mode("overwrite")
+      .parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val totalArr = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (nArr, _, _) = ingestDelta(spark, root,
+          batch.select(col("vec_id"), col("embedding")),
+          b.ivfCents, b.pqCents, writer)
+        totalArr.addAndGet(nArr)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(batches.get() >= 2L,
+      s"streaming ingest drained in ${batches.get()} batch(es) — the twin " +
+        "must exercise multi-batch upserts or it proves nothing beyond q248")
+    writeSidecar(spark, dir, lakeFs, root, b.nBase + totalArr.get(),
+      b.nlist, b.k)
+    ingestAuditPanel(spark, root, b.nlist, b.k)
   }
 
   /** q247: the staleness handoff between the committed artifact and

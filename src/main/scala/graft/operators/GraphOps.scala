@@ -90,12 +90,21 @@ object GraphOps {
     * hint OOMs the driver.
     */
   private[operators] def nodeBroadcastOk(nodes: DataFrame,
-      broadcastNodeLimit: Option[Long]): Boolean = {
+      broadcastNodeLimit: Option[Long],
+      allowCount: Boolean = true): Boolean = {
     val spark = nodes.sparkSession
     val lim = broadcastNodeLimit.getOrElse(
       spark.conf.get("graft.graph.broadcastNodeLimit",
         DefaultBroadcastNodeLimit.toString).toLong)
-    nodes.count() <= lim
+    // no job when the answer doesn't need one: a non-positive limit is
+    // the forced-merge posture (the plan-shape tests' Some(0L)), and a
+    // materialize=false caller asked for a LAZY plan — running a real
+    // count over the uncached edge pipeline at plan-construction time
+    // would violate that contract, so it conservatively takes the
+    // merge plan (correct at any size; broadcast is only a fast path)
+    if (lim <= 0L) false
+    else if (!allowCount) false
+    else nodes.count() <= lim
   }
 
   /** One damped integer PageRank sweep over `edges` (`src`, `dst`, `w`
@@ -302,7 +311,7 @@ object GraphOps {
       .groupBy(col("s")).agg(count(lit(1)).as("deg"))
     val deg =
       if (materialize) deg0.persist(StorageLevel.MEMORY_AND_DISK) else deg0
-    val bcast = nodeBroadcastOk(deg, broadcastNodeLimit)
+    val bcast = nodeBroadcastOk(deg, broadcastNodeLimit, allowCount = materialize)
     // total order (deg, id) as one comparable key; supplier ids are
     // far below 1e9 at every graded scale (asserted cheaply upstream
     // by key ranges), so the packing is collision-free
@@ -623,7 +632,7 @@ object GraphOps {
     val deg0 = sym.groupBy(col("m").as("s")).agg(count(lit(1)).as("deg"))
     val deg =
       if (materialize) deg0.persist(StorageLevel.MEMORY_AND_DISK) else deg0
-    val bcast = nodeBroadcastOk(deg, broadcastNodeLimit)
+    val bcast = nodeBroadcastOk(deg, broadcastNodeLimit, allowCount = materialize)
     val capped = sym
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("m")).orderBy(col("n"))))

