@@ -503,6 +503,22 @@ object SparkEntry {
     // AvailableNow, 1 file/trigger), final artifact hash-equal to the
     // batch ingest — shares q248's oracle verbatim
     "q251_ann_index_ingest_stream" -> (graft.operators.AnnIndex.streamingIngestCommit _),
+    // hierarchical (coarse→fine) assignment histogram — the engineered
+    // answer to the N^1.5 flat-assignment law the 1000× rehearsal
+    // measured: ncoarse ∝ N^(1/4) coarse cells route each row to a
+    // ~N^(1/4)-wide fine sublist, O(N^(5/4)) total instead of N^(3/2)
+    "q252_ann_hier_assign" -> (Similarity.hierAssignedHistogram _),
+    // the recall-cost audit of q252: per fine bucket, hier vs exact
+    // flat assignment membership + agreement in exact ppm
+    "q253_ann_hier_agreement" -> (Similarity.hierFlatAgreement _),
+    // the SEARCH face of the hier cost law: coarse-cell routing on both
+    // corpus and query side (O(N^(1/4)·dims) per row), exact cosine
+    // re-rank within cprobe probed cells — q106's candidate volume,
+    // none of its N^(3/2) assignment term
+    "q254_ann_hier_search" -> (Similarity.hierIvfSearch _),
+    // brute-truth recall panel: hier-routed vs flat derived search,
+    // per query in exact counts + ppm (the q90 audit-only cost class)
+    "q255_ann_hier_recall" -> (Similarity.hierRecallAudit _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -526,7 +542,8 @@ object SparkEntry {
         140, 141, 144, 145, 172, 208, 222, 228, 231) ++
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
-        227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251) ++
+        227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
+        254, 255) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -5752,7 +5769,187 @@ object SparkEntry {
          |LEFT JOIN ex USING (w)
          |JOIN tot USING (w)""".stripMargin
     },
+    // hierarchical (coarse→fine) assignment replayed exactly: fine
+    // centroids route to coarse cells, rows route to coarse cells,
+    // then argmax over ONLY the row's cell's fine sublist (ties →
+    // lowest id at both levels; empty cell → bucket −1)
+    "q252_ann_hier_assign" ->
+      s"""$hierAssignCtes
+         |SELECT cell, bucket, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+         |FROM hier GROUP BY 1, 2""".stripMargin,
+    // q252's routing vs the exact flat argmax, per fine bucket, with
+    // agreement in exact ppm over the hier members
+    "q253_ann_hier_agreement" ->
+      s"""$hierAssignCtes,
+         |flat AS (SELECT vec_id, f_id AS bucket FROM (
+         |    SELECT e.vec_id, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("e.embedding", "f.f_emb")} DESC,
+         |          f.f_id ASC) AS rk
+         |    FROM e, fine f) t WHERE rk = 1),
+         |j AS (SELECT h.vec_id, h.bucket AS b_h, fl.bucket AS b_f
+         |      FROM hier h JOIN flat fl USING (vec_id)),
+         |ha AS (SELECT b_h AS bucket, CAST(COUNT(*) AS BIGINT) AS n_hier,
+         |    CAST(SUM(CASE WHEN b_h = b_f THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM j GROUP BY 1),
+         |fa AS (SELECT b_f AS bucket, CAST(COUNT(*) AS BIGINT) AS n_flat
+         |       FROM j GROUP BY 1)
+         |SELECT COALESCE(ha.bucket, fa.bucket) AS bucket,
+         |  COALESCE(ha.n_hier, 0) AS n_hier,
+         |  COALESCE(fa.n_flat, 0) AS n_flat,
+         |  COALESCE(ha.n_agree, 0) AS n_agree,
+         |  CAST(CASE WHEN COALESCE(ha.n_hier, 0) > 0
+         |    THEN ha.n_agree * 1000000 // ha.n_hier ELSE 0 END AS BIGINT)
+         |    AS agree_ppm
+         |FROM ha FULL OUTER JOIN fa ON ha.bucket = fa.bucket""".stripMargin,
+    // hier-routed search: queries rank the coarse cells, probe the top
+    // cprobe, exact cosine re-rank within the probed cells' rows
+    "q254_ann_hier_search" ->
+      s"""$hierAssignCtes,
+         |$hierSearchCtes
+         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |  FROM hres) t
+         |WHERE rank <= 5""".stripMargin,
+    // brute top-5 truth vs the hier-routed and flat derived searches
+    "q255_ann_hier_recall" -> {
+      val cosRank =
+        """ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+          |        CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+          |          (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) DESC,
+          |        vec_id ASC) AS rank""".stripMargin
+      s"""$hierAssignCtes,
+         |$hierSearchCtes,
+         |hv AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |    FROM hres) t
+         |  WHERE rank <= 5),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |fasg AS (SELECT vec_id, f_id AS bucket FROM (
+         |    SELECT e.vec_id, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("f.f_emb", "e.embedding")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM e, fine f) t WHERE rk = 1),
+         |fpr AS (SELECT q_id, q_emb, n_q, f_id AS bucket FROM (
+         |    SELECT qq.q_id, qq.q_emb, qq.n_q, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${dotSql("f.f_emb", "qq.q_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM qq, fine f) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |fcand AS (
+         |  SELECT p.q_id, e.vec_id, p.n_q,
+         |    ${dotSql("e.embedding", "e.embedding")} AS n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM e JOIN fasg a ON e.vec_id = a.vec_id
+         |  JOIN fpr p ON a.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |fv AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      $cosRank
+         |    FROM fcand) t
+         |  WHERE rank <= 5),
+         |bfc AS (
+         |  SELECT qq.q_id, e.vec_id, qq.n_q,
+         |    ${dotSql("e.embedding", "e.embedding")} AS n_emb,
+         |    ${dotSql("qq.q_emb", "e.embedding")} AS dot_q
+         |  FROM e, qq WHERE e.vec_id <> qq.q_id),
+         |bf AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      $cosRank
+         |    FROM bfc) t
+         |  WHERE rank <= 5)
+         |SELECT bf.q_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN hv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_hier_hit,
+         |  CAST(SUM(CASE WHEN fv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_flat_hit,
+         |  CAST(SUM(CASE WHEN hv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS hier_recall_ppm,
+         |  CAST(SUM(CASE WHEN fv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS flat_recall_ppm
+         |FROM bf
+         |LEFT JOIN hv ON bf.q_id = hv.q_id AND bf.neighbor_id = hv.neighbor_id
+         |LEFT JOIN fv ON bf.q_id = fv.q_id AND bf.neighbor_id = fv.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
   )
+
+  /** Shared hier-SEARCH CTE chain (appended after [[hierAssignCtes]]):
+    * cprobe derivation, the every-100th query set with exact norms,
+    * query→cell probe ranking, probed candidates and their exact
+    * cosines — `hres(q_id, vec_id, cos_ppm)`. Used by q254 and q255 so
+    * the search replay cannot drift between the result and its audit.
+    */
+  private lazy val hierSearchCtes: String =
+    s"""cp AS (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
+       |       AS cprobe FROM nc),
+       |qq AS (SELECT vec_id AS q_id, embedding AS q_emb,
+       |    ${dotSql("embedding", "embedding")} AS n_q
+       |  FROM e WHERE vec_id % 100 = 0),
+       |qpr AS (SELECT q_id, q_emb, n_q, g_id AS cell FROM (
+       |    SELECT qq.q_id, qq.q_emb, qq.n_q, g.g_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qq.q_id
+       |        ORDER BY ${dotSql("g.g_emb", "qq.q_emb")} DESC, g.g_id ASC)
+       |        AS rk
+       |    FROM qq, coarse g) t
+       |  WHERE rk <= (SELECT cprobe FROM cp)),
+       |hcand AS (
+       |  SELECT p.q_id, r.vec_id, p.n_q,
+       |    ${dotSql("r.embedding", "r.embedding")} AS n_emb,
+       |    ${dotSql("p.q_emb", "r.embedding")} AS dot_q
+       |  FROM rcell r JOIN qpr p ON r.cell = p.cell
+       |  WHERE r.vec_id <> p.q_id),
+       |hres AS (SELECT q_id, vec_id,
+       |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+       |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE))))
+       |      AS BIGINT) AS cos_ppm
+       |  FROM hcand)""".stripMargin
+
+  /** Shared CTE chain replaying the two-level router ([[graft.functions
+    * .QuantizedHierArgmaxDot]]'s exact arithmetic) — used by the q252
+    * histogram and the q253 agreement panel so the routing replay
+    * cannot drift between them. Defines `e`, `fine(f_id, f_emb)`,
+    * `coarse(g_id, g_emb)`, `fcell` (fine→cell), `rcell` (row→cell)
+    * and `hier(vec_id, cell, bucket)`.
+    */
+  private lazy val hierAssignCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |nl AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
+       |    CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM e),
+       |nc AS (SELECT GREATEST(4, CAST(ROUND(SQRT(nlist)) AS BIGINT))
+       |       AS ncoarse FROM nl),
+       |fine AS (SELECT vec_id AS f_id, embedding AS f_emb
+       |         FROM e, nl WHERE vec_id < nl.nlist),
+       |coarse AS (SELECT vec_id AS g_id, embedding AS g_emb
+       |           FROM e, nc WHERE vec_id < nc.ncoarse),
+       |fcell AS (SELECT f_id, f_emb, g_id AS cell FROM (
+       |    SELECT f.f_id, f.f_emb, g.g_id,
+       |      ROW_NUMBER() OVER (PARTITION BY f.f_id
+       |        ORDER BY ${dotSql("f.f_emb", "g.g_emb")} DESC, g.g_id ASC)
+       |        AS rk
+       |    FROM fine f, coarse g) t WHERE rk = 1),
+       |rcell AS (SELECT vec_id, embedding, g_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, g.g_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("e.embedding", "g.g_emb")} DESC, g.g_id ASC)
+       |        AS rk
+       |    FROM e, coarse g) t WHERE rk = 1),
+       |hier AS (SELECT vec_id, cell, COALESCE(bucket, -1) AS bucket FROM (
+       |    SELECT r.vec_id, r.cell, f.f_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
+       |        AS rk
+       |    FROM rcell r LEFT JOIN fcell f ON r.cell = f.cell) t
+       |  WHERE rk = 1)""".stripMargin
 
   private lazy val oracleSqlMore: Map[String, String] =
     oracleSqlMoreBase + ("q251_ann_index_ingest_stream" ->

@@ -80,6 +80,7 @@ object GraftFunctions {
   val DotName = "graft_quantized_dot"
   val L2Name = "graft_quantized_l2"
   val ArgmaxDotName = "graft_argmax_dot"
+  val HierArgmaxName = "graft_hier_argmax_dot"
   val DotTableName = "graft_dot_table"
   val L2TableName = "graft_l2_table"
   val ArgminL2Name = "graft_argmin_l2"
@@ -91,7 +92,8 @@ object GraftFunctions {
   val CharNgramsName = "graft_char_ngrams"
 
   private val names =
-    Seq(DotName, L2Name, ArgmaxDotName, DotTableName, L2TableName, ArgminL2Name,
+    Seq(DotName, L2Name, ArgmaxDotName, HierArgmaxName, DotTableName,
+      L2TableName, ArgminL2Name,
       Md5PrefixName, WinnowName, BloomBuildName, BloomContainsName, TopKName,
       CharNgramsName)
 
@@ -114,6 +116,8 @@ object GraftFunctions {
     case DotName => exprs => QuantizedDot(exprs(0), exprs(1))
     case L2Name => exprs => QuantizedL2(exprs(0), exprs(1))
     case ArgmaxDotName => exprs => QuantizedArgmaxDot(exprs(0), exprs(1))
+    case HierArgmaxName => exprs =>
+      QuantizedHierArgmaxDot(exprs(0), exprs(1), exprs(2))
     case DotTableName => exprs => QuantizedDotTable(exprs(0), exprs(1))
     case L2TableName => exprs => QuantizedL2Table(exprs(0), exprs(1))
     case ArgminL2Name => exprs => QuantizedArgminL2(exprs(0), exprs(1))

@@ -1452,6 +1452,246 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), col("cos_ppm"), col("semantic_agree"))
   }
 
+  // ───────────────────────── hierarchical (coarse→fine) assignment ──
+  //
+  // The third-decade (1000×) rehearsal measured the flat-assignment law
+  // directly: everything that argmaxes the whole corpus against a
+  // √N-wide centroid matrix costs N·√N = N^1.5 (q226 exp1000 0.91 and
+  // climbing). This section is the documented mitigation, engineered:
+  // a two-level coarse quantizer (the IMI/IVF-HNSW coarse-routing idea
+  // in its simplest deterministic form). ncoarse ∝ √nlist = N^(1/4)
+  // coarse cells partition the fine centroids; a row pays
+  // O((ncoarse + cell_width)·dims) ≈ O(N^(1/4)·dims) instead of
+  // O(√N·dims), so corpus assignment totals O(N^(5/4)) — a full
+  // quarter-power off the exponent. The trade is approximation (a row
+  // whose true fine centroid sits in another coarse cell lands
+  // elsewhere); q253 grades that agreement in exact ppm so the recall
+  // cost is measured, not assumed.
+
+  /** Coarse-quantizer width for a fine index of `nlist` centroids:
+    * ncoarse ∝ √nlist (= N^(1/4) under [[nlistFor]]), floored at 4 so
+    * the oracle-scale corpora keep a non-trivial two-level shape.
+    */
+  def ncoarseFor(nlist: Int): Int =
+    math.max(4, math.round(math.sqrt(nlist.toDouble)).toInt)
+
+  /** The two-level index model: coarse centroids (first ncoarse seed
+    * vectors, id order) and the fine centroids GROUPED by their
+    * coarse-cell argmax, each cell's list in fine-id ascending order —
+    * the exact layout [[graft.functions.QuantizedHierArgmaxDot]]
+    * consumes and the oracle's `fcell` CTE replays.
+    */
+  final case class HierModel(
+      coarse: Seq[(Long, Array[Float])],
+      cells: Seq[Seq[(Long, Array[Float])]])
+
+  /** Driver-side fine→cell routing (the model build): nlist × ncoarse
+    * quantized dots = O(N^(3/4)·dims) work on √N driver-resident rows —
+    * the same O(model) driver posture as [[centroidLits]] itself.
+    * Arithmetic is exactly [[graft.functions.QuantizedDot]]'s
+    * Σ ⌊a·b·1e12⌋ with ties to the lowest coarse id.
+    */
+  def hierModelFor(
+      fine: Seq[(Long, Array[Float])], ncoarse: Int): HierModel = {
+    val coarse = fine.take(ncoarse)
+    def qdot(a: Array[Float], b: Array[Float]): Long = {
+      val n = math.min(a.length, b.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(a(i).toDouble * b(i).toDouble * 1.0e12).toLong
+        i += 1
+      }
+      acc
+    }
+    val cellOf = fine.map { case (_, fEmb) =>
+      var best = Long.MinValue
+      var bi = -1
+      var j = 0
+      while (j < coarse.size) {
+        val d = qdot(fEmb, coarse(j)._2)
+        if (d > best) { best = d; bi = j }
+        j += 1
+      }
+      bi
+    }
+    val cells = coarse.indices.map { ci =>
+      fine.zip(cellOf).collect { case (f, c) if c == ci => f }
+    }
+    HierModel(coarse, cells)
+  }
+
+  def hierModel(spark: SparkSession, dir: String): HierModel = {
+    val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    hierModelFor(centroidLits(spark, dir, nlist), ncoarseFor(nlist))
+  }
+
+  /** Attach `cell` (coarse id), `bucket` (fine centroid id, −1 on an
+    * empty cell) and `dot_q` via ONE
+    * [[graft.functions.QuantizedHierArgmaxDot]] evaluation — assignment
+    * stays a pure map-only projection (no join, no shuffle) like
+    * [[withBucket]], but per-row work drops from O(nlist·dims) to
+    * O((ncoarse + cell)·dims).
+    */
+  private[operators] def withHierBucket(df: DataFrame, m: HierModel,
+      embCol: String): DataFrame = {
+    val asn = call_function(graft.functions.GraftFunctions.HierArgmaxName,
+      col(embCol), typedLit(m.coarse.map(_._2.toSeq)),
+      typedLit(m.cells.map(_.map(_._2.toSeq))))
+    val coarseIds = typedLit(m.coarse.map(_._1))
+    val cellIds = typedLit(m.cells.map(_.map(_._1)))
+    df.withColumn("_h", asn)
+      // idx −1 (empty coarse set / empty cell) must not hit ANSI
+      // element_at(…, 0) — same guard discipline as withBucket
+      .withColumn("cell",
+        when(col("_h.cell") < 0, lit(-1L))
+          .otherwise(element_at(coarseIds, (col("_h.cell") + 1).cast("int"))))
+      .withColumn("bucket",
+        when(col("_h.idx") < 0, lit(-1L))
+          .otherwise(element_at(
+            element_at(cellIds, (col("_h.cell") + 1).cast("int")),
+            (col("_h.idx") + 1).cast("int"))))
+      .withColumn("dot_q", col("_h.dot"))
+      .drop("_h")
+  }
+
+  /** q252: hierarchical assignment histogram — the q99 panel shape
+    * (per-bucket membership + id range) computed through the two-level
+    * router, plus the owning coarse cell. This is the COST-LAW query:
+    * it does exactly the work the flat q226/q229 class does minus the
+    * √N-wide argmax, so its decade exponent is the direct measurement
+    * of the N^(5/4) claim against their N^(3/2).
+    *
+    * Scale: one map-only projection (native two-level argmax), one
+    * nlist-bounded aggregation. No join, no corpus shuffle.
+    */
+  def hierAssignedHistogram(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    withHierBucket(Tables.embeddings(spark, dir),
+        hierModel(spark, dir), "embedding")
+      .groupBy(col("cell"), col("bucket"))
+      .agg(count(lit(1)).as("n_assigned"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+  }
+
+  /** q253: hierarchical-vs-flat agreement panel — per fine bucket, how
+    * many rows the two-level router assigns there (`n_hier`), how many
+    * the exact flat argmax assigns there (`n_flat`), and how many rows
+    * agree (`n_agree`, with `agree_ppm` over the hier members). This is
+    * the recall-cost audit that keeps q252 honest: the quarter-power
+    * speedup is only worth shipping if the routing disagreement is
+    * small and MEASURED (the q90-recall-audit posture applied to
+    * assignment).
+    *
+    * Scale: one corpus pass computes BOTH assignments in one
+    * projection (cost dominated by the flat argmax — this is an audit,
+    * priced like the flat class it grades), then two nlist-bounded
+    * aggregations joined on bucket.
+    */
+  def hierFlatAgreement(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val m = hierModel(spark, dir)
+    val fine = centroidLits(spark, dir,
+      nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings")))
+    val both = withBucket(
+      withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
+        .withColumnRenamed("bucket", "b_h").drop("cell", "dot_q"),
+      fine, "embedding")
+      .select(col("b_h"), col("bucket").as("b_f"))
+    val ha = both.groupBy(col("b_h").as("bucket"))
+      .agg(count(lit(1)).as("n_hier"),
+        sum(when(col("b_h") === col("b_f"), 1L).otherwise(0L)).as("n_agree"))
+    val fa = both.groupBy(col("b_f").as("bucket"))
+      .agg(count(lit(1)).as("n_flat"))
+    ha.join(fa, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_hier"), lit(0L)).as("n_hier"),
+        coalesce(col("n_flat"), lit(0L)).as("n_flat"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("agree_ppm",
+        when(col("n_hier") > 0,
+          expr("CAST(n_agree * 1000000 DIV n_hier AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Probed coarse cells per query: cprobe ∝ √ncoarse, floored at 2.
+    * With ncoarse ∝ N^(1/4) and ~N/ncoarse rows per cell, a query scans
+    * ~cprobe·N^(3/4) candidates — the SAME candidate-volume class as the
+    * flat derived search (nprobe·N/nlist = N^(3/4)), but probe selection
+    * and corpus routing each cost O(N^(1/4)·dims) per row instead of
+    * O(√N·dims).
+    */
+  def cprobeFor(ncoarse: Int): Int =
+    math.max(2, math.round(math.sqrt(ncoarse.toDouble)).toInt)
+
+  /** q254: hierarchically-routed ANN search — the q106 search shape
+    * with the coarse router replacing the flat √N probe argmax on BOTH
+    * sides: the corpus is routed to coarse cells (map-only
+    * [[withBucket]] against the N^(1/4)-row coarse matrix), queries
+    * rank the same cells and probe their best [[cprobeFor]] cells, and
+    * the exact quantized cosine re-ranks within the probed candidates
+    * (top-5 via the bounded [[topkPerQuery]] aggregate). This is the
+    * SEARCH face of the q252 cost law: per-row and per-query routing
+    * both drop to O(N^(1/4)·dims), so the whole search keeps the flat
+    * path's N^(3/4) candidate volume while shedding its N^(3/2)
+    * assignment term. Recall against brute truth and the flat derived
+    * search is graded by q255.
+    */
+  def hierIvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    val m = hierModelFor(centroidLits(spark, dir, nlist), ncoarseFor(nlist))
+    val cprobe = cprobeFor(ncoarseFor(nlist))
+    val emb = Tables.embeddings(spark, dir)
+    val q = queries(emb).withColumn("n_q", normQ("q_emb"))
+    // query-side cell ranking: the same sort_array((−dot, id)) order the
+    // oracle's ROW_NUMBER replays, over the N^(1/4)-row coarse matrix
+    val probes = q
+      .select(col("q_id"), col("q_emb"), col("n_q"),
+        explode(slice(sort_array(probeRanking(m.coarse, "q_emb")), 1, cprobe))
+          .as("p"))
+      .select(col("q_id"), col("q_emb"), col("n_q"), col("p.c_id").as("cell"))
+    // corpus-side routing needs ONLY the coarse argmax (the cell is the
+    // probe unit) — the flat binary expression over the tiny coarse
+    // matrix, O(ncoarse·dims) per row
+    val corpus = withBucket(emb, m.coarse, "embedding")
+      .select(col("vec_id"), col("embedding"), col("bucket").as("cell"))
+    val candidates = corpus
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("n_emb", normQ("embedding"))
+      .withColumn("dot_q", dotQ("q_emb", "embedding"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
+    topkPerQuery(candidates, "cos_ppm", 5)
+  }
+
+  /** q255: recall audit of the hierarchical search — per query, how
+    * many of the exact brute-force top-5 the hier-routed search (q254)
+    * and the flat derived search (q106) each recovered, in exact
+    * counts and ppm. The two approximate paths scan the same N^(3/4)
+    * candidate-volume class, so this panel isolates exactly what the
+    * coarse router costs in recall — the number that decides whether
+    * the N^(5/4) build law is shippable. Brute truth makes this the
+    * q90 audit-only cost class (documented; never on the scale path).
+    */
+  def hierRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceKnn(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val hier = hierIvfSearch(spark, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("hier", lit(1L))
+    val flat = ivfKnnAuto(spark, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("flat", lit(1L))
+    bf.join(broadcast(hier), Seq("q_id", "neighbor_id"), "left_outer")
+      .join(broadcast(flat), Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hier"), lit(0L))).as("n_hier_hit"),
+        sum(coalesce(col("flat"), lit(0L))).as("n_flat_hit"))
+      .withColumn("hier_recall_ppm", expr("n_hier_hit * 1000000 DIV n_true"))
+      .withColumn("flat_recall_ppm", expr("n_flat_hit * 1000000 DIV n_true"))
+  }
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */
