@@ -29,7 +29,9 @@ object BenchBands {
     */
   val QuietWarmSec: Map[String, Double] = Map(
     "dedup" -> 50.2,
-    "ann" -> 55.0, // 38.7 (r12) + ~16 s of new executed-commit queries
+    // 38.7 (r12) + 32.2 measured lifecycle additions (q248–q251,
+    // executed-commit class) + 5.9 measured hier family (q252–q255)
+    "ann" -> 76.9,
     "relational" -> 33.1,
     "graph" -> 28.9,
     "streaming" -> 26.1,

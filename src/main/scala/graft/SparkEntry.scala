@@ -5892,6 +5892,10 @@ object SparkEntry {
   private lazy val hierSearchCtes: String =
     s"""cp AS (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
        |       AS cprobe FROM nc),
+       |nh AS (SELECT GREATEST(1,
+       |    GREATEST(${graft.operators.Similarity.IvfNprobe},
+       |      CAST(ROUND(SQRT(nlist)) AS BIGINT)) // cprobe) AS percell
+       |  FROM nl, cp),
        |qq AS (SELECT vec_id AS q_id, embedding AS q_emb,
        |    ${dotSql("embedding", "embedding")} AS n_q
        |  FROM e WHERE vec_id % 100 = 0),
@@ -5902,12 +5906,20 @@ object SparkEntry {
        |        AS rk
        |    FROM qq, coarse g) t
        |  WHERE rk <= (SELECT cprobe FROM cp)),
+       |fsel AS (SELECT q_id, q_emb, n_q, f_id AS bucket FROM (
+       |    SELECT p.q_id, p.q_emb, p.n_q, f.f_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.q_id, p.cell
+       |        ORDER BY ${dotSql("f.f_emb", "p.q_emb")} DESC, f.f_id ASC)
+       |        AS rk
+       |    FROM qpr p JOIN fcell f ON f.cell = p.cell) t
+       |  WHERE rk <= (SELECT percell FROM nh)),
        |hcand AS (
-       |  SELECT p.q_id, r.vec_id, p.n_q,
-       |    ${dotSql("r.embedding", "r.embedding")} AS n_emb,
-       |    ${dotSql("p.q_emb", "r.embedding")} AS dot_q
-       |  FROM rcell r JOIN qpr p ON r.cell = p.cell
-       |  WHERE r.vec_id <> p.q_id),
+       |  SELECT p.q_id, h.vec_id, p.n_q,
+       |    ${dotSql("e.embedding", "e.embedding")} AS n_emb,
+       |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+       |  FROM hier h JOIN e ON e.vec_id = h.vec_id
+       |  JOIN fsel p ON h.bucket = p.bucket
+       |  WHERE h.vec_id <> p.q_id),
        |hres AS (SELECT q_id, vec_id,
        |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
        |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE))))

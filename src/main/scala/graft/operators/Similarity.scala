@@ -1626,39 +1626,64 @@ object Similarity {
     math.max(2, math.round(math.sqrt(ncoarse.toDouble)).toInt)
 
   /** q254: hierarchically-routed ANN search — the q106 search shape
-    * with the coarse router replacing the flat √N probe argmax on BOTH
-    * sides: the corpus is routed to coarse cells (map-only
-    * [[withBucket]] against the N^(1/4)-row coarse matrix), queries
-    * rank the same cells and probe their best [[cprobeFor]] cells, and
-    * the exact quantized cosine re-ranks within the probed candidates
-    * (top-5 via the bounded [[topkPerQuery]] aggregate). This is the
-    * SEARCH face of the q252 cost law: per-row and per-query routing
-    * both drop to O(N^(1/4)·dims), so the whole search keeps the flat
-    * path's N^(3/4) candidate volume while shedding its N^(3/2)
-    * assignment term. Recall against brute truth and the flat derived
-    * search is graded by q255.
+    * with BOTH expensive √N terms replaced by two-level routing (the
+    * inverted-multi-index probe discipline):
+    *
+    *  - corpus side: rows route through [[withHierBucket]] to their
+    *    fine bucket at O(N^(1/4)·dims) per row (the q252 law) instead
+    *    of the flat argmax's O(√N·dims);
+    *  - query side: rank the N^(1/4) coarse cells, probe the top
+    *    [[cprobeFor]] cells, then rank ONLY those cells' fine sublists
+    *    (a broadcast join against the nlist-row model relation +
+    *    one tiny window) and keep perCell = nprobe/cprobe fine buckets
+    *    per cell — ~[[nprobeFor]] probed buckets total, so the
+    *    candidate volume stays the flat search's nprobe·N/nlist =
+    *    N^(3/4) class while probe selection costs
+    *    O((ncoarse + cprobe·cell_width)·dims) ≈ O(N^(1/4)·dims) per
+    *    query instead of O(√N·dims).
+    *
+    * Exact quantized cosine re-ranks within the probed buckets (top-5
+    * via the bounded [[topkPerQuery]] aggregate). Recall against brute
+    * truth and the flat derived search is graded by q255. The first
+    * cut of this query probed whole cells (cprobe·N/ncoarse = N^(7/8)
+    * candidates) and measured exp100 0.66 — WORSE than flat; the
+    * within-cell fine selection is what restores the N^(3/4) class.
     */
   def hierIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     withFns(spark)
     val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
-    val m = hierModelFor(centroidLits(spark, dir, nlist), ncoarseFor(nlist))
-    val cprobe = cprobeFor(ncoarseFor(nlist))
+    val ncoarse = ncoarseFor(nlist)
+    val m = hierModelFor(centroidLits(spark, dir, nlist), ncoarse)
+    val cprobe = cprobeFor(ncoarse)
+    val perCell = math.max(1, nprobeFor(nlist) / cprobe)
     val emb = Tables.embeddings(spark, dir)
     val q = queries(emb).withColumn("n_q", normQ("q_emb"))
     // query-side cell ranking: the same sort_array((−dot, id)) order the
     // oracle's ROW_NUMBER replays, over the N^(1/4)-row coarse matrix
-    val probes = q
+    val cellProbes = q
       .select(col("q_id"), col("q_emb"), col("n_q"),
         explode(slice(sort_array(probeRanking(m.coarse, "q_emb")), 1, cprobe))
           .as("p"))
       .select(col("q_id"), col("q_emb"), col("n_q"), col("p.c_id").as("cell"))
-    // corpus-side routing needs ONLY the coarse argmax (the cell is the
-    // probe unit) — the flat binary expression over the tiny coarse
-    // matrix, O(ncoarse·dims) per row
-    val corpus = withBucket(emb, m.coarse, "embedding")
-      .select(col("vec_id"), col("embedding"), col("bucket").as("cell"))
+    // the model as a relation (cell, f_id, f_emb) — nlist rows, joined
+    // ONLY against the tiny probed-cells set, never the corpus
+    val fineByCell = {
+      import spark.implicits._
+      m.cells.zipWithIndex.flatMap { case (cell, ci) =>
+        cell.map { case (fid, fEmb) => (m.coarse(ci)._1, fid, fEmb.toSeq) }
+      }.toDF("cell", "f_id", "f_emb")
+    }
+    val wQC = Window.partitionBy(col("q_id"), col("cell"))
+    val probes = cellProbes.join(broadcast(fineByCell), Seq("cell"))
+      .withColumn("fdot", dotQ("q_emb", "f_emb"))
+      .withColumn("rk", row_number().over(
+        wQC.orderBy(col("fdot").desc, col("f_id").asc)))
+      .filter(col("rk") <= perCell)
+      .select(col("q_id"), col("q_emb"), col("n_q"), col("f_id").as("bucket"))
+    val corpus = withHierBucket(emb, m, "embedding")
+      .select(col("vec_id"), col("embedding"), col("bucket"))
     val candidates = corpus
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("n_emb", normQ("embedding"))
       .withColumn("dot_q", dotQ("q_emb", "embedding"))

@@ -169,25 +169,31 @@ class HierAssignSpec extends AnyFunSuite {
     math.floor(dot.toDouble * 1000000.0 /
       (math.sqrt(nQ.toDouble) * math.sqrt(nE.toDouble))).toLong
 
-  /** Driver-side replication of the q254 search: probe top-cprobe
-    * coarse cells per query, exact cosine re-rank, top-5.
+  /** Driver-side replication of the q254 search: probe the top-cprobe
+    * coarse cells, keep perCell fine buckets per probed cell, restrict
+    * to rows whose TWO-LEVEL bucket is probed, exact cosine re-rank,
+    * top-5.
     */
   private def bruteHierSearch(): Map[Long, Seq[Long]] = {
     val m = Similarity.hierModel(spark, sf)
     val cprobe = Similarity.cprobeFor(m.coarse.size)
     val rows = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
-    val cellOf = rows.map { case (vid, emb) =>
-      vid -> m.coarse.map(c => qdot(emb, c._2)).zipWithIndex
-        .maxBy { case (d, i) => (d, -i) }._2
-    }.toMap
+    val perCell = math.max(1,
+      Similarity.nprobeFor(Similarity.nlistFor(rows.length.toLong)) / cprobe)
+    val bucketOf = bruteHier()
     rows.filter(_._1 % 100 == 0).map { case (qid, qEmb) =>
       val nQ = qdot(qEmb, qEmb)
-      val probed = m.coarse.indices
+      val probedCells = m.coarse.indices
         .map(ci => (-qdot(qEmb, m.coarse(ci)._2), ci)).sorted
-        .take(cprobe).map(_._2).toSet
+        .take(cprobe).map(_._2)
+      val probedBuckets = probedCells.flatMap { ci =>
+        m.cells(ci).map(f => (-qdot(qEmb, f._2), f._1)).sorted
+          .take(perCell).map(_._2)
+      }.toSet
       val top = rows
-        .filter { case (vid, _) => vid != qid && probed(cellOf(vid)) }
+        .filter { case (vid, _) =>
+          vid != qid && probedBuckets(bucketOf(vid)._2) }
         .map { case (vid, emb) =>
           (cosPpm(qdot(qEmb, emb), nQ, qdot(emb, emb)), vid)
         }
