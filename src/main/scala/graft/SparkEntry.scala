@@ -519,6 +519,14 @@ object SparkEntry {
     // brute-truth recall panel: hier-routed vs flat derived search,
     // per query in exact counts + ppm (the q90 audit-only cost class)
     "q255_ann_hier_recall" -> (Similarity.hierRecallAudit _),
+    // the hier-routed artifact BUILD executed + audited: the q244
+    // commit machinery with the two-level router inside — the build is
+    // where the 18× third-decade win lives (8.9 vs 161.9 s at 1000×)
+    "q256_ann_hier_index_commit" -> (graft.operators.AnnIndex.hierCommitAudit _),
+    // the q254 search served FROM the committed hier artifact —
+    // hash-equal to live q254 (the q245≡q106 posture), zero corpus
+    // assignment in the serving plan
+    "q257_ann_hier_serve" -> (graft.operators.AnnIndex.hierServe _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -543,7 +551,7 @@ object SparkEntry {
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
         227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
-        254, 255) ++
+        254, 255, 256, 257) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -5804,6 +5812,24 @@ object SparkEntry {
          |    THEN ha.n_agree * 1000000 // ha.n_hier ELSE 0 END AS BIGINT)
          |    AS agree_ppm
          |FROM ha FULL OUTER JOIN fa ON ha.bucket = fa.bucket""".stripMargin,
+    // the committed hier artifact's per-bucket membership witnesses +
+    // frozen two-level knobs, recomputed from the raw corpus
+    "q256_ann_hier_index_commit" ->
+      s"""$hierAssignCtes
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  bit_xor(vec_id) AS vec_xor,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version,
+         |  (SELECT nlist FROM nl) AS nlist,
+         |  (SELECT ncoarse FROM nc) AS ncoarse,
+         |  (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
+         |   FROM nc) AS cprobe,
+         |  (SELECT GREATEST(1,
+         |     GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |       CAST(ROUND(SQRT(nlist)) AS BIGINT))
+         |     // GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT)))
+         |   FROM nl, nc) AS percell
+         |FROM hier GROUP BY 1""".stripMargin,
     // hier-routed search: queries rank the coarse cells, probe the top
     // cprobe, exact cosine re-rank within the probed cells' rows
     "q254_ann_hier_search" ->
@@ -5964,8 +5990,14 @@ object SparkEntry {
        |  WHERE rk = 1)""".stripMargin
 
   private lazy val oracleSqlMore: Map[String, String] =
-    oracleSqlMoreBase + ("q251_ann_index_ingest_stream" ->
-      oracleSqlMoreBase("q248_ann_index_ingest"))
+    oracleSqlMoreBase +
+      ("q251_ann_index_ingest_stream" ->
+        oracleSqlMoreBase("q248_ann_index_ingest")) +
+      // served-from-artifact ≡ live search, the q245≡q106 posture: the
+      // serve SHARES the live query's SQL verbatim so the parity claim
+      // cannot drift
+      ("q257_ann_hier_serve" ->
+        oracleSqlMoreBase("q254_ann_hier_search"))
 
   /** Two exact-integer Lloyd rounds replayed in SQL, parameterized by
     * the round-0 seed CTE (must define `c0(c_id, cq)` over `q`): shared

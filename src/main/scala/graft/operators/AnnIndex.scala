@@ -691,4 +691,171 @@ object AnnIndex {
           .as("mean_dot_new_q"),
         lit(meta.version).as("index_version"))
   }
+
+  // ──────────────── hierarchically-routed artifact (q256/q257) ──────
+  //
+  // The round-13 law-vs-law measurement: two-level routing builds the
+  // same bucket layout CLASS at N^(5/4) where the flat build pays
+  // N^(3/2) (q252 8.9 s vs q99 161.9 s at 1000×, 18.2×). The build is
+  // where that matters — searches served from a committed artifact
+  // never assign anything (q245's lesson) — so this is the production
+  // composition: the q244 commit machinery with the q252 router inside,
+  // and a serve that is hash-equal to the LIVE hier search (q254) the
+  // way q245 is hash-equal to q106.
+
+  /** The hier artifact's identity card: the frozen two-level knobs
+    * (ncoarse, cprobe, perCell) ride beside the fine width so the
+    * serve path replays the exact probe discipline the build froze.
+    */
+  final case class HierMeta(version: Long, n: Long, nlist: Int,
+    ncoarse: Int, cprobe: Int, perCell: Int, fp: Long)
+
+  /** Separate lake root per layout: the flat (q244) and hier (q256)
+    * artifacts of one corpus coexist — a router migration runs both
+    * side by side and cuts over by path.
+    */
+  def hierIndexRoot(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark, dir)}-hier"
+
+  /** Train + commit the hier-routed artifact: ONE two-level assignment
+    * pass over the corpus (O(N^(5/4)·dims) total — the q252 law) staged
+    * and swapped per bucket, plus the model table — every fine centroid
+    * with its routing CELL (so the serve path never re-derives the
+    * fine→cell map) and the coarse subset as its own kind. Same
+    * crash-certifiable commit order as [[buildAndCommit]]: sidecar
+    * dropped first, written last.
+    */
+  def buildHierAndCommit(spark: SparkSession, dir: String): HierMeta = {
+    Similarity.withFns(spark)
+    val root = hierIndexRoot(spark, dir)
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val nlist = Similarity.nlistFor(n)
+    val ncoarse = Similarity.ncoarseFor(nlist)
+    val cprobe = Similarity.cprobeFor(ncoarse)
+    val perCell = math.max(1, Similarity.nprobeFor(nlist) / cprobe)
+    val m = Similarity.hierModelFor(
+      Similarity.centroidLits(spark, dir, nlist), ncoarse)
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), modelDir(root)).foreach(writer.repair(_))
+    writer.commitPartitioned(
+      Similarity.withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
+        .select(col("vec_id"), col("embedding"), col("bucket")),
+      membersDir(root), "bucket")
+    val modelRows = {
+      import spark.implicits._
+      val fine = m.cells.zipWithIndex.flatMap { case (cell, ci) =>
+        cell.map { case (fid, fEmb) =>
+          (fid, fEmb.toSeq, m.coarse(ci)._1, "ivf") }
+      }
+      val coarse = m.coarse.map { case (gid, gEmb) =>
+        (gid, gEmb.toSeq, gid, "coarse") }
+      (fine ++ coarse).toDF("c_id", "embedding", "cell", "kind")
+    }
+    writer.commitPartitioned(modelRows, modelDir(root), "kind")
+    val meta = HierMeta(IndexVersion, n, nlist, ncoarse, cprobe, perCell,
+      corpusFingerprint(spark, dir))
+    lakeFs.writeString(sidecarPath(root),
+      s"""{"version":${meta.version},"n":${meta.n},"nlist":${meta.nlist},""" +
+        s""""ncoarse":${meta.ncoarse},"cprobe":${meta.cprobe},""" +
+        s""""percell":${meta.perCell},"fp":${meta.fp}}""")
+    meta
+  }
+
+  /** The committed hier meta, or None (absent/unparseable sidecar). */
+  def readHierMeta(spark: SparkSession, dir: String): Option[HierMeta] = {
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val p = sidecarPath(hierIndexRoot(spark, dir))
+    if (!lakeFs.exists(p)) None
+    else {
+      val s = lakeFs.readString(p)
+      def f(key: String): Option[Long] =
+        s""""$key":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      for (v <- f("version"); n <- f("n"); nl <- f("nlist");
+           nc <- f("ncoarse"); cp <- f("cprobe"); pc <- f("percell");
+           fp <- f("fp"))
+        yield HierMeta(v, n, nl.toInt, nc.toInt, cp.toInt, pc.toInt, fp)
+    }
+  }
+
+  /** Same reuse law as [[ensureCommitted]]: layout version + corpus row
+    * count + content fingerprint, or rebuild.
+    */
+  def ensureHierCommitted(spark: SparkSession, dir: String): HierMeta = {
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val fp = corpusFingerprint(spark, dir)
+    readHierMeta(spark, dir)
+      .filter(m => m.version == IndexVersion && m.n == n && m.fp == fp)
+      .getOrElse(buildHierAndCommit(spark, dir))
+  }
+
+  /** q256: the hier-routed build + commit + audit — q244's executed
+    * commit posture with the two-level router inside. The panel reads
+    * back the COMMITTED members (count + bit_xor membership witness per
+    * bucket) plus the frozen two-level knobs; the oracle recomputes the
+    * routing from the raw corpus, so a torn commit, a mis-routed row,
+    * or a knob drift breaks the hash.
+    */
+  def hierCommitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val meta = buildHierAndCommit(spark, dir)
+    val root = hierIndexRoot(spark, dir)
+    bucketTable(spark, membersDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("vec_xor"))
+      .select(col("bucket"), col("n_members"), col("vec_xor"),
+        lit(meta.version).as("index_version"),
+        lit(meta.nlist.toLong).as("nlist"),
+        lit(meta.ncoarse.toLong).as("ncoarse"),
+        lit(meta.cprobe.toLong).as("cprobe"),
+        lit(meta.perCell.toLong).as("percell"))
+  }
+
+  /** q257: the q254 hier search served FROM the committed hier artifact
+    * — hash-equal to the live q254 by construction (the committed
+    * routing is byte-identical), but the plan carries ZERO corpus
+    * assignment of any kind: candidates come off the bucket-partitioned
+    * members, the two-level model (coarse ranking + per-cell fine
+    * selection) rides the broadcast query side off the committed model
+    * table, and the corpus is touched only for the query subset.
+    */
+  def hierServe(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val meta = ensureHierCommitted(spark, dir)
+    val root = hierIndexRoot(spark, dir)
+    val coarse = modelLits(spark, root, "coarse")
+    val fineByCell = {
+      import spark.implicits._
+      spark.read.parquet(s"${modelDir(root)}/kind=ivf")
+        .select(col("cell"), col("c_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+        .toSeq.toDF("cell", "f_id", "f_emb")
+    }
+    val q = Similarity.queries(Tables.embeddings(spark, dir))
+      .withColumn("n_q", Similarity.normQ("q_emb"))
+    val cellProbes = q
+      .select(col("q_id"), col("q_emb"), col("n_q"),
+        explode(slice(sort_array(Similarity.probeRanking(coarse, "q_emb")),
+          1, meta.cprobe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("n_q"),
+        col("p.c_id").as("cell"))
+    val wQC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"), col("cell"))
+    val probes = cellProbes.join(broadcast(fineByCell), Seq("cell"))
+      .withColumn("fdot", Similarity.dotQ("q_emb", "f_emb"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        wQC.orderBy(col("fdot").desc, col("f_id").asc)))
+      .filter(col("rk") <= meta.perCell)
+      .select(col("q_id"), col("q_emb"), col("n_q"), col("f_id").as("bucket"))
+    val candidates = bucketTable(spark, membersDir(root))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("n_emb", Similarity.normQ("embedding"))
+      .withColumn("dot_q", Similarity.dotQ("q_emb", "embedding"))
+      .withColumn("cos_ppm", expr(
+        "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
+          "(sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
+    Similarity.topkPerQuery(candidates, "cos_ppm", 5)
+  }
 }

@@ -23,6 +23,39 @@ class AnnIndexSpec extends AnyFunSuite {
       rows(Similarity.ivfKnnAuto(spark, sf)))
   }
 
+  test("hier-served search is row-identical to live q254; plan has zero assignment") {
+    assert(rows(AnnIndex.hierServe(spark, sf)) ===
+      rows(Similarity.hierIvfSearch(spark, sf)))
+    AnnIndex.ensureHierCommitted(spark, sf)
+    val plan = AnnIndex.hierServe(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    // the live q254 assigns the corpus per invocation (two-level); the
+    // served plan must carry NEITHER assignment expression — candidates
+    // come off the committed bucket-partitioned members
+    assert(!plan.contains("quantizedhierargmaxdot"),
+      s"served hier plan must not route the corpus:\n${plan.take(2000)}")
+    assert(!plan.contains("quantizedargmaxdot"),
+      s"served hier plan must not flat-assign either:\n${plan.take(2000)}")
+    assert(plan.contains("graft_ann_index"),
+      s"served hier must scan the committed members:\n${plan.take(2000)}")
+  }
+
+  test("hier commit audit agrees with the live q252 histogram") {
+    val audit = AnnIndex.hierCommitAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val live = Similarity.hierAssignedHistogram(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(audit.view.mapValues(_._1).toMap === live,
+      "committed per-bucket membership must equal the live routing")
+  }
+
+  test("hier lifecycle is idempotent and fingerprint-gated") {
+    val m1 = AnnIndex.ensureHierCommitted(spark, sf)
+    val m2 = AnnIndex.ensureHierCommitted(spark, sf)
+    assert(m1 === m2)
+    assert(m1.perCell >= 1 && m1.cprobe >= 2 && m1.ncoarse >= 4)
+  }
+
   test("served IVF-PQ search is row-identical to the live q108") {
     assert(rows(AnnIndex.ivfPqServe(spark, sf)) ===
       rows(Similarity.ivfPqSearchAuto(spark, sf)))
