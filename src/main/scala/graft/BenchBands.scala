@@ -31,8 +31,8 @@ object BenchBands {
     "dedup" -> 50.2,
     // 38.7 (r12) + 32.2 measured lifecycle additions (q248–q251,
     // executed-commit class) + 5.9 measured hier family (q252–q255)
-    // + 3.7 measured hier artifact (q256–q257)
-    "ann" -> 80.6,
+    // + 3.7 measured hier artifact (q256–q257) + 1.2 skew panel (q258)
+    "ann" -> 81.8,
     "relational" -> 33.1,
     "graph" -> 28.9,
     "streaming" -> 26.1,

@@ -527,6 +527,10 @@ object SparkEntry {
     // hash-equal to live q254 (the q245≡q106 posture), zero corpus
     // assignment in the serving plan
     "q257_ann_hier_serve" -> (graft.operators.AnnIndex.hierServe _),
+    // bucket-mass skew, flat vs hier layout: the graded record of the
+    // round's serve finding (hot-bucket concentration under two-level
+    // routing) — the number a Lloyd-rebalance must move
+    "q258_ann_layout_skew" -> (Similarity.layoutSkewAudit _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -551,7 +555,7 @@ object SparkEntry {
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
         227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
-        254, 255, 256, 257) ++
+        254, 255, 256, 257, 258) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -5830,6 +5834,28 @@ object SparkEntry {
          |     // GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT)))
          |   FROM nl, nc) AS percell
          |FROM hier GROUP BY 1""".stripMargin,
+    // flat-vs-hier bucket-mass skew: both assignments replayed, the
+    // distribution panel per layout
+    "q258_ann_layout_skew" ->
+      s"""$hierAssignCtes,
+         |fasg AS (SELECT vec_id, f_id AS bucket FROM (
+         |    SELECT e.vec_id, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("f.f_emb", "e.embedding")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM e, fine f) t WHERE rk = 1),
+         |lay AS (
+         |  SELECT 'flat' AS layout, bucket FROM fasg
+         |  UNION ALL
+         |  SELECT 'hier' AS layout, bucket FROM hier),
+         |mass AS (SELECT layout, bucket, CAST(COUNT(*) AS BIGINT) AS mass
+         |         FROM lay GROUP BY 1, 2)
+         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(mass) AS BIGINT) AS n_rows,
+         |  MIN(mass) AS min_mass, MAX(mass) AS max_mass,
+         |  CAST(SUM(mass) // COUNT(*) AS BIGINT) AS mean_mass,
+         |  CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT) AS max_share_ppm
+         |FROM mass GROUP BY 1""".stripMargin,
     // hier-routed search: queries rank the coarse cells, probe the top
     // cprobe, exact cosine re-rank within the probed cells' rows
     "q254_ann_hier_search" ->

@@ -1717,6 +1717,40 @@ object Similarity {
       .withColumn("flat_recall_ppm", expr("n_flat_hit * 1000000 DIV n_true"))
   }
 
+  /** q258: bucket-mass skew, flat layout vs hier layout — the panel
+    * that GRADES the round's serve finding (hier routing piles mass
+    * onto hot buckets; queries probe exactly those, so served
+    * candidate volume inflates ~6× at 1000×). Per layout: bucket
+    * count, corpus rows, min/max bucket mass, exact integer mean, and
+    * the hottest bucket's corpus share in ppm. Everything exact, so a
+    * router change that shifts the skew breaks the hash — the number a
+    * future Lloyd-rebalance round must move is on the graded record
+    * first.
+    *
+    * Scale: two map-only assignment passes (one flat — this is an
+    * audit of the flat class, priced like it — one two-level), two
+    * nlist-bounded aggregations, a 2-row output.
+    */
+  def layoutSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    val emb = Tables.embeddings(spark, dir)
+    val flat = withBucket(emb, centroidLits(spark, dir, nlist), "embedding")
+      .select(lit("flat").as("layout"), col("bucket"))
+    val hier = withHierBucket(emb, hierModel(spark, dir), "embedding")
+      .select(lit("hier").as("layout"), col("bucket"))
+    flat.unionByName(hier)
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("mass"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("mass")).as("n_rows"),
+        min(col("mass")).as("min_mass"),
+        max(col("mass")).as("max_mass"))
+      .withColumn("mean_mass", expr("n_rows DIV n_buckets"))
+      .withColumn("max_share_ppm", expr("max_mass * 1000000 DIV n_rows"))
+  }
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */

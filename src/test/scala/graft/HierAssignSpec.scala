@@ -242,6 +242,28 @@ class HierAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("q258 layout skew panel is the exact distribution arithmetic") {
+    val fine = Similarity.hierModel(spark, sf).cells.flatten.sortBy(_._1)
+    val rows = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val flatMass = rows.groupBy { case (_, emb) =>
+      val fi = fine.map(f => qdot(emb, f._2)).zipWithIndex
+        .maxBy { case (d, i) => (d, -i) }._2
+      fine(fi)._1
+    }.view.mapValues(_.length.toLong).toMap
+    val hierMass = bruteHier().values.groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    val got = Similarity.layoutSkewAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    Seq("flat" -> flatMass, "hier" -> hierMass).foreach { case (layout, m) =>
+      val masses = m.values
+      val n = masses.sum
+      assert(got(layout) === ((m.size.toLong, n, masses.min, masses.max,
+        n / m.size, masses.max * 1000000L / n)), s"$layout panel")
+    }
+  }
+
   test("q252's plan is the point: two-level argmax, never the flat √N matrix") {
     val plan = Similarity.hierAssignedHistogram(spark, sf)
       .queryExecution.executedPlan.toString
