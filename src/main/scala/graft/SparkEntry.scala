@@ -531,6 +531,10 @@ object SparkEntry {
     // round's serve finding (hot-bucket concentration under two-level
     // routing) — the number a Lloyd-rebalance must move
     "q258_ann_layout_skew" -> (Similarity.layoutSkewAudit _),
+    // ONE within-cell Lloyd step over the hier layout — the rebalance
+    // q258 demands, executed: exact integer-mean centroids, rows
+    // re-routed, post-step mass distribution + movement in exact ppm
+    "q259_ann_hier_rebalance" -> (Similarity.hierLloydRebalance _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -555,7 +559,7 @@ object SparkEntry {
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
         227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
-        254, 255, 256, 257, 258) ++
+        254, 255, 256, 257, 258, 259) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -5856,6 +5860,55 @@ object SparkEntry {
          |  CAST(SUM(mass) // COUNT(*) AS BIGINT) AS mean_mass,
          |  CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT) AS max_share_ppm
          |FROM mass GROUP BY 1""".stripMargin,
+    // one within-cell Lloyd step replayed exactly: integer-mean
+    // centroids (floor-div, negative-corrected), float reconversion,
+    // two-level re-routing against the updated matrix, skew + movement
+    "q259_ann_hier_rebalance" -> {
+      import graft.operators.Similarity.JlInDim
+      s"""$hierAssignCtes,
+         |qv AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |  FROM e),
+         |pp AS (SELECT unnest(generate_series(1, $JlInDim)) AS pos),
+         |sums AS (SELECT h.bucket, pp.pos,
+         |    CAST(SUM(qv.qe[pp.pos]) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM hier h JOIN qv USING (vec_id), pp
+         |  WHERE h.bucket >= 0
+         |  GROUP BY 1, 2),
+         |mq AS (SELECT bucket, pos,
+         |    CAST((s // n) - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS mean_q
+         |  FROM sums),
+         |newc AS (SELECT bucket AS f_id,
+         |    list(CAST(mean_q / 1000000.0 AS FLOAT) ORDER BY pos) AS new_emb
+         |  FROM mq GROUP BY 1),
+         |fnew AS (SELECT fc.f_id, fc.cell,
+         |    COALESCE(n.new_emb, fc.f_emb) AS f_emb
+         |  FROM fcell fc LEFT JOIN newc n ON n.f_id = fc.f_id),
+         |re AS (SELECT vec_id, bucket_old,
+         |    COALESCE(bucket, -1) AS bucket_new FROM (
+         |    SELECT r.vec_id, h.bucket AS bucket_old, f.f_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM rcell r JOIN hier h USING (vec_id)
+         |    LEFT JOIN fnew f ON f.cell = r.cell) t
+         |  WHERE rk = 1),
+         |mass AS (SELECT bucket_new, CAST(COUNT(*) AS BIGINT) AS mass
+         |         FROM re GROUP BY 1),
+         |mv AS (SELECT CAST(SUM(CASE WHEN bucket_old <> bucket_new THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_moved FROM re)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(mass) AS BIGINT) AS n_rows,
+         |  MIN(mass) AS min_mass, MAX(mass) AS max_mass,
+         |  CAST(SUM(mass) // COUNT(*) AS BIGINT) AS mean_mass,
+         |  CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT) AS max_share_ppm,
+         |  (SELECT n_moved FROM mv) AS n_moved,
+         |  CAST((SELECT n_moved FROM mv) * 1000000 // SUM(mass) AS BIGINT)
+         |    AS moved_ppm
+         |FROM mass""".stripMargin
+    },
     // hier-routed search: queries rank the coarse cells, probe the top
     // cprobe, exact cosine re-rank within the probed cells' rows
     "q254_ann_hier_search" ->

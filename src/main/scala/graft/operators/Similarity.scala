@@ -1751,6 +1751,64 @@ object Similarity {
       .withColumn("max_share_ppm", expr("max_mass * 1000000 DIV n_rows"))
   }
 
+  /** q259: ONE within-cell Lloyd step over the hier layout — the fix
+    * q258's skew panel demands, executed and graded. New fine centroid
+    * = exact integer mean (micro-quantized, floor-div with the q76
+    * negative correction) of the bucket's hier-assigned members,
+    * converted back to float (BIGINT→DOUBLE division, IEEE float
+    * rounding — both engines replay it bit-identically); cells and
+    * coarse router UNCHANGED (a centroid stays in its cell — Lloyd
+    * within the cell, never across); empty buckets keep their seed.
+    * Rows re-route two-level against the updated matrix, and the panel
+    * reports the post-step mass distribution (the q258 columns) plus
+    * how many rows moved, in exact ppm.
+    *
+    * Scale: one two-level assignment pass (persisted — means and
+    * re-assignment share it), one dimension-bounded explode→combine
+    * (nlist·dims groups map-side, the q76/q175 class), an O(model)
+    * driver collect, one more map-only assignment pass, nlist-bounded
+    * aggregation. No join against the corpus anywhere.
+    */
+  def hierLloydRebalance(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val m = hierModel(spark, dir)
+    val assigned = withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
+      .select(col("vec_id"), col("embedding"), col("bucket").as("bucket_old"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val meanRows = assigned
+      .filter(col("bucket_old") >= 0)
+      .select(col("bucket_old").as("bucket"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+        .as(Seq("pos", "vq")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(col("vq")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_q", expr(
+        "CAST((s DIV n) - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0 END) AS BIGINT)"))
+      .select(col("bucket"), col("pos"), col("mean_q"))
+      .collect()
+    val meansByBucket: Map[Long, Array[Float]] =
+      meanRows.groupBy(_.getLong(0)).map { case (b, rs) =>
+        b -> rs.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2).toDouble / 1000000.0).toFloat).toArray
+      }
+    val updated = HierModel(m.coarse,
+      m.cells.map(_.map { case (fid, old) =>
+        fid -> meansByBucket.getOrElse(fid, old) }))
+    val re = withHierBucket(assigned, updated, "embedding")
+      .select(col("vec_id"), col("bucket_old"), col("bucket").as("bucket_new"))
+    val skew = re.groupBy(col("bucket_new"))
+      .agg(count(lit(1)).as("mass"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("mass")).as("n_rows"),
+        min(col("mass")).as("min_mass"), max(col("mass")).as("max_mass"))
+    val moved = re.agg(
+      sum(when(col("bucket_old") =!= col("bucket_new"), 1L).otherwise(0L))
+        .as("n_moved"))
+    skew.crossJoin(moved) // 1-row × 1-row metadata join
+      .withColumn("mean_mass", expr("n_rows DIV n_buckets"))
+      .withColumn("max_share_ppm", expr("max_mass * 1000000 DIV n_rows"))
+      .withColumn("moved_ppm", expr("n_moved * 1000000 DIV n_rows"))
+  }
+
   /** Per-label embedding norm statistics — array numerics as a plain
     * aggregation (exact integer norms).
     */

@@ -264,6 +264,52 @@ class HierAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("q259 rebalance panel matches the driver-side Lloyd replication") {
+    val m = Similarity.hierModel(spark, sf)
+    val rows = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val oldOf = bruteHier() // vec_id -> (cell_id, bucket)
+    // exact integer-mean centroids per old bucket, float-reconverted
+    val means: Map[Long, Array[Float]] = rows
+      .filter { case (vid, _) => oldOf(vid)._2 >= 0 }
+      .groupBy { case (vid, _) => oldOf(vid)._2 }
+      .map { case (b, members) =>
+        val dims = members.head._2.length
+        b -> Array.tabulate(dims) { i =>
+          val s = members.map { case (_, e) =>
+            math.floor(e(i).toDouble * 1e6).toLong }.sum
+          (Math.floorDiv(s, members.length.toLong).toDouble / 1e6).toFloat
+        }
+      }
+    val updCells = m.cells.map(_.map { case (fid, old) =>
+      fid -> means.getOrElse(fid, old) })
+    val re = rows.map { case (vid, emb) =>
+      val ci = m.coarse.map(c => qdot(emb, c._2)).zipWithIndex
+        .maxBy { case (d, i) => (d, -i) }._2
+      val cell = updCells(ci)
+      val bNew =
+        if (cell.isEmpty) -1L
+        else {
+          val fi = cell.map(f => qdot(emb, f._2)).zipWithIndex
+            .maxBy { case (d, i) => (d, -i) }._2
+          cell(fi)._1
+        }
+      (vid, oldOf(vid)._2, bNew)
+    }
+    val masses = re.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val nMoved = re.count { case (_, o, nw) => o != nw }.toLong
+    val got = Similarity.hierLloydRebalance(spark, sf).collect().head
+    assert(got.getLong(0) == masses.size.toLong, "n_buckets")
+    assert(got.getLong(1) == n, "n_rows")
+    assert(got.getLong(2) == masses.values.min, "min_mass")
+    assert(got.getLong(3) == masses.values.max, "max_mass")
+    assert(got.getLong(4) == nMoved.toLong, "n_moved")
+    assert(got.getLong(5) == n / masses.size, "mean_mass")
+    assert(got.getLong(6) == masses.values.max * 1000000L / n, "max_share_ppm")
+    assert(got.getLong(7) == nMoved * 1000000L / n, "moved_ppm")
+  }
+
   test("q252's plan is the point: two-level argmax, never the flat √N matrix") {
     val plan = Similarity.hierAssignedHistogram(spark, sf)
       .queryExecution.executedPlan.toString
