@@ -31,8 +31,8 @@ object BenchBands {
     "dedup" -> 50.2,
     // 38.7 (r12) + 32.2 measured lifecycle additions (q248–q251,
     // executed-commit class) + 5.9 measured hier family (q252–q255)
-    // + 3.7 measured hier artifact (q256–q257) + 2.5 skew+rebalance (q258–q259)
-    "ann" -> 83.1,
+    // + 3.7 measured hier artifact (q256–q257) + 2.5 skew+rebalance (q258–q259) + 4.1 rebalanced artifact (q260–q261)
+    "ann" -> 87.2,
     "relational" -> 33.1,
     "graph" -> 28.9,
     "streaming" -> 26.1,

@@ -535,6 +535,15 @@ object SparkEntry {
     // q258 demands, executed: exact integer-mean centroids, rows
     // re-routed, post-step mass distribution + movement in exact ppm
     "q259_ann_hier_rebalance" -> (Similarity.hierLloydRebalance _),
+    // the rebalanced artifact COMMITTED: q256's machinery over q259's
+    // routing — members keyed by the re-routed buckets, model carrying
+    // the updated centroids with their unchanged cells
+    "q260_ann_hier_rebalanced_commit" ->
+      (graft.operators.AnnIndex.hierRebalancedCommitAudit _),
+    // the hier search served FROM the rebalanced artifact — the serve
+    // gap's closing measurement (probed buckets now near-uniform)
+    "q261_ann_hier_rebalanced_serve" ->
+      (graft.operators.AnnIndex.hierRebalancedServe _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -559,7 +568,7 @@ object SparkEntry {
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
         227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
-        254, 255, 256, 257, 258, 259) ++
+        254, 255, 256, 257, 258, 259, 260, 261) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -5863,38 +5872,9 @@ object SparkEntry {
     // one within-cell Lloyd step replayed exactly: integer-mean
     // centroids (floor-div, negative-corrected), float reconversion,
     // two-level re-routing against the updated matrix, skew + movement
-    "q259_ann_hier_rebalance" -> {
-      import graft.operators.Similarity.JlInDim
+    "q259_ann_hier_rebalance" ->
       s"""$hierAssignCtes,
-         |qv AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
-         |  FROM e),
-         |pp AS (SELECT unnest(generate_series(1, $JlInDim)) AS pos),
-         |sums AS (SELECT h.bucket, pp.pos,
-         |    CAST(SUM(qv.qe[pp.pos]) AS BIGINT) AS s,
-         |    CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM hier h JOIN qv USING (vec_id), pp
-         |  WHERE h.bucket >= 0
-         |  GROUP BY 1, 2),
-         |mq AS (SELECT bucket, pos,
-         |    CAST((s // n) - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0
-         |      END) AS BIGINT) AS mean_q
-         |  FROM sums),
-         |newc AS (SELECT bucket AS f_id,
-         |    list(CAST(mean_q / 1000000.0 AS FLOAT) ORDER BY pos) AS new_emb
-         |  FROM mq GROUP BY 1),
-         |fnew AS (SELECT fc.f_id, fc.cell,
-         |    COALESCE(n.new_emb, fc.f_emb) AS f_emb
-         |  FROM fcell fc LEFT JOIN newc n ON n.f_id = fc.f_id),
-         |re AS (SELECT vec_id, bucket_old,
-         |    COALESCE(bucket, -1) AS bucket_new FROM (
-         |    SELECT r.vec_id, h.bucket AS bucket_old, f.f_id AS bucket,
-         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
-         |        AS rk
-         |    FROM rcell r JOIN hier h USING (vec_id)
-         |    LEFT JOIN fnew f ON f.cell = r.cell) t
-         |  WHERE rk = 1),
+         |$hierRebalanceCtes,
          |mass AS (SELECT bucket_new, CAST(COUNT(*) AS BIGINT) AS mass
          |         FROM re GROUP BY 1),
          |mv AS (SELECT CAST(SUM(CASE WHEN bucket_old <> bucket_new THEN 1
@@ -5907,8 +5887,58 @@ object SparkEntry {
          |  (SELECT n_moved FROM mv) AS n_moved,
          |  CAST((SELECT n_moved FROM mv) * 1000000 // SUM(mass) AS BIGINT)
          |    AS moved_ppm
-         |FROM mass""".stripMargin
-    },
+         |FROM mass""".stripMargin,
+    // the rebalanced artifact's committed membership witnesses + knobs:
+    // the q256 panel over q259's routing, replayed from the raw corpus
+    "q260_ann_hier_rebalanced_commit" ->
+      s"""$hierAssignCtes,
+         |$hierRebalanceCtes
+         |SELECT bucket_new AS bucket, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  bit_xor(vec_id) AS vec_xor,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version,
+         |  (SELECT nlist FROM nl) AS nlist,
+         |  (SELECT ncoarse FROM nc) AS ncoarse,
+         |  (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
+         |   FROM nc) AS cprobe,
+         |  (SELECT GREATEST(1,
+         |     GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |       CAST(ROUND(SQRT(nlist)) AS BIGINT))
+         |     // GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT)))
+         |   FROM nl, nc) AS percell
+         |FROM re GROUP BY 1""".stripMargin,
+    // the hier search against the REBALANCED model: same two-level
+    // probe discipline, fine selection over the updated centroids,
+    // candidates = rows in the re-routed buckets
+    "q261_ann_hier_rebalanced_serve" ->
+      s"""$hierAssignCtes,
+         |$hierRebalanceCtes,
+         |$hierSearchCtes,
+         |fsel2 AS (SELECT q_id, q_emb, n_q, f_id AS bucket FROM (
+         |    SELECT p.q_id, p.q_emb, p.n_q, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.q_id, p.cell
+         |        ORDER BY ${dotSql("f.f_emb", "p.q_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM qpr p JOIN fnew f ON f.cell = p.cell) t
+         |  WHERE rk <= (SELECT percell FROM nh)),
+         |hcand2 AS (
+         |  SELECT p.q_id, r.vec_id, p.n_q,
+         |    ${dotSql("e.embedding", "e.embedding")} AS n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM re r JOIN e ON e.vec_id = r.vec_id
+         |  JOIN fsel2 p ON r.bucket_new = p.bucket
+         |  WHERE r.vec_id <> p.q_id),
+         |hres2 AS (SELECT q_id, vec_id,
+         |    CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+         |      (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE))))
+         |      AS BIGINT) AS cos_ppm
+         |  FROM hcand2)
+         |SELECT q_id, neighbor_id, cos_ppm, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |  FROM hres2) t
+         |WHERE rank <= 5""".stripMargin,
     // hier-routed search: queries rank the coarse cells, probe the top
     // cprobe, exact cosine re-rank within the probed cells' rows
     "q254_ann_hier_search" ->
@@ -5994,6 +6024,47 @@ object SparkEntry {
     * cosines — `hres(q_id, vec_id, cos_ppm)`. Used by q254 and q255 so
     * the search replay cannot drift between the result and its audit.
     */
+  /** Shared one-Lloyd-step rebalance CTE chain (appended after
+    * [[hierAssignCtes]]): micro-quantized per-bucket integer means
+    * (floor-div, negative-corrected), float-reconverted centroids
+    * `fnew(f_id, cell, f_emb)` (empty buckets keep their seed), and the
+    * re-routed corpus `re(vec_id, bucket_old, bucket_new)`. Used by the
+    * q259 panel, the q260 committed audit and the q261 rebalanced
+    * serve so the replayed routing cannot drift between them.
+    */
+  private lazy val hierRebalanceCtes: String = {
+    import graft.operators.Similarity.JlInDim
+    s"""qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+       |  FROM e),
+       |pp AS (SELECT unnest(generate_series(1, $JlInDim)) AS pos),
+       |sums AS (SELECT h.bucket, pp.pos,
+       |    CAST(SUM(qv.qe[pp.pos]) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM hier h JOIN qv USING (vec_id), pp
+       |  WHERE h.bucket >= 0
+       |  GROUP BY 1, 2),
+       |mq AS (SELECT bucket, pos,
+       |    CAST((s // n) - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0
+       |      END) AS BIGINT) AS mean_q
+       |  FROM sums),
+       |newc AS (SELECT bucket AS f_id,
+       |    list(CAST(mean_q / 1000000.0 AS FLOAT) ORDER BY pos) AS new_emb
+       |  FROM mq GROUP BY 1),
+       |fnew AS (SELECT fc.f_id, fc.cell,
+       |    COALESCE(n.new_emb, fc.f_emb) AS f_emb
+       |  FROM fcell fc LEFT JOIN newc n ON n.f_id = fc.f_id),
+       |re AS (SELECT vec_id, bucket_old,
+       |    COALESCE(bucket, -1) AS bucket_new FROM (
+       |    SELECT r.vec_id, h.bucket AS bucket_old, f.f_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
+       |        AS rk
+       |    FROM rcell r JOIN hier h USING (vec_id)
+       |    LEFT JOIN fnew f ON f.cell = r.cell) t
+       |  WHERE rk = 1)""".stripMargin
+  }
+
   private lazy val hierSearchCtes: String =
     s"""cp AS (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
        |       AS cprobe FROM nc),

@@ -812,6 +812,114 @@ object AnnIndex {
         lit(meta.perCell.toLong).as("percell"))
   }
 
+  /** The rebalanced layout's lake root — third layout of one corpus
+    * (flat q244, seed-hier q256, rebalanced-hier q260), coexisting for
+    * side-by-side cutover.
+    */
+  def hierRebalancedRoot(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark, dir)}-hier2"
+
+  /** Build + commit the REBALANCED hier artifact: q259's one-Lloyd-step
+    * model and its re-routed corpus, committed through the same
+    * machinery as q256 — members keyed by `bucket_new`, the model
+    * table carrying the UPDATED fine centroids (with their unchanged
+    * cells) and the unchanged coarse router. This is the full loop the
+    * round's findings demanded: build (q256) → skew graded (q258) →
+    * rebalance graded (q259) → rebalanced artifact served (q261).
+    */
+  def buildHierRebalancedAndCommit(spark: SparkSession, dir: String): HierMeta = {
+    Similarity.withFns(spark)
+    val root = hierRebalancedRoot(spark, dir)
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val nlist = Similarity.nlistFor(n)
+    val ncoarse = Similarity.ncoarseFor(nlist)
+    val cprobe = Similarity.cprobeFor(ncoarse)
+    val perCell = math.max(1, Similarity.nprobeFor(nlist) / cprobe)
+    val (updated, re) = Similarity.hierRebalanced(spark, dir)
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), modelDir(root)).foreach(writer.repair(_))
+    writer.commitPartitioned(
+      re.select(col("vec_id"), col("embedding"),
+        col("bucket_new").as("bucket")),
+      membersDir(root), "bucket")
+    val modelRows = {
+      import spark.implicits._
+      val fine = updated.cells.zipWithIndex.flatMap { case (cell, ci) =>
+        cell.map { case (fid, fEmb) =>
+          (fid, fEmb.toSeq, updated.coarse(ci)._1, "ivf") }
+      }
+      val coarse = updated.coarse.map { case (gid, gEmb) =>
+        (gid, gEmb.toSeq, gid, "coarse") }
+      (fine ++ coarse).toDF("c_id", "embedding", "cell", "kind")
+    }
+    writer.commitPartitioned(modelRows, modelDir(root), "kind")
+    val meta = HierMeta(IndexVersion, n, nlist, ncoarse, cprobe, perCell,
+      corpusFingerprint(spark, dir))
+    lakeFs.writeString(sidecarPath(root),
+      s"""{"version":${meta.version},"n":${meta.n},"nlist":${meta.nlist},""" +
+        s""""ncoarse":${meta.ncoarse},"cprobe":${meta.cprobe},""" +
+        s""""percell":${meta.perCell},"fp":${meta.fp}}""")
+    meta
+  }
+
+  private def readHierMetaAt(spark: SparkSession, root: String): Option[HierMeta] = {
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val p = sidecarPath(root)
+    if (!lakeFs.exists(p)) None
+    else {
+      val s = lakeFs.readString(p)
+      def f(key: String): Option[Long] =
+        s""""$key":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      for (v <- f("version"); n <- f("n"); nl <- f("nlist");
+           nc <- f("ncoarse"); cp <- f("cprobe"); pc <- f("percell");
+           fp <- f("fp"))
+        yield HierMeta(v, n, nl.toInt, nc.toInt, cp.toInt, pc.toInt, fp)
+    }
+  }
+
+  def ensureHierRebalancedCommitted(spark: SparkSession, dir: String): HierMeta = {
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val fp = corpusFingerprint(spark, dir)
+    readHierMetaAt(spark, hierRebalancedRoot(spark, dir))
+      .filter(m => m.version == IndexVersion && m.n == n && m.fp == fp)
+      .getOrElse(buildHierRebalancedAndCommit(spark, dir))
+  }
+
+  /** q260: the rebalanced build + commit + audit — the q256 panel over
+    * q259's routing. The oracle replays the full Lloyd step from the
+    * raw corpus, so committing the WRONG routing (e.g. the seed
+    * assignment, or means computed over the wrong membership) breaks
+    * the hash.
+    */
+  def hierRebalancedCommitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val meta = buildHierRebalancedAndCommit(spark, dir)
+    val root = hierRebalancedRoot(spark, dir)
+    bucketTable(spark, membersDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("vec_xor"))
+      .select(col("bucket"), col("n_members"), col("vec_xor"),
+        lit(meta.version).as("index_version"),
+        lit(meta.nlist.toLong).as("nlist"),
+        lit(meta.ncoarse.toLong).as("ncoarse"),
+        lit(meta.cprobe.toLong).as("cprobe"),
+        lit(meta.perCell.toLong).as("percell"))
+  }
+
+  /** q261: the hier search served FROM the rebalanced artifact — the
+    * measurement that closes the round's serve finding: probed-bucket
+    * mass is now near-uniform (q259's panel), so the candidate re-rank
+    * volume drops toward the flat serve's. Same two-level probe
+    * discipline as q254/q257, centroids and cells off the committed
+    * model, candidates off the committed members.
+    */
+  def hierRebalancedServe(spark: SparkSession, dir: String): DataFrame = {
+    val meta = ensureHierRebalancedCommitted(spark, dir)
+    hierServeFrom(spark, dir, hierRebalancedRoot(spark, dir), meta)
+  }
+
   /** q257: the q254 hier search served FROM the committed hier artifact
     * — hash-equal to the live q254 by construction (the committed
     * routing is byte-identical), but the plan carries ZERO corpus
@@ -821,9 +929,16 @@ object AnnIndex {
     * table, and the corpus is touched only for the query subset.
     */
   def hierServe(spark: SparkSession, dir: String): DataFrame = {
-    Similarity.withFns(spark)
     val meta = ensureHierCommitted(spark, dir)
-    val root = hierIndexRoot(spark, dir)
+    hierServeFrom(spark, dir, hierIndexRoot(spark, dir), meta)
+  }
+
+  /** The committed-hier serve body, parameterized by artifact root —
+    * shared by q257 (seed layout) and q261 (rebalanced layout).
+    */
+  private def hierServeFrom(spark: SparkSession, dir: String,
+      root: String, meta: HierMeta): DataFrame = {
+    Similarity.withFns(spark)
     val coarse = modelLits(spark, root, "coarse")
     val fineByCell = {
       import spark.implicits._

@@ -1751,25 +1751,13 @@ object Similarity {
       .withColumn("max_share_ppm", expr("max_mass * 1000000 DIV n_rows"))
   }
 
-  /** q259: ONE within-cell Lloyd step over the hier layout — the fix
-    * q258's skew panel demands, executed and graded. New fine centroid
-    * = exact integer mean (micro-quantized, floor-div with the q76
-    * negative correction) of the bucket's hier-assigned members,
-    * converted back to float (BIGINT→DOUBLE division, IEEE float
-    * rounding — both engines replay it bit-identically); cells and
-    * coarse router UNCHANGED (a centroid stays in its cell — Lloyd
-    * within the cell, never across); empty buckets keep their seed.
-    * Rows re-route two-level against the updated matrix, and the panel
-    * reports the post-step mass distribution (the q258 columns) plus
-    * how many rows moved, in exact ppm.
-    *
-    * Scale: one two-level assignment pass (persisted — means and
-    * re-assignment share it), one dimension-bounded explode→combine
-    * (nlist·dims groups map-side, the q76/q175 class), an O(model)
-    * driver collect, one more map-only assignment pass, nlist-bounded
-    * aggregation. No join against the corpus anywhere.
+  /** The one-step-rebalanced model plus the re-routed corpus —
+    * (updated model, (vec_id, embedding, bucket_old, bucket_new)).
+    * Shared by the q259 panel and the rebalanced-artifact build (q260):
+    * the build must commit EXACTLY the routing the panel graded.
     */
-  def hierLloydRebalance(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def hierRebalanced(
+      spark: SparkSession, dir: String): (HierModel, DataFrame) = {
     withFns(spark)
     val m = hierModel(spark, dir)
     val assigned = withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
@@ -1795,7 +1783,32 @@ object Similarity {
       m.cells.map(_.map { case (fid, old) =>
         fid -> meansByBucket.getOrElse(fid, old) }))
     val re = withHierBucket(assigned, updated, "embedding")
-      .select(col("vec_id"), col("bucket_old"), col("bucket").as("bucket_new"))
+      .select(col("vec_id"), col("embedding"), col("bucket_old"),
+        col("bucket").as("bucket_new"))
+    (updated, re)
+  }
+
+  /** q259: ONE within-cell Lloyd step over the hier layout — the fix
+    * q258's skew panel demands, executed and graded. New fine centroid
+    * = exact integer mean (micro-quantized, floor-div with the q76
+    * negative correction) of the bucket's hier-assigned members,
+    * converted back to float (BIGINT→DOUBLE division, IEEE float
+    * rounding — both engines replay it bit-identically); cells and
+    * coarse router UNCHANGED (a centroid stays in its cell — Lloyd
+    * within the cell, never across); empty buckets keep their seed.
+    * Rows re-route two-level against the updated matrix, and the panel
+    * reports the post-step mass distribution (the q258 columns) plus
+    * how many rows moved, in exact ppm.
+    *
+    * Scale: one two-level assignment pass (persisted — means and
+    * re-assignment share it), one dimension-bounded explode→combine
+    * (nlist·dims groups map-side, the q76/q175 class), an O(model)
+    * driver collect, one more map-only assignment pass, nlist-bounded
+    * aggregation. No join against the corpus anywhere.
+    */
+  def hierLloydRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val (_, re0) = hierRebalanced(spark, dir)
+    val re = re0.select(col("vec_id"), col("bucket_old"), col("bucket_new"))
     val skew = re.groupBy(col("bucket_new"))
       .agg(count(lit(1)).as("mass"))
       .agg(count(lit(1)).as("n_buckets"), sum(col("mass")).as("n_rows"),

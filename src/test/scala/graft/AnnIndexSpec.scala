@@ -49,6 +49,34 @@ class AnnIndexSpec extends AnyFunSuite {
       "committed per-bucket membership must equal the live routing")
   }
 
+  test("rebalanced artifact: committed masses equal the q259 panel; serve plan is clean") {
+    val audit = AnnIndex.hierRebalancedCommitAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val panel = Similarity.hierLloydRebalance(spark, sf).collect().head
+    assert(audit.size.toLong == panel.getLong(0), "bucket count")
+    assert(audit.values.sum == panel.getLong(1), "total committed rows")
+    assert(audit.values.min == panel.getLong(2) &&
+      audit.values.max == panel.getLong(3), "mass extremes")
+    val plan = AnnIndex.hierRebalancedServe(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("quantizedhierargmaxdot") &&
+      !plan.contains("quantizedargmaxdot"),
+      s"rebalanced serve must not assign the corpus:\n${plan.take(2000)}")
+    assert(plan.contains("graft_ann_index"),
+      s"rebalanced serve must scan committed members:\n${plan.take(2000)}")
+  }
+
+  test("rebalanced lifecycle is idempotent; layouts coexist under one corpus") {
+    val m1 = AnnIndex.ensureHierRebalancedCommitted(spark, sf)
+    val m2 = AnnIndex.ensureHierRebalancedCommitted(spark, sf)
+    assert(m1 === m2)
+    // same knob card as the seed-hier artifact, different root
+    val seed = AnnIndex.ensureHierCommitted(spark, sf)
+    assert(seed.nlist == m1.nlist && seed.ncoarse == m1.ncoarse)
+    assert(AnnIndex.hierRebalancedRoot(spark, sf) !=
+      AnnIndex.hierIndexRoot(spark, sf))
+  }
+
   test("hier lifecycle is idempotent and fingerprint-gated") {
     val m1 = AnnIndex.ensureHierCommitted(spark, sf)
     val m2 = AnnIndex.ensureHierCommitted(spark, sf)
