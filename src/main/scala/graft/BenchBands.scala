@@ -21,18 +21,21 @@ package graft
   */
 object BenchBands {
 
-  /** Round-13 quiet warm subtotals (seconds) at the 251-query surface:
+  /** Round-13 quiet warm subtotals (seconds) at the 261-query surface:
     * the BENCH_r12 sidecar readings, with `ann` raised by the measured
-    * warm cost of the four queries added since (q248 rehearsal + the
-    * q249/q250/q251 lifecycle ops — executed-commit class, write-bound
-    * by purpose).
+    * warm cost of the thirteen queries added in r13 (q248–q251
+    * lifecycle ops — executed-commit class, write-bound by purpose —
+    * plus the q252–q261 hier arc). The r14 close re-pins every value
+    * from a quiet-window measured sidecar (the r13-verdict ask) rather
+    * than by addition.
     */
   val QuietWarmSec: Map[String, Double] = Map(
     "dedup" -> 50.2,
-    // 38.7 (r12) + 32.2 measured lifecycle additions (q248–q251,
-    // executed-commit class) + 5.9 measured hier family (q252–q255)
-    // + 3.7 measured hier artifact (q256–q257) + 2.5 skew+rebalance (q258–q259) + 4.1 rebalanced artifact (q260–q261)
-    "ann" -> 87.2,
+    // 38.7 (r12) + 32.2 measured lifecycle additions (q248–q251)
+    // + 5.9 measured hier family (q252–q255) + 3.7 hier artifact
+    // (q256–q257) + 2.5 skew+rebalance (q258–q259) + 4.1 rebalanced
+    // artifact (q260–q261) = 87.1
+    "ann" -> 87.1,
     "relational" -> 33.1,
     "graph" -> 28.9,
     "streaming" -> 26.1,

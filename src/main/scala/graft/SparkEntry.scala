@@ -544,6 +544,35 @@ object SparkEntry {
     // gap's closing measurement (probed buckets now near-uniform)
     "q261_ann_hier_rebalanced_serve" ->
       (graft.operators.AnnIndex.hierRebalancedServe _),
+    // the PRODUCTION composition committed: N^(5/4) two-level build +
+    // Lloyd-rebalanced layout + 8-byte PQ code rows, one artifact —
+    // commit audit reads back members AND codes witnesses + all knobs
+    "q262_ann_hierpq_index_commit" ->
+      (graft.operators.AnnIndex.hierPqCommitAudit _),
+    // the two-level ADC search served FROM that artifact: candidates
+    // are committed 8-byte code rows, probes ride the committed model,
+    // zero corpus assignment — hash-equal to the live twin (spec-locked)
+    "q263_ann_hierpq_adc_serve" ->
+      (graft.operators.AnnIndex.hierRebalancedPqServe _),
+    // the three-way recall panel (flat / seed-hier / REBALANCED) vs
+    // brute truth — the q259 serve win's missing recall number (the
+    // q90/q255 audit-only cost class)
+    "q264_ann_recall_threeway" -> (Similarity.hierRecallAudit3 _),
+    // hier-routed twin of q226: same bottom-5%-per-bucket screen, the
+    // N^(5/4) assignment law — flat q226 demoted to audit-only at scale
+    "q265_ann_outliers_hier" -> (Similarity.centroidOutliersHier _),
+    // hier-routed twin of q229: same reliability binning over the
+    // two-level-routed 1-NN relation — flat q229 demoted likewise
+    "q266_ann_calibration_hier" -> (Similarity.knnCalibrationHier _),
+    // the refresh policy taught the hier lifecycle: noop / ingest /
+    // REBALANCE / rebuild arms executed on one hier root, decided off
+    // growth ppm + the committed layout's measured bucket-mass skew
+    "q267_ann_hier_refresh" -> (graft.operators.AnnIndex.hierRefreshPolicy _),
+    // the q250 write-amp MITIGATION engineered: append-mode delta
+    // ingest (one file per touched bucket per wave, rows written ∝
+    // arrivals) + threshold compaction, both sides graded per wave
+    "q268_ann_index_append_ingest" ->
+      (graft.operators.AnnIndex.deltaIngestAudit _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -568,7 +597,8 @@ object SparkEntry {
       fam("ann")(41, 42, 43, 76, 81, 83, 88, 90, 99, 106, 107, 108, 109,
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
         227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
-        254, 255, 256, 257, 258, 259, 260, 261) ++
+        254, 255, 256, 257, 258, 259, 260, 261, 262, 263, 264, 265, 266,
+        267, 268) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -853,13 +883,18 @@ object SparkEntry {
 
   // The capped-bucket 1-NN relation `p` over a bucketed `e`/`asg`
   // prefix — ONE definition shared by the q181/q182 confusion matrices
-  // and the q229 calibration panel so the probe semantics cannot drift
-  private lazy val knnNn1Ctes: String =
+  // and the q229/q266 calibration panels so the probe semantics cannot
+  // drift; parameterized by the embedding relation (must carry n_emb)
+  // and the assignment relation (must carry bucket) so the flat and
+  // hier-routed forms replay the SAME pair algebra
+  private lazy val knnNn1Ctes: String = knnNn1CtesOver("e", "asg")
+
+  private def knnNn1CtesOver(eRel: String, asgRel: String): String =
     s"""lb AS (SELECT vec_id, label FROM embeddings),
        |ea AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, e.n_emb, asg.bucket, lb.label,
        |    ROW_NUMBER() OVER (PARTITION BY asg.bucket ORDER BY e.vec_id) AS rn
-       |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+       |  FROM $eRel e JOIN $asgRel asg ON e.vec_id = asg.vec_id
        |  JOIN lb ON e.vec_id = lb.vec_id),
        |capped AS MATERIALIZED (SELECT * FROM ea
        |  WHERE rn <= ${graft.operators.Dedup.EmbBucketCap}),
@@ -6016,6 +6051,398 @@ object SparkEntry {
          |LEFT JOIN fv ON bf.q_id = fv.q_id AND bf.neighbor_id = fv.neighbor_id
          |GROUP BY 1""".stripMargin
     },
+    // the PQ'd rebalanced commit replayed: the Lloyd-step routing
+    // (hierRebalanceCtes) carries the member witnesses, the full-corpus
+    // √(N/4) codebook argmins the code witnesses, all knobs re-derived
+    "q262_ann_hierpq_index_commit" -> {
+      s"""$hierAssignCtes,
+         |$hierRebalanceCtes,
+         |$pqCodeCtes
+         |SELECT r.bucket_new AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  bit_xor(r.vec_id) AS vec_xor,
+         |  CAST(COUNT(*) AS BIGINT) AS n_codes,
+         |  CAST(SUM(cmq.mass) AS BIGINT) AS code_mass,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version,
+         |  (SELECT nlist FROM nl) AS nlist,
+         |  (SELECT ncoarse FROM nc) AS ncoarse,
+         |  (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
+         |   FROM nc) AS cprobe,
+         |  (SELECT GREATEST(1,
+         |     GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |       CAST(ROUND(SQRT(nlist)) AS BIGINT))
+         |     // GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT)))
+         |   FROM nl, nc) AS percell,
+         |  (SELECT k FROM kk) AS k
+         |FROM re r JOIN cmq ON cmq.vec_id = r.vec_id
+         |GROUP BY 1""".stripMargin
+    },
+    // the two-level ADC serve replayed: rebalanced fine selection
+    // (fsel2, the q261 probe discipline over fnew), candidates = the
+    // re-routed membership's code rows, ADC = 8 LUT sums per candidate
+    "q263_ann_hierpq_adc_serve" ->
+      s"""$hierAssignCtes,
+         |$hierRebalanceCtes,
+         |$hierSearchCtes,
+         |$pqCodeCtes,
+         |fsel2 AS (SELECT q_id, f_id AS bucket FROM (
+         |    SELECT p.q_id, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.q_id, p.cell
+         |        ORDER BY ${dotSql("f.f_emb", "p.q_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM qpr p JOIN fnew f ON f.cell = p.cell) t
+         |  WHERE rk <= (SELECT percell FROM nh)),
+         |adcq AS (
+         |  SELECT p.q_id, r.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+         |  FROM fsel2 p
+         |  JOIN re r ON r.bucket_new = p.bucket
+         |  JOIN codeq co ON co.vec_id = r.vec_id
+         |  JOIN dq l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
+         |  WHERE r.vec_id <> p.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, neighbor_id, adc_q, rank FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, adc_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
+         |  FROM adcq) t
+         |WHERE rank <= 5""".stripMargin,
+    // brute top-5 truth vs flat derived, seed-hier, and REBALANCED
+    // layouts — q255's panel widened to the third column
+    "q264_ann_recall_threeway" -> {
+      val cosRank =
+        """ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+          |        CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 /
+          |          (sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT) DESC,
+          |        vec_id ASC) AS rank""".stripMargin
+      s"""$hierAssignCtes,
+         |$hierRebalanceCtes,
+         |$hierSearchCtes,
+         |hv AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cos_ppm DESC, vec_id ASC) AS INT) AS rank
+         |    FROM hres) t
+         |  WHERE rank <= 5),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |fasg AS (SELECT vec_id, f_id AS bucket FROM (
+         |    SELECT e.vec_id, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("f.f_emb", "e.embedding")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM e, fine f) t WHERE rk = 1),
+         |fpr AS (SELECT q_id, q_emb, n_q, f_id AS bucket FROM (
+         |    SELECT qq.q_id, qq.q_emb, qq.n_q, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${dotSql("f.f_emb", "qq.q_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM qq, fine f) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |fcand AS (
+         |  SELECT p.q_id, e.vec_id, p.n_q,
+         |    ${dotSql("e.embedding", "e.embedding")} AS n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM e JOIN fasg a ON e.vec_id = a.vec_id
+         |  JOIN fpr p ON a.bucket = p.bucket
+         |  WHERE e.vec_id <> p.q_id),
+         |fv AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      $cosRank
+         |    FROM fcand) t
+         |  WHERE rank <= 5),
+         |fsel2 AS (SELECT q_id, q_emb, n_q, f_id AS bucket FROM (
+         |    SELECT p.q_id, p.q_emb, p.n_q, f.f_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.q_id, p.cell
+         |        ORDER BY ${dotSql("f.f_emb", "p.q_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM qpr p JOIN fnew f ON f.cell = p.cell) t
+         |  WHERE rk <= (SELECT percell FROM nh)),
+         |hcand2 AS (
+         |  SELECT p.q_id, r.vec_id, p.n_q,
+         |    ${dotSql("e.embedding", "e.embedding")} AS n_emb,
+         |    ${dotSql("p.q_emb", "e.embedding")} AS dot_q
+         |  FROM re r JOIN e ON e.vec_id = r.vec_id
+         |  JOIN fsel2 p ON r.bucket_new = p.bucket
+         |  WHERE r.vec_id <> p.q_id),
+         |rv AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      $cosRank
+         |    FROM hcand2) t
+         |  WHERE rank <= 5),
+         |bfc AS (
+         |  SELECT qq.q_id, e.vec_id, qq.n_q,
+         |    ${dotSql("e.embedding", "e.embedding")} AS n_emb,
+         |    ${dotSql("qq.q_emb", "e.embedding")} AS dot_q
+         |  FROM e, qq WHERE e.vec_id <> qq.q_id),
+         |bf AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q_id, vec_id,
+         |      $cosRank
+         |    FROM bfc) t
+         |  WHERE rank <= 5)
+         |SELECT bf.q_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN fv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_flat_hit,
+         |  CAST(SUM(CASE WHEN hv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_hier_hit,
+         |  CAST(SUM(CASE WHEN rv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_rebal_hit,
+         |  CAST(SUM(CASE WHEN fv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS flat_recall_ppm,
+         |  CAST(SUM(CASE WHEN hv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS hier_recall_ppm,
+         |  CAST(SUM(CASE WHEN rv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS rebal_recall_ppm
+         |FROM bf
+         |LEFT JOIN fv ON bf.q_id = fv.q_id AND bf.neighbor_id = fv.neighbor_id
+         |LEFT JOIN hv ON bf.q_id = hv.q_id AND bf.neighbor_id = hv.neighbor_id
+         |LEFT JOIN rv ON bf.q_id = rv.q_id AND bf.neighbor_id = rv.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
+    // the q226 outlier screen over the TWO-LEVEL routing — same
+    // bottom-5% window algebra, hier membership; bucket −1 (empty
+    // cell) drops via the centroid join exactly as the engine's
+    "q265_ann_outliers_hier" -> {
+      import graft.operators.Similarity.OutlierDenom
+      s"""$hierAssignCtes,
+         |sc AS (SELECT h.vec_id, h.bucket,
+         |    CAST(floor(CAST(${dotSql("e.embedding", "f.f_emb")} AS DOUBLE)
+         |      * 1000000.0 /
+         |      (sqrt(CAST(${dotSql("e.embedding", "e.embedding")} AS DOUBLE)) *
+         |      sqrt(CAST(${dotSql("f.f_emb", "f.f_emb")} AS DOUBLE))))
+         |      AS BIGINT) AS cos_ppm
+         |  FROM hier h JOIN e ON h.vec_id = e.vec_id
+         |  JOIN fine f ON h.bucket = f.f_id),
+         |rk AS (SELECT bucket, vec_id, cos_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+         |      ORDER BY cos_ppm ASC, vec_id ASC) AS INT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_bucket
+         |  FROM sc)
+         |SELECT bucket, vec_id, cos_ppm, rn, n_bucket FROM rk
+         |WHERE rn * $OutlierDenom <= n_bucket""".stripMargin
+    },
+    // the q229 reliability panel over the TWO-LEVEL-routed 1-NN
+    // relation — the SAME shared pair CTEs, assignment swapped to hier
+    "q266_ann_calibration_hier" -> {
+      import graft.operators.Similarity.CalibBinPpm
+      s"""$hierAssignCtes,
+         |en AS (SELECT vec_id, embedding,
+         |  ${dotSql("embedding", "embedding")} AS n_emb FROM e),
+         |${knnNn1CtesOver("en", "hier")},
+         |nn AS (SELECT * FROM p WHERE rk = 1),
+         |b AS (SELECT (cos_ppm + 1000000) // $CalibBinPpm AS bin,
+         |    CASE WHEN label_true = label_pred THEN 1 ELSE 0 END AS correct,
+         |    cos_ppm FROM nn)
+         |SELECT CAST(bin * $CalibBinPpm - 1000000 AS BIGINT) AS bin_lo_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(correct) AS BIGINT) AS n_correct,
+         |  CAST(SUM(correct) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+         |  CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT) AS mean_cos_ppm
+         |FROM b GROUP BY bin""".stripMargin
+    },
+    // the hier refresh policy replayed: base-seeded two-level routing
+    // carries the noop witness (base rows) and ingest witness (full
+    // corpus), its Lloyd step the rebalance witness, the full-corpus
+    // seed routing (hierAssignCtes' hier) the rebuild witness; skews
+    // and decisions are the same algebra the engine executes
+    "q267_ann_hier_refresh" ->
+      s"""$hierAssignCtes,
+         |$hierRebalanceCtes,
+         |hbt AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |bse AS (SELECT e.vec_id, e.embedding FROM e JOIN hbt USING (vec_id)
+         |        WHERE hbt.hb < 900000),
+         |nlb AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
+         |    CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM bse),
+         |ncb AS (SELECT GREATEST(4, CAST(ROUND(SQRT(nlist)) AS BIGINT))
+         |        AS ncoarse FROM nlb),
+         |fineb AS (SELECT f_id, f_emb, rn FROM (
+         |    SELECT vec_id AS f_id, embedding AS f_emb,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM bse) t, nlb
+         |  WHERE rn <= nlb.nlist),
+         |coarseb AS (SELECT f_id AS g_id, f_emb AS g_emb FROM fineb, ncb
+         |            WHERE rn <= ncb.ncoarse),
+         |fcellb AS (SELECT f_id, f_emb, g_id AS cell FROM (
+         |    SELECT f.f_id, f.f_emb, g.g_id,
+         |      ROW_NUMBER() OVER (PARTITION BY f.f_id
+         |        ORDER BY ${dotSql("f.f_emb", "g.g_emb")} DESC, g.g_id ASC)
+         |        AS rk
+         |    FROM fineb f, coarseb g) t WHERE rk = 1),
+         |rcellb AS (SELECT vec_id, embedding, g_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, g.g_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("e.embedding", "g.g_emb")} DESC, g.g_id ASC)
+         |        AS rk
+         |    FROM e, coarseb g) t WHERE rk = 1),
+         |hierb AS (SELECT vec_id, cell, COALESCE(bucket, -1) AS bucket FROM (
+         |    SELECT r.vec_id, r.cell, f.f_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM rcellb r LEFT JOIN fcellb f ON r.cell = f.cell) t
+         |  WHERE rk = 1),
+         |hb_base AS (SELECT h.vec_id, h.bucket FROM hierb h
+         |            JOIN hbt USING (vec_id) WHERE hbt.hb < 900000),
+         |sumsb AS (SELECT h.bucket, pp.pos,
+         |    CAST(SUM(qv.qe[pp.pos]) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM hierb h JOIN qv USING (vec_id), pp
+         |  WHERE h.bucket >= 0 GROUP BY 1, 2),
+         |mqb AS (SELECT bucket, pos,
+         |    CAST((s // n) - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS mean_q FROM sumsb),
+         |newcb AS (SELECT bucket AS f_id,
+         |    list(CAST(mean_q / 1000000.0 AS FLOAT) ORDER BY pos) AS new_emb
+         |  FROM mqb GROUP BY 1),
+         |fnewb AS (SELECT fc.f_id, fc.cell,
+         |    COALESCE(n.new_emb, fc.f_emb) AS f_emb
+         |  FROM fcellb fc LEFT JOIN newcb n ON n.f_id = fc.f_id),
+         |reb AS (SELECT vec_id, COALESCE(bucket, -1) AS bucket_new FROM (
+         |    SELECT r.vec_id, f.f_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM rcellb r LEFT JOIN fnewb f ON f.cell = r.cell) t
+         |  WHERE rk = 1),
+         |wnoop AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets FROM hb_base),
+         |wingest AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets FROM hierb),
+         |wrebal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket_new) AS BIGINT) AS n_buckets FROM reb),
+         |wrebuild AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets FROM hier),
+         |skb AS (SELECT CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT)
+         |    AS skew FROM (SELECT bucket, COUNT(*) AS mass FROM hb_base
+         |                  GROUP BY 1) t),
+         |skf AS (SELECT CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT)
+         |    AS skew FROM (SELECT bucket, COUNT(*) AS mass FROM hierb
+         |                  GROUP BY 1) t),
+         |skr AS (SELECT CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT)
+         |    AS skew FROM (SELECT bucket_new, COUNT(*) AS mass FROM reb
+         |                  GROUP BY 1) t),
+         |g AS (SELECT CAST((SELECT COUNT(*) FROM hbt WHERE hb >= 900000)
+         |    * 1000000 // (SELECT COUNT(*) FROM bse) AS BIGINT) AS growth_ppm),
+         |sc4 AS (SELECT * FROM (VALUES
+         |    ('fresh', CAST(200000 AS BIGINT), CAST(500000 AS BIGINT),
+         |     CAST(2000000 AS BIGINT)),
+         |    ('stale', CAST(50000 AS BIGINT), CAST(500000 AS BIGINT),
+         |     CAST(2000000 AS BIGINT)),
+         |    ('hot', CAST(50000 AS BIGINT), CAST(500000 AS BIGINT),
+         |     CAST(0 AS BIGINT)),
+         |    ('drift', CAST(10000 AS BIGINT), CAST(50000 AS BIGINT),
+         |     CAST(2000000 AS BIGINT)))
+         |  AS t(scenario, low_ppm, high_ppm, skew_cap_ppm)),
+         |pre AS (SELECT sc4.scenario,
+         |    CASE sc4.scenario WHEN 'fresh' THEN (SELECT skew FROM skb)
+         |      WHEN 'stale' THEN (SELECT skew FROM skb)
+         |      WHEN 'hot' THEN (SELECT skew FROM skf)
+         |      ELSE (SELECT skew FROM skr) END AS skew_pre
+         |  FROM sc4)
+         |SELECT sc4.scenario,
+         |  CASE WHEN g.growth_ppm < sc4.low_ppm THEN 'noop'
+         |    WHEN g.growth_ppm >= sc4.high_ppm THEN 'rebuild'
+         |    WHEN pre.skew_pre > sc4.skew_cap_ppm THEN 'rebalance'
+         |    ELSE 'ingest' END AS decision,
+         |  g.growth_ppm, sc4.low_ppm, sc4.high_ppm, sc4.skew_cap_ppm,
+         |  pre.skew_pre AS skew_pre_ppm,
+         |  w.n_members, w.vec_xor, w.n_buckets,
+         |  CASE WHEN sc4.scenario = 'drift' THEN (SELECT nlist FROM nl)
+         |    ELSE (SELECT nlist FROM nlb) END AS nlist,
+         |  CASE WHEN sc4.scenario = 'drift' THEN (SELECT ncoarse FROM nc)
+         |    ELSE (SELECT ncoarse FROM ncb) END AS ncoarse
+         |FROM sc4 JOIN pre USING (scenario), g,
+         |  LATERAL (SELECT w1.* FROM wnoop w1 WHERE sc4.scenario = 'fresh'
+         |    UNION ALL SELECT w2.* FROM wingest w2 WHERE sc4.scenario = 'stale'
+         |    UNION ALL SELECT w3.* FROM wrebal w3 WHERE sc4.scenario = 'hot'
+         |    UNION ALL SELECT w4.* FROM wrebuild w4 WHERE sc4.scenario = 'drift')
+         |    w""".stripMargin,
+    // append-mode ingest replayed: arrivals/touched per wave off the
+    // base(<0.7)-seeded assignment (the q250 algebra), rows appended =
+    // arrivals (waves are disjoint), file counts from the structural
+    // one-file-per-touch law (base contributes 1, each touching wave
+    // 1), compaction when the count exceeds the bound (with 3 waves and
+    // bound 3, reachable only at wave 3: base + 3 touches = 4 — no
+    // earlier compaction can fire, so the cumulative formula is exact)
+    "q268_ann_index_append_ingest" -> {
+      val maxFiles = graft.operators.AnnIndex.CompactFilesMax
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |hbt AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |base AS (SELECT emb.vec_id, emb.embedding
+         |         FROM emb JOIN hbt USING (vec_id) WHERE hbt.hb < 700000),
+         |nb AS (SELECT
+         |    GREATEST(${graft.operators.Similarity.IvfNlist},
+         |      CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM base),
+         |bcents AS (SELECT c_id, c_emb FROM (
+         |    SELECT vec_id AS c_id, embedding AS c_emb,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM base) t, nb
+         |  WHERE rn <= nb.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM emb e, bcents c) t
+         |  WHERE rk = 1),
+         |j AS (SELECT asg.vec_id, asg.bucket, hbt.hb
+         |      FROM asg JOIN hbt USING (vec_id)),
+         |wv AS (SELECT * FROM (VALUES
+         |    (CAST(1 AS BIGINT), CAST(700000 AS BIGINT), CAST(800000 AS BIGINT)),
+         |    (CAST(2 AS BIGINT), CAST(800000 AS BIGINT), CAST(900000 AS BIGINT)),
+         |    (CAST(3 AS BIGINT), CAST(900000 AS BIGINT), CAST(1000000 AS BIGINT)))
+         |  AS t(w, lo, hi)),
+         |aw AS (SELECT wv.w, j.vec_id, j.bucket
+         |       FROM wv JOIN j ON j.hb >= wv.lo AND j.hb < wv.hi),
+         |arrc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_arrivals
+         |         FROM aw GROUP BY 1),
+         |tb AS (SELECT DISTINCT w, bucket FROM aw),
+         |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_touched
+         |       FROM tb GROUP BY 1),
+         |basep AS (SELECT DISTINCT bucket FROM j WHERE hb < 700000),
+         |cum AS (SELECT w1.w, t.bucket,
+         |    CAST(COUNT(DISTINCT t.w) AS BIGINT) AS touches
+         |  FROM wv w1 JOIN tb t ON t.w <= w1.w GROUP BY 1, 2),
+         |f AS (SELECT cum.w, cum.bucket, cum.touches +
+         |    (CASE WHEN bp.bucket IS NOT NULL THEN 1 ELSE 0 END) AS files
+         |  FROM cum LEFT JOIN basep bp ON bp.bucket = cum.bucket),
+         |comp AS (SELECT w, bucket FROM f WHERE files > $maxFiles),
+         |compc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_compact
+         |          FROM comp GROUP BY 1),
+         |comprows AS (SELECT c.w, CAST(COUNT(*) AS BIGINT) AS rows_compacted
+         |  FROM comp c JOIN wv ON wv.w = c.w
+         |  JOIN j ON j.bucket = c.bucket AND j.hb < wv.hi
+         |  GROUP BY 1),
+         |mf AS (SELECT w, CAST(MAX(CASE WHEN files > $maxFiles THEN 1
+         |    ELSE files END) AS BIGINT) AS mx FROM f GROUP BY 1),
+         |tot AS (SELECT wv.w, CAST(COUNT(*) AS BIGINT) AS n_total
+         |        FROM wv JOIN j ON j.hb < wv.hi GROUP BY 1)
+         |SELECT wv.w AS wave,
+         |  COALESCE(arrc.n_arrivals, 0) AS n_arrivals,
+         |  COALESCE(tc.n_touched, 0) AS n_touched,
+         |  COALESCE(arrc.n_arrivals, 0) AS rows_appended,
+         |  COALESCE(compc.n_compact, 0) AS n_compact_buckets,
+         |  COALESCE(comprows.rows_compacted, 0) AS rows_compacted,
+         |  CASE WHEN COALESCE(arrc.n_arrivals, 0) = 0 THEN 0
+         |    ELSE (arrc.n_arrivals + COALESCE(comprows.rows_compacted, 0))
+         |      * 1000000 // arrc.n_arrivals END AS write_amp_ppm,
+         |  GREATEST(COALESCE(mf.mx, 1), 1) AS max_files_bucket,
+         |  tot.n_total
+         |FROM wv
+         |LEFT JOIN arrc USING (w)
+         |LEFT JOIN tc USING (w)
+         |LEFT JOIN compc USING (w)
+         |LEFT JOIN comprows USING (w)
+         |LEFT JOIN mf USING (w)
+         |JOIN tot USING (w)""".stripMargin
+    },
   )
 
   /** Shared hier-SEARCH CTE chain (appended after [[hierAssignCtes]]):
@@ -6032,6 +6459,34 @@ object SparkEntry {
     * q259 panel, the q260 committed audit and the q261 rebalanced
     * serve so the replayed routing cannot drift between them.
     */
+  /** Shared PQ-code CTE chain for the hier-PQ artifact oracles
+    * (appended after [[hierRebalanceCtes]], whose `qv` micro-quantized
+    * vectors it reuses): full-corpus √(N/4) codebook width `kk`,
+    * codebook rows `cbq`, per-(vector, codebook entry, subspace)
+    * quantized L2 `dq` (doubles as the ADC LUT — `dq` at vec_id =
+    * q_id), positional argmin codes `codeq`, and per-vector code mass
+    * `cmq`. The q244/q108 algebra verbatim, shared so q262's commit
+    * witnesses and q263's ADC ranking cannot drift.
+    */
+  private lazy val pqCodeCtes: String = {
+    import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+    s"""kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+       |       FROM e),
+       |cbq AS (SELECT vec_id AS c_id, qe AS cq FROM qv, kk WHERE vec_id < kk.k),
+       |dq AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+       |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+       |    FROM qv q, cbq c,
+       |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+       |    GROUP BY 1, 2, 3),
+       |codeq AS (SELECT vec_id, m, c_id AS code FROM (
+       |    SELECT vec_id, m, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+       |    FROM dq) t
+       |  WHERE rn = 1),
+       |cmq AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS mass
+       |       FROM codeq GROUP BY 1)""".stripMargin
+  }
+
   private lazy val hierRebalanceCtes: String = {
     import graft.operators.Similarity.JlInDim
     s"""qv AS (SELECT vec_id, list_transform(embedding,

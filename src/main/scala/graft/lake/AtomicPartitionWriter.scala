@@ -372,6 +372,62 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     }
   }
 
+  /** The APPEND-side delta primitive — the write-amplification
+    * mitigation [[upsertPartitions]]'s wholesale-bucket swap demands at
+    * high ingest rates: stage `df` once via `partitionBy(partCol)`,
+    * then MOVE each staged partition's data files INTO the existing
+    * live partition directory under stage-unique names. Kept rows are
+    * never rewritten — IO ∝ the delta alone, not the touched buckets'
+    * occupancy — at the cost of one extra file per touched partition
+    * per append (callers bound that with a file-count-threshold
+    * compaction pass; [[graft.operators.AnnIndex]] grades both sides).
+    *
+    * Atomicity is PER FILE, not per partition: a crash mid-append
+    * leaves whole files (rename is atomic), possibly a partial subset
+    * of the staged set — readers gating on a version sidecar never see
+    * the half-applied append as current, and a replayed append is made
+    * row-idempotent by the caller's anti-join against existing
+    * members, the same contract as [[upsertPartitions]]' delta chain.
+    * Returns data files appended per partition value.
+    */
+  def appendPartitions(df: DataFrame, tableDir: String,
+      partCol: String): Map[String, Int] = withCommitLease(tableDir) {
+    val staging = s"$tableDir/${partCol}_append_tmp"
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    try {
+      df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
+      fsOps.fs
+        .listStatus(new org.apache.hadoop.fs.Path(staging))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$partCol="))
+        .sorted
+        .map { p =>
+          val fin = s"$tableDir/$p"
+          fsOps.mkdirs(fin)
+          val files = fsOps.fs
+            .listStatus(new org.apache.hadoop.fs.Path(s"$staging/$p"))
+            .filter(_.isFile)
+            .map(_.getPath.getName)
+            .filter(n => !n.startsWith("_") && !n.startsWith("."))
+            .sorted
+          files.zipWithIndex.foreach { case (f, i) =>
+            heldLease.get().foreach { case (lp, token) =>
+              if (!ownsLease(lp, token))
+                throw new AtomicPartitionWriter.LeaseLostException(
+                  lp.stripSuffix("/_commit_lease"))
+            }
+            if (!fsOps.rename(s"$staging/$p/$f", s"$fin/append-$stamp-$i-$f"))
+              throw new IllegalStateException(
+                s"append rename failed: $staging/$p/$f -> $fin")
+          }
+          p.stripPrefix(s"$partCol=") -> files.length
+        }.toMap
+    } finally {
+      if (fsOps.exists(staging)) fsOps.delete(staging)
+    }
+  }
+
   /** The rename dance with rollback (reference `_hdfs_swap`,
     * `jobs/utils/retry.py:130-165`). Before touching anything it
     * re-verifies the calling thread's commit lease: a holder whose lease

@@ -705,10 +705,12 @@ object AnnIndex {
 
   /** The hier artifact's identity card: the frozen two-level knobs
     * (ncoarse, cprobe, perCell) ride beside the fine width so the
-    * serve path replays the exact probe discipline the build froze.
+    * serve path replays the exact probe discipline the build froze;
+    * `k` is the PQ codebook width frozen by the coded layouts (q262 —
+    * the members-only layouts freeze it too, for one sidecar format).
     */
   final case class HierMeta(version: Long, n: Long, nlist: Int,
-    ncoarse: Int, cprobe: Int, perCell: Int, fp: Long)
+    ncoarse: Int, cprobe: Int, perCell: Int, k: Int, fp: Long)
 
   /** Separate lake root per layout: the flat (q244) and hier (q256)
     * artifacts of one corpus coexist — a router migration runs both
@@ -725,16 +727,56 @@ object AnnIndex {
     * crash-certifiable commit order as [[buildAndCommit]]: sidecar
     * dropped first, written last.
     */
-  def buildHierAndCommit(spark: SparkSession, dir: String): HierMeta = {
-    Similarity.withFns(spark)
-    val root = hierIndexRoot(spark, dir)
+  /** The derived two-level + PQ knob set for a corpus of `n` rows —
+    * one derivation shared by every hier build so the frozen knobs
+    * cannot drift between layouts.
+    */
+  private def hierKnobsFor(spark: SparkSession, dir: String): HierMeta = {
     val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
     val nlist = Similarity.nlistFor(n)
     val ncoarse = Similarity.ncoarseFor(nlist)
     val cprobe = Similarity.cprobeFor(ncoarse)
     val perCell = math.max(1, Similarity.nprobeFor(nlist) / cprobe)
+    HierMeta(IndexVersion, n, nlist, ncoarse, cprobe, perCell,
+      Similarity.pqKFor(n), corpusFingerprint(spark, dir))
+  }
+
+  private def writeHierSidecar(lakeFs: graft.lake.LakeFs, root: String,
+      meta: HierMeta): Unit =
+    lakeFs.writeString(sidecarPath(root),
+      s"""{"version":${meta.version},"n":${meta.n},"nlist":${meta.nlist},""" +
+        s""""ncoarse":${meta.ncoarse},"cprobe":${meta.cprobe},""" +
+        s""""percell":${meta.perCell},"k":${meta.k},"fp":${meta.fp}}""")
+
+  /** The (cell, f_id, f_emb) + (coarse) model rows of a [[Similarity
+    * .HierModel]] — the relation every hier layout commits as its
+    * model table.
+    */
+  private def hierModelRows(spark: SparkSession,
+      m: Similarity.HierModel): DataFrame = {
+    import spark.implicits._
+    val fine = m.cells.zipWithIndex.flatMap { case (cell, ci) =>
+      cell.map { case (fid, fEmb) =>
+        (fid, fEmb.toSeq, m.coarse(ci)._1, "ivf") }
+    }
+    val coarse = m.coarse.map { case (gid, gEmb) =>
+      (gid, gEmb.toSeq, gid, "coarse") }
+    (fine ++ coarse).toDF("c_id", "embedding", "cell", "kind")
+  }
+
+  def buildHierAndCommit(spark: SparkSession, dir: String): HierMeta =
+    buildHierInto(spark, dir, hierIndexRoot(spark, dir))
+
+  /** [[buildHierAndCommit]] parameterized by target root — the
+    * rebuild arm of the hier refresh policy (q267) rebuilds a
+    * lifecycle root in place with full-corpus knobs and seeds.
+    */
+  private def buildHierInto(spark: SparkSession, dir: String,
+      root: String): HierMeta = {
+    Similarity.withFns(spark)
+    val meta = hierKnobsFor(spark, dir)
     val m = Similarity.hierModelFor(
-      Similarity.centroidLits(spark, dir, nlist), ncoarse)
+      Similarity.centroidLits(spark, dir, meta.nlist), meta.ncoarse)
     val lakeFs = graft.lake.LakeFs.forSpark(spark)
     val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
     if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
@@ -743,41 +785,14 @@ object AnnIndex {
       Similarity.withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
         .select(col("vec_id"), col("embedding"), col("bucket")),
       membersDir(root), "bucket")
-    val modelRows = {
-      import spark.implicits._
-      val fine = m.cells.zipWithIndex.flatMap { case (cell, ci) =>
-        cell.map { case (fid, fEmb) =>
-          (fid, fEmb.toSeq, m.coarse(ci)._1, "ivf") }
-      }
-      val coarse = m.coarse.map { case (gid, gEmb) =>
-        (gid, gEmb.toSeq, gid, "coarse") }
-      (fine ++ coarse).toDF("c_id", "embedding", "cell", "kind")
-    }
-    writer.commitPartitioned(modelRows, modelDir(root), "kind")
-    val meta = HierMeta(IndexVersion, n, nlist, ncoarse, cprobe, perCell,
-      corpusFingerprint(spark, dir))
-    lakeFs.writeString(sidecarPath(root),
-      s"""{"version":${meta.version},"n":${meta.n},"nlist":${meta.nlist},""" +
-        s""""ncoarse":${meta.ncoarse},"cprobe":${meta.cprobe},""" +
-        s""""percell":${meta.perCell},"fp":${meta.fp}}""")
+    writer.commitPartitioned(hierModelRows(spark, m), modelDir(root), "kind")
+    writeHierSidecar(lakeFs, root, meta)
     meta
   }
 
   /** The committed hier meta, or None (absent/unparseable sidecar). */
-  def readHierMeta(spark: SparkSession, dir: String): Option[HierMeta] = {
-    val lakeFs = graft.lake.LakeFs.forSpark(spark)
-    val p = sidecarPath(hierIndexRoot(spark, dir))
-    if (!lakeFs.exists(p)) None
-    else {
-      val s = lakeFs.readString(p)
-      def f(key: String): Option[Long] =
-        s""""$key":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-      for (v <- f("version"); n <- f("n"); nl <- f("nlist");
-           nc <- f("ncoarse"); cp <- f("cprobe"); pc <- f("percell");
-           fp <- f("fp"))
-        yield HierMeta(v, n, nl.toInt, nc.toInt, cp.toInt, pc.toInt, fp)
-    }
-  }
+  def readHierMeta(spark: SparkSession, dir: String): Option[HierMeta] =
+    readHierMetaAt(spark, hierIndexRoot(spark, dir))
 
   /** Same reuse law as [[ensureCommitted]]: layout version + corpus row
     * count + content fingerprint, or rebuild.
@@ -830,12 +845,8 @@ object AnnIndex {
   def buildHierRebalancedAndCommit(spark: SparkSession, dir: String): HierMeta = {
     Similarity.withFns(spark)
     val root = hierRebalancedRoot(spark, dir)
-    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
-    val nlist = Similarity.nlistFor(n)
-    val ncoarse = Similarity.ncoarseFor(nlist)
-    val cprobe = Similarity.cprobeFor(ncoarse)
-    val perCell = math.max(1, Similarity.nprobeFor(nlist) / cprobe)
-    val (updated, re) = Similarity.hierRebalanced(spark, dir)
+    val meta = hierKnobsFor(spark, dir)
+    val (updated, re, release) = Similarity.hierRebalanced(spark, dir)
     val lakeFs = graft.lake.LakeFs.forSpark(spark)
     val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
     if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
@@ -844,23 +855,10 @@ object AnnIndex {
       re.select(col("vec_id"), col("embedding"),
         col("bucket_new").as("bucket")),
       membersDir(root), "bucket")
-    val modelRows = {
-      import spark.implicits._
-      val fine = updated.cells.zipWithIndex.flatMap { case (cell, ci) =>
-        cell.map { case (fid, fEmb) =>
-          (fid, fEmb.toSeq, updated.coarse(ci)._1, "ivf") }
-      }
-      val coarse = updated.coarse.map { case (gid, gEmb) =>
-        (gid, gEmb.toSeq, gid, "coarse") }
-      (fine ++ coarse).toDF("c_id", "embedding", "cell", "kind")
-    }
-    writer.commitPartitioned(modelRows, modelDir(root), "kind")
-    val meta = HierMeta(IndexVersion, n, nlist, ncoarse, cprobe, perCell,
-      corpusFingerprint(spark, dir))
-    lakeFs.writeString(sidecarPath(root),
-      s"""{"version":${meta.version},"n":${meta.n},"nlist":${meta.nlist},""" +
-        s""""ncoarse":${meta.ncoarse},"cprobe":${meta.cprobe},""" +
-        s""""percell":${meta.perCell},"fp":${meta.fp}}""")
+    release() // commits are eager — the rebalance cache is done
+    writer.commitPartitioned(hierModelRows(spark, updated),
+      modelDir(root), "kind")
+    writeHierSidecar(lakeFs, root, meta)
     meta
   }
 
@@ -874,8 +872,9 @@ object AnnIndex {
         s""""$key":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       for (v <- f("version"); n <- f("n"); nl <- f("nlist");
            nc <- f("ncoarse"); cp <- f("cprobe"); pc <- f("percell");
-           fp <- f("fp"))
-        yield HierMeta(v, n, nl.toInt, nc.toInt, cp.toInt, pc.toInt, fp)
+           k <- f("k"); fp <- f("fp"))
+        yield HierMeta(v, n, nl.toInt, nc.toInt, cp.toInt, pc.toInt,
+          k.toInt, fp)
     }
   }
 
@@ -972,5 +971,414 @@ object AnnIndex {
         "CAST(floor(CAST(dot_q AS DOUBLE) * 1000000.0 / " +
           "(sqrt(CAST(n_q AS DOUBLE)) * sqrt(CAST(n_emb AS DOUBLE)))) AS BIGINT)"))
     Similarity.topkPerQuery(candidates, "cos_ppm", 5)
+  }
+
+  // ──────────── PQ-coded rebalanced hier artifact (q262/q263) ───────
+  //
+  // The production composition the round-13 table implies but did not
+  // build: N^(5/4) two-level build (q252) + the Lloyd-rebalanced
+  // layout (q259, hottest bucket 8.4×→2.0× mean) + 8-byte PQ candidate
+  // rows (q244's coding, the 100 TB read-3-TB-not-100 property). The
+  // flat artifact had all three pieces separately; this root carries
+  // them together, and the serve (q263) reads ONLY committed code rows
+  // for candidates — zero corpus assignment, zero float vectors on the
+  // candidate side.
+
+  /** Fourth layout root of one corpus (flat q244, seed-hier q256,
+    * rebalanced-hier q260, PQ'd-rebalanced q262) — separate on purpose,
+    * so a cutover runs them side by side and switches by path.
+    */
+  def hierPqRoot(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark, dir)}-hier2pq"
+
+  /** Train + commit the PQ-coded rebalanced hier artifact: q259's
+    * one-Lloyd-step model and re-routed members, PLUS the 8-byte code
+    * rows keyed by the SAME rebalanced buckets, PLUS the model table
+    * carrying fine (with cells), coarse AND the PQ codebook. Same
+    * crash-certifiable commit order as every build here: sidecar
+    * dropped first, written last.
+    */
+  def buildHierRebalancedPqAndCommit(spark: SparkSession, dir: String): HierMeta = {
+    Similarity.withFns(spark)
+    val root = hierPqRoot(spark, dir)
+    val meta = hierKnobsFor(spark, dir)
+    val pqCents = Similarity.centroidLits(spark, dir, meta.k)
+    val (updated, re, release) = Similarity.hierRebalanced(spark, dir)
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), codesDir(root), modelDir(root))
+      .foreach(writer.repair(_))
+    val members = re.select(col("vec_id"), col("embedding"),
+      col("bucket_new").as("bucket"))
+    writer.commitPartitioned(members, membersDir(root), "bucket")
+    writer.commitPartitioned(
+      Similarity.withPqDistanceArrays(members, pqCents)
+        .select(col("vec_id") +: col("bucket") +:
+          (0 until Similarity.PqSubspaces)
+            .map(m => Similarity.pqCode(m).as(s"code_$m")): _*),
+      codesDir(root), "bucket")
+    release() // both corpus-sized commits are done
+    val pqRows = {
+      import spark.implicits._
+      pqCents.map { case (cid, emb) => (cid, emb.toSeq, cid, "pq") }
+        .toDF("c_id", "embedding", "cell", "kind")
+    }
+    writer.commitPartitioned(
+      hierModelRows(spark, updated).unionByName(pqRows),
+      modelDir(root), "kind")
+    writeHierSidecar(lakeFs, root, meta)
+    meta
+  }
+
+  def ensureHierRebalancedPqCommitted(spark: SparkSession, dir: String): HierMeta = {
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val fp = corpusFingerprint(spark, dir)
+    readHierMetaAt(spark, hierPqRoot(spark, dir))
+      .filter(m => m.version == IndexVersion && m.n == n && m.fp == fp)
+      .getOrElse(buildHierRebalancedPqAndCommit(spark, dir))
+  }
+
+  /** q262: the PQ'd rebalanced build + commit + audit — the q244 panel
+    * (members AND codes witnesses) over q259's routing plus the frozen
+    * two-level + PQ knobs. The oracle replays the Lloyd step and every
+    * subspace argmin from the raw corpus, so committing the wrong
+    * routing, a torn code table, or a knob drift breaks the hash.
+    */
+  def hierPqCommitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val meta = buildHierRebalancedPqAndCommit(spark, dir)
+    val root = hierPqRoot(spark, dir)
+    val members = bucketTable(spark, membersDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("vec_xor"))
+    val codeMass = (0 until Similarity.PqSubspaces)
+      .map(m => col(s"code_$m")).reduce(_ + _)
+    val codes = bucketTable(spark, codesDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_codes"), sum(codeMass).as("code_mass"))
+    members.join(codes, Seq("bucket"))
+      .select(col("bucket"), col("n_members"), col("vec_xor"),
+        col("n_codes"), col("code_mass"),
+        lit(meta.version).as("index_version"),
+        lit(meta.nlist.toLong).as("nlist"),
+        lit(meta.ncoarse.toLong).as("ncoarse"),
+        lit(meta.cprobe.toLong).as("cprobe"),
+        lit(meta.perCell.toLong).as("percell"),
+        lit(meta.k.toLong).as("k"))
+  }
+
+  /** q263: the two-level ADC search served FROM the committed PQ'd
+    * rebalanced artifact — candidates are 8-byte code rows off the
+    * committed codes table (never float vectors, never the corpus),
+    * probe selection is the committed two-level model (coarse ranking +
+    * per-cell fine selection) on the broadcast query side, ranking is
+    * [[Similarity.hierAdcSearch]]'s exact integer ADC. Hash-equal to
+    * the live [[Similarity.hierRebalancedAdcSearch]] by construction
+    * (AnnIndexSpec asserts it); the plan carries zero corpus
+    * assignment and touches the corpus only for the query subset.
+    */
+  def hierRebalancedPqServe(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val meta = ensureHierRebalancedPqCommitted(spark, dir)
+    val root = hierPqRoot(spark, dir)
+    val coarse = modelLits(spark, root, "coarse")
+    val fineByCell = {
+      import spark.implicits._
+      spark.read.parquet(s"${modelDir(root)}/kind=ivf")
+        .select(col("cell"), col("c_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+        .toSeq.toDF("cell", "f_id", "f_emb")
+    }
+    Similarity.hierAdcSearch(
+      bucketTable(spark, codesDir(root)),
+      Similarity.queries(Tables.embeddings(spark, dir)),
+      coarse, fineByCell, modelLits(spark, root, "pq"),
+      meta.cprobe, meta.perCell, meta.k, meta.n / 100L + 1L)
+  }
+
+  // ──────────────────── hier-lifecycle refresh policy (q267) ────────
+
+  /** q267's scenario knobs: (name, growth low ppm, growth high ppm,
+    * skew cap ppm). Growth thresholds follow q249 (the ≥0.9 arrival
+    * split is ~111k ppm at every scale); the skew cap decides between
+    * the two mid-band arms — a cap of 0 always judges the layout too
+    * skewed (forcing the rebalance arm), 2·10⁶ never does (max_share
+    * is ≤ 10⁶ by construction) — so the four rows land one per arm at
+    * EVERY corpus size, the q249 scale-invariance rule.
+    */
+  val HierPolicyScenarios: Seq[(String, Long, Long, Long)] = Seq(
+    ("fresh", 200000L, 500000L, 2000000L),
+    ("stale", 50000L, 500000L, 2000000L),
+    ("hot", 50000L, 500000L, 0L),
+    ("drift", 10000L, 50000L, 2000000L))
+
+  /** The pure decision rule over BOTH lifecycle signals: growth below
+    * `low` → noop; at or above `high` → the model is judged drifted,
+    * rebuild with current-corpus knobs; in between, the committed
+    * layout's measured bucket-mass skew picks between the
+    * touched-bucket ingest and the in-place Lloyd rebalance.
+    */
+  def hierRefreshDecision(growthPpm: Long, lowPpm: Long, highPpm: Long,
+      skewPpm: Long, skewCapPpm: Long): String =
+    if (growthPpm < lowPpm) "noop"
+    else if (growthPpm >= highPpm) "rebuild"
+    else if (skewPpm > skewCapPpm) "rebalance"
+    else "ingest"
+
+  /** The base half of a hier lifecycle root: base-derived two-level
+    * knobs, lowest-base-id fine seeds routed to coarse cells, members
+    * committed under the base model. The q248 base posture with the
+    * two-level router inside.
+    */
+  private final case class HierBaseBuild(nBase: Long, nlist: Int,
+    ncoarse: Int, m: Similarity.HierModel)
+
+  private def commitHierBaseArtifact(spark: SparkSession, root: String,
+      base: DataFrame, writer: graft.lake.AtomicPartitionWriter,
+      lakeFs: graft.lake.LakeFs): HierBaseBuild = {
+    val nBase = base.count()
+    val nlist = Similarity.nlistFor(nBase)
+    val ncoarse = Similarity.ncoarseFor(nlist)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), modelDir(root)).foreach(writer.repair(_))
+    val fineSeeds = base.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).toSeq
+    val m = Similarity.hierModelFor(fineSeeds, ncoarse)
+    writer.commitPartitioned(
+      Similarity.withHierBucket(base, m, "embedding")
+        .select(col("vec_id"), col("embedding"), col("bucket")),
+      membersDir(root), "bucket")
+    writer.commitPartitioned(hierModelRows(spark, m), modelDir(root), "kind")
+    HierBaseBuild(nBase, nlist, ncoarse, m)
+  }
+
+  /** q267: the refresh policy taught the HIER lifecycle — round 13
+    * shipped the deployment recipe (build two-level → Lloyd rebalance →
+    * commit → serve) as manual steps and a flat-only policy (q249);
+    * this EXECUTES the full arm set on one hier lifecycle root, each
+    * decision read off the two lifecycle signals (arrival growth ppm +
+    * the committed layout's measured bucket-mass skew, the q258 panel's
+    * number), each action through the commit lease, each row carrying
+    * post-action COMMITTED witnesses:
+    *
+    *  - noop — artifact stays the base build;
+    *  - ingest — arrivals route two-level with the COMMITTED base
+    *    model (one map-only pass over the delta), touched buckets
+    *    upsert (the q248 discipline);
+    *  - rebalance — one within-cell Lloyd step over the COMMITTED
+    *    membership ([[Similarity.hierLloydStep]]), re-routed members +
+    *    updated model committed wholesale (the q259→q260 recipe,
+    *    policy-driven);
+    *  - rebuild — full-corpus knobs + seeds, wholesale replace.
+    *
+    * The oracle replays every witness from the raw corpus (base-seeded
+    * two-level routing, its full-corpus ingest state, the Lloyd step
+    * over that state, and the full-corpus rebuild), so executing the
+    * wrong arm, tearing a commit, or drifting a knob breaks the hash.
+    */
+  def hierRefreshPolicy(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = hierIndexRoot(spark, dir) + "_policy"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(hb < 900000L)
+    val arrivals = emb.filter(hb >= 900000L)
+    val b = commitHierBaseArtifact(spark, root, base, writer, lakeFs)
+    writeHierSidecar(lakeFs, root, HierMeta(IndexVersion, b.nBase, b.nlist,
+      b.ncoarse, Similarity.cprobeFor(b.ncoarse),
+      math.max(1, Similarity.nprobeFor(b.nlist) / Similarity.cprobeFor(b.ncoarse)),
+      Similarity.pqKFor(b.nBase), corpusFingerprint(spark, dir)))
+    val nArr = arrivals.count()
+    val growthPpm = nArr * 1000000L / b.nBase
+    def skewAndWitness(): (Long, Long, Long, Long) = {
+      val r = bucketTable(spark, membersDir(root))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("mass"), expr("bit_xor(vec_id)").as("x"))
+        .agg(sum(col("mass")).as("n"), expr("bit_xor(x)").as("xx"),
+          count(lit(1)).as("b"), max(col("mass")).as("mx"))
+        .collect()(0)
+      (r.getLong(3) * 1000000L / r.getLong(0), // max_share_ppm
+        r.getLong(0), r.getLong(1), r.getLong(2)) // n, xor, buckets
+    }
+    // the committed model, re-read so the ingest arm provably uses the
+    // ARTIFACT's model (not the builder's in-memory copy)
+    def committedModel(): Similarity.HierModel = {
+      val rows = spark.read.parquet(s"${modelDir(root)}/kind=ivf")
+        .select(col("cell"), col("c_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      val coarse = modelLits(spark, root, "coarse")
+      Similarity.HierModel(coarse,
+        coarse.map { case (gid, _) =>
+          rows.filter(_._1 == gid).map(t => (t._2, t._3)).sortBy(_._1).toSeq
+        })
+    }
+    val rows = HierPolicyScenarios.map { case (scenario, low, high, cap) =>
+      val (skewPre, _, _, _) = skewAndWitness()
+      val decision = hierRefreshDecision(growthPpm, low, high, skewPre, cap)
+      val (nlist, ncoarse) = decision match {
+        case "noop" => (b.nlist, b.ncoarse)
+        case "ingest" =>
+          val m = committedModel()
+          val dm = Similarity.withHierBucket(arrivals, m, "embedding")
+            .select(col("vec_id"), col("embedding"), col("bucket"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val touched = dm.select(col("bucket")).distinct()
+            .collect().map(_.getLong(0))
+          val got = dm.count()
+          val kept = bucketTable(spark, membersDir(root))
+            .filter(col("bucket").isin(touched: _*))
+            .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          writer.upsertPartitions(kept.unionByName(dm),
+            membersDir(root), "bucket")
+          dm.unpersist()
+          writeHierSidecar(lakeFs, root, HierMeta(IndexVersion,
+            b.nBase + got, b.nlist, b.ncoarse,
+            Similarity.cprobeFor(b.ncoarse),
+            math.max(1, Similarity.nprobeFor(b.nlist) /
+              Similarity.cprobeFor(b.ncoarse)),
+            Similarity.pqKFor(b.nBase), corpusFingerprint(spark, dir)))
+          (b.nlist, b.ncoarse)
+        case "rebalance" =>
+          val m = committedModel()
+          val members = bucketTable(spark, membersDir(root))
+            .select(col("vec_id"), col("embedding"),
+              col("bucket").as("bucket_old"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val (updated, re) = Similarity.hierLloydStep(members, m)
+          writer.commitPartitioned(
+            re.select(col("vec_id"), col("embedding"),
+              col("bucket_new").as("bucket")),
+            membersDir(root), "bucket")
+          members.unpersist()
+          writer.commitPartitioned(hierModelRows(spark, updated),
+            modelDir(root), "kind")
+          (b.nlist, b.ncoarse)
+        case _ =>
+          val meta = buildHierInto(spark, dir, root)
+          (meta.nlist, meta.ncoarse)
+      }
+      val (_, nMembers, vecXor, nBuckets) = skewAndWitness()
+      (scenario, decision, growthPpm, low, high, cap, skewPre,
+        nMembers, vecXor, nBuckets, nlist.toLong, ncoarse.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("scenario", "decision", "growth_ppm", "low_ppm", "high_ppm",
+      "skew_cap_ppm", "skew_pre_ppm", "n_members", "vec_xor", "n_buckets",
+      "nlist", "ncoarse")
+  }
+
+  // ──────────── append-mode delta ingest + compaction (q268) ────────
+
+  /** Per-bucket data-file bound for the append-mode ingest: a bucket
+    * exceeding this after an append is compacted back to one file.
+    */
+  val CompactFilesMax = 3
+
+  private def dataFileCount(lakeFs: graft.lake.LakeFs, dir: String): Int =
+    lakeFs.fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+
+  private def bucketFileCounts(lakeFs: graft.lake.LakeFs,
+      tableDir: String): Map[Long, Int] =
+    lakeFs.fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map(st => st.getPath.getName.stripPrefix("bucket=").toLong ->
+        dataFileCount(lakeFs, st.getPath.toString))
+      .toMap
+
+  /** q268: the write-amplification MITIGATION engineered and graded —
+    * q250 measured that the wholesale-bucket upsert rewrites ~10× its
+    * arrivals per ~10% wave (at √N buckets a wave touches nearly every
+    * bucket). This panel runs the SAME 3-wave shape through
+    * [[graft.lake.AtomicPartitionWriter.appendPartitions]]: each wave
+    * assigns its delta with the committed model (map-only, the q248
+    * discipline), anti-joins replayed rows out, and APPENDS one file
+    * per touched bucket — rows written ∝ arrivals, amplification ppm
+    * ≈ 10⁶ instead of ~10⁷. The file-count side is bounded by
+    * measurement, not structure: buckets exceeding [[CompactFilesMax]]
+    * data files after the append are compacted back to one file
+    * through the upsert swap, and THAT IO is the panel's own column —
+    * amortized (a bucket compacts once per [[CompactFilesMax]]-ish
+    * waves), never hidden. Base and every write stage repartition by
+    * bucket so each wave adds exactly ONE file per touched bucket —
+    * the file-count law the oracle replays exactly.
+    *
+    * Reference seam: the 5-minute incremental tick
+    * (`airflow/dags/hadoop_dag.py:115-118`), the cadence at which the
+    * q250 rewrite cost compounds and this append path does not.
+    */
+  def deltaIngestAudit(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = indexRoot(spark, dir) + "_append"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(hb < 700000L)
+    val nBase = base.count()
+    val nlist = Similarity.nlistFor(nBase)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), modelDir(root)).foreach(writer.repair(_))
+    writer.commitPartitioned(
+      seedDf(base, nlist).withColumn("kind", lit("ivf")),
+      modelDir(root), "kind")
+    val cents = modelLits(spark, root, "ivf")
+    writer.commitPartitioned(
+      assignedFor(base, cents).repartition(col("bucket")),
+      membersDir(root), "bucket")
+    var committed = nBase
+    val rows = FragWaves.map { case (wave, lo, hi) =>
+      val dm = assignedFor(emb.filter(hb >= lo && hb < hi), cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touched = dm.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0))
+      val nArr = dm.count()
+      // replay idempotence: rows already present in touched buckets
+      // (a crashed-and-rerun wave) drop out before the append
+      val fresh = dm.join(
+        bucketTable(spark, membersDir(root))
+          .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+        .repartition(col("bucket"))
+        .localCheckpoint() // freeze pre-append state; keeps bucket co-location
+      val nAppended = fresh.count()
+      writer.appendPartitions(fresh, membersDir(root), "bucket")
+      dm.unpersist()
+      // compaction: bound files/bucket, pay the rewrite ONLY where the
+      // bound is hit, and report it as its own column
+      val over = bucketFileCounts(lakeFs, membersDir(root))
+        .filter(_._2 > CompactFilesMax).keys.toSeq.sorted
+      val nCompactedRows = if (over.isEmpty) 0L else {
+        val rows = bucketTable(spark, membersDir(root))
+          .filter(col("bucket").isin(over: _*))
+          .repartition(col("bucket"))
+          .localCheckpoint()
+        val n = rows.count()
+        writer.upsertPartitions(rows, membersDir(root), "bucket")
+        n
+      }
+      committed += nAppended
+      writeSidecar(spark, dir, lakeFs, root, committed, nlist,
+        Similarity.pqKFor(nBase))
+      val maxFiles = bucketFileCounts(lakeFs, membersDir(root))
+        .values.max.toLong
+      val written = nAppended + nCompactedRows
+      (wave, nArr, touched.length.toLong, nAppended,
+        over.length.toLong, nCompactedRows,
+        if (nArr == 0L) 0L else written * 1000000L / nArr,
+        maxFiles, committed)
+    }
+    import spark.implicits._
+    rows.toDF("wave", "n_arrivals", "n_touched", "rows_appended",
+      "n_compact_buckets", "rows_compacted", "write_amp_ppm",
+      "max_files_bucket", "n_total")
   }
 }

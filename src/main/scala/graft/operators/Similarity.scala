@@ -737,12 +737,24 @@ object Similarity {
     * probe semantics cannot drift between them.
     */
   private def nn1At(spark: SparkSession, dir: String,
-      nlist: Int): DataFrame = {
+      nlist: Int): DataFrame =
+    nn1Over(withBucket(Tables.embeddings(spark, dir),
+      centroidLits(spark, dir, nlist), "embedding"))
+
+  /** The 1-NN relation over the HIER-routed buckets — q266's input.
+    * Rows in empty cells share the −1 bucket; the cap bounds that group
+    * like any other.
+    */
+  private def nn1HierAt(spark: SparkSession, dir: String): DataFrame =
+    nn1Over(withHierBucket(Tables.embeddings(spark, dir),
+      hierModel(spark, dir), "embedding"))
+
+  private def nn1Over(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
     withFns(spark)
     val dot = graft.functions.GraftFunctions.DotName
     val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
-    val e = withBucket(Tables.embeddings(spark, dir),
-      centroidLits(spark, dir, nlist), "embedding")
+    val e = assigned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Dedup.EmbBucketCap)
       .withColumn("nq", expr(s"$dot(embedding, embedding)"))
@@ -780,10 +792,33 @@ object Similarity {
     *
     * Scale: rides the q182 1-NN relation (capped-bucket pairs); the
     * panel itself is a ≤ 21-row aggregation.
+    *
+    * AUDIT-ONLY AT SCALE (by decree, the q41/q255 posture): the 1-NN
+    * relation's flat assignment is the measured N^1.5 law — the
+    * production calibration is the hier-routed twin
+    * [[knnCalibrationHier]] (q266, the q252 N^(5/4) class).
     */
   def knnCalibration(spark: SparkSession, dir: String): DataFrame =
-    nn1At(spark, dir,
-      nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings")))
+    calibrationPanel(nn1At(spark, dir,
+      nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))))
+
+  /** q266: [[knnCalibration]] over the TWO-LEVEL-routed 1-NN relation —
+    * the production twin that retires the flat form's N^1.5 assignment
+    * law (q229's cost is dominated by the flat argmax; the capped pair
+    * pass is O(N·cap) either way). Buckets are the hier layout's, so
+    * the calibration grades the scores a hier-routed index actually
+    * serves. The flat q229 remains graded as the audit-only-at-scale
+    * form (the q41 posture).
+    */
+  def knnCalibrationHier(spark: SparkSession, dir: String): DataFrame =
+    calibrationPanel(nn1HierAt(spark, dir))
+
+  /** The reliability-binning tail over an explicit 1-NN relation — ONE
+    * body shared by the flat q229 and hier q266 panels so the binning
+    * algebra cannot drift between them.
+    */
+  private def calibrationPanel(nn1: DataFrame): DataFrame =
+    nn1
       // element-wise floor quantization can push cos_ppm one ulp past
       // −10⁶, making the shifted value negative — floor-correct the
       // bin div so it matches the oracle's `//` there too
@@ -998,16 +1033,40 @@ object Similarity {
     * window passes over ONE bucket-keyed exchange, each partition
     * bucket-capacity-sized (~√N at the derived width). No pairwise
     * expansion anywhere.
+    *
+    * AUDIT-ONLY AT SCALE (by decree, the q41/q255 posture): the flat
+    * argmax against the √N-wide matrix is the measured N^1.5 law
+    * (exp1000 0.91 at the third decade) — run this form when exact
+    * flat-assignment semantics are required for an audit; the
+    * production screen is the hier-routed twin [[centroidOutliersHier]]
+    * (q265, the q252 N^(5/4) class).
     */
   def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
     withFns(spark)
-    val dot = graft.functions.GraftFunctions.DotName
     val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
     val emb = Tables.embeddings(spark, dir)
-    val centsDf = emb.filter(col("vec_id") < nlist)
+    outlierPanel(
+      withBucket(emb, centroidLits(spark, dir, nlist), "embedding"),
+      outlierCentsDf(emb, nlist))
+  }
+
+  /** The fine-centroid relation the outlier panels join against —
+    * (bucket, c_emb), one row per fine centroid.
+    */
+  private def outlierCentsDf(emb: DataFrame, nlist: Int): DataFrame =
+    emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("bucket"), col("embedding").as("c_emb"))
+
+  /** The bottom-5%-by-centroid-cosine screen over an explicit assigned
+    * relation — ONE body shared by the flat q226 and the hier-routed
+    * q265 so the outlier semantics cannot drift between the
+    * audit-only-at-scale flat form and its production twin.
+    */
+  private def outlierPanel(assigned: DataFrame,
+      centsDf: DataFrame): DataFrame = {
+    val dot = graft.functions.GraftFunctions.DotName
     val wB = Window.partitionBy(col("bucket"))
-    withBucket(emb, centroidLits(spark, dir, nlist), "embedding")
+    assigned
       .withColumn("n_v", expr(s"$dot(embedding, embedding)"))
       .join(broadcast(centsDf), Seq("bucket"))
       .withColumn("cos_ppm", expr(
@@ -1020,6 +1079,27 @@ object Similarity {
       .filter(col("rn") * OutlierDenom <= col("n_bucket"))
       .select(col("bucket"), col("vec_id"), col("cos_ppm"), col("rn"),
         col("n_bucket"))
+  }
+
+  /** q265: [[centroidOutliers]] routed TWO-LEVEL — the production twin
+    * that retires the flat form's measured N^1.5 law (q226 exp1000
+    * 0.91): assignment pays the q252 N^(5/4) class, the screen itself
+    * (two windows over one bucket-keyed exchange) is unchanged. Rows a
+    * coarse cell routes elsewhere than the exact argmax are screened
+    * within the bucket they LIVE in under the hier layout — exactly
+    * what a curation pass over a hier-routed index wants (the q253
+    * panel prices the routing disagreement). Rows in empty cells
+    * (bucket −1) drop out via the centroid join, deterministically.
+    * The flat q226 remains graded as the audit-only-at-scale form (the
+    * q41 posture).
+    */
+  def centroidOutliersHier(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val nlist = nlistFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    val emb = Tables.embeddings(spark, dir)
+    outlierPanel(
+      withHierBucket(emb, hierModel(spark, dir), "embedding"),
+      outlierCentsDf(emb, nlist))
   }
 
   /** Embedding covariance-sum audit (q175) — the one-pass statistic
@@ -1717,6 +1797,124 @@ object Similarity {
       .withColumn("flat_recall_ppm", expr("n_flat_hit * 1000000 DIV n_true"))
   }
 
+  /** q264: the THREE-WAY recall panel — flat derived search (q106),
+    * seed-hier search (q254), and the REBALANCED-layout serve (q261)
+    * against the exact brute-force top-5. The q259 Lloyd step's serve
+    * win (348.9→78.1 s at 1000×) shipped in round 13 without its
+    * recall number — the one unguarded claim in the flagship family;
+    * this panel closes it: per query, hits out of the exact top-5 for
+    * each of the three layouts, in counts and exact ppm. Brute truth
+    * makes this the q90/q255 audit-only cost class (documented; never
+    * on the scale path).
+    */
+  def hierRecallAudit3(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceKnn(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val flat = ivfKnnAuto(spark, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("flat", lit(1L))
+    val hier = hierIvfSearch(spark, dir).select(col("q_id"), col("neighbor_id"))
+      .withColumn("hier", lit(1L))
+    val rebal = AnnIndex.hierRebalancedServe(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .withColumn("rebal", lit(1L))
+    bf.join(broadcast(flat), Seq("q_id", "neighbor_id"), "left_outer")
+      .join(broadcast(hier), Seq("q_id", "neighbor_id"), "left_outer")
+      .join(broadcast(rebal), Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("flat"), lit(0L))).as("n_flat_hit"),
+        sum(coalesce(col("hier"), lit(0L))).as("n_hier_hit"),
+        sum(coalesce(col("rebal"), lit(0L))).as("n_rebal_hit"))
+      .withColumn("flat_recall_ppm", expr("n_flat_hit * 1000000 DIV n_true"))
+      .withColumn("hier_recall_ppm", expr("n_hier_hit * 1000000 DIV n_true"))
+      .withColumn("rebal_recall_ppm", expr("n_rebal_hit * 1000000 DIV n_true"))
+  }
+
+  /** The ADC pipeline with TWO-LEVEL probe selection — [[adcSearch]]'s
+    * broadcast layout and slice rule with the flat probe ranking
+    * swapped for the q254 coarse→per-cell discipline. ONE body shared
+    * by the committed-artifact serve (q263, [[AnnIndex]]) and the live
+    * parity twin below so the probe/LUT semantics cannot drift.
+    * `fineByCell` is the (cell, f_id, f_emb) model relation (nlist
+    * rows, broadcast against the tiny probed-cells set).
+    */
+  private[operators] def hierAdcSearch(corpus: DataFrame, qAll: DataFrame,
+      coarse: Seq[(Long, Array[Float])], fineByCell: DataFrame,
+      pqCents: Seq[(Long, Array[Float])], cprobe: Int, perCell: Int,
+      k: Int, nQueries: Long): DataFrame = {
+    val lutCols = (0 until PqSubspaces).map { m =>
+      call_function(graft.functions.GraftFunctions.L2TableName,
+        slice(col("q_emb"), m * PqSubDim + 1, PqSubDim),
+        subCodebookLit(pqCents, m)).as(s"lut_$m")
+    }
+    val adc = (0 until PqSubspaces).map { m =>
+      element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))
+    }.reduce(_ + _)
+    def sliceTopk(cand0: DataFrame, q: DataFrame): DataFrame = {
+      val cellProbes = q
+        .select(col("q_id"), col("q_emb"),
+          explode(slice(sort_array(probeRanking(coarse, "q_emb")), 1, cprobe))
+            .as("p"))
+        .select(col("q_id"), col("q_emb"), col("p.c_id").as("cell"))
+      val wQC = Window.partitionBy(col("q_id"), col("cell"))
+      val probes = cellProbes.join(broadcast(fineByCell), Seq("cell"))
+        .withColumn("fdot", dotQ("q_emb", "f_emb"))
+        .withColumn("rk", row_number().over(
+          wQC.orderBy(col("fdot").desc, col("f_id").asc)))
+        .filter(col("rk") <= perCell)
+        .select(col("q_id"), col("f_id").as("bucket"))
+      val qlut = q.select(col("q_id") +: lutCols: _*)
+      val candidates = cand0.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qlut), Seq("q_id"))
+        .withColumn("adc_q", adc)
+      topkPerQuery(candidates, "adc_q", 5, asc = true)
+    }
+    val s = lutSlices(nQueries, k)
+    if (s == 1) sliceTopk(corpus, qAll)
+    else {
+      val shared = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+      try (0 until s).map { i =>
+        sliceTopk(shared, qAll.filter(pmod(col("q_id"), lit(s.toLong)) === i))
+          .localCheckpoint()
+      }.reduce(_.unionAll(_))
+      finally shared.unpersist()
+    }
+  }
+
+  /** The LIVE twin of the q263 committed-artifact ADC serve — the same
+    * rebalanced routing, PQ coding and two-level ADC discipline with
+    * nothing read from the lake; AnnIndexSpec asserts serve ≡ live (the
+    * q245≡q106 parity posture). Result is eagerly materialized
+    * (queries×5 rows) so the rebalance cache releases before return.
+    */
+  def hierRebalancedAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    withFns(spark)
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val nlist = nlistFor(n)
+    val ncoarse = ncoarseFor(nlist)
+    val cprobe = cprobeFor(ncoarse)
+    val perCell = math.max(1, nprobeFor(nlist) / cprobe)
+    val k = pqKFor(n)
+    val pqCents = centroidLits(spark, dir, k)
+    val (updated, re, release) = hierRebalanced(spark, dir)
+    val corpus = withPqDistanceArrays(
+      re.select(col("vec_id"), col("embedding"),
+        col("bucket_new").as("bucket")), pqCents)
+      .select(col("vec_id") +: col("bucket") +:
+        (0 until PqSubspaces).map(m => pqCode(m).as(s"code_$m")): _*)
+    val fineByCell = {
+      import spark.implicits._
+      updated.cells.zipWithIndex.flatMap { case (cell, ci) =>
+        cell.map { case (fid, fEmb) => (updated.coarse(ci)._1, fid, fEmb.toSeq) }
+      }.toDF("cell", "f_id", "f_emb")
+    }
+    val out = hierAdcSearch(corpus, queries(Tables.embeddings(spark, dir)),
+      updated.coarse, fineByCell, pqCents, cprobe, perCell, k, n / 100L + 1L)
+      .localCheckpoint()
+    release()
+    out
+  }
+
   /** q258: bucket-mass skew, flat layout vs hier layout — the panel
     * that GRADES the round's serve finding (hier routing piles mass
     * onto hot buckets; queries probe exactly those, so served
@@ -1752,17 +1950,37 @@ object Similarity {
   }
 
   /** The one-step-rebalanced model plus the re-routed corpus —
-    * (updated model, (vec_id, embedding, bucket_old, bucket_new)).
-    * Shared by the q259 panel and the rebalanced-artifact build (q260):
-    * the build must commit EXACTLY the routing the panel graded.
+    * (updated model, (vec_id, embedding, bucket_old, bucket_new),
+    * release). Shared by the q259 panel and the rebalanced-artifact
+    * builds (q260/q262): the build must commit EXACTLY the routing the
+    * panel graded. The seed assignment is persisted (the mean pass and
+    * the re-route share it); `release` unpersists it — callers MUST
+    * invoke it after their final action over `re` (commit, collect,
+    * localCheckpoint), or a long-lived session accumulates one cached
+    * corpus copy per invocation (the r13-ADVICE finding).
     */
   private[operators] def hierRebalanced(
-      spark: SparkSession, dir: String): (HierModel, DataFrame) = {
+      spark: SparkSession, dir: String): (HierModel, DataFrame, () => Unit) = {
     withFns(spark)
     val m = hierModel(spark, dir)
     val assigned = withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
       .select(col("vec_id"), col("embedding"), col("bucket").as("bucket_old"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val (updated, re) = hierLloydStep(assigned, m)
+    (updated, re, () => { assigned.unpersist(); () })
+  }
+
+  /** ONE within-cell Lloyd step over an EXPLICIT assigned membership
+    * `(vec_id, embedding, bucket_old)` — the interior of
+    * [[hierRebalanced]], also the rebalance arm of the hier refresh
+    * policy (q267, which steps a COMMITTED artifact's membership
+    * rather than a live corpus assignment). Returns the updated model
+    * and the re-routed rows `(vec_id, embedding, bucket_old,
+    * bucket_new)`. The caller owns `assigned`'s caching: the means
+    * pass and the re-route each scan it once.
+    */
+  private[operators] def hierLloydStep(assigned: DataFrame,
+      m: HierModel): (HierModel, DataFrame) = {
     val meanRows = assigned
       .filter(col("bucket_old") >= 0)
       .select(col("bucket_old").as("bucket"), posexplode(expr(
@@ -1807,7 +2025,7 @@ object Similarity {
     * aggregation. No join against the corpus anywhere.
     */
   def hierLloydRebalance(spark: SparkSession, dir: String): DataFrame = {
-    val (_, re0) = hierRebalanced(spark, dir)
+    val (_, re0, release) = hierRebalanced(spark, dir)
     val re = re0.select(col("vec_id"), col("bucket_old"), col("bucket_new"))
     val skew = re.groupBy(col("bucket_new"))
       .agg(count(lit(1)).as("mass"))
@@ -1816,10 +2034,13 @@ object Similarity {
     val moved = re.agg(
       sum(when(col("bucket_old") =!= col("bucket_new"), 1L).otherwise(0L))
         .as("n_moved"))
-    skew.crossJoin(moved) // 1-row × 1-row metadata join
+    val out = skew.crossJoin(moved) // 1-row × 1-row metadata join
       .withColumn("mean_mass", expr("n_rows DIV n_buckets"))
       .withColumn("max_share_ppm", expr("max_mass * 1000000 DIV n_rows"))
       .withColumn("moved_ppm", expr("n_moved * 1000000 DIV n_rows"))
+      .localCheckpoint() // 1-row eager materialization, then drop the cache
+    release()
+    out
   }
 
   /** Per-label embedding norm statistics — array numerics as a plain

@@ -258,6 +258,107 @@ class AnnIndexSpec extends AnyFunSuite {
       "multi-batch streamed upserts must land byte-identical to the batch ingest")
   }
 
+  test("PQ'd rebalanced serve is row-identical to the live ADC twin; plan is clean") {
+    assert(rows(AnnIndex.hierRebalancedPqServe(spark, sf)) ===
+      rows(Similarity.hierRebalancedAdcSearch(spark, sf)))
+    AnnIndex.ensureHierRebalancedPqCommitted(spark, sf)
+    val plan = AnnIndex.hierRebalancedPqServe(spark, sf)
+      .queryExecution.executedPlan.toString
+    val low = plan.toLowerCase
+    // zero corpus assignment of EITHER kind, candidates off committed
+    // code rows, the corpus touched only for the filtered query subset
+    assert(!low.contains("quantizedhierargmaxdot") &&
+      !low.contains("quantizedargmaxdot"),
+      s"PQ'd rebalanced serve must not assign the corpus:\n${plan.take(2000)}")
+    assert(low.contains("graft_ann_index"),
+      s"PQ'd rebalanced serve must scan the committed codes:\n${plan.take(2000)}")
+    assert(!low.contains("quantizedl2table") ||
+      plan.linesIterator.count(l =>
+        l.contains("embeddings.pa") && !l.contains("% 100")) === 0,
+      s"candidate side must be code rows, not recoded floats:\n${plan.take(2000)}")
+    assert(plan.linesIterator.count(l =>
+      l.contains("embeddings.pa") && !l.contains("% 100")) === 0,
+      s"corpus scanned beyond the query subset:\n${plan.take(2000)}")
+  }
+
+  test("PQ'd rebalanced commit: members = codes per bucket, masses match q259's routing") {
+    val audit = AnnIndex.hierPqCommitAudit(spark, sf).collect()
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_codes") === r.getAs[Long]("n_members"),
+        s"bucket ${r.getLong(0)}: every member needs a code row")
+      assert(r.getAs[Long]("k") >= Similarity.PqK)
+    }
+    // same routing as the members-only rebalanced artifact (q260)
+    val rebal = AnnIndex.hierRebalancedCommitAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit.map(r => r.getLong(0) -> r.getAs[Long]("n_members")).toMap
+      === rebal, "the PQ'd layout must commit EXACTLY the q259 routing")
+  }
+
+  test("hierRefreshDecision: one arm per signal regime") {
+    assert(AnnIndex.hierRefreshDecision(111111L, 200000L, 500000L, 1L, 0L)
+      === "noop") // growth gates first, skew irrelevant below low
+    assert(AnnIndex.hierRefreshDecision(111111L, 50000L, 500000L, 1L,
+      2000000L) === "ingest")
+    assert(AnnIndex.hierRefreshDecision(111111L, 50000L, 500000L, 1L, 0L)
+      === "rebalance")
+    assert(AnnIndex.hierRefreshDecision(111111L, 10000L, 50000L, 1L, 0L)
+      === "rebuild") // growth past high wins over skew
+  }
+
+  test("hier refresh policy walks all four arms and executes what it decides") {
+    val got = AnnIndex.hierRefreshPolicy(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("fresh", "stale", "hot", "drift"))
+    assert(got("fresh").getString(1) === "noop")
+    assert(got("stale").getString(1) === "ingest")
+    assert(got("hot").getString(1) === "rebalance")
+    assert(got("drift").getString(1) === "rebuild")
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(got("fresh").getAs[Long]("n_members") < n) // base only
+    Seq("stale", "hot", "drift").foreach(s =>
+      assert(got(s).getAs[Long]("n_members") === n, s"$s must cover the corpus"))
+    // the rebalance arm must actually move routing: its witness differs
+    // from the ingest state's (same members, different buckets → xor of
+    // members unchanged, bucket count may differ; compare via skew drop)
+    assert(got("drift").getAs[Long]("skew_pre_ppm") <=
+      got("hot").getAs[Long]("skew_pre_ppm"),
+      "the executed Lloyd step must not worsen the hottest-bucket share")
+    // rebuild re-derives knobs from the FULL corpus
+    assert(got("drift").getAs[Long]("nlist") >=
+      got("stale").getAs[Long]("nlist"))
+  }
+
+  test("append-mode ingest: rows written ∝ arrivals, files per bucket bounded") {
+    val waves = AnnIndex.deltaIngestAudit(spark, sf).collect()
+      .sortBy(_.getAs[Long]("wave"))
+    assert(waves.length === 3)
+    waves.foreach { r =>
+      assert(r.getAs[Long]("rows_appended") === r.getAs[Long]("n_arrivals"),
+        "append must write exactly the arrivals, never the kept rows")
+      assert(r.getAs[Long]("max_files_bucket") <= AnnIndex.CompactFilesMax + 1,
+        "file bound: compaction must fire past the threshold")
+    }
+    // amplification: waves without compaction are exactly 1.0 (10^6 ppm);
+    // the compacting wave pays its amortized rewrite as its own column
+    val noCompact = waves.filter(_.getAs[Long]("n_compact_buckets") === 0L)
+    noCompact.foreach(r =>
+      assert(r.getAs[Long]("write_amp_ppm") === 1000000L))
+    // vs the wholesale-swap baseline (q250): every wave there rewrites
+    // touched occupancy — the mitigated panel's total written rows must
+    // be strictly below the q250 law's on the same wave shape
+    val q250 = AnnIndex.fragmentationAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("rows_rewritten")).sum
+    val here = waves.map(r => r.getAs[Long]("rows_appended") +
+      r.getAs[Long]("rows_compacted")).sum
+    assert(here < q250,
+      s"mitigation must write fewer rows than the wholesale swap ($here vs $q250)")
+    // determinism / replay: a rerun rebuilds and lands the same panel
+    val again = AnnIndex.deltaIngestAudit(spark, sf).collect()
+      .sortBy(_.getAs[Long]("wave"))
+    assert(again.map(_.toString).toSeq === waves.map(_.toString).toSeq)
+  }
+
   test("incremental ingest: base ∪ delta covers the corpus, codes ride along") {
     val audit = AnnIndex.incrementalIngestCommit(spark, sf).collect()
     val n = graft.sources.Tables.embeddings(spark, sf).count()

@@ -177,6 +177,39 @@ class LakeSpec extends AnyFunSuite {
     assert(!fs.exists(s"$table/shard=0_old") && !fs.exists(s"$table/shard_stage_tmp"))
   }
 
+  test("appendPartitions adds files without touching existing ones; untouched partitions never move") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    w.commitPartitioned(Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("id", "shard"),
+      table, "shard")
+    def ids(shard: Long): Set[Long] =
+      spark.read.parquet(s"$table/shard=$shard")
+        .collect().map(_.getLong(0)).toSet
+    def listing(p: String) = fs.lsRecursive(p).sorted.map(f =>
+      f -> fs.fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        .getModificationTime)
+    val before0 = listing(s"$table/shard=0")
+    val before1 = listing(s"$table/shard=1")
+    // delta: appends into shard=0, creates shard=3, names neither 1 nor 2
+    val appended = w.appendPartitions(
+      Seq((10L, 0L), (11L, 3L)).toDF("id", "shard"), table, "shard")
+    assert(appended.keySet === Set("0", "3"))
+    // touched partition: old content PLUS the delta — the pre-existing
+    // files are byte-untouched (same names, same mtimes), the delta
+    // arrived as NEW files
+    assert(ids(0L) === Set(1L, 10L))
+    val after0 = listing(s"$table/shard=0")
+    assert(after0.filter(f => before0.exists(_._1 == f._1)) === before0,
+      "append must never rewrite an existing file")
+    assert(after0.size > before0.size, "append must add files")
+    assert(ids(3L) === Set(11L)) // new partition created by the append
+    // untouched partitions: identical files, identical mtimes
+    assert(ids(1L) === Set(2L))
+    assert(listing(s"$table/shard=1") === before1)
+    assert(!fs.exists(s"$table/shard_append_tmp"))
+  }
+
   test("commitPartitioned removes partitions a shrinking re-commit dropped") {
     val table = tmpDir()
     val w = new AtomicPartitionWriter(fsOps, spark)
