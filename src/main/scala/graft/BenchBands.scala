@@ -21,30 +21,33 @@ package graft
   */
 object BenchBands {
 
-  /** Round-13 quiet warm subtotals (seconds) at the 261-query surface:
-    * the BENCH_r12 sidecar readings, with `ann` raised by the measured
-    * warm cost of the thirteen queries added in r13 (q248–q251
-    * lifecycle ops — executed-commit class, write-bound by purpose —
-    * plus the q252–q261 hier arc). The r14 close re-pins every value
-    * from a quiet-window measured sidecar (the r13-verdict ask) rather
-    * than by addition.
+  /** Round-14 re-pin at the 268-query surface — MEASURED, not by
+    * addition (the r13-verdict ask): per-family minimum of the two
+    * full-surface sidecars `/tmp/bench_r14_full{1,2}.json` (warm,
+    * 0 failures, 0 reruns, 0 flags each). Window quality, recorded
+    * honestly: both runs' untouched families read 1.2–1.5× the
+    * r13-era quiet values (streaming 35.2 vs 26.1, graph 43.9 vs
+    * 28.9) — this host's typical-contention regime rather than a
+    * best-case quiet morning; the generous [0.45×, 2×] gate absorbs
+    * the spread in both directions, and pinning from a real sidecar
+    * beats extrapolated addition. BASELINE.md carries the history.
     */
   val QuietWarmSec: Map[String, Double] = Map(
-    "dedup" -> 50.2,
-    // 38.7 (r12) + 32.2 measured lifecycle additions (q248–q251)
-    // + 5.9 measured hier family (q252–q255) + 3.7 hier artifact
-    // (q256–q257) + 2.5 skew+rebalance (q258–q259) + 4.1 rebalanced
-    // artifact (q260–q261) = 87.1
-    "ann" -> 87.1,
-    "relational" -> 33.1,
-    "graph" -> 28.9,
-    "streaming" -> 26.1,
-    "text" -> 24.4,
-    "lake" -> 20.8,
-    "sketch" -> 13.0,
-    "stats" -> 10.0,
-    "sampling" -> 4.9,
-    "multimodal" -> 1.4)
+    // includes the seven r14 additions (q262–q268: the PQ'd rebalanced
+    // artifact + ADC serve, three-way recall, hier twins, hier refresh
+    // policy, append-mode ingest — the policy and ingest panels are
+    // executed-write classes, ~22 s of the subtotal by design)
+    "ann" -> 135.4,
+    "dedup" -> 60.5,
+    "graph" -> 43.9,
+    "relational" -> 40.5,
+    "streaming" -> 35.2,
+    "text" -> 30.3,
+    "lake" -> 26.0,
+    "sketch" -> 17.6,
+    "stats" -> 12.4,
+    "sampling" -> 6.9,
+    "multimodal" -> 1.6)
 
   val LowFactor = 0.45
   val HighFactor = 2.0
