@@ -320,4 +320,17 @@ class HierAssignSpec extends AnyFunSuite {
     assert(!plan.contains("Join"),
       s"assignment is a map-only projection, no join:\n${plan.take(2000)}")
   }
+
+  test("the q265/q266 twins route two-level: flat argmax absent from both plans") {
+    // the twins exist to RETIRE the flat N^1.5 assignment — a regression
+    // that reintroduces the flat matrix silently defeats their purpose
+    Seq(Similarity.centroidOutliersHier(spark, sf),
+      Similarity.knnCalibrationHier(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("quantizedhierargmaxdot"),
+        s"twin must route two-level:\n${plan.take(2000)}")
+      assert(!plan.contains("quantizedargmaxdot"),
+        s"twin must not flat-assign:\n${plan.take(2000)}")
+    }
+  }
 }
