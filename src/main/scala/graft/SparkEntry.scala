@@ -573,6 +573,33 @@ object SparkEntry {
     // arrivals) + threshold compaction, both sides graded per wave
     "q268_ann_index_append_ingest" ->
       (graft.operators.AnnIndex.deltaIngestAudit _),
+    // the PRODUCTION-layout lifecycle completed: base-split hier-PQ
+    // build, arrivals routed with the COMMITTED two-level model and
+    // coded with the COMMITTED positional codebook in one map-only
+    // delta pass, members AND codes upserted per touched bucket —
+    // no N^(5/4)+N^1.5 rebuild at the 5-minute tick
+    "q269_ann_hierpq_ingest" ->
+      (graft.operators.AnnIndex.hierPqIncrementalIngest _),
+    // q268's append + threshold-compaction law extended to the CODES
+    // table: both tables write ∝ arrivals per wave, compaction and
+    // file bounds measured per table, code mass proves correct coding
+    "q270_ann_index_append_codes" ->
+      (graft.operators.AnnIndex.deltaIngestCodesAudit _),
+    // the STREAMING twin of the append lifecycle: three wave-files
+    // drained AvailableNow at maxFilesPerTrigger=1, one appendWave per
+    // micro-batch through the lease — appendPartitions' at-least-once
+    // anti-join idempotence under the hash gate, not just spec'd
+    "q271_ann_index_append_stream" ->
+      (graft.operators.AnnIndex.streamingAppendIngest _),
+    // the PQ-coding N^1.5 residual priced: q107's coding pass at the
+    // CAPPED codebook width — linear decade law, constant LUT, the
+    // build-cost twin of the k ∝ √N production coding
+    "q272_ann_pq_codes_capped" ->
+      (Similarity.pqCappedCodeHistogram _),
+    // ...and its recall PRICE measured, not guessed: brute truth vs
+    // derived-k ADC vs capped-k ADC, same probes, only k differs
+    "q273_ann_adc_recall_capped" ->
+      (Similarity.adcCappedRecallAudit _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -598,7 +625,7 @@ object SparkEntry {
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
         227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
         254, 255, 256, 257, 258, 259, 260, 261, 262, 263, 264, 265, 266,
-        267, 268) ++
+        267, 268, 269, 270, 271, 272, 273) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -6248,40 +6275,7 @@ object SparkEntry {
     "q267_ann_hier_refresh" ->
       s"""$hierAssignCtes,
          |$hierRebalanceCtes,
-         |hbt AS (SELECT vec_id,
-         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |      % 1000000 AS hb FROM embeddings),
-         |bse AS (SELECT e.vec_id, e.embedding FROM e JOIN hbt USING (vec_id)
-         |        WHERE hbt.hb < 900000),
-         |nlb AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
-         |    CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM bse),
-         |ncb AS (SELECT GREATEST(4, CAST(ROUND(SQRT(nlist)) AS BIGINT))
-         |        AS ncoarse FROM nlb),
-         |fineb AS (SELECT f_id, f_emb, rn FROM (
-         |    SELECT vec_id AS f_id, embedding AS f_emb,
-         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM bse) t, nlb
-         |  WHERE rn <= nlb.nlist),
-         |coarseb AS (SELECT f_id AS g_id, f_emb AS g_emb FROM fineb, ncb
-         |            WHERE rn <= ncb.ncoarse),
-         |fcellb AS (SELECT f_id, f_emb, g_id AS cell FROM (
-         |    SELECT f.f_id, f.f_emb, g.g_id,
-         |      ROW_NUMBER() OVER (PARTITION BY f.f_id
-         |        ORDER BY ${dotSql("f.f_emb", "g.g_emb")} DESC, g.g_id ASC)
-         |        AS rk
-         |    FROM fineb f, coarseb g) t WHERE rk = 1),
-         |rcellb AS (SELECT vec_id, embedding, g_id AS cell FROM (
-         |    SELECT e.vec_id, e.embedding, g.g_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dotSql("e.embedding", "g.g_emb")} DESC, g.g_id ASC)
-         |        AS rk
-         |    FROM e, coarseb g) t WHERE rk = 1),
-         |hierb AS (SELECT vec_id, cell, COALESCE(bucket, -1) AS bucket FROM (
-         |    SELECT r.vec_id, r.cell, f.f_id AS bucket,
-         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
-         |        AS rk
-         |    FROM rcellb r LEFT JOIN fcellb f ON r.cell = f.cell) t
-         |  WHERE rk = 1),
+         |$hierBaseCtes,
          |hb_base AS (SELECT h.vec_id, h.bucket FROM hierb h
          |            JOIN hbt USING (vec_id) WHERE hbt.hb < 900000),
          |sumsb AS (SELECT h.bucket, pp.pos,
@@ -6443,6 +6437,371 @@ object SparkEntry {
          |LEFT JOIN mf USING (w)
          |JOIN tot USING (w)""".stripMargin
     },
+    // the hier-PQ incremental commit replayed from the raw corpus: the
+    // base(<0.9) split derives the two-level + PQ knobs and seeds both
+    // models positionally (q248's non-dense-id discipline), the full
+    // corpus routed under the base model IS base-build ∪ delta-ingest
+    // (q267's hierb chain), and the positional code argmin under the
+    // base codebook IS base-coding ∪ delta-coding — a dropped delta, a
+    // clobbered untouched bucket, a wrong-model routing, a
+    // wrong-codebook coding, or a knob drift breaks the hash
+    "q269_ann_hierpq_ingest" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |$hierBaseCtes,
+         |kb AS (SELECT GREATEST($PqK,
+         |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k FROM bse),
+         |cpb AS (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
+         |        AS cprobe FROM ncb),
+         |phb AS (SELECT GREATEST(1,
+         |    GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |      CAST(ROUND(SQRT(nlist)) AS BIGINT)) // cprobe) AS percell
+         |  FROM nlb, cpb),
+         |qvq AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM e),
+         |-- codes are POSITIONAL (0..k−1, codebook rows in base-id
+         |-- order): base ids are not dense, so position ≠ original id
+         |cbb AS (SELECT cpos, cq FROM (
+         |    SELECT q.qe AS cq,
+         |      ROW_NUMBER() OVER (ORDER BY q.vec_id) - 1 AS cpos
+         |    FROM qvq q JOIN bse USING (vec_id)) t, kb
+         |  WHERE cpos < kb.k),
+         |db AS (SELECT q.vec_id, c.cpos,
+         |      CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos]))
+         |        AS dist
+         |    FROM qvq q, cbb c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim}))
+         |       AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |codeb AS (SELECT vec_id, m, cpos AS code FROM (
+         |    SELECT vec_id, m, cpos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cpos)
+         |        AS rn
+         |    FROM db) t
+         |  WHERE rn = 1),
+         |cmb AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS mass
+         |        FROM codeb GROUP BY 1)
+         |SELECT h.bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  bit_xor(h.vec_id) AS vec_xor,
+         |  CAST(COUNT(*) AS BIGINT) AS n_codes,
+         |  CAST(SUM(cmb.mass) AS BIGINT) AS code_mass,
+         |  CAST(SUM(CASE WHEN hbt.hb >= 900000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_arrived,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version,
+         |  (SELECT nlist FROM nlb) AS nlist,
+         |  (SELECT ncoarse FROM ncb) AS ncoarse,
+         |  (SELECT cprobe FROM cpb) AS cprobe,
+         |  (SELECT percell FROM phb) AS percell,
+         |  (SELECT k FROM kb) AS k
+         |FROM hierb h JOIN hbt USING (vec_id) JOIN cmb USING (vec_id)
+         |GROUP BY 1""".stripMargin
+    },
+    // q268's replay extended to the codes table: code appends/compaction
+    // follow the members' law exactly (the tables advance together), and
+    // the per-wave cumulative code mass is the positional argmin under
+    // the base(<0.7) codebook over every committed row — a wave that
+    // skips codes, double-appends, or codes with the wrong codebook
+    // breaks the hash
+    "q270_ann_index_append_codes" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      val maxFiles = graft.operators.AnnIndex.CompactFilesMax
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |hbt AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |base AS (SELECT emb.vec_id, emb.embedding
+         |         FROM emb JOIN hbt USING (vec_id) WHERE hbt.hb < 700000),
+         |nb AS (SELECT
+         |    GREATEST(${graft.operators.Similarity.IvfNlist},
+         |      CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist,
+         |    GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |  FROM base),
+         |bcents AS (SELECT c_id, c_emb FROM (
+         |    SELECT vec_id AS c_id, embedding AS c_emb,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM base) t, nb
+         |  WHERE rn <= nb.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM emb e, bcents c) t
+         |  WHERE rk = 1),
+         |j AS (SELECT asg.vec_id, asg.bucket, hbt.hb
+         |      FROM asg JOIN hbt USING (vec_id)),
+         |qq AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |cb AS (SELECT cpos, cq FROM (
+         |    SELECT q.qe AS cq,
+         |      ROW_NUMBER() OVER (ORDER BY q.vec_id) - 1 AS cpos
+         |    FROM qq q JOIN base USING (vec_id)) t, nb
+         |  WHERE cpos < nb.k),
+         |d AS (SELECT q.vec_id, c.cpos,
+         |      CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos]))
+         |        AS dist
+         |    FROM qq q, cb c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim}))
+         |       AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, cpos AS code FROM (
+         |    SELECT vec_id, m, cpos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cpos)
+         |        AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |cm AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS mass
+         |       FROM code GROUP BY 1),
+         |wv AS (SELECT * FROM (VALUES
+         |    (CAST(1 AS BIGINT), CAST(700000 AS BIGINT), CAST(800000 AS BIGINT)),
+         |    (CAST(2 AS BIGINT), CAST(800000 AS BIGINT), CAST(900000 AS BIGINT)),
+         |    (CAST(3 AS BIGINT), CAST(900000 AS BIGINT), CAST(1000000 AS BIGINT)))
+         |  AS t(w, lo, hi)),
+         |aw AS (SELECT wv.w, j.vec_id, j.bucket
+         |       FROM wv JOIN j ON j.hb >= wv.lo AND j.hb < wv.hi),
+         |arrc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_arrivals
+         |         FROM aw GROUP BY 1),
+         |tb AS (SELECT DISTINCT w, bucket FROM aw),
+         |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_touched
+         |       FROM tb GROUP BY 1),
+         |basep AS (SELECT DISTINCT bucket FROM j WHERE hb < 700000),
+         |cum AS (SELECT w1.w, t.bucket,
+         |    CAST(COUNT(DISTINCT t.w) AS BIGINT) AS touches
+         |  FROM wv w1 JOIN tb t ON t.w <= w1.w GROUP BY 1, 2),
+         |f AS (SELECT cum.w, cum.bucket, cum.touches +
+         |    (CASE WHEN bp.bucket IS NOT NULL THEN 1 ELSE 0 END) AS files
+         |  FROM cum LEFT JOIN basep bp ON bp.bucket = cum.bucket),
+         |comp AS (SELECT w, bucket FROM f WHERE files > $maxFiles),
+         |compc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_compact
+         |          FROM comp GROUP BY 1),
+         |comprows AS (SELECT c.w, CAST(COUNT(*) AS BIGINT) AS rows_compacted
+         |  FROM comp c JOIN wv ON wv.w = c.w
+         |  JOIN j ON j.bucket = c.bucket AND j.hb < wv.hi
+         |  GROUP BY 1),
+         |mf AS (SELECT w, CAST(MAX(CASE WHEN files > $maxFiles THEN 1
+         |    ELSE files END) AS BIGINT) AS mx FROM f GROUP BY 1),
+         |cmw AS (SELECT wv.w, CAST(SUM(cm.mass) AS BIGINT) AS code_mass_total
+         |  FROM wv JOIN hbt ON hbt.hb < wv.hi JOIN cm USING (vec_id)
+         |  GROUP BY 1),
+         |tot AS (SELECT wv.w, CAST(COUNT(*) AS BIGINT) AS n_total
+         |        FROM wv JOIN j ON j.hb < wv.hi GROUP BY 1)
+         |SELECT wv.w AS wave,
+         |  COALESCE(arrc.n_arrivals, 0) AS n_arrivals,
+         |  COALESCE(tc.n_touched, 0) AS n_touched,
+         |  COALESCE(arrc.n_arrivals, 0) AS rows_appended,
+         |  COALESCE(arrc.n_arrivals, 0) AS code_rows_appended,
+         |  COALESCE(compc.n_compact, 0) AS n_compact_buckets,
+         |  COALESCE(comprows.rows_compacted, 0) AS rows_compacted,
+         |  COALESCE(comprows.rows_compacted, 0) AS code_rows_compacted,
+         |  CASE WHEN COALESCE(arrc.n_arrivals, 0) = 0 THEN 0
+         |    ELSE (arrc.n_arrivals + COALESCE(comprows.rows_compacted, 0))
+         |      * 1000000 // arrc.n_arrivals END AS write_amp_ppm,
+         |  CASE WHEN COALESCE(arrc.n_arrivals, 0) = 0 THEN 0
+         |    ELSE (arrc.n_arrivals + COALESCE(comprows.rows_compacted, 0))
+         |      * 1000000 // arrc.n_arrivals END AS code_write_amp_ppm,
+         |  GREATEST(COALESCE(mf.mx, 1), 1) AS max_files_bucket,
+         |  GREATEST(COALESCE(mf.mx, 1), 1) AS max_code_files_bucket,
+         |  cmw.code_mass_total,
+         |  tot.n_total
+         |FROM wv
+         |LEFT JOIN arrc USING (w)
+         |LEFT JOIN tc USING (w)
+         |LEFT JOIN compc USING (w)
+         |LEFT JOIN comprows USING (w)
+         |LEFT JOIN mf USING (w)
+         |JOIN cmw USING (w)
+         |JOIN tot USING (w)""".stripMargin
+    },
+    // the streaming append twin's FINAL committed state replayed per
+    // bucket: membership/codes/mass off the base(<0.7)-seeded
+    // assignment + positional coding, and BOTH tables' file counts off
+    // the structural law — base contributes one file, each touching
+    // wave one more, a bucket reaching CompactFilesMax+1 at its last
+    // touch compacts back to one (order-free because compaction is
+    // first reachable at the final touching batch)
+    "q271_ann_index_append_stream" -> {
+      import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
+      val maxFiles = graft.operators.AnnIndex.CompactFilesMax
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |hbt AS (SELECT vec_id,
+         |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 1000000 AS hb FROM embeddings),
+         |base AS (SELECT emb.vec_id, emb.embedding
+         |         FROM emb JOIN hbt USING (vec_id) WHERE hbt.hb < 700000),
+         |nb AS (SELECT
+         |    GREATEST(${graft.operators.Similarity.IvfNlist},
+         |      CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist,
+         |    GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |  FROM base),
+         |bcents AS (SELECT c_id, c_emb FROM (
+         |    SELECT vec_id AS c_id, embedding AS c_emb,
+         |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM base) t, nb
+         |  WHERE rn <= nb.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC)
+         |        AS rk
+         |    FROM emb e, bcents c) t
+         |  WHERE rk = 1),
+         |j AS (SELECT asg.vec_id, asg.bucket, hbt.hb
+         |      FROM asg JOIN hbt USING (vec_id)),
+         |qq AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |cb AS (SELECT cpos, cq FROM (
+         |    SELECT q.qe AS cq,
+         |      ROW_NUMBER() OVER (ORDER BY q.vec_id) - 1 AS cpos
+         |    FROM qq q JOIN base USING (vec_id)) t, nb
+         |  WHERE cpos < nb.k),
+         |d AS (SELECT q.vec_id, c.cpos,
+         |      CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos]))
+         |        AS dist
+         |    FROM qq q, cb c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim}))
+         |       AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |code AS (SELECT vec_id, m, cpos AS code FROM (
+         |    SELECT vec_id, m, cpos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cpos)
+         |        AS rn
+         |    FROM d) t
+         |  WHERE rn = 1),
+         |cm AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS mass
+         |       FROM code GROUP BY 1),
+         |wv AS (SELECT * FROM (VALUES
+         |    (CAST(1 AS BIGINT), CAST(700000 AS BIGINT), CAST(800000 AS BIGINT)),
+         |    (CAST(2 AS BIGINT), CAST(800000 AS BIGINT), CAST(900000 AS BIGINT)),
+         |    (CAST(3 AS BIGINT), CAST(900000 AS BIGINT), CAST(1000000 AS BIGINT)))
+         |  AS t(w, lo, hi)),
+         |tpb AS (SELECT bucket, CAST(COUNT(DISTINCT wv.w) AS BIGINT) AS touches
+         |  FROM j JOIN wv ON j.hb >= wv.lo AND j.hb < wv.hi GROUP BY 1),
+         |basep AS (SELECT DISTINCT bucket FROM j WHERE hb < 700000),
+         |fl AS (SELECT b.bucket,
+         |    (CASE WHEN bp.bucket IS NOT NULL THEN 1 ELSE 0 END) +
+         |      COALESCE(t.touches, 0) AS raw
+         |  FROM (SELECT DISTINCT bucket FROM j) b
+         |  LEFT JOIN basep bp ON bp.bucket = b.bucket
+         |  LEFT JOIN tpb t ON t.bucket = b.bucket),
+         |files AS (SELECT bucket,
+         |    CAST(CASE WHEN raw > $maxFiles THEN 1 ELSE raw END AS BIGINT)
+         |      AS nf
+         |  FROM fl)
+         |SELECT j.bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  bit_xor(j.vec_id) AS vec_xor,
+         |  CAST(COUNT(*) AS BIGINT) AS n_codes,
+         |  CAST(SUM(cm.mass) AS BIGINT) AS code_mass,
+         |  CAST(SUM(CASE WHEN j.hb >= 700000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_arrived,
+         |  MAX(files.nf) AS files_members,
+         |  MAX(files.nf) AS files_codes,
+         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+         |    AS index_version,
+         |  (SELECT nlist FROM nb) AS nlist,
+         |  (SELECT k FROM nb) AS k
+         |FROM j JOIN cm USING (vec_id) JOIN files ON files.bucket = j.bucket
+         |GROUP BY 1""".stripMargin
+    },
+    // q107's coding replay at the CAPPED codebook width — the cap
+    // derivation (LEAST of the √(N/4) law and PqKCap) is itself under
+    // the gate via the frozen k column
+    "q272_ann_pq_codes_capped" -> {
+      import graft.operators.Similarity.{PqK, PqKCap, PqSubDim, PqSubspaces}
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |kk AS (SELECT LEAST(GREATEST($PqK,
+         |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)), $PqKCap) AS k
+         |  FROM q),
+         |c AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk WHERE vec_id < kk.k),
+         |d AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+         |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
+         |    FROM q, c,
+         |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim})) AS pos) p
+         |    GROUP BY 1, 2, 3),
+         |r AS (SELECT vec_id, m, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id) AS rn
+         |    FROM d)
+         |SELECT m AS subspace, c_id AS code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  (SELECT k FROM kk) AS k
+         |FROM r WHERE rn = 1
+         |GROUP BY 1, 2""".stripMargin
+    },
+    // brute truth vs derived-k ADC vs capped-k ADC, replayed end to end
+    // at BOTH codebook widths (shared corpus/probe CTEs, two code
+    // chains) — the recall price of the cap is the graded number
+    "q273_ann_adc_recall_capped" -> {
+      import graft.operators.Similarity.{PqK, PqKCap}
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+         |       FROM e),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |qq AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    ${dotSql("embedding", "embedding")} AS n_q
+         |  FROM e WHERE vec_id % 100 = 0),
+         |bf AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        CAST(floor(CAST(${dotSql("q.q_emb", "e.embedding")} AS DOUBLE)
+         |          * 1000000.0 / (sqrt(CAST(q.n_q AS DOUBLE)) *
+         |          sqrt(CAST(${dotSql("e.embedding", "e.embedding")} AS DOUBLE))))
+         |          AS BIGINT) DESC,
+         |        e.vec_id ASC) AS rank
+         |    FROM e, qq q WHERE e.vec_id <> q.q_id) t
+         |  WHERE rank <= 5),
+         |probes AS (
+         |  SELECT q_id, c_id AS bucket FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
+         |    FROM qq q, cents c) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |${adcTopCtes("f",
+             s"""kkf AS (SELECT GREATEST($PqK,
+                |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k FROM q)""".stripMargin)},
+         |${adcTopCtes("c",
+             s"""kkc AS (SELECT LEAST(GREATEST($PqK,
+                |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)), $PqKCap) AS k
+                |  FROM q)""".stripMargin)}
+         |SELECT bf.q_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN tf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fullk_hit,
+         |  CAST(SUM(CASE WHEN tc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_capk_hit,
+         |  CAST(SUM(CASE WHEN tf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS fullk_recall_ppm,
+         |  CAST(SUM(CASE WHEN tc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS capk_recall_ppm
+         |FROM bf
+         |LEFT JOIN topf tf ON tf.q_id = bf.q_id
+         |  AND tf.neighbor_id = bf.neighbor_id
+         |LEFT JOIN topc tc ON tc.q_id = bf.q_id
+         |  AND tc.neighbor_id = bf.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
   )
 
   /** Shared hier-SEARCH CTE chain (appended after [[hierAssignCtes]]):
@@ -6593,6 +6952,93 @@ object SparkEntry {
        |        AS rk
        |    FROM rcell r LEFT JOIN fcell f ON r.cell = f.cell) t
        |  WHERE rk = 1)""".stripMargin
+
+  /** Shared BASE-split two-level chain (appended after any prefix that
+    * defines `e(vec_id, embedding)`): the <0.9-md5 base split derives
+    * the knobs (`nlb`/`ncb`) and seeds the model from its LOWEST ids
+    * (`fineb` — base ids are not dense, so seeding is positional), and
+    * `hierb` routes the FULL corpus through that base model —
+    * base-build ∪ delta-ingest ≡ this. Used by q267's noop/ingest arms
+    * AND q269 so the base-model replay cannot drift between the policy
+    * and the code-carrying ingest.
+    */
+  private lazy val hierBaseCtes: String =
+    s"""hbt AS (SELECT vec_id,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 1000000 AS hb FROM embeddings),
+       |bse AS (SELECT e.vec_id, e.embedding FROM e JOIN hbt USING (vec_id)
+       |        WHERE hbt.hb < 900000),
+       |nlb AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
+       |    CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM bse),
+       |ncb AS (SELECT GREATEST(4, CAST(ROUND(SQRT(nlist)) AS BIGINT))
+       |        AS ncoarse FROM nlb),
+       |fineb AS (SELECT f_id, f_emb, rn FROM (
+       |    SELECT vec_id AS f_id, embedding AS f_emb,
+       |      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM bse) t, nlb
+       |  WHERE rn <= nlb.nlist),
+       |coarseb AS (SELECT f_id AS g_id, f_emb AS g_emb FROM fineb, ncb
+       |            WHERE rn <= ncb.ncoarse),
+       |fcellb AS (SELECT f_id, f_emb, g_id AS cell FROM (
+       |    SELECT f.f_id, f.f_emb, g.g_id,
+       |      ROW_NUMBER() OVER (PARTITION BY f.f_id
+       |        ORDER BY ${dotSql("f.f_emb", "g.g_emb")} DESC, g.g_id ASC)
+       |        AS rk
+       |    FROM fineb f, coarseb g) t WHERE rk = 1),
+       |rcellb AS (SELECT vec_id, embedding, g_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, g.g_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("e.embedding", "g.g_emb")} DESC, g.g_id ASC)
+       |        AS rk
+       |    FROM e, coarseb g) t WHERE rk = 1),
+       |hierb AS (SELECT vec_id, cell, COALESCE(bucket, -1) AS bucket FROM (
+       |    SELECT r.vec_id, r.cell, f.f_id AS bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
+       |        AS rk
+       |    FROM rcellb r LEFT JOIN fcellb f ON r.cell = f.cell) t
+       |  WHERE rk = 1)""".stripMargin
+
+  /** One ADC code-and-rank chain (the q108 algebra) at a parameterized
+    * codebook width, CTE names suffixed so two widths coexist in one
+    * query — q273 grades the derived-k and capped-k searches against
+    * the same brute truth. Expects shared CTEs `q` (micro-quantized
+    * corpus), `probes(q_id, bucket)` and `asg(vec_id, bucket)`; `kCte`
+    * must define `kk<sfx>(k)`. Produces `top<sfx>(q_id, neighbor_id)`.
+    */
+  private def adcTopCtes(sfx: String, kCte: String): String = {
+    import graft.operators.Similarity.{PqSubDim, PqSubspaces}
+    s"""$kCte,
+       |c$sfx AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk$sfx
+       |          WHERE vec_id < kk$sfx.k),
+       |d$sfx AS (SELECT q.vec_id, c.c_id,
+       |      CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+       |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos]))
+       |        AS dist
+       |    FROM q, c$sfx c,
+       |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim}))
+       |       AS pos) p
+       |    GROUP BY 1, 2, 3),
+       |code$sfx AS (SELECT vec_id, m, c_id AS code FROM (
+       |    SELECT vec_id, m, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c_id)
+       |        AS rn
+       |    FROM d$sfx) t
+       |  WHERE rn = 1),
+       |adc$sfx AS (
+       |  SELECT p.q_id, a.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+       |  FROM probes p
+       |  JOIN asg a ON a.bucket = p.bucket
+       |  JOIN code$sfx co ON co.vec_id = a.vec_id
+       |  JOIN d$sfx l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
+       |  WHERE a.vec_id <> p.q_id
+       |  GROUP BY 1, 2),
+       |top$sfx AS (SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_q ASC,
+       |        vec_id ASC) AS rank
+       |    FROM adc$sfx) t
+       |  WHERE rank <= 5)""".stripMargin
+  }
 
   private lazy val oracleSqlMore: Map[String, String] =
     oracleSqlMoreBase +

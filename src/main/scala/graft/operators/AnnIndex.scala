@@ -48,9 +48,13 @@ import graft.sources.Tables
 object AnnIndex {
 
   /** Index layout version; a sidecar carrying an older version marks
-    * the artifact stale and [[ensureCommitted]] rebuilds it.
+    * the artifact stale and [[ensureCommitted]] rebuilds it. v2: the
+    * hier sidecar format gained a required `k` field (every layout now
+    * freezes the PQ codebook width) — the bump makes a pre-`k` sidecar
+    * an EXPLICIT version invalidation instead of a silent parse
+    * failure in [[readHierMetaAt]]'s for-comprehension.
     */
-  val IndexVersion = 1L
+  val IndexVersion = 2L
 
   /** App-id-isolated lake root for the index artifact (the q234
     * staging-dir rule: concurrent Verify ∥ Bench runs never read each
@@ -1097,6 +1101,24 @@ object AnnIndex {
       meta.cprobe, meta.perCell, meta.k, meta.n / 100L + 1L)
   }
 
+  /** The committed two-level model re-read from an artifact's model
+    * table (nlist rows + ncoarse rows — O(model), never the corpus) —
+    * every incremental arm routes with the ARTIFACT's model, never the
+    * builder's in-memory copy, so a restarted ticker resumes from
+    * exactly the committed state.
+    */
+  private def readCommittedHierModel(spark: SparkSession,
+      root: String): Similarity.HierModel = {
+    val rows = spark.read.parquet(s"${modelDir(root)}/kind=ivf")
+      .select(col("cell"), col("c_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val coarse = modelLits(spark, root, "coarse")
+    Similarity.HierModel(coarse,
+      coarse.map { case (gid, _) =>
+        rows.filter(_._1 == gid).map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      })
+  }
+
   // ──────────────────── hier-lifecycle refresh policy (q267) ────────
 
   /** q267's scenario knobs: (name, growth low ppm, growth high ppm,
@@ -1208,16 +1230,8 @@ object AnnIndex {
     }
     // the committed model, re-read so the ingest arm provably uses the
     // ARTIFACT's model (not the builder's in-memory copy)
-    def committedModel(): Similarity.HierModel = {
-      val rows = spark.read.parquet(s"${modelDir(root)}/kind=ivf")
-        .select(col("cell"), col("c_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
-      val coarse = modelLits(spark, root, "coarse")
-      Similarity.HierModel(coarse,
-        coarse.map { case (gid, _) =>
-          rows.filter(_._1 == gid).map(t => (t._2, t._3)).sortBy(_._1).toSeq
-        })
-    }
+    def committedModel(): Similarity.HierModel =
+      readCommittedHierModel(spark, root)
     val rows = HierPolicyScenarios.map { case (scenario, low, high, cap) =>
       val (skewPre, _, _, _) = skewAndWitness()
       val decision = hierRefreshDecision(growthPpm, low, high, skewPre, cap)
@@ -1280,17 +1294,41 @@ object AnnIndex {
     */
   val CompactFilesMax = 3
 
+  /** The q268/q270 oracles model files/bucket as base(1) + cumulative
+    * touches with a compaction RESET only at the final wave — exact iff
+    * no compaction can fire earlier, i.e. a bucket cannot exceed
+    * [[CompactFilesMax]] files before the last wave: 1 + touches >
+    * CompactFilesMax needs touches ≥ CompactFilesMax, reachable first
+    * at wave CompactFilesMax. Changing either constant silently
+    * desynchronizes oracle and engine — this makes it fail loudly.
+    */
+  private[graft] def requireNoEarlyCompaction(): Unit =
+    require(FragWaves.length <= CompactFilesMax,
+      s"append-oracle precondition broken: ${FragWaves.length} waves > " +
+        s"CompactFilesMax=$CompactFilesMax lets compaction fire before " +
+        "the final wave; the cumulative file-count oracle is no longer exact")
+
   private def dataFileCount(lakeFs: graft.lake.LakeFs, dir: String): Int =
     lakeFs.fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
 
+  /** Strict `bucket=<long>` match: crash leftovers (`bucket=X_old`
+    * backups the base commit's sweep deliberately skips, `_tmp`
+    * staging) must be EXCLUDED, not parsed — a loose stripPrefix would
+    * throw on the first post-crash run and wedge the append lifecycle.
+    */
+  private val BucketDirName = "^bucket=(-?\\d+)$".r
+
   private def bucketFileCounts(lakeFs: graft.lake.LakeFs,
       tableDir: String): Map[Long, Int] =
     lakeFs.fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
-      .map(st => st.getPath.getName.stripPrefix("bucket=").toLong ->
-        dataFileCount(lakeFs, st.getPath.toString))
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case BucketDirName(b) =>
+          Some(b.toLong -> dataFileCount(lakeFs, st.getPath.toString))
+        case _ => None
+      })
       .toMap
 
   /** q268: the write-amplification MITIGATION engineered and graded —
@@ -1315,6 +1353,7 @@ object AnnIndex {
     * q250 rewrite cost compounds and this append path does not.
     */
   def deltaIngestAudit(spark: SparkSession, dir: String): DataFrame = {
+    requireNoEarlyCompaction()
     Similarity.withFns(spark)
     val root = indexRoot(spark, dir) + "_append"
     val lakeFs = graft.lake.LakeFs.forSpark(spark)
@@ -1380,5 +1419,468 @@ object AnnIndex {
     rows.toDF("wave", "n_arrivals", "n_touched", "rows_appended",
       "n_compact_buckets", "rows_compacted", "write_amp_ppm",
       "max_files_bucket", "n_total")
+  }
+
+  // ──────── hier-PQ incremental lifecycle (q269) ────────────────────
+  //
+  // The round-14 verdict's highest-leverage gap: the PRODUCTION layout
+  // (two-level routed + Lloyd-rebalanced + PQ-coded, q262/q263) had no
+  // incremental ingest — any arrival forced the full N^(5/4) + N^1.5
+  // rebuild at the reference's 5-minute tick cadence
+  // (`airflow/dags/hadoop_dag.py:115-118`). This applies q248's
+  // base-split discipline to the code-carrying hier artifact: the base
+  // builds with base-derived knobs and base seeds, arrivals route
+  // two-level with the COMMITTED model and code with the COMMITTED
+  // codebook in ONE map-only delta pass, and members AND codes upsert
+  // per touched bucket — IO ∝ touched mass, delta work O(delta·N^(1/4)
+  // ·dims), never a rebuild.
+
+  /** Root of the incremental hier-PQ lifecycle artifact — separate
+    * from the full-build `-hier2pq` root ([[hierPqRoot]]) for the same
+    * reason as [[incRoot]]: base-derived knobs/seeds mean a different
+    * model; sharing a root would let [[ensureHierRebalancedPqCommitted]]
+    * serve q263 from the wrong model.
+    */
+  private def hierPqIncRoot(spark: SparkSession, dir: String): String =
+    hierPqRoot(spark, dir) + "_inc"
+
+  private final case class HierPqBaseBuild(nBase: Long, nlist: Int,
+    ncoarse: Int, k: Int)
+
+  /** Route + PQ-code `df` under a two-level model and a positional
+    * codebook in one map-only projection — the delta pass of the
+    * hier-PQ lifecycle (and its base build, so the two cannot drift).
+    */
+  private def hierCodedFor(df: DataFrame, m: Similarity.HierModel,
+      pqCents: Seq[(Long, Array[Float])]): DataFrame =
+    Similarity.withPqDistanceArrays(
+      Similarity.withHierBucket(df, m, "embedding")
+        .select(col("vec_id"), col("embedding"), col("bucket")), pqCents)
+      .select(col("vec_id") +: col("bucket") +:
+        (0 until Similarity.PqSubspaces)
+          .map(i => Similarity.pqCode(i).as(s"code_$i")): _*)
+
+  /** The base half of the hier-PQ lifecycle: base-derived two-level +
+    * PQ knobs, lowest-base-id fine seeds AND codebook rows (the q248
+    * non-dense-id pattern), model committed FIRST so members and codes
+    * provably derive from the COMMITTED model, not a driver copy.
+    * Sidecar dropped first — a crash mid-build leaves a certifiably
+    * incomplete artifact.
+    */
+  private def commitHierPqBaseArtifact(spark: SparkSession, root: String,
+      base: DataFrame, writer: graft.lake.AtomicPartitionWriter,
+      lakeFs: graft.lake.LakeFs): HierPqBaseBuild = {
+    val nBase = base.count()
+    val nlist = Similarity.nlistFor(nBase)
+    val ncoarse = Similarity.ncoarseFor(nlist)
+    val k = Similarity.pqKFor(nBase)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), codesDir(root), modelDir(root))
+      .foreach(writer.repair(_))
+    val fineSeeds = base.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).toSeq
+    val m = Similarity.hierModelFor(fineSeeds, ncoarse)
+    writer.commitPartitioned(
+      hierModelRows(spark, m).unionByName(
+        seedDf(base, k).withColumn("cell", col("c_id"))
+          .withColumn("kind", lit("pq"))),
+      modelDir(root), "kind")
+    val cm = readCommittedHierModel(spark, root)
+    val pq = modelLits(spark, root, "pq")
+    writer.commitPartitioned(
+      Similarity.withHierBucket(base, cm, "embedding")
+        .select(col("vec_id"), col("embedding"), col("bucket")),
+      membersDir(root), "bucket")
+    writer.commitPartitioned(hierCodedFor(base, cm, pq),
+      codesDir(root), "bucket")
+    HierPqBaseBuild(nBase, nlist, ncoarse, k)
+  }
+
+  /** The hier-PQ delta-commit primitive: route + code the delta with
+    * the committed model/codebook (one map-only pass over the DELTA
+    * only), then upsert ONLY the touched buckets of BOTH tables —
+    * members and codes advance together, so a reader gating on the
+    * sidecar never sees a member without its code row.
+    * REPLAY-IDEMPOTENT the same way as [[ingestDelta]]: existing rows
+    * with the delta's vec_ids anti-join out of both tables before the
+    * union, so an at-least-once reapplication rewrites instead of
+    * duplicating.
+    */
+  private def hierIngestDelta(spark: SparkSession, root: String,
+      delta: DataFrame, m: Similarity.HierModel,
+      pqCents: Seq[(Long, Array[Float])],
+      writer: graft.lake.AtomicPartitionWriter): (Long, Long, Long) = {
+    val dm = Similarity.withHierBucket(delta, m, "embedding")
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = dm.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nlist values by construction
+    val nArr = dm.count()
+    if (nArr == 0L) { dm.unpersist(); return (0L, 0L, 0L) }
+    val keptMembers = bucketTable(spark, membersDir(root))
+      .filter(col("bucket").isin(touched: _*))
+      .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val nKept = keptMembers.count()
+    writer.upsertPartitions(keptMembers.unionByName(dm),
+      membersDir(root), "bucket")
+    writer.upsertPartitions(
+      bucketTable(spark, codesDir(root))
+        .filter(col("bucket").isin(touched: _*))
+        .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(hierCodedFor(delta, m, pqCents)),
+      codesDir(root), "bucket")
+    dm.unpersist()
+    (nArr, touched.length.toLong, nKept + nArr)
+  }
+
+  /** The q248-shaped read-back panel over a hier-PQ lifecycle root:
+    * per bucket, committed member count, bit_xor witness, code rows +
+    * mass, the ≥0.9-split arrival count, and the frozen base-derived
+    * two-level + PQ knobs.
+    */
+  private def hierPqIngestPanel(spark: SparkSession, root: String,
+      b: HierPqBaseBuild): DataFrame = {
+    val hb = Sampling.hashBucket("vec_id")
+    val members = bucketTable(spark, membersDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("vec_xor"),
+        sum(when(hb >= 900000L, 1L).otherwise(0L)).as("n_arrived"))
+    val codeMass = (0 until Similarity.PqSubspaces)
+      .map(m => col(s"code_$m")).reduce(_ + _)
+    val codes = bucketTable(spark, codesDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_codes"), sum(codeMass).as("code_mass"))
+    val cprobe = Similarity.cprobeFor(b.ncoarse)
+    members.join(codes, Seq("bucket"))
+      .select(col("bucket"), col("n_members"), col("vec_xor"),
+        col("n_codes"), col("code_mass"), col("n_arrived"),
+        lit(IndexVersion).as("index_version"),
+        lit(b.nlist.toLong).as("nlist"),
+        lit(b.ncoarse.toLong).as("ncoarse"),
+        lit(cprobe.toLong).as("cprobe"),
+        lit(math.max(1, Similarity.nprobeFor(b.nlist) / cprobe).toLong)
+          .as("percell"),
+        lit(b.k.toLong).as("k"))
+  }
+
+  private def hierPqSidecarMeta(spark: SparkSession, dir: String,
+      b: HierPqBaseBuild, n: Long): HierMeta = {
+    val cprobe = Similarity.cprobeFor(b.ncoarse)
+    HierMeta(IndexVersion, n, b.nlist, b.ncoarse, cprobe,
+      math.max(1, Similarity.nprobeFor(b.nlist) / cprobe), b.k,
+      corpusFingerprint(spark, dir))
+  }
+
+  /** q269: the hier-PQ incremental ingest EXECUTED — base build (q248's
+    * base posture with the two-level router and the positional PQ
+    * codebook inside), then the ≥0.9 arrivals routed AND coded with the
+    * COMMITTED model/codebook in one map-only delta pass, members and
+    * codes upserted per touched bucket, sidecar advanced LAST. The
+    * oracle replays the full-corpus routing under the base model plus
+    * the positional code argmin under the base codebook (base-build ∪
+    * delta-ingest ≡ that), so a dropped delta, a clobbered untouched
+    * bucket, a wrong-model routing, a wrong-codebook coding, or a knob
+    * drift breaks the hash.
+    */
+  def hierPqIncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = hierPqIncRoot(spark, dir)
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(hb < 900000L)
+    val arrivals = emb.filter(hb >= 900000L)
+    val b = commitHierPqBaseArtifact(spark, root, base, writer, lakeFs)
+    val cm = readCommittedHierModel(spark, root)
+    val pq = modelLits(spark, root, "pq")
+    val (nArr, _, _) = hierIngestDelta(spark, root, arrivals, cm, pq, writer)
+    writeHierSidecar(lakeFs, root,
+      hierPqSidecarMeta(spark, dir, b, b.nBase + nArr))
+    hierPqIngestPanel(spark, root, b)
+  }
+
+  /** Test hook: REAPPLY the q269 arrival delta against the already-
+    * committed artifact (no base rebuild) — the at-least-once replay a
+    * crashed-and-rerun ticker produces. Model and codebook re-read from
+    * the artifact; the anti-join idempotence must land the identical
+    * panel.
+    */
+  private[graft] def hierPqReIngest(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = hierPqIncRoot(spark, dir)
+    val meta = readHierMetaAt(spark, root).getOrElse(
+      sys.error("hierPqReIngest needs a committed q269 artifact"))
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val arrivals = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(Sampling.hashBucket("vec_id") >= 900000L)
+    val cm = readCommittedHierModel(spark, root)
+    val pq = modelLits(spark, root, "pq")
+    hierIngestDelta(spark, root, arrivals, cm, pq, writer)
+    hierPqIngestPanel(spark, root, HierPqBaseBuild(meta.n, meta.nlist,
+      meta.ncoarse, meta.k))
+  }
+
+  // ──────── append-mode codes + streaming append twin (q270/q271) ───
+  //
+  // q268 proved the append + threshold-compaction law for MEMBERS; a
+  // code-carrying artifact's codes table still paid the q250 wholesale-
+  // rewrite law on every wave. These two extend the law to codes (q270)
+  // and put appendPartitions' at-least-once anti-join idempotence under
+  // the hash gate through a genuine multi-batch stream (q271) — the one
+  // write primitive whose replay behavior was argued, not gate-graded.
+
+  /** The shared base of the append-lifecycle roots: base(<0.7) split,
+    * base-derived knobs, lowest-base-id IVF seeds AND positional PQ
+    * codebook, members and codes committed one-file-per-bucket (the
+    * file-count law's wave-0 state). Model committed first; the wave
+    * bodies re-read it so batch and stream provably run off the same
+    * committed state.
+    */
+  private final case class AppendBase(nBase: Long, nlist: Int, k: Int,
+    cents: Seq[(Long, Array[Float])], pq: Seq[(Long, Array[Float])])
+
+  private def commitAppendBaseArtifact(spark: SparkSession, root: String,
+      base: DataFrame, writer: graft.lake.AtomicPartitionWriter,
+      lakeFs: graft.lake.LakeFs): AppendBase = {
+    val nBase = base.count()
+    val nlist = Similarity.nlistFor(nBase)
+    val k = Similarity.pqKFor(nBase)
+    if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
+    Seq(membersDir(root), codesDir(root), modelDir(root))
+      .foreach(writer.repair(_))
+    writer.commitPartitioned(
+      seedDf(base, nlist).withColumn("kind", lit("ivf"))
+        .unionByName(seedDf(base, k).withColumn("kind", lit("pq"))),
+      modelDir(root), "kind")
+    val cents = modelLits(spark, root, "ivf")
+    val pq = modelLits(spark, root, "pq")
+    writer.commitPartitioned(
+      assignedFor(base, cents).repartition(col("bucket")),
+      membersDir(root), "bucket")
+    writer.commitPartitioned(
+      codedFor(base, cents, pq).repartition(col("bucket")),
+      codesDir(root), "bucket")
+    AppendBase(nBase, nlist, k, cents, pq)
+  }
+
+  /** One append wave over BOTH tables: assign + code the delta with the
+    * committed model (one map-only pass), anti-join replayed rows out
+    * (per-table, so a torn previous append self-heals), append ONE file
+    * per touched bucket to members and to codes, then compact any
+    * bucket of either table past [[CompactFilesMax]] back to one file
+    * through the upsert swap. Returns every observable the q270 panel
+    * and q271's read-back grade.
+    */
+  private final case class AppendWaveStats(nArr: Long, nTouched: Long,
+    rowsAppended: Long, codeRowsAppended: Long, nCompactBuckets: Long,
+    rowsCompacted: Long, codeRowsCompacted: Long, maxFilesMembers: Long,
+    maxFilesCodes: Long)
+
+  private def appendWave(spark: SparkSession, root: String,
+      delta: DataFrame, b: AppendBase,
+      writer: graft.lake.AtomicPartitionWriter,
+      lakeFs: graft.lake.LakeFs): AppendWaveStats = {
+    val dm = assignedFor(delta, b.cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = dm.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val nArr = dm.count()
+    if (nArr == 0L) {
+      dm.unpersist()
+      val mf = bucketFileCounts(lakeFs, membersDir(root)).values
+        .foldLeft(1)(math.max).toLong
+      val cf = bucketFileCounts(lakeFs, codesDir(root)).values
+        .foldLeft(1)(math.max).toLong
+      return AppendWaveStats(0L, 0L, 0L, 0L, 0L, 0L, 0L, mf, cf)
+    }
+    val freshM = dm.join(
+      bucketTable(spark, membersDir(root))
+        .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+      .repartition(col("bucket"))
+      .localCheckpoint() // freeze pre-append state; keeps co-location
+    val nAppended = freshM.count()
+    writer.appendPartitions(freshM, membersDir(root), "bucket")
+    // codes derive from the SAME frozen fresh set — member/code parity
+    // is structural, and the coding pass is map-only over the delta
+    val freshC = Similarity.withPqDistanceArrays(freshM, b.pq)
+      .select(col("vec_id") +: col("bucket") +:
+        (0 until Similarity.PqSubspaces)
+          .map(i => Similarity.pqCode(i).as(s"code_$i")): _*)
+      .localCheckpoint()
+    val nCodeAppended = freshC.count()
+    writer.appendPartitions(freshC, codesDir(root), "bucket")
+    dm.unpersist()
+    def compactOver(tableDir: String): (Seq[Long], Long) = {
+      val over = bucketFileCounts(lakeFs, tableDir)
+        .filter(_._2 > CompactFilesMax).keys.toSeq.sorted
+      if (over.isEmpty) (over, 0L) else {
+        val rows = bucketTable(spark, tableDir)
+          .filter(col("bucket").isin(over: _*))
+          .repartition(col("bucket"))
+          .localCheckpoint()
+        val n = rows.count()
+        writer.upsertPartitions(rows, tableDir, "bucket")
+        (over, n)
+      }
+    }
+    val (overM, compM) = compactOver(membersDir(root))
+    val (_, compC) = compactOver(codesDir(root))
+    AppendWaveStats(nArr, touched.length.toLong, nAppended, nCodeAppended,
+      overM.length.toLong, compM, compC,
+      bucketFileCounts(lakeFs, membersDir(root)).values
+        .foldLeft(1)(math.max).toLong,
+      bucketFileCounts(lakeFs, codesDir(root)).values
+        .foldLeft(1)(math.max).toLong)
+  }
+
+  private def codeMassTotal(spark: SparkSession, root: String): Long = {
+    val codeMass = (0 until Similarity.PqSubspaces)
+      .map(m => col(s"code_$m")).reduce(_ + _)
+    bucketTable(spark, codesDir(root))
+      .agg(coalesce(sum(codeMass), lit(0L))).collect()(0).getLong(0)
+  }
+
+  /** q270: [[deltaIngestAudit]]'s append + threshold-compaction law
+    * extended to the CODES table. Per wave, BOTH tables append one
+    * file per touched bucket (rows written ∝ arrivals on each),
+    * compaction is measured per table as its own columns, and
+    * `code_mass_total` proves the appended code rows are CORRECTLY
+    * coded (positional argmin under the frozen base codebook) — the
+    * oracle replays counts, the file-count law, and the mass from the
+    * raw corpus, so a wave that skips the codes table, double-appends,
+    * or codes with the wrong codebook breaks the hash.
+    */
+  def deltaIngestCodesAudit(spark: SparkSession, dir: String): DataFrame = {
+    requireNoEarlyCompaction()
+    Similarity.withFns(spark)
+    val root = indexRoot(spark, dir) + "_append2"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val b = commitAppendBaseArtifact(spark, root, emb.filter(hb < 700000L),
+      writer, lakeFs)
+    var committed = b.nBase
+    val rows = FragWaves.map { case (wave, lo, hi) =>
+      val s = appendWave(spark, root, emb.filter(hb >= lo && hb < hi),
+        b, writer, lakeFs)
+      committed += s.rowsAppended
+      writeSidecar(spark, dir, lakeFs, root, committed, b.nlist, b.k)
+      def amp(written: Long): Long =
+        if (s.nArr == 0L) 0L else written * 1000000L / s.nArr
+      (wave, s.nArr, s.nTouched, s.rowsAppended, s.codeRowsAppended,
+        s.nCompactBuckets, s.rowsCompacted, s.codeRowsCompacted,
+        amp(s.rowsAppended + s.rowsCompacted),
+        amp(s.codeRowsAppended + s.codeRowsCompacted),
+        s.maxFilesMembers, s.maxFilesCodes,
+        codeMassTotal(spark, root), committed)
+    }
+    import spark.implicits._
+    rows.toDF("wave", "n_arrivals", "n_touched", "rows_appended",
+      "code_rows_appended", "n_compact_buckets", "rows_compacted",
+      "code_rows_compacted", "write_amp_ppm", "code_write_amp_ppm",
+      "max_files_bucket", "max_code_files_bucket", "code_mass_total",
+      "n_total")
+  }
+
+  /** q271: the STREAMING twin of the append lifecycle — the q251
+    * posture for q268/q270: the three arrival waves land as three
+    * parquet FILES, `Trigger.AvailableNow` + `maxFilesPerTrigger=1`
+    * drains them across three genuine micro-batches, and each batch
+    * pays ONE [[appendWave]] (append both tables + threshold
+    * compaction) through the commit lease. `foreachBatch` is
+    * at-least-once; replay safety is the per-table anti-join, now
+    * hash-gated instead of spec-only. The panel is the FINAL committed
+    * read-back (per bucket: members, codes, mass, arrivals, and the
+    * file-count law for BOTH tables) — deliberately order-independent:
+    * with [[FragWaves.length]] ≤ [[CompactFilesMax]] compaction is
+    * first reachable at a bucket's LAST touching batch, so the final
+    * file counts do not depend on batch order.
+    */
+  def streamingAppendIngest(spark: SparkSession, dir: String): DataFrame = {
+    requireNoEarlyCompaction()
+    Similarity.withFns(spark)
+    val root = indexRoot(spark, dir) + "_append_stream"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val b = commitAppendBaseArtifact(spark, root, emb.filter(hb < 700000L),
+      writer, lakeFs)
+    val run = streamRunCounter.incrementAndGet()
+    val srcDir = s"${root}_waves_src"
+    val ckptDir = s"${root}_ckpt_$run"
+    // stage each WAVE as one file so batches ≡ waves: the compaction
+    // law then replays exactly (and the final state is order-free)
+    if (lakeFs.exists(srcDir)) lakeFs.delete(srcDir)
+    lakeFs.mkdirs(srcDir)
+    FragWaves.foreach { case (w, lo, hi) =>
+      val stage = s"${srcDir}_stage_$w"
+      emb.filter(hb >= lo && hb < hi).repartition(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = lakeFs.fs
+        .listStatus(new org.apache.hadoop.fs.Path(stage))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .head
+      lakeFs.fs.rename(part.getPath,
+        new org.apache.hadoop.fs.Path(s"$srcDir/wave_$w.parquet"))
+      lakeFs.delete(stage)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = appendWave(spark, root,
+          batch.select(col("vec_id"), col("embedding")), b, writer, lakeFs)
+        appended.addAndGet(s.rowsAppended)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    require(batches.get() >= 2L,
+      s"streaming append drained in ${batches.get()} batch(es) — the twin " +
+        "must exercise multi-batch appends or it proves nothing beyond q270")
+    writeSidecar(spark, dir, lakeFs, root, b.nBase + appended.get(),
+      b.nlist, b.k)
+    val hbArr = Sampling.hashBucket("vec_id")
+    val members = bucketTable(spark, membersDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("vec_xor"),
+        sum(when(hbArr >= 700000L, 1L).otherwise(0L)).as("n_arrived"))
+    val codeMass = (0 until Similarity.PqSubspaces)
+      .map(m => col(s"code_$m")).reduce(_ + _)
+    val codes = bucketTable(spark, codesDir(root))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_codes"), sum(codeMass).as("code_mass"))
+    import spark.implicits._
+    val filesM = bucketFileCounts(lakeFs, membersDir(root)).toSeq
+      .map { case (bk, n) => (bk, n.toLong) }.toDF("bucket", "files_members")
+    val filesC = bucketFileCounts(lakeFs, codesDir(root)).toSeq
+      .map { case (bk, n) => (bk, n.toLong) }.toDF("bucket", "files_codes")
+    members.join(codes, Seq("bucket"))
+      .join(filesM, Seq("bucket")).join(filesC, Seq("bucket"))
+      .select(col("bucket"), col("n_members"), col("vec_xor"),
+        col("n_codes"), col("code_mass"), col("n_arrived"),
+        col("files_members"), col("files_codes"),
+        lit(IndexVersion).as("index_version"),
+        lit(b.nlist.toLong).as("nlist"), lit(b.k.toLong).as("k"))
   }
 }

@@ -1247,6 +1247,24 @@ object Similarity {
   def pqKFor(n: Long): Int =
     math.max(PqK, math.round(math.sqrt(n / 4.0)).toInt)
 
+  /** Codebook-width cap for the CAPPED-k coding twin (q272/q273) — the
+    * round-14 verdict's named residual: [[pqKFor]]'s k ∝ √N makes every
+    * code-carrying build pay O(N·k·d) = N^1.5 in PQ coding (q262
+    * 227–289 s vs the flat build's 422 at 1000×). k ∝ √N is
+    * load-bearing where the q88 BAND KEYSPACE needs it (dedup band
+    * buckets pigeonhole at fixed k — 444/1017 over cap at the 10×
+    * rehearsal), but the ANN ADC serve has no keyspace constraint: a
+    * capped codebook makes coding O(N·d) (linear decade law) and the
+    * per-query LUT a CONSTANT 8·k·8 bytes — no [[QueryLutSliceBytes]]
+    * slicing at any scale — at a recall cost q273 measures instead of
+    * guesses. 64 binds from N = 4·64² ≈ 16k upward, so the sf0.01
+    * correctness gate grades the capped path, not a disguised
+    * [[pqKFor]].
+    */
+  val PqKCap = 64
+
+  def pqKCappedFor(n: Long): Int = math.min(pqKFor(n), PqKCap)
+
   /** Derived-width PQ code histogram (q107) — [[pqKFor]]'s production
     * codebook under the correctness gate, the PQ twin of q99: code
     * populations per (subspace, code) of [[pqCodesFor]] at
@@ -1266,6 +1284,54 @@ object Similarity {
       .select(explode(pairs).as("p"))
       .groupBy(col("p.subspace").as("subspace"), col("p.code").as("code"))
       .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** q272: the COST-LAW twin of q107 — the identical coding pass and
+    * histogram at k = [[pqKCappedFor]](N). Same plan shape (one
+    * map-only L2-table projection, one 8-rows/vector aggregation), but
+    * the per-row argmin is O(k_cap·d) instead of O(√N·d): the decade
+    * exponent of THIS query against q107's is the direct measurement
+    * of what the cap buys the build (linear vs N^1.5). The frozen `k`
+    * column keeps the cap derivation under the hash gate.
+    */
+  def pqCappedCodeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val k = pqKCappedFor(Tables.rowCountFromFooters(spark, dir, "embeddings"))
+    val pairs = array((0 until PqSubspaces).map { m =>
+      struct(lit(m.toLong).as("subspace"), col(s"code_$m").as("code"))
+    }: _*)
+    pqCodesFor(spark, dir, k)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.subspace").as("subspace"), col("p.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("k", lit(k.toLong))
+  }
+
+  /** q273: the recall PRICE of the capped codebook, measured not
+    * guessed (the q264 three-way posture): per query, hits out of the
+    * exact brute top-5 for the derived ADC search at k = [[pqKFor]](N)
+    * and for the capped twin at k = [[pqKCappedFor]](N) — same nlist /
+    * nprobe / probe discipline, only the codebook width differs, so
+    * the delta isolates exactly what the cap costs. Brute truth makes
+    * this the q90/q255/q264 audit-only cost class (documented; never
+    * on the scale path).
+    */
+  def adcCappedRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val nlist = nlistFor(n)
+    val nprobe = nprobeFor(nlist)
+    val bf = bruteForceKnn(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val full = ivfPqSearchFor(spark, dir, nlist, nprobe, pqKFor(n))
+      .select(col("q_id"), col("neighbor_id")).withColumn("fullk", lit(1L))
+    val capped = ivfPqSearchFor(spark, dir, nlist, nprobe, pqKCappedFor(n))
+      .select(col("q_id"), col("neighbor_id")).withColumn("capk", lit(1L))
+    bf.join(broadcast(full), Seq("q_id", "neighbor_id"), "left_outer")
+      .join(broadcast(capped), Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("fullk"), lit(0L))).as("n_fullk_hit"),
+        sum(coalesce(col("capk"), lit(0L))).as("n_capk_hit"))
+      .withColumn("fullk_recall_ppm", expr("n_fullk_hit * 1000000 DIV n_true"))
+      .withColumn("capk_recall_ppm", expr("n_capk_hit * 1000000 DIV n_true"))
   }
 
   /** PQ-coded corpus with its IVF bucket — (vec_id, bucket, code_0..7)

@@ -272,10 +272,6 @@ class AnnIndexSpec extends AnyFunSuite {
       s"PQ'd rebalanced serve must not assign the corpus:\n${plan.take(2000)}")
     assert(low.contains("graft_ann_index"),
       s"PQ'd rebalanced serve must scan the committed codes:\n${plan.take(2000)}")
-    assert(!low.contains("quantizedl2table") ||
-      plan.linesIterator.count(l =>
-        l.contains("embeddings.pa") && !l.contains("% 100")) === 0,
-      s"candidate side must be code rows, not recoded floats:\n${plan.take(2000)}")
     assert(plan.linesIterator.count(l =>
       l.contains("embeddings.pa") && !l.contains("% 100")) === 0,
       s"corpus scanned beyond the query subset:\n${plan.take(2000)}")
@@ -374,5 +370,82 @@ class AnnIndexSpec extends AnyFunSuite {
     val meta = AnnIndex.readMeta(spark, sf)
     audit.foreach(r => assert(r.getLong(6) === AnnIndex.IndexVersion))
     assert(meta.exists(_.n === n) || meta.isEmpty) // full root untouched
+  }
+
+  test("append-oracle precondition: wave count cannot outrun the file bound") {
+    // the q268/q270/q271 oracles model files/bucket as base + cumulative
+    // touches with a compaction reset only at the final wave — exact
+    // only while no bucket can exceed CompactFilesMax files earlier;
+    // changing either constant must fail loudly, not drift the oracle
+    assert(AnnIndex.FragWaves.length <= AnnIndex.CompactFilesMax)
+    AnnIndex.requireNoEarlyCompaction() // must not throw at the pinned pair
+  }
+
+  test("hier-PQ ingest: base ∪ delta covers the corpus, codes ride every member") {
+    val audit = AnnIndex.hierPqIncrementalIngest(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(audit.map(_.getAs[Long]("n_members")).sum === n)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_codes") === r.getAs[Long]("n_members"),
+        s"bucket ${r.getLong(0)}: every member needs a code row")
+      assert(r.getAs[Long]("index_version") === AnnIndex.IndexVersion)
+      assert(r.getAs[Long]("k") >= Similarity.PqK)
+      assert(r.getAs[Long]("ncoarse") >= 4L)
+    }
+    val arrivals = audit.map(_.getAs[Long]("n_arrived")).sum
+    assert(arrivals > 0L && arrivals < n / 5)
+    // at-least-once replay: reapplying the SAME arrival delta against
+    // the committed artifact (model + codebook re-read from it) must
+    // land the byte-identical panel — the anti-join idempotence the
+    // 5-minute ticker's crash-and-rerun depends on
+    val replay = AnnIndex.hierPqReIngest(spark, sf).collect()
+    assert(replay.map(_.toString).toSet === audit.map(_.toString).toSet,
+      "replayed delta must rewrite, never duplicate")
+  }
+
+  test("append-mode codes: both tables write ∝ arrivals, bounded files, mass grows") {
+    val waves = AnnIndex.deltaIngestCodesAudit(spark, sf).collect()
+      .sortBy(_.getAs[Long]("wave"))
+    assert(waves.length === 3)
+    waves.foreach { r =>
+      assert(r.getAs[Long]("rows_appended") === r.getAs[Long]("n_arrivals"))
+      assert(r.getAs[Long]("code_rows_appended") ===
+        r.getAs[Long]("n_arrivals"),
+        "the codes table must append exactly the arrivals too")
+      assert(r.getAs[Long]("max_files_bucket") <= AnnIndex.CompactFilesMax + 1)
+      assert(r.getAs[Long]("max_code_files_bucket") <=
+        AnnIndex.CompactFilesMax + 1,
+        "code files per bucket must obey the same compaction bound")
+    }
+    val noCompact = waves.filter(_.getAs[Long]("n_compact_buckets") === 0L)
+    noCompact.foreach { r =>
+      assert(r.getAs[Long]("write_amp_ppm") === 1000000L)
+      assert(r.getAs[Long]("code_write_amp_ppm") === 1000000L)
+    }
+    // cumulative code mass over the committed table is nondecreasing
+    // (appends only add coded rows; compaction rewrites, never drops)
+    val masses = waves.map(_.getAs[Long]("code_mass_total"))
+    assert(masses.zip(masses.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("streaming append twin's final state matches the batch law") {
+    val batch = AnnIndex.deltaIngestCodesAudit(spark, sf).collect()
+      .sortBy(_.getAs[Long]("wave"))
+    val panel = AnnIndex.streamingAppendIngest(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(panel.map(_.getAs[Long]("n_members")).sum === n)
+    assert(panel.map(_.getAs[Long]("n_members")).sum ===
+      batch.last.getAs[Long]("n_total"),
+      "stream and batch must commit the same final row count")
+    panel.foreach { r =>
+      assert(r.getAs[Long]("n_codes") === r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("files_members") === r.getAs[Long]("files_codes"),
+        "both tables ride the same append/compaction law")
+      assert(r.getAs[Long]("files_members") <= AnnIndex.CompactFilesMax)
+    }
+    // total cumulative code mass equals the batch run's final reading —
+    // the streamed appends coded with the same committed codebook
+    assert(panel.map(_.getAs[Long]("code_mass")).sum ===
+      batch.last.getAs[Long]("code_mass_total"))
   }
 }
