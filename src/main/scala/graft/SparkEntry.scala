@@ -6715,11 +6715,11 @@ object SparkEntry {
     // derivation (LEAST of the √(N/4) law and PqKCap) is itself under
     // the gate via the frozen k column
     "q272_ann_pq_codes_capped" -> {
-      import graft.operators.Similarity.{PqK, PqKCap, PqSubDim, PqSubspaces}
+      import graft.operators.Similarity.{PqKCap, PqKCapFloor, PqSubDim, PqSubspaces}
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
          |    FROM embeddings),
-         |kk AS (SELECT LEAST(GREATEST($PqK,
+         |kk AS (SELECT LEAST(GREATEST($PqKCapFloor,
          |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)), $PqKCap) AS k
          |  FROM q),
          |c AS (SELECT vec_id AS c_id, qe AS cq FROM q, kk WHERE vec_id < kk.k),
@@ -6740,7 +6740,7 @@ object SparkEntry {
     // at BOTH codebook widths (shared corpus/probe CTEs, two code
     // chains) — the recall price of the cap is the graded number
     "q273_ann_adc_recall_capped" -> {
-      import graft.operators.Similarity.{PqK, PqKCap}
+      import graft.operators.Similarity.{PqK, PqKCap, PqKCapFloor}
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
          |       FROM e),
@@ -6782,7 +6782,7 @@ object SparkEntry {
              s"""kkf AS (SELECT GREATEST($PqK,
                 |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k FROM q)""".stripMargin)},
          |${adcTopCtes("c",
-             s"""kkc AS (SELECT LEAST(GREATEST($PqK,
+             s"""kkc AS (SELECT LEAST(GREATEST($PqKCapFloor,
                 |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)), $PqKCap) AS k
                 |  FROM q)""".stripMargin)}
          |SELECT bf.q_id,

@@ -1257,13 +1257,25 @@ object Similarity {
     * capped codebook makes coding O(N·d) (linear decade law) and the
     * per-query LUT a CONSTANT 8·k·8 bytes — no [[QueryLutSliceBytes]]
     * slicing at any scale — at a recall cost q273 measures instead of
-    * guesses. 64 binds from N = 4·64² ≈ 16k upward, so the sf0.01
-    * correctness gate grades the capped path, not a disguised
-    * [[pqKFor]].
+    * guesses.
+    *
+    * The twin is a BOUNDED width, clamp(√(N/4), [[PqKCapFloor]],
+    * [[PqKCap]]), not merely min(pqKFor, cap): with the production
+    * [[PqK]]=16 floor kept, the tiny gate corpora (500 rows at sf0.01)
+    * would pin BOTH paths to k=16 and the hash gate would grade two
+    * identical searches — a disguised q107/q108. The lower bound 8
+    * departs from the production floor exactly where √(N/4) < 16, so
+    * the capped chain differs from the derived chain at EVERY graded
+    * scale (k=11 vs 16 at sf0.01; 64 vs 224/707 at the 100×/1000×
+    * rehearsals) and a wrong-k bug cannot hide behind coincident
+    * widths.
     */
   val PqKCap = 64
+  val PqKCapFloor = 8
 
-  def pqKCappedFor(n: Long): Int = math.min(pqKFor(n), PqKCap)
+  def pqKCappedFor(n: Long): Int =
+    math.min(math.max(PqKCapFloor, math.round(math.sqrt(n / 4.0)).toInt),
+      PqKCap)
 
   /** Derived-width PQ code histogram (q107) — [[pqKFor]]'s production
     * codebook under the correctness gate, the PQ twin of q99: code

@@ -20,6 +20,40 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("capped codebook: width law pinned, audit self-consistent, twin really differs") {
+    // the clamp [PqKCapFloor, PqKCap]: below the production floor where
+    // √(N/4) < 16 (so the gate grades a DISTINCT chain), capped where
+    // the N^1.5 coding term would grow
+    assert(Similarity.pqKCappedFor(500L) === 11)   // sf0.01: 11 vs pqKFor 16
+    assert(Similarity.pqKCappedFor(50L) === Similarity.PqKCapFloor)
+    assert(Similarity.pqKCappedFor(200000L) === Similarity.PqKCap) // 100×: 64 vs 224
+    assert(Similarity.pqKCappedFor(2000000L) === Similarity.PqKCap) // 1000×: 64 vs 707
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val kCap = Similarity.pqKCappedFor(n)
+    assert(kCap < Similarity.pqKFor(n) ||
+      Similarity.pqKFor(n) > Similarity.PqK || kCap != Similarity.PqK,
+      "at every graded scale the capped width must differ from the derived one")
+    // the histogram codes the whole corpus at the capped width
+    val hist = Similarity.pqCappedCodeHistogram(spark, sf).collect()
+    assert(hist.map(_.getAs[Long]("n_vecs")).sum ===
+      n * Similarity.PqSubspaces)
+    hist.foreach { r =>
+      assert(r.getAs[Long]("k") === kCap.toLong)
+      assert(r.getAs[Long]("code") < kCap.toLong)
+    }
+    // the recall audit is internally consistent (ppm law) and grades
+    // two genuinely different searches
+    val audit = Similarity.adcCappedRecallAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("fullk_recall_ppm") ===
+        r.getAs[Long]("n_fullk_hit") * 1000000L / r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("capk_recall_ppm") ===
+        r.getAs[Long]("n_capk_hit") * 1000000L / r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_capk_hit") <= r.getAs[Long]("n_true"))
+    }
+  }
+
   test("ivf assignment covers every vector exactly once") {
     val n = graft.sources.Tables.embeddings(spark, sf).count()
     val assigned = Similarity.ivfAssignments(spark, sf)
