@@ -21,33 +21,36 @@ package graft
   */
 object BenchBands {
 
-  /** Round-14 re-pin at the 268-query surface — MEASURED, not by
-    * addition (the r13-verdict ask): per-family minimum of the two
-    * full-surface sidecars `/tmp/bench_r14_full{1,2}.json` (warm,
-    * 0 failures, 0 reruns, 0 flags each). Window quality, recorded
-    * honestly: both runs' untouched families read 1.2–1.5× the
-    * r13-era quiet values (streaming 35.2 vs 26.1, graph 43.9 vs
-    * 28.9) — this host's typical-contention regime rather than a
-    * best-case quiet morning; the generous [0.45×, 2×] gate absorbs
-    * the spread in both directions, and pinning from a real sidecar
-    * beats extrapolated addition. BASELINE.md carries the history.
+  /** Round-15 re-pin at the 273-query surface, DOWNWARD from a
+    * genuinely quiet window (the r14-verdict ask: two consecutive
+    * contended closes had ratcheted these upward un-verified). Pinned
+    * from the round-close full-surface sidecar `bench_close_r15.json`
+    * (warm, 0 failures, 0 reruns, 0 flags, ann_ms_per_q 1.64 — every
+    * family at or below the round's quiet-morning run, the quietest
+    * reading on record at this surface); the quiet-morning 268-surface
+    * sidecar `bench_quiet_r15.json` independently confirms the regime
+    * (carried-261 ≈ 344.8 vs r13's quiet 337.0, +2.3% — contention
+    * CONFIRMED as the r13/r14 drift cause, no structural regression).
+    * These are QUIET pins: a typical-contention run reads 1.2–1.5×
+    * them, still inside the [0.45×, 2×] gate. BASELINE.md carries the
+    * history.
     */
   val QuietWarmSec: Map[String, Double] = Map(
-    // includes the seven r14 additions (q262–q268: the PQ'd rebalanced
-    // artifact + ADC serve, three-way recall, hier twins, hier refresh
-    // policy, append-mode ingest — the policy and ingest panels are
-    // executed-write classes, ~22 s of the subtotal by design)
-    "ann" -> 135.4,
-    "dedup" -> 60.5,
-    "graph" -> 43.9,
-    "relational" -> 40.5,
-    "streaming" -> 35.2,
-    "text" -> 30.3,
-    "lake" -> 26.0,
-    "sketch" -> 17.6,
-    "stats" -> 12.4,
-    "sampling" -> 6.9,
-    "multimodal" -> 1.6)
+    // includes the five r15 additions (q269 hier-PQ incremental
+    // ingest, q270/q271 append-mode codes + streaming twin, q272/q273
+    // capped-k coding + recall audit — ~28.9 s of the ann subtotal,
+    // the ingest panels being executed-write classes by design)
+    "ann" -> 131.6,
+    "dedup" -> 51.9,
+    "relational" -> 35.9,
+    "graph" -> 31.4,
+    "text" -> 27.1,
+    "lake" -> 21.2,
+    "streaming" -> 15.4,
+    "sketch" -> 14.3,
+    "stats" -> 10.9,
+    "sampling" -> 5.8,
+    "multimodal" -> 1.3)
 
   val LowFactor = 0.45
   val HighFactor = 2.0

@@ -401,6 +401,18 @@ class AnnIndexSpec extends AnyFunSuite {
     val replay = AnnIndex.hierPqReIngest(spark, sf).collect()
     assert(replay.map(_.toString).toSet === audit.map(_.toString).toSet,
       "replayed delta must rewrite, never duplicate")
+    // plan lock: the graded panel reads ONLY the committed tables —
+    // no corpus scan, no assignment expression of either kind (all
+    // routing/coding happened in the eager ingest, through the lease)
+    val plan = AnnIndex.hierPqReIngest(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("graft_ann_index"),
+      s"q269 panel must read the committed artifact:\n${plan.take(2000)}")
+    assert(!plan.contains("quantizedhierargmaxdot") &&
+      !plan.contains("quantizedargmaxdot"),
+      s"q269 panel must not re-assign anything:\n${plan.take(2000)}")
+    assert(!plan.contains("embeddings.pa"),
+      s"q269 panel must not rescan the corpus:\n${plan.take(2000)}")
   }
 
   test("append-mode codes: both tables write ∝ arrivals, bounded files, mass grows") {
