@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.GraftSession
+
+/** Measurement main pricing the DEPLOYMENT's marginal ingest tick on
+  * the hier-PQ incremental artifact (q269): the graded panel
+  * necessarily rebuilds its base every invocation (the oracle must
+  * replay it), so the bench number conflates two terms a deployment
+  * never pays together — the one-time base build and the per-tick
+  * delta. This separates them: one full build-plus-ingest, then N
+  * delta-only reapplications against the committed artifact (model and
+  * codebook re-read from it, the exact shape of the reference's
+  * 5-minute tick, `airflow/dags/hadoop_dag.py:115-118`). Emits one
+  * JSON line per measurement; results land in BASELINE.md.
+  *
+  * Usage: IngestTickProbe <sfDir> [ticks]   (env: SPARK_GRAFT_CPUS)
+  */
+object IngestTickProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val ticks = if (args.length > 1) args(1).toInt else 2
+    val spark =
+      GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val full = timed(
+      graft.operators.AnnIndex.hierPqIncrementalIngest(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    println(f"""{"probe":"hierpq_full_build_plus_ingest","sec":$full%.1f,"sf":"$sfDir"}""")
+    (1 to ticks).foreach { i =>
+      val t = timed(
+        graft.operators.AnnIndex.hierPqReIngest(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      println(f"""{"probe":"hierpq_tick","n":$i,"sec":$t%.1f,"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}
