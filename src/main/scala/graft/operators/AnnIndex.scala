@@ -1708,12 +1708,19 @@ object AnnIndex {
       .localCheckpoint() // freeze pre-append state; keeps co-location
     val nAppended = freshM.count()
     writer.appendPartitions(freshM, membersDir(root), "bucket")
-    // codes derive from the SAME frozen fresh set — member/code parity
-    // is structural, and the coding pass is map-only over the delta
-    val freshC = Similarity.withPqDistanceArrays(freshM, b.pq)
+    // codes anti-join against the CODES table itself (not freshM): a
+    // crash between the two appends leaves members ahead of codes, and
+    // a freshM-derived codes delta would read empty on replay — the
+    // per-table anti-join self-heals the torn table instead
+    val freshC = Similarity.withPqDistanceArrays(dm, b.pq)
       .select(col("vec_id") +: col("bucket") +:
         (0 until Similarity.PqSubspaces)
           .map(i => Similarity.pqCode(i).as(s"code_$i")): _*)
+      .join(
+        bucketTable(spark, codesDir(root))
+          .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .repartition(col("bucket"))
       .localCheckpoint()
     val nCodeAppended = freshC.count()
     writer.appendPartitions(freshC, codesDir(root), "bucket")
@@ -1739,6 +1746,52 @@ object AnnIndex {
         .foldLeft(1)(math.max).toLong,
       bucketFileCounts(lakeFs, codesDir(root)).values
         .foldLeft(1)(math.max).toLong)
+  }
+
+  /** Test hook: simulate a crash BETWEEN [[appendWave]]'s two appends —
+    * members written, codes not — then replay the SAME wave through the
+    * real body. The codes table's own anti-join must heal the torn
+    * table (append exactly the missing code rows) while the members
+    * anti-join appends nothing; the panel read-back proves per-bucket
+    * member/code parity was restored.
+    */
+  private[graft] def tornAppendReplayProbe(spark: SparkSession,
+      dir: String): DataFrame = {
+    requireNoEarlyCompaction()
+    Similarity.withFns(spark)
+    val root = indexRoot(spark, dir) + "_append_torn"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val b = commitAppendBaseArtifact(spark, root, emb.filter(hb < 700000L),
+      writer, lakeFs)
+    val (_, lo, hi) = FragWaves.head
+    val delta = emb.filter(hb >= lo && hb < hi)
+    // the torn half: assign + append MEMBERS only, then "crash"
+    val dm = assignedFor(delta, b.cents)
+    val touched = dm.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val tornM = dm.join(
+      bucketTable(spark, membersDir(root))
+        .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+      .repartition(col("bucket"))
+      .localCheckpoint()
+    val nTorn = tornM.count()
+    writer.appendPartitions(tornM, membersDir(root), "bucket")
+    // the at-least-once replay of the SAME wave through the real body
+    val s = appendWave(spark, root, delta, b, writer, lakeFs)
+    val members = bucketTable(spark, membersDir(root))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_members"))
+    val codes = bucketTable(spark, codesDir(root))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_codes"))
+    members.join(codes, Seq("bucket"))
+      .select(col("bucket"), col("n_members"), col("n_codes"),
+        lit(nTorn).as("n_torn"),
+        lit(s.rowsAppended).as("replay_members_appended"),
+        lit(s.codeRowsAppended).as("replay_codes_appended"))
   }
 
   private def codeMassTotal(spark: SparkSession, root: String): Long = {
@@ -1832,8 +1885,10 @@ object AnnIndex {
         .listStatus(new org.apache.hadoop.fs.Path(stage))
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .head
-      lakeFs.fs.rename(part.getPath,
-        new org.apache.hadoop.fs.Path(s"$srcDir/wave_$w.parquet"))
+      val dst = new org.apache.hadoop.fs.Path(s"$srcDir/wave_$w.parquet")
+      if (!lakeFs.fs.rename(part.getPath, dst))
+        throw new IllegalStateException(
+          s"failed to stage wave file ${part.getPath} -> $dst")
       lakeFs.delete(stage)
     }
     val schema = spark.read.parquet(srcDir).schema

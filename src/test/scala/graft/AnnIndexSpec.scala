@@ -440,6 +440,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(masses.zip(masses.tail).forall { case (a, b) => a <= b })
   }
 
+  test("torn append self-heals: replay appends the missing code rows only") {
+    // crash between the two appends → members ahead of codes; the
+    // replayed wave must append ZERO members (anti-join vs members)
+    // and exactly the torn count of codes (anti-join vs CODES, not
+    // vs the members-derived fresh set — the r15 advice medium)
+    val panel = AnnIndex.tornAppendReplayProbe(spark, sf).collect()
+    val nTorn = panel.head.getAs[Long]("n_torn")
+    assert(nTorn > 0L, "the torn wave must carry arrivals")
+    assert(panel.head.getAs[Long]("replay_members_appended") === 0L,
+      "replay must not duplicate the already-appended members")
+    assert(panel.head.getAs[Long]("replay_codes_appended") === nTorn,
+      "replay must heal the codes table with exactly the missing rows")
+    panel.foreach(r =>
+      assert(r.getAs[Long]("n_codes") === r.getAs[Long]("n_members"),
+        s"bucket ${r.getLong(0)}: parity must be restored after replay"))
+  }
+
   test("streaming append twin's final state matches the batch law") {
     val batch = AnnIndex.deltaIngestCodesAudit(spark, sf).collect()
       .sortBy(_.getAs[Long]("wave"))

@@ -30,8 +30,7 @@ class NorthStarSpec extends AnyFunSuite {
     assert(Similarity.pqKCappedFor(2000000L) === Similarity.PqKCap) // 1000×: 64 vs 707
     val n = graft.sources.Tables.embeddings(spark, sf).count()
     val kCap = Similarity.pqKCappedFor(n)
-    assert(kCap < Similarity.pqKFor(n) ||
-      Similarity.pqKFor(n) > Similarity.PqK || kCap != Similarity.PqK,
+    assert(kCap != Similarity.pqKFor(n),
       "at every graded scale the capped width must differ from the derived one")
     // the histogram codes the whole corpus at the capped width
     val hist = Similarity.pqCappedCodeHistogram(spark, sf).collect()
