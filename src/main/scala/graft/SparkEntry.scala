@@ -600,6 +600,31 @@ object SparkEntry {
     // derived-k ADC vs capped-k ADC, same probes, only k differs
     "q273_ann_adc_recall_capped" ->
       (Similarity.adcCappedRecallAudit _),
+    // the SPARSE-tick twin of q269: ≥0.999 split, the 5-minute-cadence
+    // delta shape — touched buckets ≪ nlist, tick IO collapsing toward
+    // the map-only delta cost (the touched-bucket law under the gate)
+    "q274_ann_hierpq_sparse_tick" ->
+      (graft.operators.AnnIndex.hierPqSparseTickIngest _),
+    // the PRODUCTION layout at the CAPPED width: same rebalanced
+    // routing as q262, codebook k = clamp(√(N/4), 8, 64) — coding goes
+    // linear, the serve LUT constant (no QueryLutSliceBytes slicing)
+    "q275_ann_hierpq_capped_commit" ->
+      (graft.operators.AnnIndex.hierPqCappedCommitAudit _),
+    // ...and its two-level ADC serve off the capped artifact — the
+    // q263 probe discipline, constant 8·k·8-byte LUT at every scale
+    "q276_ann_hierpq_capped_serve" ->
+      (graft.operators.AnnIndex.hierCappedPqServe _),
+    // the cap CHOSEN, not assumed: recall@5 vs brute truth at fixed
+    // widths k ∈ {16,32,64,128} — the knee goes on record (q227's
+    // commissioning posture; brute-truth audit class)
+    "q277_ann_pq_width_sweep" ->
+      (Similarity.pqWidthRecallSweep _),
+    // the priced width DECISION folded into the lifecycle: q267's
+    // four-arm policy over the code-carrying hier-PQ root — members
+    // AND codes advance per arm, rebalance re-keys without recoding,
+    // and the REBUILD arm builds at the capped width (linear coding)
+    "q278_ann_hierpq_refresh_capped" ->
+      (graft.operators.AnnIndex.hierPqRefreshPolicy _),
   )
 
   /** Bench family of every registered query (one coarse label per
@@ -625,7 +650,7 @@ object SparkEntry {
         118, 120, 121, 128, 132, 157, 158, 173, 175, 181, 182, 225, 226,
         227, 229, 232, 244, 245, 246, 247, 248, 249, 250, 251, 252, 253,
         254, 255, 256, 257, 258, 259, 260, 261, 262, 263, 264, 265, 266,
-        267, 268, 269, 270, 271, 272, 273) ++
+        267, 268, 269, 270, 271, 272, 273, 274, 275, 276, 277, 278) ++
       fam("graph")(154, 176, 178, 189, 194, 207, 223, 224) ++
       fam("text")(31, 32, 33, 34, 50, 66, 67, 72, 78, 84, 85, 92, 100, 130,
         166, 170, 171, 174, 177, 188, 220, 241, 242, 243) ++
@@ -6081,59 +6106,19 @@ object SparkEntry {
     // the PQ'd rebalanced commit replayed: the Lloyd-step routing
     // (hierRebalanceCtes) carries the member witnesses, the full-corpus
     // √(N/4) codebook argmins the code witnesses, all knobs re-derived
-    "q262_ann_hierpq_index_commit" -> {
-      s"""$hierAssignCtes,
-         |$hierRebalanceCtes,
-         |$pqCodeCtes
-         |SELECT r.bucket_new AS bucket,
-         |  CAST(COUNT(*) AS BIGINT) AS n_members,
-         |  bit_xor(r.vec_id) AS vec_xor,
-         |  CAST(COUNT(*) AS BIGINT) AS n_codes,
-         |  CAST(SUM(cmq.mass) AS BIGINT) AS code_mass,
-         |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
-         |    AS index_version,
-         |  (SELECT nlist FROM nl) AS nlist,
-         |  (SELECT ncoarse FROM nc) AS ncoarse,
-         |  (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
-         |   FROM nc) AS cprobe,
-         |  (SELECT GREATEST(1,
-         |     GREATEST(${graft.operators.Similarity.IvfNprobe},
-         |       CAST(ROUND(SQRT(nlist)) AS BIGINT))
-         |     // GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT)))
-         |   FROM nl, nc) AS percell,
-         |  (SELECT k FROM kk) AS k
-         |FROM re r JOIN cmq ON cmq.vec_id = r.vec_id
-         |GROUP BY 1""".stripMargin
-    },
+    "q262_ann_hierpq_index_commit" -> hierPqCommitOracleSql(pqCodeCtes),
+    // q275: the IDENTICAL commit replay at the capped width — only the
+    // kk derivation differs, so routing/commit drift is impossible
+    "q275_ann_hierpq_capped_commit" ->
+      hierPqCommitOracleSql(pqCappedCodeCtes),
     // the two-level ADC serve replayed: rebalanced fine selection
     // (fsel2, the q261 probe discipline over fnew), candidates = the
     // re-routed membership's code rows, ADC = 8 LUT sums per candidate
-    "q263_ann_hierpq_adc_serve" ->
-      s"""$hierAssignCtes,
-         |$hierRebalanceCtes,
-         |$hierSearchCtes,
-         |$pqCodeCtes,
-         |fsel2 AS (SELECT q_id, f_id AS bucket FROM (
-         |    SELECT p.q_id, f.f_id,
-         |      ROW_NUMBER() OVER (PARTITION BY p.q_id, p.cell
-         |        ORDER BY ${dotSql("f.f_emb", "p.q_emb")} DESC, f.f_id ASC)
-         |        AS rk
-         |    FROM qpr p JOIN fnew f ON f.cell = p.cell) t
-         |  WHERE rk <= (SELECT percell FROM nh)),
-         |adcq AS (
-         |  SELECT p.q_id, r.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
-         |  FROM fsel2 p
-         |  JOIN re r ON r.bucket_new = p.bucket
-         |  JOIN codeq co ON co.vec_id = r.vec_id
-         |  JOIN dq l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
-         |  WHERE r.vec_id <> p.q_id
-         |  GROUP BY 1, 2)
-         |SELECT q_id, neighbor_id, adc_q, rank FROM (
-         |  SELECT q_id, vec_id AS neighbor_id, adc_q,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
-         |  FROM adcq) t
-         |WHERE rank <= 5""".stripMargin,
+    "q263_ann_hierpq_adc_serve" -> hierPqServeOracleSql(pqCodeCtes),
+    // q276: the IDENTICAL serve replay at the capped width — the
+    // constant-LUT production serve under the same hash discipline
+    "q276_ann_hierpq_capped_serve" ->
+      hierPqServeOracleSql(pqCappedCodeCtes),
     // brute top-5 truth vs flat derived, seed-hier, and REBALANCED
     // layouts — q255's panel widened to the third column
     "q264_ann_recall_threeway" -> {
@@ -6445,10 +6430,21 @@ object SparkEntry {
     // base codebook IS base-coding ∪ delta-coding — a dropped delta, a
     // clobbered untouched bucket, a wrong-model routing, a
     // wrong-codebook coding, or a knob drift breaks the hash
-    "q269_ann_hierpq_ingest" -> {
+    "q269_ann_hierpq_ingest" -> hierPqIngestOracleSql(900000L),
+    // q274: the IDENTICAL replay at the ≥0.999 sparse split — the
+    // 5-minute-cadence delta shape (touched buckets ≪ nlist); only
+    // the split constant differs, so the two chains cannot drift
+    "q274_ann_hierpq_sparse_tick" -> hierPqIngestOracleSql(999000L)) ++
+    oracleSqlAppendTail
+
+  /** The q269/q274 oracle chain at a parameterized split: full-corpus
+    * routing under the base model (base-build ∪ delta-ingest ≡ that)
+    * plus the positional code argmin under the base codebook.
+    */
+  private def hierPqIngestOracleSql(splitPpm: Long): String = {
       import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |$hierBaseCtes,
+         |${hierBaseCtesAt(splitPpm)},
          |kb AS (SELECT GREATEST($PqK,
          |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k FROM bse),
          |cpb AS (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
@@ -6488,7 +6484,7 @@ object SparkEntry {
          |  bit_xor(h.vec_id) AS vec_xor,
          |  CAST(COUNT(*) AS BIGINT) AS n_codes,
          |  CAST(SUM(cmb.mass) AS BIGINT) AS code_mass,
-         |  CAST(SUM(CASE WHEN hbt.hb >= 900000 THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(SUM(CASE WHEN hbt.hb >= $splitPpm THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_arrived,
          |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
          |    AS index_version,
@@ -6499,7 +6495,9 @@ object SparkEntry {
          |  (SELECT k FROM kb) AS k
          |FROM hierb h JOIN hbt USING (vec_id) JOIN cmb USING (vec_id)
          |GROUP BY 1""".stripMargin
-    },
+  }
+
+  private lazy val oracleSqlAppendTail: Map[String, String] = Map(
     // q268's replay extended to the codes table: code appends/compaction
     // follow the members' law exactly (the tables advance together), and
     // the per-wave cumulative code mass is the positional argmin under
@@ -6802,6 +6800,198 @@ object SparkEntry {
          |  AND tc.neighbor_id = bf.neighbor_id
          |GROUP BY 1""".stripMargin
     },
+    // q277: the q273 chain swept over FIXED widths — same prefix
+    // (brute truth, probes, assignment), one adcTopCtes chain per k,
+    // one aggregate row per k; the recall knee is the measurement
+    // PqKCap is pinned to
+    "q277_ann_pq_width_sweep" -> {
+      val chains = graft.operators.Similarity.SweepPqKs.map(k =>
+        adcTopCtes(s"w$k",
+          s"kkw$k AS (SELECT CAST($k AS BIGINT) AS k)")).mkString(",\n")
+      val points = graft.operators.Similarity.SweepPqKs.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(COUNT(*) AS BIGINT) AS n_true,
+           |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_hits,
+           |  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0
+           |    END) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+           |FROM bf LEFT JOIN topw$k t ON t.q_id = bf.q_id
+           |  AND t.neighbor_id = bf.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |nl AS (SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+         |       FROM e),
+         |np AS (SELECT GREATEST(${graft.operators.Similarity.IvfNprobe},
+         |    CAST(ROUND(SQRT(nlist)) AS BIGINT)) AS nprobe FROM nl),
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |          FROM e, nl WHERE vec_id < nl.nlist),
+         |asg AS (
+         |  SELECT vec_id, c_id AS bucket FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("c.c_emb", "e.embedding")} DESC, c.c_id ASC) AS rk
+         |    FROM e, cents c) t
+         |  WHERE rk = 1),
+         |qq AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    ${dotSql("embedding", "embedding")} AS n_q
+         |  FROM e WHERE vec_id % 100 = 0),
+         |bf AS (SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        CAST(floor(CAST(${dotSql("q.q_emb", "e.embedding")} AS DOUBLE)
+         |          * 1000000.0 / (sqrt(CAST(q.n_q AS DOUBLE)) *
+         |          sqrt(CAST(${dotSql("e.embedding", "e.embedding")} AS DOUBLE))))
+         |          AS BIGINT) DESC,
+         |        e.vec_id ASC) AS rank
+         |    FROM e, qq q WHERE e.vec_id <> q.q_id) t
+         |  WHERE rank <= 5),
+         |probes AS (
+         |  SELECT q_id, c_id AS bucket FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${dotSql("c.c_emb", "q.q_emb")} DESC, c.c_id ASC) AS rk
+         |    FROM qq q, cents c) t
+         |  WHERE rk <= (SELECT nprobe FROM np)),
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qe
+         |    FROM embeddings),
+         |$chains
+         |$points""".stripMargin
+    },
+    // q278: q267's four-arm replay over the CODE-CARRYING lifecycle —
+    // both capped codebooks (base-split positional and full-corpus
+    // positional) replayed beside the routing witnesses, masses per
+    // arm (rebalance re-keys, never recodes: mass must equal the
+    // ingest state's), the drift arm's width = the full-corpus cap
+    "q278_ann_hierpq_refresh_capped" -> {
+      import graft.operators.Similarity.{PqKCap, PqKCapFloor, PqSubDim, PqSubspaces}
+      def codeChain(sfx: String, kName: String, seedRel: String): String =
+        s"""cb$sfx AS (SELECT cpos, cq FROM (
+           |    SELECT q.qe AS cq,
+           |      ROW_NUMBER() OVER (ORDER BY q.vec_id) - 1 AS cpos
+           |    FROM qv q JOIN $seedRel USING (vec_id)) t, $kName
+           |  WHERE cpos < $kName.k),
+           |d$sfx AS (SELECT q.vec_id, c.cpos,
+           |      CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
+           |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos]))
+           |        AS dist
+           |    FROM qv q, cb$sfx c,
+           |      (SELECT unnest(generate_series(1, ${PqSubspaces * PqSubDim}))
+           |       AS pos) p
+           |    GROUP BY 1, 2, 3),
+           |cm$sfx AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS mass FROM (
+           |    SELECT vec_id, m, cpos AS code FROM (
+           |      SELECT vec_id, m, cpos,
+           |        ROW_NUMBER() OVER (PARTITION BY vec_id, m
+           |          ORDER BY dist, cpos) AS rn
+           |      FROM d$sfx) t
+           |    WHERE rn = 1) u GROUP BY 1)""".stripMargin
+      val kbCte =
+        s"""kbc AS (SELECT LEAST(GREATEST($PqKCapFloor,
+           |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)), $PqKCap) AS k
+           |  FROM bse)""".stripMargin
+      val kfCte =
+        s"""kfc AS (SELECT LEAST(GREATEST($PqKCapFloor,
+           |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)), $PqKCap) AS k
+           |  FROM e)""".stripMargin
+      s"""$hierAssignCtes,
+         |$hierRebalanceCtes,
+         |$hierBaseCtes,
+         |$kbCte,
+         |$kfCte,
+         |${codeChain("b2", "kbc", "bse")},
+         |${codeChain("f2", "kfc", "e")},
+         |hb_base AS (SELECT h.vec_id, h.bucket FROM hierb h
+         |            JOIN hbt USING (vec_id) WHERE hbt.hb < 900000),
+         |sumsb AS (SELECT h.bucket, pp.pos,
+         |    CAST(SUM(qv.qe[pp.pos]) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM hierb h JOIN qv USING (vec_id), pp
+         |  WHERE h.bucket >= 0 GROUP BY 1, 2),
+         |mqb AS (SELECT bucket, pos,
+         |    CAST((s // n) - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS mean_q FROM sumsb),
+         |newcb AS (SELECT bucket AS f_id,
+         |    list(CAST(mean_q / 1000000.0 AS FLOAT) ORDER BY pos) AS new_emb
+         |  FROM mqb GROUP BY 1),
+         |fnewb AS (SELECT fc.f_id, fc.cell,
+         |    COALESCE(n.new_emb, fc.f_emb) AS f_emb
+         |  FROM fcellb fc LEFT JOIN newcb n ON n.f_id = fc.f_id),
+         |reb AS (SELECT vec_id, COALESCE(bucket, -1) AS bucket_new FROM (
+         |    SELECT r.vec_id, f.f_id AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |        ORDER BY ${dotSql("r.embedding", "f.f_emb")} DESC, f.f_id ASC)
+         |        AS rk
+         |    FROM rcellb r LEFT JOIN fnewb f ON r.cell = f.cell) t
+         |  WHERE rk = 1),
+         |mb2 AS (SELECT CAST(SUM(c.mass) AS BIGINT) AS mass
+         |        FROM cmb2 c JOIN bse USING (vec_id)),
+         |mf2 AS (SELECT CAST(SUM(mass) AS BIGINT) AS mass FROM cmb2),
+         |mr2 AS (SELECT CAST(SUM(mass) AS BIGINT) AS mass FROM cmf2),
+         |wnoop AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM bse) AS n_codes,
+         |    (SELECT mass FROM mb2) AS code_mass FROM hb_base),
+         |wingest AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_codes,
+         |    (SELECT mass FROM mf2) AS code_mass FROM hierb),
+         |wrebal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket_new) AS BIGINT) AS n_buckets,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_codes,
+         |    (SELECT mass FROM mf2) AS code_mass FROM reb),
+         |wrebuild AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    bit_xor(vec_id) AS vec_xor,
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_codes,
+         |    (SELECT mass FROM mr2) AS code_mass FROM hier),
+         |skb AS (SELECT CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT)
+         |    AS skew FROM (SELECT bucket, COUNT(*) AS mass FROM hb_base
+         |                  GROUP BY 1) t),
+         |skf AS (SELECT CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT)
+         |    AS skew FROM (SELECT bucket, COUNT(*) AS mass FROM hierb
+         |                  GROUP BY 1) t),
+         |skr AS (SELECT CAST(MAX(mass) * 1000000 // SUM(mass) AS BIGINT)
+         |    AS skew FROM (SELECT bucket_new, COUNT(*) AS mass FROM reb
+         |                  GROUP BY 1) t),
+         |g AS (SELECT CAST((SELECT COUNT(*) FROM hbt WHERE hb >= 900000)
+         |    * 1000000 // (SELECT COUNT(*) FROM bse) AS BIGINT) AS growth_ppm),
+         |sc4 AS (SELECT * FROM (VALUES
+         |    ('fresh', CAST(200000 AS BIGINT), CAST(500000 AS BIGINT),
+         |     CAST(2000000 AS BIGINT)),
+         |    ('stale', CAST(50000 AS BIGINT), CAST(500000 AS BIGINT),
+         |     CAST(2000000 AS BIGINT)),
+         |    ('hot', CAST(50000 AS BIGINT), CAST(500000 AS BIGINT),
+         |     CAST(0 AS BIGINT)),
+         |    ('drift', CAST(10000 AS BIGINT), CAST(50000 AS BIGINT),
+         |     CAST(2000000 AS BIGINT)))
+         |  AS t(scenario, low_ppm, high_ppm, skew_cap_ppm)),
+         |pre AS (SELECT sc4.scenario,
+         |    CASE sc4.scenario WHEN 'fresh' THEN (SELECT skew FROM skb)
+         |      WHEN 'stale' THEN (SELECT skew FROM skb)
+         |      WHEN 'hot' THEN (SELECT skew FROM skf)
+         |      ELSE (SELECT skew FROM skr) END AS skew_pre
+         |  FROM sc4)
+         |SELECT sc4.scenario,
+         |  CASE WHEN g.growth_ppm < sc4.low_ppm THEN 'noop'
+         |    WHEN g.growth_ppm >= sc4.high_ppm THEN 'rebuild'
+         |    WHEN pre.skew_pre > sc4.skew_cap_ppm THEN 'rebalance'
+         |    ELSE 'ingest' END AS decision,
+         |  g.growth_ppm, sc4.low_ppm, sc4.high_ppm, sc4.skew_cap_ppm,
+         |  pre.skew_pre AS skew_pre_ppm,
+         |  w.n_members, w.vec_xor, w.n_buckets, w.n_codes, w.code_mass,
+         |  CASE WHEN sc4.scenario = 'drift' THEN (SELECT k FROM kfc)
+         |    ELSE (SELECT k FROM kbc) END AS k
+         |FROM sc4 JOIN pre USING (scenario), g,
+         |  LATERAL (SELECT w1.* FROM wnoop w1 WHERE sc4.scenario = 'fresh'
+         |    UNION ALL SELECT w2.* FROM wingest w2 WHERE sc4.scenario = 'stale'
+         |    UNION ALL SELECT w3.* FROM wrebal w3 WHERE sc4.scenario = 'hot'
+         |    UNION ALL SELECT w4.* FROM wrebuild w4 WHERE sc4.scenario = 'drift')
+         |    w""".stripMargin
+    },
   )
 
   /** Shared hier-SEARCH CTE chain (appended after [[hierAssignCtes]]):
@@ -6828,9 +7018,85 @@ object SparkEntry {
     * witnesses and q263's ADC ranking cannot drift.
     */
   private lazy val pqCodeCtes: String = {
-    import graft.operators.Similarity.{PqK, PqSubDim, PqSubspaces}
-    s"""kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
-       |       FROM e),
+    import graft.operators.Similarity.PqK
+    pqCodeCtesWith(
+      s"""kk AS (SELECT GREATEST($PqK, CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS k
+         |       FROM e)""".stripMargin)
+  }
+
+  /** [[pqCodeCtes]] at the CAPPED width (q272's clamp) — q275/q276
+    * replay the production chain with only the `kk` derivation swapped,
+    * so the two widths cannot drift anywhere else in the algebra.
+    */
+  private lazy val pqCappedCodeCtes: String = {
+    import graft.operators.Similarity.{PqKCap, PqKCapFloor}
+    pqCodeCtesWith(
+      s"""kk AS (SELECT LEAST(GREATEST($PqKCapFloor,
+         |    CAST(ROUND(SQRT(COUNT(*) / 4.0)) AS BIGINT)), $PqKCap) AS k
+         |  FROM e)""".stripMargin)
+  }
+
+  /** The q262/q275 commit-audit replay, parameterized by the code CTE
+    * chain (derived or capped width — nothing else may differ).
+    */
+  private def hierPqCommitOracleSql(codeCtes: String): String =
+    s"""$hierAssignCtes,
+       |$hierRebalanceCtes,
+       |$codeCtes
+       |SELECT r.bucket_new AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  bit_xor(r.vec_id) AS vec_xor,
+       |  CAST(COUNT(*) AS BIGINT) AS n_codes,
+       |  CAST(SUM(cmq.mass) AS BIGINT) AS code_mass,
+       |  CAST(${graft.operators.AnnIndex.IndexVersion} AS BIGINT)
+       |    AS index_version,
+       |  (SELECT nlist FROM nl) AS nlist,
+       |  (SELECT ncoarse FROM nc) AS ncoarse,
+       |  (SELECT GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT))
+       |   FROM nc) AS cprobe,
+       |  (SELECT GREATEST(1,
+       |     GREATEST(${graft.operators.Similarity.IvfNprobe},
+       |       CAST(ROUND(SQRT(nlist)) AS BIGINT))
+       |     // GREATEST(2, CAST(ROUND(SQRT(ncoarse)) AS BIGINT)))
+       |   FROM nl, nc) AS percell,
+       |  (SELECT k FROM kk) AS k
+       |FROM re r JOIN cmq ON cmq.vec_id = r.vec_id
+       |GROUP BY 1""".stripMargin
+
+  /** The q263/q276 two-level ADC serve replay, parameterized the same
+    * way: rebalanced fine selection, candidates = re-routed code rows,
+    * ADC = 8 LUT sums per candidate.
+    */
+  private def hierPqServeOracleSql(codeCtes: String): String =
+    s"""$hierAssignCtes,
+       |$hierRebalanceCtes,
+       |$hierSearchCtes,
+       |$codeCtes,
+       |fsel2 AS (SELECT q_id, f_id AS bucket FROM (
+       |    SELECT p.q_id, f.f_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.q_id, p.cell
+       |        ORDER BY ${dotSql("f.f_emb", "p.q_emb")} DESC, f.f_id ASC)
+       |        AS rk
+       |    FROM qpr p JOIN fnew f ON f.cell = p.cell) t
+       |  WHERE rk <= (SELECT percell FROM nh)),
+       |adcq AS (
+       |  SELECT p.q_id, r.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adc_q
+       |  FROM fsel2 p
+       |  JOIN re r ON r.bucket_new = p.bucket
+       |  JOIN codeq co ON co.vec_id = r.vec_id
+       |  JOIN dq l ON l.vec_id = p.q_id AND l.m = co.m AND l.c_id = co.code
+       |  WHERE r.vec_id <> p.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, neighbor_id, adc_q, rank FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, adc_q,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc_q ASC, vec_id ASC) AS INT) AS rank
+       |  FROM adcq) t
+       |WHERE rank <= 5""".stripMargin
+
+  private def pqCodeCtesWith(kkCte: String): String = {
+    import graft.operators.Similarity.{PqSubDim, PqSubspaces}
+    s"""$kkCte,
        |cbq AS (SELECT vec_id AS c_id, qe AS cq FROM qv, kk WHERE vec_id < kk.k),
        |dq AS (SELECT q.vec_id, c.c_id, CAST((p.pos - 1) // $PqSubDim AS BIGINT) AS m,
        |      SUM((q.qe[p.pos] - c.cq[p.pos]) * (q.qe[p.pos] - c.cq[p.pos])) AS dist
@@ -6962,12 +7228,17 @@ object SparkEntry {
     * AND q269 so the base-model replay cannot drift between the policy
     * and the code-carrying ingest.
     */
-  private lazy val hierBaseCtes: String =
+  private lazy val hierBaseCtes: String = hierBaseCtesAt(900000L)
+
+  /** [[hierBaseCtes]] at a parameterized base/arrival split — q274
+    * replays the identical chain at the ≥0.999 sparse split.
+    */
+  private def hierBaseCtesAt(splitPpm: Long): String =
     s"""hbt AS (SELECT vec_id,
        |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % 1000000 AS hb FROM embeddings),
        |bse AS (SELECT e.vec_id, e.embedding FROM e JOIN hbt USING (vec_id)
-       |        WHERE hbt.hb < 900000),
+       |        WHERE hbt.hb < $splitPpm),
        |nlb AS (SELECT GREATEST(${graft.operators.Similarity.IvfNlist},
        |    CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS nlist FROM bse),
        |ncb AS (SELECT GREATEST(4, CAST(ROUND(SQRT(nlist)) AS BIGINT))

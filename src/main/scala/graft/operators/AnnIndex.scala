@@ -1002,10 +1002,36 @@ object AnnIndex {
     * crash-certifiable commit order as every build here: sidecar
     * dropped first, written last.
     */
-  def buildHierRebalancedPqAndCommit(spark: SparkSession, dir: String): HierMeta = {
+  def buildHierRebalancedPqAndCommit(spark: SparkSession, dir: String): HierMeta =
+    buildHierRebalancedPqAt(spark, dir, hierPqRoot(spark, dir),
+      hierKnobsFor(spark, dir))
+
+  /** Root of the CAPPED-width production twin (q275/q276): identical
+    * rebalanced routing, codebook width [[Similarity.pqKCappedFor]]
+    * instead of k ∝ √N — the build's coding term goes linear and the
+    * per-query LUT is a constant 8·k·8 bytes (no
+    * [[Similarity.QueryLutSliceBytes]] slicing at any scale). Separate
+    * root: the two layouts coexist, a migration cuts over by path.
+    */
+  def hierPqCappedRoot(spark: SparkSession, dir: String): String =
+    s"${indexRoot(spark, dir)}-hier2pqc"
+
+  private def cappedHierKnobsFor(spark: SparkSession, dir: String): HierMeta = {
+    val m = hierKnobsFor(spark, dir)
+    m.copy(k = Similarity.pqKCappedFor(m.n))
+  }
+
+  /** q275's build: the production rebalanced hier-PQ commit at the
+    * CAPPED codebook width — same one-Lloyd-step routing, same commit
+    * order, only `k` differs (and is frozen in the sidecar/panel).
+    */
+  def buildHierCappedPqAndCommit(spark: SparkSession, dir: String): HierMeta =
+    buildHierRebalancedPqAt(spark, dir, hierPqCappedRoot(spark, dir),
+      cappedHierKnobsFor(spark, dir))
+
+  private def buildHierRebalancedPqAt(spark: SparkSession, dir: String,
+      root: String, meta: HierMeta): HierMeta = {
     Similarity.withFns(spark)
-    val root = hierPqRoot(spark, dir)
-    val meta = hierKnobsFor(spark, dir)
     val pqCents = Similarity.centroidLits(spark, dir, meta.k)
     val (updated, re, release) = Similarity.hierRebalanced(spark, dir)
     val lakeFs = graft.lake.LakeFs.forSpark(spark)
@@ -1043,15 +1069,37 @@ object AnnIndex {
       .getOrElse(buildHierRebalancedPqAndCommit(spark, dir))
   }
 
+  def ensureHierCappedPqCommitted(spark: SparkSession, dir: String): HierMeta = {
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val fp = corpusFingerprint(spark, dir)
+    readHierMetaAt(spark, hierPqCappedRoot(spark, dir))
+      .filter(m => m.version == IndexVersion && m.n == n && m.fp == fp &&
+        m.k == Similarity.pqKCappedFor(n)) // a re-pinned cap invalidates
+      .getOrElse(buildHierCappedPqAndCommit(spark, dir))
+  }
+
   /** q262: the PQ'd rebalanced build + commit + audit — the q244 panel
     * (members AND codes witnesses) over q259's routing plus the frozen
     * two-level + PQ knobs. The oracle replays the Lloyd step and every
     * subspace argmin from the raw corpus, so committing the wrong
     * routing, a torn code table, or a knob drift breaks the hash.
     */
-  def hierPqCommitAudit(spark: SparkSession, dir: String): DataFrame = {
-    val meta = buildHierRebalancedPqAndCommit(spark, dir)
-    val root = hierPqRoot(spark, dir)
+  def hierPqCommitAudit(spark: SparkSession, dir: String): DataFrame =
+    hierPqCommitPanel(spark, buildHierRebalancedPqAndCommit(spark, dir),
+      hierPqRoot(spark, dir))
+
+  /** q275: the q262 commit audit on the CAPPED-width production build —
+    * identical routing (members witnesses hash-equal to q262's), codes
+    * re-derived at k = [[Similarity.pqKCappedFor]], the frozen `k`
+    * column keeping the cap under the gate. This is the build a
+    * deployment keeps linear: coding O(N·k_cap·d), LUT constant.
+    */
+  def hierPqCappedCommitAudit(spark: SparkSession, dir: String): DataFrame =
+    hierPqCommitPanel(spark, buildHierCappedPqAndCommit(spark, dir),
+      hierPqCappedRoot(spark, dir))
+
+  private def hierPqCommitPanel(spark: SparkSession, meta: HierMeta,
+      root: String): DataFrame = {
     val members = bucketTable(spark, membersDir(root))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_members"),
@@ -1082,10 +1130,24 @@ object AnnIndex {
     * (AnnIndexSpec asserts it); the plan carries zero corpus
     * assignment and touches the corpus only for the query subset.
     */
-  def hierRebalancedPqServe(spark: SparkSession, dir: String): DataFrame = {
+  def hierRebalancedPqServe(spark: SparkSession, dir: String): DataFrame =
+    hierPqServeAt(spark, dir, ensureHierRebalancedPqCommitted(spark, dir),
+      hierPqRoot(spark, dir))
+
+  /** q276: the q263 two-level ADC serve off the CAPPED artifact — the
+    * same committed-model probe discipline and exact integer ADC, but
+    * the per-query LUT is 8·k_cap·8 bytes, CONSTANT in N: at 1000× the
+    * derived-width serve slices its k=1414 LUT into 8 broadcast chunks
+    * ([[Similarity.QueryLutSliceBytes]]) and pays a join per slice;
+    * this one never slices at any scale.
+    */
+  def hierCappedPqServe(spark: SparkSession, dir: String): DataFrame =
+    hierPqServeAt(spark, dir, ensureHierCappedPqCommitted(spark, dir),
+      hierPqCappedRoot(spark, dir))
+
+  private def hierPqServeAt(spark: SparkSession, dir: String,
+      meta: HierMeta, root: String): DataFrame = {
     Similarity.withFns(spark)
-    val meta = ensureHierRebalancedPqCommitted(spark, dir)
-    val root = hierPqRoot(spark, dir)
     val coarse = modelLits(spark, root, "coarse")
     val fineByCell = {
       import spark.implicits._
@@ -1444,6 +1506,13 @@ object AnnIndex {
   private def hierPqIncRoot(spark: SparkSession, dir: String): String =
     hierPqRoot(spark, dir) + "_inc"
 
+  /** Root of the SPARSE-tick lifecycle twin (q274) — separate from
+    * [[hierPqIncRoot]] because the ≥0.999 split means a different base
+    * count, hence different base-derived knobs and a different model.
+    */
+  private def hierPqSparseRoot(spark: SparkSession, dir: String): String =
+    hierPqRoot(spark, dir) + "_inc_sparse"
+
   private final case class HierPqBaseBuild(nBase: Long, nlist: Int,
     ncoarse: Int, k: Int)
 
@@ -1469,11 +1538,12 @@ object AnnIndex {
     */
   private def commitHierPqBaseArtifact(spark: SparkSession, root: String,
       base: DataFrame, writer: graft.lake.AtomicPartitionWriter,
-      lakeFs: graft.lake.LakeFs): HierPqBaseBuild = {
+      lakeFs: graft.lake.LakeFs,
+      kFor: Long => Int = Similarity.pqKFor): HierPqBaseBuild = {
     val nBase = base.count()
     val nlist = Similarity.nlistFor(nBase)
     val ncoarse = Similarity.ncoarseFor(nlist)
-    val k = Similarity.pqKFor(nBase)
+    val k = kFor(nBase)
     if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
     Seq(membersDir(root), codesDir(root), modelDir(root))
       .foreach(writer.repair(_))
@@ -1541,13 +1611,13 @@ object AnnIndex {
     * two-level + PQ knobs.
     */
   private def hierPqIngestPanel(spark: SparkSession, root: String,
-      b: HierPqBaseBuild): DataFrame = {
+      b: HierPqBaseBuild, splitPpm: Long): DataFrame = {
     val hb = Sampling.hashBucket("vec_id")
     val members = bucketTable(spark, membersDir(root))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_members"),
         expr("bit_xor(vec_id)").as("vec_xor"),
-        sum(when(hb >= 900000L, 1L).otherwise(0L)).as("n_arrived"))
+        sum(when(hb >= splitPpm, 1L).otherwise(0L)).as("n_arrived"))
     val codeMass = (0 until Similarity.PqSubspaces)
       .map(m => col(s"code_$m")).reduce(_ + _)
     val codes = bucketTable(spark, codesDir(root))
@@ -1585,23 +1655,40 @@ object AnnIndex {
     * bucket, a wrong-model routing, a wrong-codebook coding, or a knob
     * drift breaks the hash.
     */
-  def hierPqIncrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+  def hierPqIncrementalIngest(spark: SparkSession, dir: String): DataFrame =
+    hierPqIngestAt(spark, dir, hierPqIncRoot(spark, dir), 900000L)
+
+  /** q274: the SPARSE-tick twin of q269 — same machinery, ≥0.999
+    * split. The graded q269 ~11% delta touches effectively every one
+    * of the √N buckets, so its marginal tick reads upsert-IO-bound
+    * (~2× under the full rebuild at 1000×, IngestTickProbe); a
+    * 5-minute-cadence delta is ≪1% and touches a HANDFUL of buckets —
+    * the touched-bucket law the incremental layout exists for. This
+    * puts that law under the hash gate: same base posture, same
+    * committed-model routing + committed-codebook coding, but the
+    * delta is ~0.1% and `n_touched ≤ n_arrivals ≪ nlist`, so tick IO
+    * collapses toward the map-only delta cost.
+    */
+  def hierPqSparseTickIngest(spark: SparkSession, dir: String): DataFrame =
+    hierPqIngestAt(spark, dir, hierPqSparseRoot(spark, dir), 999000L)
+
+  private def hierPqIngestAt(spark: SparkSession, dir: String,
+      root: String, splitPpm: Long): DataFrame = {
     Similarity.withFns(spark)
-    val root = hierPqIncRoot(spark, dir)
     val lakeFs = graft.lake.LakeFs.forSpark(spark)
     val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
     val hb = Sampling.hashBucket("vec_id")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val base = emb.filter(hb < 900000L)
-    val arrivals = emb.filter(hb >= 900000L)
+    val base = emb.filter(hb < splitPpm)
+    val arrivals = emb.filter(hb >= splitPpm)
     val b = commitHierPqBaseArtifact(spark, root, base, writer, lakeFs)
     val cm = readCommittedHierModel(spark, root)
     val pq = modelLits(spark, root, "pq")
     val (nArr, _, _) = hierIngestDelta(spark, root, arrivals, cm, pq, writer)
     writeHierSidecar(lakeFs, root,
       hierPqSidecarMeta(spark, dir, b, b.nBase + nArr))
-    hierPqIngestPanel(spark, root, b)
+    hierPqIngestPanel(spark, root, b, splitPpm)
   }
 
   /** Test hook: REAPPLY the q269 arrival delta against the already-
@@ -1610,21 +1697,146 @@ object AnnIndex {
     * the artifact; the anti-join idempotence must land the identical
     * panel.
     */
-  private[graft] def hierPqReIngest(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def hierPqReIngest(spark: SparkSession, dir: String): DataFrame =
+    hierPqReIngestAt(spark, dir, hierPqIncRoot(spark, dir), 900000L)
+
+  /** Sparse-twin replay hook (q274's tick): reapply the ≥0.999 delta
+    * against the committed sparse artifact — the marginal tick a
+    * 5-minute cadence actually pays, touched buckets ≪ nlist.
+    */
+  private[graft] def hierPqSparseReIngest(spark: SparkSession,
+      dir: String): DataFrame =
+    hierPqReIngestAt(spark, dir, hierPqSparseRoot(spark, dir), 999000L)
+
+  private def hierPqReIngestAt(spark: SparkSession, dir: String,
+      root: String, splitPpm: Long): DataFrame = {
     Similarity.withFns(spark)
-    val root = hierPqIncRoot(spark, dir)
     val meta = readHierMetaAt(spark, root).getOrElse(
-      sys.error("hierPqReIngest needs a committed q269 artifact"))
+      sys.error("hierPqReIngest needs a committed hier-PQ ingest artifact"))
     val lakeFs = graft.lake.LakeFs.forSpark(spark)
     val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
     val arrivals = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-      .filter(Sampling.hashBucket("vec_id") >= 900000L)
+      .filter(Sampling.hashBucket("vec_id") >= splitPpm)
     val cm = readCommittedHierModel(spark, root)
     val pq = modelLits(spark, root, "pq")
     hierIngestDelta(spark, root, arrivals, cm, pq, writer)
     hierPqIngestPanel(spark, root, HierPqBaseBuild(meta.n, meta.nlist,
-      meta.ncoarse, meta.k))
+      meta.ncoarse, meta.k), splitPpm)
+  }
+
+  /** q278: the q267 refresh policy taught the CODE-CARRYING hier-PQ
+    * lifecycle at the CAPPED width — the r15 decision (ADC serve path
+    * carries `pqKCappedFor`, q272/q273/q275/q276) folded into the
+    * lifecycle policy so the two cannot drift apart. Same four arms,
+    * each now advancing members AND codes together:
+    *
+    *  - noop — the base build stays (coded at the base's capped width);
+    *  - ingest — arrivals route AND code with the COMMITTED
+    *    model/codebook in one map-only delta pass ([[hierIngestDelta]],
+    *    the q269 primitive);
+    *  - rebalance — one Lloyd step over the committed membership;
+    *    members re-route, codes RE-KEY to the new buckets without
+    *    recoding (vectors unchanged ⇒ code rows unchanged — the graded
+    *    `code_mass` must hold constant across this arm);
+    *  - rebuild — full-corpus knobs, codebook at
+    *    [[Similarity.pqKCappedFor]](N): the REBUILD ARM IS LINEAR, the
+    *    priced choice under the gate.
+    *
+    * Every row carries post-action committed witnesses for BOTH tables
+    * plus the artifact's frozen width; the oracle replays all four
+    * states (base routing, full ingest, the Lloyd step, the capped
+    * rebuild) and both codebooks' positional argmin masses from the
+    * raw corpus.
+    */
+  def hierPqRefreshPolicy(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.withFns(spark)
+    val root = hierPqRoot(spark, dir) + "_policy"
+    val lakeFs = graft.lake.LakeFs.forSpark(spark)
+    val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
+    val hb = Sampling.hashBucket("vec_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(hb < 900000L)
+    val arrivals = emb.filter(hb >= 900000L)
+    val b = commitHierPqBaseArtifact(spark, root, base, writer, lakeFs,
+      Similarity.pqKCappedFor)
+    writeHierSidecar(lakeFs, root, HierMeta(IndexVersion, b.nBase, b.nlist,
+      b.ncoarse, Similarity.cprobeFor(b.ncoarse),
+      math.max(1, Similarity.nprobeFor(b.nlist) /
+        Similarity.cprobeFor(b.ncoarse)),
+      b.k, corpusFingerprint(spark, dir)))
+    val nArr = arrivals.count()
+    val growthPpm = nArr * 1000000L / b.nBase
+    val codeMassCol = (0 until Similarity.PqSubspaces)
+      .map(m => col(s"code_$m")).reduce(_ + _)
+    def witness(): (Long, Long, Long, Long, Long, Long) = {
+      val m = bucketTable(spark, membersDir(root))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("mass"), expr("bit_xor(vec_id)").as("x"))
+        .agg(sum(col("mass")).as("n"), expr("bit_xor(x)").as("xx"),
+          count(lit(1)).as("b"), max(col("mass")).as("mx"))
+        .collect()(0)
+      val c = bucketTable(spark, codesDir(root))
+        .agg(count(lit(1)).as("nc"),
+          coalesce(sum(codeMassCol), lit(0L)).as("mass"))
+        .collect()(0)
+      (m.getLong(3) * 1000000L / m.getLong(0), // max_share_ppm
+        m.getLong(0), m.getLong(1), m.getLong(2), // n, xor, buckets
+        c.getLong(0), c.getLong(1)) // n_codes, code_mass
+    }
+    val rows = HierPolicyScenarios.map { case (scenario, low, high, cap) =>
+      val (skewPre, _, _, _, _, _) = witness()
+      val decision = hierRefreshDecision(growthPpm, low, high, skewPre, cap)
+      decision match {
+        case "noop" => ()
+        case "ingest" =>
+          val m = readCommittedHierModel(spark, root)
+          val pq = modelLits(spark, root, "pq")
+          val (got, _, _) = hierIngestDelta(spark, root, arrivals, m, pq,
+            writer)
+          writeHierSidecar(lakeFs, root, HierMeta(IndexVersion,
+            b.nBase + got, b.nlist, b.ncoarse,
+            Similarity.cprobeFor(b.ncoarse),
+            math.max(1, Similarity.nprobeFor(b.nlist) /
+              Similarity.cprobeFor(b.ncoarse)),
+            b.k, corpusFingerprint(spark, dir)))
+        case "rebalance" =>
+          val m = readCommittedHierModel(spark, root)
+          val members = bucketTable(spark, membersDir(root))
+            .select(col("vec_id"), col("embedding"),
+              col("bucket").as("bucket_old"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val (updated, re) = Similarity.hierLloydStep(members, m)
+          val reKeyed = re.select(col("vec_id"),
+            col("bucket_new").as("bucket")).localCheckpoint()
+          writer.commitPartitioned(
+            re.select(col("vec_id"), col("embedding"),
+              col("bucket_new").as("bucket")),
+            membersDir(root), "bucket")
+          // codes re-key, never recode: vectors did not move in space
+          writer.commitPartitioned(
+            bucketTable(spark, codesDir(root)).drop("bucket")
+              .join(reKeyed, Seq("vec_id")),
+            codesDir(root), "bucket")
+          members.unpersist()
+          writer.commitPartitioned(hierModelRows(spark, updated),
+            modelDir(root), "kind")
+        case _ => // rebuild: full-corpus knobs, CAPPED width — linear
+          val rb = commitHierPqBaseArtifact(spark, root, emb, writer,
+            lakeFs, Similarity.pqKCappedFor)
+          writeHierSidecar(lakeFs, root,
+            hierPqSidecarMeta(spark, dir, rb, rb.nBase))
+      }
+      val (_, nMembers, vecXor, nBuckets, nCodes, codeMass) = witness()
+      val k = readHierMetaAt(spark, root).map(_.k.toLong).getOrElse(-1L)
+      (scenario, decision, growthPpm, low, high, cap, skewPre,
+        nMembers, vecXor, nBuckets, nCodes, codeMass, k)
+    }
+    import spark.implicits._
+    rows.toDF("scenario", "decision", "growth_ppm", "low_ppm", "high_ppm",
+      "skew_cap_ppm", "skew_pre_ppm", "n_members", "vec_xor", "n_buckets",
+      "n_codes", "code_mass", "k")
   }
 
   // ──────── append-mode codes + streaming append twin (q270/q271) ───

@@ -1346,6 +1346,42 @@ object Similarity {
       .withColumn("capk_recall_ppm", expr("n_capk_hit * 1000000 DIV n_true"))
   }
 
+  /** Codebook widths the q277 cap-choice sweep grades — brackets
+    * [[PqKCap]] on both sides so the knee is measured, not assumed.
+    */
+  val SweepPqKs: Seq[Int] = Seq(16, 32, 64, 128)
+
+  /** q277: the recall-vs-width curve that makes [[PqKCap]] a CHOSEN
+    * constant — recall@5 against brute truth for the same
+    * nlist/nprobe ADC search at each k in [[SweepPqKs]] (fixed widths,
+    * not derived: the sweep prices the cap itself). One row per k; the
+    * knee — where recall flattens while the O(N·k·d) coding cost and
+    * the 8·k·8-byte LUT keep climbing linearly in k — is what the cap
+    * is pinned to (BASELINE.md records the measured curve). Brute
+    * truth makes this the q90/q227/q273 audit-only cost class:
+    * commissioning-time, never on the scale path.
+    */
+  def pqWidthRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
+    val nlist = nlistFor(n)
+    val nprobe = nprobeFor(nlist)
+    val bf = bruteForceKnn(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTrue = bf.count() // one truth scan shared by every sweep point
+    val out = SweepPqKs.map { k =>
+      ivfPqSearchFor(spark, dir, nlist, nprobe, k)
+        .select(col("q_id"), col("neighbor_id"))
+        .join(bf, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(k.toLong).as("k"), lit(nTrue).as("n_true"),
+          col("n_hits"),
+          expr(s"n_hits * 1000000 DIV $nTrue").as("recall_ppm"))
+    }.reduce(_.unionAll(_)).localCheckpoint()
+    bf.unpersist()
+    out
+  }
+
   /** PQ-coded corpus with its IVF bucket — (vec_id, bucket, code_0..7)
     * in ONE map-only projection over the embeddings scan: the IVF argmax
     * and the 8 subspace argmins run in the same codegen stage, so the
@@ -1965,14 +2001,25 @@ object Similarity {
     * q245≡q106 parity posture). Result is eagerly materialized
     * (queries×5 rows) so the rebalance cache releases before return.
     */
-  def hierRebalancedAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+  def hierRebalancedAdcSearch(spark: SparkSession, dir: String): DataFrame =
+    hierRebalancedAdcSearchAt(spark, dir, derivedWidth = true)
+
+  /** The LIVE twin of the q276 capped serve — identical chain at
+    * k = [[pqKCappedFor]]; only the codebook width differs from
+    * [[hierRebalancedAdcSearch]], so the parity spec isolates the cap.
+    */
+  def hierCappedAdcSearch(spark: SparkSession, dir: String): DataFrame =
+    hierRebalancedAdcSearchAt(spark, dir, derivedWidth = false)
+
+  private def hierRebalancedAdcSearchAt(spark: SparkSession, dir: String,
+      derivedWidth: Boolean): DataFrame = {
     withFns(spark)
     val n = Tables.rowCountFromFooters(spark, dir, "embeddings")
     val nlist = nlistFor(n)
     val ncoarse = ncoarseFor(nlist)
     val cprobe = cprobeFor(ncoarse)
     val perCell = math.max(1, nprobeFor(nlist) / cprobe)
-    val k = pqKFor(n)
+    val k = if (derivedWidth) pqKFor(n) else pqKCappedFor(n)
     val pqCents = centroidLits(spark, dir, k)
     val (updated, re, release) = hierRebalanced(spark, dir)
     val corpus = withPqDistanceArrays(

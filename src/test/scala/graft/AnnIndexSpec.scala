@@ -291,6 +291,70 @@ class AnnIndexSpec extends AnyFunSuite {
       === rebal, "the PQ'd layout must commit EXACTLY the q259 routing")
   }
 
+  test("capped production twin: identical routing, different width, clean serve plan") {
+    val full = AnnIndex.hierPqCommitAudit(spark, sf).collect()
+    val capped = AnnIndex.hierPqCappedCommitAudit(spark, sf).collect()
+    def route(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("vec_xor"))).toSet
+    assert(route(capped) === route(full),
+      "the capped layout must commit EXACTLY the q262 routing")
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    capped.foreach { r =>
+      assert(r.getAs[Long]("k") === Similarity.pqKCappedFor(n).toLong)
+      assert(r.getAs[Long]("k") !== full.head.getAs[Long]("k"),
+        "the twin must grade a genuinely different width")
+    }
+    // serve ≡ live at the capped width (the q245≡q106 parity posture)
+    assert(rows(AnnIndex.hierCappedPqServe(spark, sf)) ===
+      rows(Similarity.hierCappedAdcSearch(spark, sf)))
+    AnnIndex.ensureHierCappedPqCommitted(spark, sf)
+    val plan = AnnIndex.hierCappedPqServe(spark, sf)
+      .queryExecution.executedPlan.toString
+    val low = plan.toLowerCase
+    assert(!low.contains("quantizedhierargmaxdot") &&
+      !low.contains("quantizedargmaxdot"),
+      s"capped serve must not assign the corpus:\n${plan.take(2000)}")
+    assert(low.contains("graft_ann_index"),
+      s"capped serve must scan a committed artifact:\n${plan.take(2000)}")
+    // the plan string truncates scan locations — pin the layout root
+    // through the actual input files instead
+    assert(AnnIndex.hierCappedPqServe(spark, sf).inputFiles
+      .exists(_.contains("hier2pqc")),
+      "capped serve must read the CAPPED artifact's tables")
+    assert(plan.linesIterator.count(l =>
+      l.contains("embeddings.pa") && !l.contains("% 100")) === 0,
+      s"corpus scanned beyond the query subset:\n${plan.take(2000)}")
+  }
+
+  test("capped hier-PQ refresh: four arms, codes ride every arm, rebuild is capped") {
+    val got = AnnIndex.hierPqRefreshPolicy(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("fresh", "stale", "hot", "drift"))
+    assert(got("fresh").getString(1) === "noop")
+    assert(got("stale").getString(1) === "ingest")
+    assert(got("hot").getString(1) === "rebalance")
+    assert(got("drift").getString(1) === "rebuild")
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(got("fresh").getAs[Long]("n_members") < n) // base only
+    Seq("stale", "hot", "drift").foreach(s =>
+      assert(got(s).getAs[Long]("n_members") === n, s"$s must cover the corpus"))
+    // the code table advances with every arm — member/code parity
+    got.values.foreach(r =>
+      assert(r.getAs[Long]("n_codes") === r.getAs[Long]("n_members"),
+        s"${r.getString(0)}: every member needs a code row"))
+    // rebalance RE-KEYS, never recodes: mass must equal the ingest state's
+    assert(got("hot").getAs[Long]("code_mass") ===
+      got("stale").getAs[Long]("code_mass"),
+      "the Lloyd step must not change a single code")
+    // the rebuild arm builds at the CAPPED width — the priced decision
+    // under the gate, never the N^1.5 derived width
+    assert(got("drift").getAs[Long]("k") ===
+      Similarity.pqKCappedFor(n).toLong)
+    assert(got("drift").getAs[Long]("k") !== Similarity.pqKFor(n).toLong,
+      "the capped rebuild must differ from the derived width at the gate")
+  }
+
   test("hierRefreshDecision: one arm per signal regime") {
     assert(AnnIndex.hierRefreshDecision(111111L, 200000L, 500000L, 1L, 0L)
       === "noop") // growth gates first, skew irrelevant below low
@@ -438,6 +502,26 @@ class AnnIndexSpec extends AnyFunSuite {
     // (appends only add coded rows; compaction rewrites, never drops)
     val masses = waves.map(_.getAs[Long]("code_mass_total"))
     assert(masses.zip(masses.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("sparse tick: ≪1% arrivals, codes ride along, replay idempotent") {
+    val audit = AnnIndex.hierPqSparseTickIngest(spark, sf).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(audit.map(_.getAs[Long]("n_members")).sum === n)
+    audit.foreach(r =>
+      assert(r.getAs[Long]("n_codes") === r.getAs[Long]("n_members"),
+        s"bucket ${r.getLong(0)}: every member needs a code row"))
+    // the split that makes it a TICK: arrivals ≪ 1% of the corpus, so
+    // touched buckets ≪ nlist (each arrival touches at most one)
+    val arrivals = audit.map(_.getAs[Long]("n_arrived")).sum
+    assert(arrivals > 0L && arrivals <= n / 100,
+      s"sparse split must be ≪1% of the corpus ($arrivals of $n)")
+    assert(audit.count(_.getAs[Long]("n_arrived") > 0L) <= arrivals,
+      "touched buckets are bounded by the arrival count")
+    // at-least-once replay of the sparse delta lands the identical panel
+    val replay = AnnIndex.hierPqSparseReIngest(spark, sf).collect()
+    assert(replay.map(_.toString).toSet === audit.map(_.toString).toSet,
+      "replayed sparse tick must rewrite, never duplicate")
   }
 
   test("torn append self-heals: replay appends the missing code rows only") {

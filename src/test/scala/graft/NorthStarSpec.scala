@@ -20,6 +20,22 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("width sweep: one point per swept k, hits bounded by truth") {
+    val rows = Similarity.pqWidthRecallSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq ===
+      Similarity.SweepPqKs.map(_.toLong))
+    val nTrue = rows.head.getAs[Long]("n_true")
+    assert(nTrue > 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") === nTrue,
+        "every point grades against the ONE shared brute truth")
+      assert(r.getAs[Long]("n_hits") <= nTrue)
+      assert(r.getAs[Long]("recall_ppm") ===
+        r.getAs[Long]("n_hits") * 1000000L / nTrue)
+    }
+  }
+
   test("capped codebook: width law pinned, audit self-consistent, twin really differs") {
     // the clamp [PqKCapFloor, PqKCap]: below the production floor where
     // √(N/4) < 16 (so the gate grades a DISTINCT chain), capped where
