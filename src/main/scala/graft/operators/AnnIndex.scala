@@ -1672,6 +1672,21 @@ object AnnIndex {
   def hierPqSparseTickIngest(spark: SparkSession, dir: String): DataFrame =
     hierPqIngestAt(spark, dir, hierPqSparseRoot(spark, dir), 999000L)
 
+  /** Probe-only entry points at an ARBITRARY split — IngestTickProbe
+    * prices the touched-bucket law curve with these (the graded splits
+    * stay q269's 0.9 and q274's 0.999; a probe root per split so
+    * measurements never clobber a graded artifact).
+    */
+  private[graft] def hierPqProbeIngest(spark: SparkSession, dir: String,
+      splitPpm: Long): DataFrame =
+    hierPqIngestAt(spark, dir,
+      hierPqRoot(spark, dir) + s"_inc_probe_$splitPpm", splitPpm)
+
+  private[graft] def hierPqProbeReIngest(spark: SparkSession, dir: String,
+      splitPpm: Long): DataFrame =
+    hierPqReIngestAt(spark, dir,
+      hierPqRoot(spark, dir) + s"_inc_probe_$splitPpm", splitPpm)
+
   private def hierPqIngestAt(spark: SparkSession, dir: String,
       root: String, splitPpm: Long): DataFrame = {
     Similarity.withFns(spark)

@@ -26,16 +26,51 @@ object IngestTickProbe {
       f
       (System.nanoTime() - t0) / 1e9
     }
-    val full = timed(
-      graft.operators.AnnIndex.hierPqIncrementalIngest(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
-    println(f"""{"probe":"hierpq_full_build_plus_ingest","sec":$full%.1f,"sf":"$sfDir"}""")
-    (1 to ticks).foreach { i =>
-      val t = timed(
-        graft.operators.AnnIndex.hierPqReIngest(spark, sfDir)
+    val variant = sys.env.getOrElse("SPARK_GRAFT_TICK_VARIANT", "all")
+    if (variant == "all") {
+      val full = timed(
+        graft.operators.AnnIndex.hierPqIncrementalIngest(spark, sfDir)
           .write.format("noop").mode("overwrite").save())
-      println(f"""{"probe":"hierpq_tick","n":$i,"sec":$t%.1f,"sf":"$sfDir"}""")
+      println(f"""{"probe":"hierpq_full_build_plus_ingest","sec":$full%.1f,"sf":"$sfDir"}""")
+      (1 to ticks).foreach { i =>
+        val t = timed(
+          graft.operators.AnnIndex.hierPqReIngest(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+        println(f"""{"probe":"hierpq_tick","n":$i,"sec":$t%.1f,"sf":"$sfDir"}""")
+      }
     }
+    // the SPARSE (>=0.999 split) twin: the tick shape a 5-minute
+    // cadence actually pays — touched buckets << nlist, so the
+    // reapplication prices the map-only delta + a handful of bucket
+    // upserts instead of near-wholesale occupancy
+    if (variant != "probe") {
+      val sparseFull = timed(
+        graft.operators.AnnIndex.hierPqSparseTickIngest(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      println(f"""{"probe":"hierpq_sparse_build_plus_ingest","sec":$sparseFull%.1f,"sf":"$sfDir"}""")
+      (1 to ticks).foreach { i =>
+        val t = timed(
+          graft.operators.AnnIndex.hierPqSparseReIngest(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+        println(f"""{"probe":"hierpq_sparse_tick","n":$i,"sec":$t%.1f,"sf":"$sfDir"}""")
+      }
+    }
+    // extra probe splits (env, comma-separated ppm values): price the
+    // touched-bucket law CURVE — at splits where arrivals << nlist the
+    // tick must collapse toward the map-only delta cost
+    sys.env.get("SPARK_GRAFT_TICK_SPLITS").toSeq
+      .flatMap(_.split(',')).map(_.trim.toLong).foreach { split =>
+        val bld = timed(
+          graft.operators.AnnIndex.hierPqProbeIngest(spark, sfDir, split)
+            .write.format("noop").mode("overwrite").save())
+        println(f"""{"probe":"hierpq_probe_build","split":$split,"sec":$bld%.1f,"sf":"$sfDir"}""")
+        (1 to ticks).foreach { i =>
+          val t = timed(
+            graft.operators.AnnIndex.hierPqProbeReIngest(spark, sfDir, split)
+              .write.format("noop").mode("overwrite").save())
+          println(f"""{"probe":"hierpq_probe_tick","split":$split,"n":$i,"sec":$t%.1f,"sf":"$sfDir"}""")
+        }
+      }
     spark.stop()
   }
 }
