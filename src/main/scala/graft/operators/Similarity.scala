@@ -1270,6 +1270,19 @@ object Similarity {
     * rehearsals) and a wrong-k bug cannot hide behind coincident
     * widths.
     */
+  /** CHOSEN from the measured q277 recall-vs-width curve at the 100×
+    * rehearsal (N = 200k, 2000 queries, recall@5 vs brute truth,
+    * `/tmp/verify_q277_100x`): 155,200 ppm at k=16 → 164,900 at 32 →
+    * 172,200 at 64 → 190,000 at 128 → 204,400 at the derived k=224
+    * (r15 q273, same probes — the k=64 points of the two independent
+    * audits agree exactly). The curve has NO plateau: each doubling
+    * buys ~1–2 recall points at 2× coding cost and 2× LUT. 64 is the
+    * operating point where the per-query LUT (8·64·8 B = 4 KB) stays
+    * broadcast-trivial at any N and the coding term sits ~10× under
+    * the N^1.5 derived build at 1000× (BASELINE.md r16) — a deployment
+    * trading recall for build cadence moves the cap along the measured
+    * curve, not blind.
+    */
   val PqKCap = 64
   val PqKCapFloor = 8
 
