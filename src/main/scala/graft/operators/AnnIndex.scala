@@ -142,12 +142,17 @@ object AnnIndex {
     if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
     Seq(membersDir(root), codesDir(root), modelDir(root))
       .foreach(writer.repair(_)) // reap crashed-run litter before staging
+    // ONE assignment pass feeds both corpus-sized commits: the persisted
+    // routed relation is written as members, then PQ-coded in place —
+    // previously the codes commit re-ran the full argmax assignment
+    // over the corpus (guide §1.2: remove repeated passes first)
+    val assigned = Similarity.assignedEmbeddingsFor(spark, dir, nlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writer.commitPartitioned(assigned, membersDir(root), "bucket")
     writer.commitPartitioned(
-      Similarity.assignedEmbeddingsFor(spark, dir, nlist),
-      membersDir(root), "bucket")
-    writer.commitPartitioned(
-      Similarity.pqCodedCorpus(spark, dir, nlist, k),
+      codedFromAssigned(assigned, Similarity.centroidLits(spark, dir, k)),
       codesDir(root), "bucket")
+    assigned.unpersist()
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("c_id"), col("embedding"))
     writer.commitPartitioned(
@@ -322,10 +327,74 @@ object AnnIndex {
 
   private def codedFor(df: DataFrame, ivfCents: Seq[(Long, Array[Float])],
       pqCents: Seq[(Long, Array[Float])]): DataFrame =
-    Similarity.withPqDistanceArrays(assignedFor(df, ivfCents), pqCents)
+    codedFromAssigned(assignedFor(df, ivfCents), pqCents)
+
+  /** PQ-code an ALREADY-ASSIGNED/ROUTED relation (vec_id, embedding,
+    * bucket) against `pqCents` — the coding half of [[codedFor]]
+    * without the assignment pass. Builds and deltas hold the routed
+    * relation already (persisted for the members commit), so coding
+    * off it makes "one assignment pass per build" literal instead of
+    * paying the argmax/two-level routing twice per lifecycle commit.
+    * Byte-identical to [[codedFor]] on the same rows by construction:
+    * [[Similarity.withPqDistanceArrays]] only APPENDS the distance
+    * arrays, the routing columns pass through untouched.
+    */
+  private def codedFromAssigned(assigned: DataFrame,
+      pqCents: Seq[(Long, Array[Float])]): DataFrame =
+    Similarity.withPqDistanceArrays(assigned, pqCents)
       .select(col("vec_id") +: col("bucket") +:
         (0 until Similarity.PqSubspaces)
           .map(m => Similarity.pqCode(m).as(s"code_$m")): _*)
+
+  /** Total committed row count across parquet data files under `dirs`,
+    * from FOOTER metadata only (overlapped driver IO, the q156 lesson)
+    * — never a scan job. The upsert/commit protocols return exactly the
+    * directories they swapped, so counts the write itself already
+    * proved (rows staged = rows committed) are re-derived for free
+    * instead of re-running the staged pipeline a second time.
+    */
+  private def footerRows(spark: SparkSession, dirs: Iterable[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.traverse(dirs.toSeq) { d => Future {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }}, Duration.Inf).sum
+  }
+
+  /** [[footerRows]] over every `bucket=<long>` partition of a committed
+    * table — the table's exact row count from metadata only, for
+    * witnesses that need the count but not a checksum.
+    */
+  private def footerRowsUnder(spark: SparkSession,
+      lakeFs: graft.lake.LakeFs, tableDir: String): Long =
+    footerRows(spark,
+      lakeFs.fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => BucketDirName.pattern.matcher(n).matches())
+        .map(n => s"$tableDir/$n"))
+
+  /** The touched-bucket histogram of a routed delta in ONE job:
+    * (bucket, rows) collected off a ≤ nlist-group aggregation — the
+    * separate `distinct().collect()` + `count()` pair paid two passes
+    * over the delta for numbers one aggregation carries.
+    */
+  private def touchedAndCount(dm: DataFrame): (Array[Long], Long) = {
+    val perBucket = dm.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    (perBucket.map(_._1), perBucket.map(_._2).sum)
+  }
 
   /** q248: the incremental ingest EXECUTED — q132 reports what an
     * ingest WOULD do to each bucket; this DOES it. The artifact is
@@ -388,10 +457,14 @@ object AnnIndex {
       modelDir(root), "kind")
     val ivfCents = modelLits(spark, root, "ivf")
     val pqCents = modelLits(spark, root, "pq")
-    writer.commitPartitioned(assignedFor(base, ivfCents),
-      membersDir(root), "bucket")
-    writer.commitPartitioned(codedFor(base, ivfCents, pqCents),
+    // one assignment pass over the base feeds both commits (the
+    // buildInto discipline): persist the routed base, code off it
+    val assigned = assignedFor(base, ivfCents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writer.commitPartitioned(assigned, membersDir(root), "bucket")
+    writer.commitPartitioned(codedFromAssigned(assigned, pqCents),
       codesDir(root), "bucket")
+    assigned.unpersist()
     BaseBuild(nBase, nlist, k, ivfCents, pqCents)
   }
 
@@ -417,24 +490,26 @@ object AnnIndex {
       writer: graft.lake.AtomicPartitionWriter): (Long, Long, Long) = {
     val dm = assignedFor(delta, ivfCents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = dm.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)) // ≤ nlist values by construction
-    val nArr = dm.count()
+    // ≤ nlist buckets by construction; one job carries both numbers
+    val (touched, nArr) = touchedAndCount(dm)
     if (nArr == 0L) { dm.unpersist(); return (0L, 0L, 0L) }
     val keptMembers = bucketTable(spark, membersDir(root))
       .filter(col("bucket").isin(touched: _*))
       .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    val nKept = keptMembers.count()
-    writer.upsertPartitions(keptMembers.unionByName(dm),
+    val committed = writer.upsertPartitions(keptMembers.unionByName(dm),
       membersDir(root), "bucket")
+    // rows physically rewritten = rows now in the swapped bucket dirs —
+    // read off the committed footers instead of re-running the
+    // anti-join pipeline a second time just to count it
+    val nRewritten = footerRows(spark, committed.values)
     writer.upsertPartitions(
       bucketTable(spark, codesDir(root))
         .filter(col("bucket").isin(touched: _*))
         .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .unionByName(codedFor(delta, ivfCents, pqCents)),
+        .unionByName(codedFromAssigned(dm, pqCents)), // routed once: code off dm
       codesDir(root), "bucket")
     dm.unpersist()
-    (nArr, touched.length.toLong, nKept + nArr)
+    (nArr, touched.length.toLong, nRewritten)
   }
 
   private def writeSidecar(spark: SparkSession, dir: String,
@@ -522,8 +597,10 @@ object AnnIndex {
       val m = bucketTable(spark, membersDir(root))
         .agg(count(lit(1)).as("n"), expr("bit_xor(vec_id)").as("x"),
           countDistinct(col("bucket")).as("b")).collect()(0)
+      // the code-row count needs no checksum — parquet footers carry it
+      // (driver metadata IO instead of a scan job per scenario)
       (m.getLong(0), m.getLong(1), m.getLong(2),
-        bucketTable(spark, codesDir(root)).count())
+        footerRowsUnder(spark, lakeFs, codesDir(root)))
     }
     val rows = PolicyScenarios.map { case (scenario, low, high) =>
       val decision = refreshDecision(growthPpm, low, high)
@@ -1294,8 +1371,13 @@ object AnnIndex {
     // ARTIFACT's model (not the builder's in-memory copy)
     def committedModel(): Similarity.HierModel =
       readCommittedHierModel(spark, root)
+    // witness cache: the table only changes when an arm acts, so the
+    // post-action witness of scenario i IS scenario i+1's pre-decision
+    // reading — re-scanning the members table between them paid a full
+    // aggregation job for a number already in hand
+    var w = skewAndWitness()
     val rows = HierPolicyScenarios.map { case (scenario, low, high, cap) =>
-      val (skewPre, _, _, _) = skewAndWitness()
+      val skewPre = w._1
       val decision = hierRefreshDecision(growthPpm, low, high, skewPre, cap)
       val (nlist, ncoarse) = decision match {
         case "noop" => (b.nlist, b.ncoarse)
@@ -1339,7 +1421,8 @@ object AnnIndex {
           val meta = buildHierInto(spark, dir, root)
           (meta.nlist, meta.ncoarse)
       }
-      val (_, nMembers, vecXor, nBuckets) = skewAndWitness()
+      if (decision != "noop") w = skewAndWitness() // noop: state unchanged
+      val (_, nMembers, vecXor, nBuckets) = w
       (scenario, decision, growthPpm, low, high, cap, skewPre,
         nMembers, vecXor, nBuckets, nlist.toLong, ncoarse.toLong)
     }
@@ -1514,20 +1597,8 @@ object AnnIndex {
     hierPqRoot(spark, dir) + "_inc_sparse"
 
   private final case class HierPqBaseBuild(nBase: Long, nlist: Int,
-    ncoarse: Int, k: Int)
-
-  /** Route + PQ-code `df` under a two-level model and a positional
-    * codebook in one map-only projection — the delta pass of the
-    * hier-PQ lifecycle (and its base build, so the two cannot drift).
-    */
-  private def hierCodedFor(df: DataFrame, m: Similarity.HierModel,
-      pqCents: Seq[(Long, Array[Float])]): DataFrame =
-    Similarity.withPqDistanceArrays(
-      Similarity.withHierBucket(df, m, "embedding")
-        .select(col("vec_id"), col("embedding"), col("bucket")), pqCents)
-      .select(col("vec_id") +: col("bucket") +:
-        (0 until Similarity.PqSubspaces)
-          .map(i => Similarity.pqCode(i).as(s"code_$i")): _*)
+    ncoarse: Int, k: Int, m: Similarity.HierModel,
+    pq: Seq[(Long, Array[Float])])
 
   /** The base half of the hier-PQ lifecycle: base-derived two-level +
     * PQ knobs, lowest-base-id fine seeds AND codebook rows (the q248
@@ -1559,13 +1630,17 @@ object AnnIndex {
       modelDir(root), "kind")
     val cm = readCommittedHierModel(spark, root)
     val pq = modelLits(spark, root, "pq")
-    writer.commitPartitioned(
-      Similarity.withHierBucket(base, cm, "embedding")
-        .select(col("vec_id"), col("embedding"), col("bucket")),
-      membersDir(root), "bucket")
-    writer.commitPartitioned(hierCodedFor(base, cm, pq),
+    // one two-level routing pass over the base feeds both corpus-sized
+    // commits (the buildInto discipline) — the codes commit previously
+    // re-ran the full hier routing over the base
+    val routed = Similarity.withHierBucket(base, cm, "embedding")
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    writer.commitPartitioned(routed, membersDir(root), "bucket")
+    writer.commitPartitioned(codedFromAssigned(routed, pq),
       codesDir(root), "bucket")
-    HierPqBaseBuild(nBase, nlist, ncoarse, k)
+    routed.unpersist()
+    HierPqBaseBuild(nBase, nlist, ncoarse, k, cm, pq)
   }
 
   /** The hier-PQ delta-commit primitive: route + code the delta with
@@ -1585,24 +1660,24 @@ object AnnIndex {
     val dm = Similarity.withHierBucket(delta, m, "embedding")
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = dm.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)) // ≤ nlist values by construction
-    val nArr = dm.count()
+    // ≤ nlist buckets by construction; one job carries both numbers
+    val (touched, nArr) = touchedAndCount(dm)
     if (nArr == 0L) { dm.unpersist(); return (0L, 0L, 0L) }
     val keptMembers = bucketTable(spark, membersDir(root))
       .filter(col("bucket").isin(touched: _*))
       .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    val nKept = keptMembers.count()
-    writer.upsertPartitions(keptMembers.unionByName(dm),
+    val committed = writer.upsertPartitions(keptMembers.unionByName(dm),
       membersDir(root), "bucket")
+    // rewritten rows off the committed footers (the ingestDelta rule)
+    val nRewritten = footerRows(spark, committed.values)
     writer.upsertPartitions(
       bucketTable(spark, codesDir(root))
         .filter(col("bucket").isin(touched: _*))
         .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .unionByName(hierCodedFor(delta, m, pqCents)),
+        .unionByName(codedFromAssigned(dm, pqCents)), // routed once: code off dm
       codesDir(root), "bucket")
     dm.unpersist()
-    (nArr, touched.length.toLong, nKept + nArr)
+    (nArr, touched.length.toLong, nRewritten)
   }
 
   /** The q248-shaped read-back panel over a hier-PQ lifecycle root:
@@ -1698,9 +1773,12 @@ object AnnIndex {
     val base = emb.filter(hb < splitPpm)
     val arrivals = emb.filter(hb >= splitPpm)
     val b = commitHierPqBaseArtifact(spark, root, base, writer, lakeFs)
-    val cm = readCommittedHierModel(spark, root)
-    val pq = modelLits(spark, root, "pq")
-    val (nArr, _, _) = hierIngestDelta(spark, root, arrivals, cm, pq, writer)
+    // b.m/b.pq ARE the committed model/codebook: the base commit read
+    // them back off the artifact (readCommittedHierModel) before
+    // routing a single row — re-reading the same tiny tables again
+    // here paid three more collect jobs per tick for identical values
+    val (nArr, _, _) =
+      hierIngestDelta(spark, root, arrivals, b.m, b.pq, writer)
     writeHierSidecar(lakeFs, root,
       hierPqSidecarMeta(spark, dir, b, b.nBase + nArr))
     hierPqIngestPanel(spark, root, b, splitPpm)
@@ -1737,7 +1815,7 @@ object AnnIndex {
     val pq = modelLits(spark, root, "pq")
     hierIngestDelta(spark, root, arrivals, cm, pq, writer)
     hierPqIngestPanel(spark, root, HierPqBaseBuild(meta.n, meta.nlist,
-      meta.ncoarse, meta.k), splitPpm)
+      meta.ncoarse, meta.k, cm, pq), splitPpm)
   }
 
   /** q278: the q267 refresh policy taught the CODE-CARRYING hier-PQ
@@ -1800,8 +1878,11 @@ object AnnIndex {
         m.getLong(0), m.getLong(1), m.getLong(2), // n, xor, buckets
         c.getLong(0), c.getLong(1)) // n_codes, code_mass
     }
+    // witness cache (the q267 rule): post-action state of scenario i is
+    // scenario i+1's pre-decision reading; noop leaves it untouched
+    var w = witness()
     val rows = HierPolicyScenarios.map { case (scenario, low, high, cap) =>
-      val (skewPre, _, _, _, _, _) = witness()
+      val skewPre = w._1
       val decision = hierRefreshDecision(growthPpm, low, high, skewPre, cap)
       decision match {
         case "noop" => ()
@@ -1843,7 +1924,8 @@ object AnnIndex {
           writeHierSidecar(lakeFs, root,
             hierPqSidecarMeta(spark, dir, rb, rb.nBase))
       }
-      val (_, nMembers, vecXor, nBuckets, nCodes, codeMass) = witness()
+      if (decision != "noop") w = witness() // noop: state unchanged
+      val (_, nMembers, vecXor, nBuckets, nCodes, codeMass) = w
       val k = readHierMetaAt(spark, root).map(_.k.toLong).getOrElse(-1L)
       (scenario, decision, growthPpm, low, high, cap, skewPre,
         nMembers, vecXor, nBuckets, nCodes, codeMass, k)
@@ -1888,12 +1970,16 @@ object AnnIndex {
       modelDir(root), "kind")
     val cents = modelLits(spark, root, "ivf")
     val pq = modelLits(spark, root, "pq")
+    // one assignment pass feeds both commits (the buildInto discipline)
+    val assigned = assignedFor(base, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writer.commitPartitioned(
-      assignedFor(base, cents).repartition(col("bucket")),
+      assigned.repartition(col("bucket")),
       membersDir(root), "bucket")
     writer.commitPartitioned(
-      codedFor(base, cents, pq).repartition(col("bucket")),
+      codedFromAssigned(assigned, pq).repartition(col("bucket")),
       codesDir(root), "bucket")
+    assigned.unpersist()
     AppendBase(nBase, nlist, k, cents, pq)
   }
 
@@ -1916,9 +2002,8 @@ object AnnIndex {
       lakeFs: graft.lake.LakeFs): AppendWaveStats = {
     val dm = assignedFor(delta, b.cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = dm.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0))
-    val nArr = dm.count()
+    // one job carries the touched set and the arrival count
+    val (touched, nArr) = touchedAndCount(dm)
     if (nArr == 0L) {
       dm.unpersist()
       val mf = bucketFileCounts(lakeFs, membersDir(root)).values
@@ -1939,10 +2024,7 @@ object AnnIndex {
     // crash between the two appends leaves members ahead of codes, and
     // a freshM-derived codes delta would read empty on replay — the
     // per-table anti-join self-heals the torn table instead
-    val freshC = Similarity.withPqDistanceArrays(dm, b.pq)
-      .select(col("vec_id") +: col("bucket") +:
-        (0 until Similarity.PqSubspaces)
-          .map(i => Similarity.pqCode(i).as(s"code_$i")): _*)
+    val freshC = codedFromAssigned(dm, b.pq)
       .join(
         bucketTable(spark, codesDir(root))
           .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
