@@ -265,6 +265,60 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     }
   }
 
+  /** [[write]] for SEVERAL year partitions of one table under ONE
+    * commit lease. The per-partition staging writes are independent
+    * Spark jobs, so they are submitted from a bounded driver pool and
+    * overlap (guide §2.6: one job's straggler tail back-fills with the
+    * next job's tasks — serially, a 7-partition rewrite pays 7 full
+    * job latencies); every swap then lands SEQUENTIALLY on the calling
+    * thread through the same backup-rename protocol as [[write]].
+    * Crash semantics per partition are unchanged: a staging failure
+    * deletes every partition's `_tmp` and fails the commit before ANY
+    * swap ran; a crash mid-swap leaves each partition either old or
+    * new plus `_tmp`/`_old` litter [[repair]] reaps; the metastore
+    * syncs before each partition's backup is deleted.
+    */
+  def writeYears(parts: Seq[(Int, DataFrame)], tableDir: String,
+      table: Option[String] = None,
+      maxParallel: Int = 4): Seq[String] = withCommitLease(tableDir) {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxParallel, parts.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      try Await.result(Future.traverse(parts) { case (y, df) =>
+        Future {
+          df.write.mode("overwrite")
+            .parquet(partitionPath(tableDir, y, "_tmp"))
+        }
+      }, Duration.Inf)
+      catch {
+        case e: Throwable =>
+          parts.foreach { case (y, _) =>
+            val tmp = partitionPath(tableDir, y, "_tmp")
+            if (fsOps.exists(tmp)) fsOps.delete(tmp)
+          }
+          throw e
+      }
+      parts.map(_._1).sorted.map { y =>
+        val tmp = partitionPath(tableDir, y, "_tmp")
+        val fin = partitionPath(tableDir, y)
+        val old = partitionPath(tableDir, y, "_old")
+        try {
+          swap(tmp, fin, old)
+          table.foreach(syncMetastore(_, tableDir, y))
+          if (fsOps.exists(old)) fsOps.delete(old)
+          fin
+        } catch {
+          case e: Throwable =>
+            if (fsOps.exists(tmp)) fsOps.delete(tmp)
+            throw e
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   /** The same swap protocol for an arbitrary `col=value` partition
     * directory (no metastore sync — callers with a registered table use
     * [[write]]). The `_tmp`/`_old` suffix discipline is shared, so

@@ -209,15 +209,23 @@ object Compaction {
     val years = new Compaction(lakeFs, spark).plan(tableDir, Long.MaxValue)
       .filter(_.partition.matches(".*year=\\d+$"))
       .map(_.partition.replaceAll(".*year=", "").toLong)
-    val panel = years.map { y =>
-      val part = s"$tableDir/year=$y"
-      val (filesBefore, nRows) = countFooterRows(part)
-      val target = targetFilesFor(nRows, RowsPerFileTarget)
-      // rewrite keeps `shard` as a plain data column so the compacted
-      // table has ONE uniform layout (year=... dirs of flat files)
-      writer.write(spark.read.parquet(part).repartition(target.toInt),
-        tableDir, y.toInt)
-      val (filesAfter, _) = countFooterRows(part)
+    // pre-counts first (driver metadata IO), then ALL year rewrites
+    // staged as overlapping jobs under one lease (guide §2.6 — the
+    // serial per-year write paid one full job latency per partition),
+    // then post-counts: same per-year panel, ~1/4 the wall clock
+    val pre = years.map { y =>
+      val (filesBefore, nRows) = countFooterRows(s"$tableDir/year=$y")
+      (y, filesBefore, nRows, targetFilesFor(nRows, RowsPerFileTarget))
+    }
+    // rewrite keeps `shard` as a plain data column so the compacted
+    // table has ONE uniform layout (year=... dirs of flat files)
+    writer.writeYears(
+      pre.map { case (y, _, _, target) =>
+        y.toInt -> spark.read.parquet(s"$tableDir/year=$y")
+          .repartition(target.toInt)
+      }, tableDir)
+    val panel = pre.map { case (y, filesBefore, nRows, target) =>
+      val (filesAfter, _) = countFooterRows(s"$tableDir/year=$y")
       (y, filesBefore, nRows, target, filesAfter)
     }
     val checks = spark.read.parquet(tableDir)

@@ -442,12 +442,16 @@ object CorpusPrep {
       .withColumn("marked",
         when(col("sym") === col("a") && col("nxt") === col("b"), 1L)
           .otherwise(0L))
-      // run id: consecutive marked positions share pos − running-count
-      .withColumn("grp", col("pos") - sum(col("marked")).over(
-        wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // run start of a marked row = one past the last UNMARKED position
+    // before it (runs are maximal, so that position exists or the run
+    // starts the word) — a running max over the SAME word partitioning
+    // as every other window here, where the previous (word, grp,
+    // marked) min(pos) window forced an extra exchange+sort per round
     val active = marked
       .withColumn("run_start",
-        min(col("pos")).over(Window.partitionBy("word", "grp", "marked")))
+        coalesce(max(when(col("marked") === 0L, col("pos"))).over(
+          wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0L)) + 1L)
       .withColumn("active",
         when(col("marked") === 1L &&
           (col("pos") - col("run_start")) % 2 === 0, 1L).otherwise(0L))

@@ -90,6 +90,27 @@ class LakeSpec extends AnyFunSuite {
     assert(!fs.exists(s"$table/year=2024_old"))
   }
 
+  test("writeYears: overlapped staging commits every partition, overwrite included, no litter") {
+    val table = tmpDir()
+    val fs = fsOps
+    val w = new AtomicPartitionWriter(fs, spark)
+    w.write(writeDf(9), table, 2024) // pre-existing: exercises the backup path
+    val committed = w.writeYears(
+      Seq(2023 -> writeDf(3), 2024 -> writeDf(7), 2025 -> writeDf(5)), table)
+    assert(committed == Seq(s"$table/year=2023", s"$table/year=2024",
+      s"$table/year=2025"))
+    assert(spark.read.parquet(s"$table/year=2023").count() == 3)
+    assert(spark.read.parquet(s"$table/year=2024").count() == 7) // replaced
+    assert(spark.read.parquet(s"$table/year=2025").count() == 5)
+    Seq(2023, 2024, 2025).foreach { y =>
+      assert(!fs.exists(s"$table/year=${y}_tmp"), s"tmp litter year=$y")
+      assert(!fs.exists(s"$table/year=${y}_old"), s"old litter year=$y")
+    }
+    // lease released: a follow-up single-partition write proceeds
+    w.write(writeDf(2), table, 2023)
+    assert(spark.read.parquet(s"$table/year=2023").count() == 2)
+  }
+
   test("two committers racing one table: the second fails fast, state stays whole") {
     val table = tmpDir()
     val fs = fsOps
