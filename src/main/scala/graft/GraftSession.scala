@@ -24,6 +24,15 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // generated-code cache (static conf, default 100 entries): the
+      // engine's surface is hundreds of distinct query shapes, so at the
+      // default every repeated execution re-runs Janino compilation for
+      // every codegen unit — pure fixed overhead on a serving deployment
+      // exactly as in the bench. 4096 entries holds the whole surface;
+      // entries are weak-referenced compiled classes, small next to the
+      // driver heap. Overridable via SPARK_GRAFT_CODEGEN_CACHE.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // split size: at 100 TB this is the lever that keeps scan tasks
       // ~uniform and partitions within executor memory; 128m default made
       // explicit so it is tuned deliberately, not inherited
