@@ -148,18 +148,21 @@ object AnnIndex {
     // over the corpus (guide §1.2: remove repeated passes first)
     val assigned = Similarity.assignedEmbeddingsFor(spark, dir, nlist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    writer.commitPartitioned(assigned, membersDir(root), "bucket")
-    writer.commitPartitioned(
-      codedFromAssigned(assigned, Similarity.centroidLits(spark, dir, k)),
-      codesDir(root), "bucket")
-    assigned.unpersist()
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("c_id"), col("embedding"))
-    writer.commitPartitioned(
-      emb.filter(col("c_id") < nlist).withColumn("kind", lit("ivf"))
-        .unionByName(
-          emb.filter(col("c_id") < k).withColumn("kind", lit("pq"))),
-      modelDir(root), "kind")
+    // three independent commits (disjoint dirs, separate leases) — the
+    // members/codes pair shares the one persisted routing pass
+    graft.util.Par.triple(
+      writer.commitPartitioned(assigned, membersDir(root), "bucket"),
+      writer.commitPartitioned(
+        codedFromAssigned(assigned, Similarity.centroidLits(spark, dir, k)),
+        codesDir(root), "bucket"),
+      writer.commitPartitioned(
+        emb.filter(col("c_id") < nlist).withColumn("kind", lit("ivf"))
+          .unionByName(
+            emb.filter(col("c_id") < k).withColumn("kind", lit("pq"))),
+        modelDir(root), "kind"))
+    assigned.unpersist()
     val meta = Meta(IndexVersion, n, nlist, nprobe, k,
       corpusFingerprint(spark, dir))
     lakeFs.writeString(sidecarPath(root),
@@ -458,12 +461,14 @@ object AnnIndex {
     val ivfCents = modelLits(spark, root, "ivf")
     val pqCents = modelLits(spark, root, "pq")
     // one assignment pass over the base feeds both commits (the
-    // buildInto discipline): persist the routed base, code off it
+    // buildInto discipline): persist the routed base, code off it;
+    // disjoint dirs — the two commits overlap (guide §2.6)
     val assigned = assignedFor(base, ivfCents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    writer.commitPartitioned(assigned, membersDir(root), "bucket")
-    writer.commitPartitioned(codedFromAssigned(assigned, pqCents),
-      codesDir(root), "bucket")
+    graft.util.Par.pair(
+      writer.commitPartitioned(assigned, membersDir(root), "bucket"),
+      writer.commitPartitioned(codedFromAssigned(assigned, pqCents),
+        codesDir(root), "bucket"))
     assigned.unpersist()
     BaseBuild(nBase, nlist, k, ivfCents, pqCents)
   }
@@ -496,18 +501,22 @@ object AnnIndex {
     val keptMembers = bucketTable(spark, membersDir(root))
       .filter(col("bucket").isin(touched: _*))
       .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    val committed = writer.upsertPartitions(keptMembers.unionByName(dm),
-      membersDir(root), "bucket")
-    // rows physically rewritten = rows now in the swapped bucket dirs —
-    // read off the committed footers instead of re-running the
-    // anti-join pipeline a second time just to count it
-    val nRewritten = footerRows(spark, committed.values)
-    writer.upsertPartitions(
-      bucketTable(spark, codesDir(root))
-        .filter(col("bucket").isin(touched: _*))
-        .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .unionByName(codedFromAssigned(dm, pqCents)), // routed once: code off dm
-      codesDir(root), "bucket")
+    // the two upserts touch disjoint tables and share only the
+    // persisted dm — overlap them (guide §2.6); rows physically
+    // rewritten = rows now in the swapped bucket dirs, read off the
+    // committed footers instead of re-running the anti-join pipeline
+    val (nRewritten, _) = graft.util.Par.pair(
+      {
+        val committed = writer.upsertPartitions(
+          keptMembers.unionByName(dm), membersDir(root), "bucket")
+        footerRows(spark, committed.values)
+      },
+      writer.upsertPartitions(
+        bucketTable(spark, codesDir(root))
+          .filter(col("bucket").isin(touched: _*))
+          .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(codedFromAssigned(dm, pqCents)), // routed once: code off dm
+        codesDir(root), "bucket"))
     dm.unpersist()
     (nArr, touched.length.toLong, nRewritten)
   }
@@ -862,11 +871,13 @@ object AnnIndex {
     val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
     if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
     Seq(membersDir(root), modelDir(root)).foreach(writer.repair(_))
-    writer.commitPartitioned(
-      Similarity.withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
-        .select(col("vec_id"), col("embedding"), col("bucket")),
-      membersDir(root), "bucket")
-    writer.commitPartitioned(hierModelRows(spark, m), modelDir(root), "kind")
+    // disjoint dirs; the model rows are driver data — overlapped
+    graft.util.Par.pair(
+      writer.commitPartitioned(
+        Similarity.withHierBucket(Tables.embeddings(spark, dir), m, "embedding")
+          .select(col("vec_id"), col("embedding"), col("bucket")),
+        membersDir(root), "bucket"),
+      writer.commitPartitioned(hierModelRows(spark, m), modelDir(root), "kind"))
     writeHierSidecar(lakeFs, root, meta)
     meta
   }
@@ -932,13 +943,16 @@ object AnnIndex {
     val writer = new graft.lake.AtomicPartitionWriter(lakeFs, spark)
     if (lakeFs.exists(sidecarPath(root))) lakeFs.delete(sidecarPath(root))
     Seq(membersDir(root), modelDir(root)).foreach(writer.repair(_))
-    writer.commitPartitioned(
-      re.select(col("vec_id"), col("embedding"),
-        col("bucket_new").as("bucket")),
-      membersDir(root), "bucket")
+    // `updated` is driver data (hierLloydStep collects the means), so
+    // the model commit is independent of the members commit — overlap
+    graft.util.Par.pair(
+      writer.commitPartitioned(
+        re.select(col("vec_id"), col("embedding"),
+          col("bucket_new").as("bucket")),
+        membersDir(root), "bucket"),
+      writer.commitPartitioned(hierModelRows(spark, updated),
+        modelDir(root), "kind"))
     release() // commits are eager — the rebalance cache is done
-    writer.commitPartitioned(hierModelRows(spark, updated),
-      modelDir(root), "kind")
     writeHierSidecar(lakeFs, root, meta)
     meta
   }
@@ -1118,13 +1132,15 @@ object AnnIndex {
       .foreach(writer.repair(_))
     val members = re.select(col("vec_id"), col("embedding"),
       col("bucket_new").as("bucket"))
-    writer.commitPartitioned(members, membersDir(root), "bucket")
-    writer.commitPartitioned(
-      Similarity.withPqDistanceArrays(members, pqCents)
-        .select(col("vec_id") +: col("bucket") +:
-          (0 until Similarity.PqSubspaces)
-            .map(m => Similarity.pqCode(m).as(s"code_$m")): _*),
-      codesDir(root), "bucket")
+    // disjoint dirs off the one persisted rebalance — overlapped
+    graft.util.Par.pair(
+      writer.commitPartitioned(members, membersDir(root), "bucket"),
+      writer.commitPartitioned(
+        Similarity.withPqDistanceArrays(members, pqCents)
+          .select(col("vec_id") +: col("bucket") +:
+            (0 until Similarity.PqSubspaces)
+              .map(m => Similarity.pqCode(m).as(s"code_$m")): _*),
+        codesDir(root), "bucket"))
     release() // both corpus-sized commits are done
     val pqRows = {
       import spark.implicits._
@@ -1308,11 +1324,14 @@ object AnnIndex {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).toSeq
     val m = Similarity.hierModelFor(fineSeeds, ncoarse)
-    writer.commitPartitioned(
-      Similarity.withHierBucket(base, m, "embedding")
-        .select(col("vec_id"), col("embedding"), col("bucket")),
-      membersDir(root), "bucket")
-    writer.commitPartitioned(hierModelRows(spark, m), modelDir(root), "kind")
+    // members (corpus-sized) and model (nlist-sized, driver data) write
+    // disjoint dirs — overlapped (guide §2.6)
+    graft.util.Par.pair(
+      writer.commitPartitioned(
+        Similarity.withHierBucket(base, m, "embedding")
+          .select(col("vec_id"), col("embedding"), col("bucket")),
+        membersDir(root), "bucket"),
+      writer.commitPartitioned(hierModelRows(spark, m), modelDir(root), "kind"))
     HierBaseBuild(nBase, nlist, ncoarse, m)
   }
 
@@ -1409,13 +1428,16 @@ object AnnIndex {
               col("bucket").as("bucket_old"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val (updated, re) = Similarity.hierLloydStep(members, m)
-          writer.commitPartitioned(
-            re.select(col("vec_id"), col("embedding"),
-              col("bucket_new").as("bucket")),
-            membersDir(root), "bucket")
+          // `updated` is driver data — the model commit overlaps the
+          // members commit (disjoint dirs)
+          graft.util.Par.pair(
+            writer.commitPartitioned(
+              re.select(col("vec_id"), col("embedding"),
+                col("bucket_new").as("bucket")),
+              membersDir(root), "bucket"),
+            writer.commitPartitioned(hierModelRows(spark, updated),
+              modelDir(root), "kind"))
           members.unpersist()
-          writer.commitPartitioned(hierModelRows(spark, updated),
-            modelDir(root), "kind")
           (b.nlist, b.ncoarse)
         case _ =>
           val meta = buildHierInto(spark, dir, root)
@@ -1636,9 +1658,11 @@ object AnnIndex {
     val routed = Similarity.withHierBucket(base, cm, "embedding")
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    writer.commitPartitioned(routed, membersDir(root), "bucket")
-    writer.commitPartitioned(codedFromAssigned(routed, pq),
-      codesDir(root), "bucket")
+    // disjoint dirs off the one persisted routing — overlapped
+    graft.util.Par.pair(
+      writer.commitPartitioned(routed, membersDir(root), "bucket"),
+      writer.commitPartitioned(codedFromAssigned(routed, pq),
+        codesDir(root), "bucket"))
     routed.unpersist()
     HierPqBaseBuild(nBase, nlist, ncoarse, k, cm, pq)
   }
@@ -1666,16 +1690,20 @@ object AnnIndex {
     val keptMembers = bucketTable(spark, membersDir(root))
       .filter(col("bucket").isin(touched: _*))
       .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    val committed = writer.upsertPartitions(keptMembers.unionByName(dm),
-      membersDir(root), "bucket")
-    // rewritten rows off the committed footers (the ingestDelta rule)
-    val nRewritten = footerRows(spark, committed.values)
-    writer.upsertPartitions(
-      bucketTable(spark, codesDir(root))
-        .filter(col("bucket").isin(touched: _*))
-        .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .unionByName(codedFromAssigned(dm, pqCents)), // routed once: code off dm
-      codesDir(root), "bucket")
+    // disjoint-table upserts off the one persisted dm — overlapped
+    // (guide §2.6); rewritten rows off the committed footers
+    val (nRewritten, _) = graft.util.Par.pair(
+      {
+        val committed = writer.upsertPartitions(
+          keptMembers.unionByName(dm), membersDir(root), "bucket")
+        footerRows(spark, committed.values)
+      },
+      writer.upsertPartitions(
+        bucketTable(spark, codesDir(root))
+          .filter(col("bucket").isin(touched: _*))
+          .join(dm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(codedFromAssigned(dm, pqCents)), // routed once: code off dm
+        codesDir(root), "bucket"))
     dm.unpersist()
     (nArr, touched.length.toLong, nRewritten)
   }
@@ -1864,16 +1892,19 @@ object AnnIndex {
     val codeMassCol = (0 until Similarity.PqSubspaces)
       .map(m => col(s"code_$m")).reduce(_ + _)
     def witness(): (Long, Long, Long, Long, Long, Long) = {
-      val m = bucketTable(spark, membersDir(root))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("mass"), expr("bit_xor(vec_id)").as("x"))
-        .agg(sum(col("mass")).as("n"), expr("bit_xor(x)").as("xx"),
-          count(lit(1)).as("b"), max(col("mass")).as("mx"))
-        .collect()(0)
-      val c = bucketTable(spark, codesDir(root))
-        .agg(count(lit(1)).as("nc"),
-          coalesce(sum(codeMassCol), lit(0L)).as("mass"))
-        .collect()(0)
+      // two disjoint-table aggregation jobs — overlapped (runs once per
+      // acting scenario)
+      val (m, c) = graft.util.Par.pair(
+        bucketTable(spark, membersDir(root))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("mass"), expr("bit_xor(vec_id)").as("x"))
+          .agg(sum(col("mass")).as("n"), expr("bit_xor(x)").as("xx"),
+            count(lit(1)).as("b"), max(col("mass")).as("mx"))
+          .collect()(0),
+        bucketTable(spark, codesDir(root))
+          .agg(count(lit(1)).as("nc"),
+            coalesce(sum(codeMassCol), lit(0L)).as("mass"))
+          .collect()(0))
       (m.getLong(3) * 1000000L / m.getLong(0), // max_share_ppm
         m.getLong(0), m.getLong(1), m.getLong(2), // n, xor, buckets
         c.getLong(0), c.getLong(1)) // n_codes, code_mass
@@ -1906,18 +1937,21 @@ object AnnIndex {
           val (updated, re) = Similarity.hierLloydStep(members, m)
           val reKeyed = re.select(col("vec_id"),
             col("bucket_new").as("bucket")).localCheckpoint()
-          writer.commitPartitioned(
-            re.select(col("vec_id"), col("embedding"),
-              col("bucket_new").as("bucket")),
-            membersDir(root), "bucket")
-          // codes re-key, never recode: vectors did not move in space
-          writer.commitPartitioned(
-            bucketTable(spark, codesDir(root)).drop("bucket")
-              .join(reKeyed, Seq("vec_id")),
-            codesDir(root), "bucket")
+          // three disjoint dirs: members off the persisted membership,
+          // codes re-key (never recode: vectors did not move in space)
+          // off the frozen reKeyed, model off driver data — overlapped
+          graft.util.Par.triple(
+            writer.commitPartitioned(
+              re.select(col("vec_id"), col("embedding"),
+                col("bucket_new").as("bucket")),
+              membersDir(root), "bucket"),
+            writer.commitPartitioned(
+              bucketTable(spark, codesDir(root)).drop("bucket")
+                .join(reKeyed, Seq("vec_id")),
+              codesDir(root), "bucket"),
+            writer.commitPartitioned(hierModelRows(spark, updated),
+              modelDir(root), "kind"))
           members.unpersist()
-          writer.commitPartitioned(hierModelRows(spark, updated),
-            modelDir(root), "kind")
         case _ => // rebuild: full-corpus knobs, CAPPED width — linear
           val rb = commitHierPqBaseArtifact(spark, root, emb, writer,
             lakeFs, Similarity.pqKCappedFor)
@@ -1970,15 +2004,17 @@ object AnnIndex {
       modelDir(root), "kind")
     val cents = modelLits(spark, root, "ivf")
     val pq = modelLits(spark, root, "pq")
-    // one assignment pass feeds both commits (the buildInto discipline)
+    // one assignment pass feeds both commits (the buildInto
+    // discipline); disjoint dirs — overlapped (guide §2.6)
     val assigned = assignedFor(base, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    writer.commitPartitioned(
-      assigned.repartition(col("bucket")),
-      membersDir(root), "bucket")
-    writer.commitPartitioned(
-      codedFromAssigned(assigned, pq).repartition(col("bucket")),
-      codesDir(root), "bucket")
+    graft.util.Par.pair(
+      writer.commitPartitioned(
+        assigned.repartition(col("bucket")),
+        membersDir(root), "bucket"),
+      writer.commitPartitioned(
+        codedFromAssigned(assigned, pq).repartition(col("bucket")),
+        codesDir(root), "bucket"))
     assigned.unpersist()
     AppendBase(nBase, nlist, k, cents, pq)
   }
@@ -2012,27 +2048,39 @@ object AnnIndex {
         .foldLeft(1)(math.max).toLong
       return AppendWaveStats(0L, 0L, 0L, 0L, 0L, 0L, 0L, mf, cf)
     }
-    val freshM = dm.join(
-      bucketTable(spark, membersDir(root))
-        .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
-      Seq("vec_id"), "left_anti")
-      .repartition(col("bucket"))
-      .localCheckpoint() // freeze pre-append state; keeps co-location
-    val nAppended = freshM.count()
-    writer.appendPartitions(freshM, membersDir(root), "bucket")
-    // codes anti-join against the CODES table itself (not freshM): a
-    // crash between the two appends leaves members ahead of codes, and
-    // a freshM-derived codes delta would read empty on replay — the
-    // per-table anti-join self-heals the torn table instead
-    val freshC = codedFromAssigned(dm, b.pq)
-      .join(
-        bucketTable(spark, codesDir(root))
-          .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
-      .repartition(col("bucket"))
-      .localCheckpoint()
-    val nCodeAppended = freshC.count()
-    writer.appendPartitions(freshC, codesDir(root), "bucket")
+    // per-table chains (anti-join → freeze → count → append) touch
+    // disjoint tables and share only the persisted dm — overlapped
+    // (guide §2.6). Each table still anti-joins against ITSELF, so a
+    // crash leaving either table ahead self-heals on replay exactly as
+    // before (the torn-append contract is order-free by construction).
+    val (nAppended, nCodeAppended) = graft.util.Par.pair(
+      {
+        val freshM = dm.join(
+          bucketTable(spark, membersDir(root))
+            .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+          .repartition(col("bucket"))
+          .localCheckpoint() // freeze pre-append state; keeps co-location
+        val n = freshM.count()
+        writer.appendPartitions(freshM, membersDir(root), "bucket")
+        n
+      },
+      {
+        // codes anti-join against the CODES table itself (not freshM): a
+        // crash between the two appends leaves members ahead of codes, and
+        // a freshM-derived codes delta would read empty on replay — the
+        // per-table anti-join self-heals the torn table instead
+        val freshC = codedFromAssigned(dm, b.pq)
+          .join(
+            bucketTable(spark, codesDir(root))
+              .filter(col("bucket").isin(touched: _*)).select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .repartition(col("bucket"))
+          .localCheckpoint()
+        val n = freshC.count()
+        writer.appendPartitions(freshC, codesDir(root), "bucket")
+        n
+      })
     dm.unpersist()
     def compactOver(tableDir: String): (Seq[Long], Long) = {
       val over = bucketFileCounts(lakeFs, tableDir)
@@ -2047,8 +2095,9 @@ object AnnIndex {
         (over, n)
       }
     }
-    val (overM, compM) = compactOver(membersDir(root))
-    val (_, compC) = compactOver(codesDir(root))
+    // disjoint-table compactions — overlapped
+    val ((overM, compM), (_, compC)) = graft.util.Par.pair(
+      compactOver(membersDir(root)), compactOver(codesDir(root)))
     AppendWaveStats(nArr, touched.length.toLong, nAppended, nCodeAppended,
       overM.length.toLong, compM, compC,
       bucketFileCounts(lakeFs, membersDir(root)).values

@@ -74,6 +74,43 @@ object TimeLab {
       spark.stop()
       return
     }
+    // `jobs` mode: run ONE declared query with a SparkListener that
+    // prints every job's description, duration and task count — the
+    // lifecycle queries are dozens of small sequential jobs and this
+    // localizes which commits/collects carry the seconds (guide §1:
+    // the UI is disabled in this harness, so the listener stands in
+    // for the Jobs page). Usage: TimeLab <sfDir> jobs <queryName>
+    if (args.length > 2 && args(1) == "jobs") {
+      val name = args(2)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          jobs.put(js.jobId, (js.time, desc))
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.get(je.jobId)).foreach { case (t0, desc) =>
+            println(f"[timelab-job] id=${je.jobId}%4d ${(je.time - t0) / 1e3}%7.3f s  $desc")
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val fn = graft.SparkEntry.queries(name)
+      for (pass <- Seq("cold", "warm")) {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        Thread.sleep(500) // let the listener bus drain before the summary line
+        println(f"[timelab] $name $pass total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop()
+      return
+    }
     // `pq` mode: localize q83's cost — coded corpus, probe side, full
     // search, and the search without its top-k window
     if (args.length > 1 && args(1) == "pq") {

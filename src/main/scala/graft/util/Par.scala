@@ -1,0 +1,63 @@
+package graft.util
+
+/** Overlap INDEPENDENT Spark actions from driver threads (optimization
+  * guide §2.6: the scheduler happily runs several jobs at once inside
+  * one application; actions are only sequential because driver code
+  * calls them sequentially). The lifecycle operators' members/codes/
+  * model commits write DIFFERENT table directories under SEPARATE
+  * leases from one shared cached relation — running them concurrently
+  * lets the second job's tasks back-fill executors freed by the first
+  * job's tail, and overlaps the two commits' driver-side FS work
+  * (staging renames, listings) with the other side's compute.
+  *
+  * Safety preconditions (every call site in this repo satisfies them):
+  *  - the thunks touch DISJOINT output directories (lease per dir);
+  *  - any shared input is a persisted/checkpointed relation — Spark's
+  *    BlockManager computes each cached partition once and blocks
+  *    other readers, so a shared cache is not computed twice;
+  *  - `SparkContext` local properties (job description/group) are an
+  *    InheritableThreadLocal, so the fresh thread keeps the caller's
+  *    labels.
+  *
+  * Threads are created per call (no shared pool): call sites overlap
+  * 1-3 second write jobs, so thread creation cost is noise and a fixed
+  * pool could deadlock under nesting.
+  */
+object Par {
+  /** Run `fa` on the calling thread and `fb` on a fresh thread,
+    * concurrently. Waits for BOTH to finish before returning or
+    * throwing (never leaves a commit running past the call), then
+    * rethrows `fa`'s failure first, else `fb`'s.
+    */
+  def pair[A, B](fa: => A, fb: => B): (A, B) = {
+    val (Seq(a, b), _) = runAll(Seq(() => fa, () => fb))
+    (a.asInstanceOf[A], b.asInstanceOf[B])
+  }
+
+  /** Run three independent thunks concurrently (first on the calling
+    * thread); same wait-for-all / first-failure contract as [[pair]].
+    */
+  def triple[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
+    val (Seq(a, b, c), _) = runAll(Seq(() => fa, () => fb, () => fc))
+    (a.asInstanceOf[A], b.asInstanceOf[B], c.asInstanceOf[C])
+  }
+
+  private def runAll(thunks: Seq[() => Any]): (Seq[Any], Unit) = {
+    val results = new Array[Any](thunks.size)
+    val errors = new Array[Throwable](thunks.size)
+    val threads = thunks.zipWithIndex.drop(1).map { case (t, i) =>
+      val th = new Thread(() => {
+        try results(i) = t()
+        catch { case e: Throwable => errors(i) = e }
+      }, s"graft-par-$i")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    try results(0) = thunks.head()
+    catch { case e: Throwable => errors(0) = e }
+    threads.foreach(_.join())
+    errors.collectFirst { case e if e != null => throw e }
+    (results.toSeq, ())
+  }
+}
