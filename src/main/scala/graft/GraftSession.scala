@@ -37,6 +37,15 @@ object GraftSession {
       // ~uniform and partitions within executor memory; 128m default made
       // explicit so it is tuned deliberately, not inherited
       .config("spark.sql.files.maxPartitionBytes", "128m")
+      // joins: preferSortMergeJoin deliberately stays at its default
+      // (true). Round-16 within-ONE-session A/B (TimeLab `smjab`, the
+      // conf is a runtime SQLConf) measured the shuffled-hash
+      // preference REGRESSING the join-heavy surface ~10% (12-query
+      // slice: SMJ 23.0 s vs SHJ 25.3 s min-of-2; q224 4.2→5.6) —
+      // the hash build + lost output sortedness cost more than the
+      // skipped sorts at these shuffle sizes. Two earlier cross-session
+      // A/Bs had shown the OPPOSITE, i.e. they measured JVM/session
+      // variance, not the conf (guide §1: measure correctly).
       // ANSI mode pinned explicitly (Spark 4 default): arithmetic faults
       // (div-by-zero, overflow, bad casts) ABORT rather than silently
       // yielding NULL. Queries guard data-dependent denominators

@@ -231,13 +231,14 @@ object TextOps {
         expr("agree * 1000000 DIV n_docs").as("po_ppm"),
         expr("CAST(pe_num * 1000000 DIV " +
           "(CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)").as("pe_ppm"))
-      // negative kappa (worse than chance) must floor like the oracle's
-      // `//`, not truncate: the standard correction rides along
+      // DuckDB's `//` TRUNCATES toward zero for negatives exactly like
+      // Spark's DIV (verified on DuckDB 1.0.0: -7 // 2 = -3), so no
+      // correction term: the one previously here FLOORED negative kappa
+      // and broke the sf0.001 hash by 1 ppm (worse-than-chance kappa
+      // with a nonzero remainder — unreached at the larger SFs)
       .withColumn("kappa_ppm", expr(
         "CASE WHEN pe_ppm = 1000000 THEN NULL " +
-          "ELSE (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) " +
-          "- (CASE WHEN (po_ppm - pe_ppm) * 1000000 % (1000000 - pe_ppm) <> 0 " +
-          "AND po_ppm < pe_ppm THEN 1 ELSE 0 END) END"))
+          "ELSE (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) END"))
   }
 
   /** Quality scoring: token count, mean token length and stopword ratio

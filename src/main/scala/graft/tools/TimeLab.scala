@@ -101,13 +101,91 @@ object TimeLab {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      val fn = graft.SparkEntry.queries(name)
-      for (pass <- Seq("cold", "warm")) {
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        Thread.sleep(500) // let the listener bus drain before the summary line
-        println(f"[timelab] $name $pass total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      name.split("\\+").foreach { q =>
+        val fn = graft.SparkEntry.queries(q)
+        for (pass <- Seq("cold", "warm")) {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          Thread.sleep(500) // let the listener bus drain before the summary line
+          println(f"[timelab] $q $pass total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
       }
+      spark.stop()
+      return
+    }
+    // `confab` mode: within-ONE-session A/B of an arbitrary RUNTIME
+    // SQLConf over a set of queries (the smjab generalization).
+    // Usage: TimeLab <sfDir> confab <confKey> <v1,v2[,...]> q1+q2+...
+    if (args.length > 4 && args(1) == "confab") {
+      val key = args(2)
+      val vals = args(3).split(",").toSeq
+      val names = args(4).split("\\+").toSeq
+      for (v <- vals; q <- names) { // untimed codegen/JIT absorb
+        spark.conf.set(key, v)
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val acc = scala.collection.mutable.Map.empty[(String, String), Double]
+      for (round <- 1 to 2; v <- vals; q <- names) {
+        spark.conf.set(key, v)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        acc((q, v)) = math.min(acc.getOrElse((q, v), Double.MaxValue), t)
+      }
+      names.foreach { q =>
+        val cells = vals.map(v => f"$v=${acc((q, v))}%6.3f").mkString("  ")
+        println(f"[timelab-confab] $q%-30s $cells")
+      }
+      vals.foreach { v =>
+        println(f"[timelab-confab] TOTAL $v=${names.map(q => acc((q, v))).sum}%6.2f")
+      }
+      spark.stop()
+      return
+    }
+    // `smjab` mode: within-ONE-session A/B of
+    // spark.sql.join.preferSortMergeJoin over a set of queries — the
+    // conf is a runtime SQLConf, so flipping it per pass isolates the
+    // join-strategy effect from JVM/JIT/session variance that two
+    // separate sbt runs cannot. Usage: TimeLab <sfDir> smjab q1+q2+...
+    if (args.length > 2 && args(1) == "smjab") {
+      val names = args(2).split("\\+").toSeq
+      // absorb codegen/JIT: one untimed pass per query with each conf
+      for (v <- Seq("true", "false"); q <- names) {
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", v)
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val acc = scala.collection.mutable.Map.empty[(String, String), Double]
+      for (round <- 1 to 2; v <- Seq("true", "false"); q <- names) {
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", v)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        acc((q, v)) = math.min(acc.getOrElse((q, v), Double.MaxValue), t)
+      }
+      names.foreach { q =>
+        println(f"[timelab-smjab] $q%-30s smj=${acc((q, "true"))}%6.3f shj=${acc((q, "false"))}%6.3f")
+      }
+      println(f"[timelab-smjab] TOTAL smj=${names.map(q => acc((q, "true"))).sum}%6.2f " +
+        f"shj=${names.map(q => acc((q, "false"))).sum}%6.2f")
+      spark.stop()
+      return
+    }
+    // `streamckpt` mode: A/B the streaming state checkpoint location
+    // (default /tmp temp dir vs tmpfs) for the heaviest stream-join
+    // drain — isolates state-store commit IO from join compute.
+    if (args.length > 1 && args(1) == "streamckpt") {
+      val fn = graft.SparkEntry.queries("q167_stream_full_attrib")
+      for (_ <- 1 to 2)
+        cnt("q167 ckpt=default", fn(spark, dir))
+      spark.conf.set("spark.sql.streaming.checkpointLocation",
+        "/dev/shm/graft_ckpt_ab")
+      for (_ <- 1 to 2)
+        cnt("q167 ckpt=tmpfs", fn(spark, dir))
+      spark.conf.unset("spark.sql.streaming.checkpointLocation")
       spark.stop()
       return
     }

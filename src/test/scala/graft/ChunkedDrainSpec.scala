@@ -42,6 +42,30 @@ class ChunkedDrainSpec extends AnyFunSuite {
     assert(EventsStream.chunksFor(10L, 0L) == 10) // degenerate target clamps to 1
   }
 
+  test("statePartitionsFor: ceil(rows/target) clamped to [8, 1024]") {
+    assert(EventsStream.statePartitionsFor(spark, 0L) == 8)
+    assert(EventsStream.statePartitionsFor(spark, 100000L) == 8) // graded SFs land on the floor
+    assert(EventsStream.statePartitionsFor(spark, 1000000L) == 8)
+    assert(EventsStream.statePartitionsFor(spark, 100000000L) == 800) // the 1000x rehearsal
+    assert(EventsStream.statePartitionsFor(spark, Long.MaxValue / 2) == 1024)
+    spark.conf.set(EventsStream.RowsPerStatePartitionKey, "10")
+    try assert(EventsStream.statePartitionsFor(spark, 100L) == 10)
+    finally spark.conf.unset(EventsStream.RowsPerStatePartitionKey)
+  }
+
+  test("drain result is state-partition-count independent (q133/q167)") {
+    // the sizing rule must never change WHAT a drain emits — force two
+    // different counts through the knob and compare the emitted sets
+    def at(target: String)(f: => Seq[String]): Seq[String] = {
+      spark.conf.set(EventsStream.RowsPerStatePartitionKey, target)
+      try f finally spark.conf.unset(EventsStream.RowsPerStatePartitionKey)
+    }
+    val a = at("1000000")(rowSet(EventsStream.attributionFullDrain(spark, sf)))
+    val b = at("50")(rowSet(EventsStream.attributionFullDrain(spark, sf)))
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
   test("q133 inner attribution: chunked drain emits the identical set") {
     val single = rowSet(EventsStream.attributionDrain(spark, sf))
     val chunked = withForcedChunks(100L) {

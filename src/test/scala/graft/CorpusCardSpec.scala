@@ -96,7 +96,7 @@ class CorpusCardSpec extends AnyFunSuite {
     assert(und("de") == 0L)
   }
 
-  test("q242 kappa: chance-corrected, floors negative agreement") {
+  test("q242 kappa: chance-corrected, truncates like both engines") {
     // po = 13/20, pe = (10·13 + 10·7)/400 = 1/2 → kappa = 0.30
     val k1 = TextOps.confusionKappaFor(cm(
       ("en", "en", 8L), ("en", "es", 2L), ("es", "es", 5L), ("es", "en", 5L)))
@@ -104,13 +104,14 @@ class CorpusCardSpec extends AnyFunSuite {
     assert((k1.getLong(2), k1.getLong(3), k1.getLong(4)) ==
       ((650000L, 500000L, 300000L)))
     // worse-than-chance: po = 1/3, pe = 5/9 → −222222000000/444445 =
-    // −499998.12…, which must FLOOR to −499999 (the truncating DIV
-    // alone gives −499998 — the correction is the point of this
-    // fixture; DuckDB's // floors natively)
+    // −499998.12…, which must TRUNCATE to −499998 on BOTH engines
+    // (DuckDB 1.0.0: -7 // 2 = -3, i.e. `//` truncates toward zero
+    // exactly like Spark's DIV; the old floor "correction" here broke
+    // the sf0.001 hash by 1 ppm on exactly this case)
     val k2 = TextOps.confusionKappaFor(cm(
       ("en", "en", 1L), ("en", "es", 1L), ("es", "en", 1L)))
       .collect().head
     assert((k2.getLong(2), k2.getLong(3), k2.getLong(4)) ==
-      ((333333L, 555555L, -499999L)))
+      ((333333L, 555555L, -499998L)))
   }
 }
