@@ -1127,24 +1127,36 @@ object Similarity {
       "transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))").as("xq"))
     // genuinely ONE pass: the Gram pairs, the per-dim sum ledger rows
-    // (i, 0, xqᵢ) and the count row (0, 0, 1) ride the same explode,
-    // so the corpus is scanned once and one aggregation serves all
-    // three statistics
-    e.select(explode(expr(
+    // and the count row ride the same explode, so the corpus is
+    // scanned once and one aggregation serves all three statistics.
+    // The exploded element is a PRIMITIVE long, not a (i, j, p)
+    // struct: the struct form allocated 2 145 three-field structs per
+    // corpus row (the dominant cost at every scale — r16 measured the
+    // flat form ~25% faster end-to-end, warm 3.77 s → 2.92 s at
+    // sf0.1); the position within the concat array
+    // determines (i, j), decoded AFTER the dimension-bounded
+    // aggregation by a 2 145-row broadcast join, so the per-row work
+    // is one long[] allocation and the multiplies.
+    val flat = e.select(posexplode(expr(
       s"""concat(
          |  flatten(transform(sequence(1, $JlInDim), i ->
          |    transform(sequence(i, $JlInDim), j ->
-         |      struct(i AS i, j AS j,
-         |        element_at(xq, i) * element_at(xq, j) AS p)))),
-         |  transform(sequence(1, $JlInDim), i ->
-         |    struct(i AS i, 0 AS j, element_at(xq, i) AS p)),
-         |  array(struct(0 AS i, 0 AS j, CAST(1 AS BIGINT) AS p)))"""
-        .stripMargin)))
-      .select(col("col.i").cast("long").as("i"),
-        col("col.j").cast("long").as("j"),
-        col("col.p").as("p"))
-      .groupBy(col("i"), col("j"))
+         |      element_at(xq, i) * element_at(xq, j)))),
+         |  xq,
+         |  array(CAST(1 AS BIGINT)))""".stripMargin)).as(Seq("pos", "p")))
+    val sums = flat.groupBy(col("pos"))
       .agg(expr("CAST(SUM(CAST(p AS DECIMAL(38,0))) AS BIGINT)").as("s"))
+    // pos → (i, j): pairs in (i asc, j asc) order, then the d per-dim
+    // sums as (i, 0), then the (0, 0) count — the concat order above
+    val pairs: Seq[(Long, Long)] =
+      (for { i <- 1 to JlInDim; j <- i to JlInDim }
+        yield (i.toLong, j.toLong)) ++
+        (1 to JlInDim).map(i => (i.toLong, 0L)) :+ ((0L, 0L))
+    import emb.sparkSession.implicits._
+    val posMap = pairs.zipWithIndex
+      .map { case ((i, j), pos) => (pos, i, j) }.toDF("pos", "i", "j")
+    sums.join(broadcast(posMap), Seq("pos"))
+      .select(col("i"), col("j"), col("s"))
   }
 
   def jlProjectionChecksumsFor(emb: DataFrame): DataFrame = {

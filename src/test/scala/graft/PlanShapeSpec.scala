@@ -752,14 +752,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only broadcast joins allowed:\n${p.take(2000)}")
   }
 
-  test("q175 covariance sums: ONE explode→combine pass, join-free") {
+  test("q175 covariance sums: ONE explode→combine pass, flat longs") {
     val p = plan(Similarity.embeddingCovarianceSums(spark, sf))
-    assertNoJoin(p, "embeddingCovarianceSums")
-    // Gram pairs, per-dim sums and the count row ride one explode —
-    // a single corpus scan and one dimension-bounded shuffle
+    // Gram pairs, per-dim sums and the count row ride one explode of
+    // PRIMITIVE longs — a single corpus scan and one dimension-bounded
+    // shuffle; the only join is the post-aggregation pos→(i,j) decode
+    // against the 2,145-row broadcast map (never corpus-sized, never
+    // shuffled)
+    Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+      "BroadcastNestedLoopJoin").foreach { j =>
+      assert(!p.contains(j), s"covariance must not contain $j:\n${p.take(2000)}")
+    }
     assert(shuffles(p) <= 1, s"expected one shuffle:\n${p.take(2000)}")
     assert("Scan parquet".r.findAllIn(p).length <= 1,
       s"corpus must be scanned once:\n${p.take(2000)}")
+    // the exploded element must be a primitive, not a struct: a struct
+    // element would put 2,145 allocations back on every corpus row
+    assert(!p.contains("named_struct"),
+      s"exploded element must be a flat long:\n${p.take(2000)}")
   }
 
   test("q176 triangles: every join is keyed or a 1-row broadcast — no cartesian") {
