@@ -432,6 +432,13 @@ object EventsStream {
     */
   private def withStatePartitions[A](spark: SparkSession, nRows: Long)(
       f: => A): A = {
+    // session-GLOBAL conf write: running a drain inside a Par region
+    // would re-plan the other thread's concurrent batch query at the
+    // drain's state-partition count — fail fast instead (r16 verdict
+    // hardening; no drain call site is inside a Par region today)
+    require(!graft.util.Par.regionActive,
+      "streaming drain inside a Par region: withStatePartitions mutates " +
+        "session-global spark.sql.shuffle.partitions")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, statePartitionsFor(spark, nRows).toString)

@@ -22,8 +22,24 @@ package graft.util
   * Threads are created per call (no shared pool): call sites overlap
   * 1-3 second write jobs, so thread creation cost is noise and a fixed
   * pool could deadlock under nesting.
+  *
+  * INVARIANT (r16 verdict hardening): nothing inside a Par region may
+  * mutate SESSION-GLOBAL state that concurrently-running work reads —
+  * in particular the streaming drains' `withStatePartitions` wrapper
+  * rewrites `spark.sql.shuffle.partitions` for the whole session, so a
+  * drain scheduled inside a Par region would re-plan the OTHER thread's
+  * batch query at the drain's state-partition count. [[regionActive]]
+  * lets such writers fail fast instead (the drain layer asserts it).
   */
 object Par {
+  private val activeRegions = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** True while ANY Par region is running in this JVM — coarse by
+    * design: the hazard guarded against is a session-global conf write
+    * racing any concurrently-scheduled sibling, not a per-thread
+    * relationship.
+    */
+  def regionActive: Boolean = activeRegions.get() > 0
   /** Run `fa` on the calling thread and `fb` on a fresh thread,
     * concurrently. Waits for BOTH to finish before returning or
     * throwing (never leaves a commit running past the call), then
@@ -43,6 +59,12 @@ object Par {
   }
 
   private def runAll(thunks: Seq[() => Any]): (Seq[Any], Unit) = {
+    activeRegions.incrementAndGet()
+    try runAllInRegion(thunks)
+    finally activeRegions.decrementAndGet()
+  }
+
+  private def runAllInRegion(thunks: Seq[() => Any]): (Seq[Any], Unit) = {
     val results = new Array[Any](thunks.size)
     val errors = new Array[Throwable](thunks.size)
     val threads = thunks.zipWithIndex.drop(1).map { case (t, i) =>
