@@ -404,26 +404,61 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     * [[graft.operators.AnnIndex]] does with its sidecar).
     */
   def upsertPartitions(df: DataFrame, tableDir: String,
-      partCol: String): Map[String, String] = withCommitLease(tableDir) {
+      partCol: String): Map[String, String] =
+    upsertPartitionsCounted(df, tableDir, partCol)._1
+
+  /** [[upsertPartitions]] that ALSO returns the total rows staged —
+    * read from the staged parquet FOOTERS between the staging write
+    * and the swaps (driver metadata IO, never a job). Staged rows ARE
+    * the rows the swapped partitions now hold, so callers that used to
+    * pay a separate materialize+count (or a post-commit footer pass
+    * over the committed dirs) get the same number for free.
+    */
+  def upsertPartitionsCounted(df: DataFrame, tableDir: String,
+      partCol: String): (Map[String, String], Long) = withCommitLease(tableDir) {
     val staging = s"$tableDir/${partCol}_stage_tmp"
     try {
       df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
-      fsOps.fs
+      val parts = fsOps.fs
         .listStatus(new org.apache.hadoop.fs.Path(staging))
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter(_.startsWith(s"$partCol="))
         .sorted
-        .map { p =>
-          val fin = s"$tableDir/$p"
-          swap(s"$staging/$p", fin, s"$tableDir/${p}_old")
-          if (fsOps.exists(s"$tableDir/${p}_old"))
-            fsOps.delete(s"$tableDir/${p}_old")
-          p.stripPrefix(s"$partCol=") -> fin
-        }.toMap
+      val rows = stagedRows(staging, parts.toSeq)
+      val committed = parts.map { p =>
+        val fin = s"$tableDir/$p"
+        swap(s"$staging/$p", fin, s"$tableDir/${p}_old")
+        if (fsOps.exists(s"$tableDir/${p}_old"))
+          fsOps.delete(s"$tableDir/${p}_old")
+        p.stripPrefix(s"$partCol=") -> fin
+      }.toMap
+      (committed, rows)
     } finally {
       if (fsOps.exists(staging)) fsOps.delete(staging)
     }
+  }
+
+  /** Total record count across the staged partition dirs, from parquet
+    * footer metadata only (overlapped driver IO — the same discipline
+    * as the lifecycle operators' footer counts; never a Spark job).
+    */
+  private def stagedRows(staging: String, parts: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.traverse(parts) { p => Future {
+      val dir = new org.apache.hadoop.fs.Path(s"$staging/$p")
+      fsOps.fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }}, Duration.Inf).sum
   }
 
   /** The APPEND-side delta primitive — the write-amplification
@@ -445,18 +480,28 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
     * Returns data files appended per partition value.
     */
   def appendPartitions(df: DataFrame, tableDir: String,
-      partCol: String): Map[String, Int] = withCommitLease(tableDir) {
+      partCol: String): Map[String, Int] =
+    appendPartitionsCounted(df, tableDir, partCol)._1
+
+  /** [[appendPartitions]] that ALSO returns the total rows staged (from
+    * the staged footers, as in [[upsertPartitionsCounted]]) — staged
+    * rows ARE the rows the append moves into the live partitions, so
+    * callers no longer materialize the delta just to count it.
+    */
+  def appendPartitionsCounted(df: DataFrame, tableDir: String,
+      partCol: String): (Map[String, Int], Long) = withCommitLease(tableDir) {
     val staging = s"$tableDir/${partCol}_append_tmp"
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     try {
       df.write.mode("overwrite").partitionBy(partCol).parquet(staging)
-      fsOps.fs
+      val parts = fsOps.fs
         .listStatus(new org.apache.hadoop.fs.Path(staging))
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter(_.startsWith(s"$partCol="))
         .sorted
-        .map { p =>
+      val rows = stagedRows(staging, parts.toSeq)
+      val appended = parts.map { p =>
           val fin = s"$tableDir/$p"
           fsOps.mkdirs(fin)
           val files = fsOps.fs
@@ -477,6 +522,7 @@ class AtomicPartitionWriter(fsOps: LakeFs, spark: SparkSession) {
           }
           p.stripPrefix(s"$partCol=") -> files.length
         }.toMap
+      (appended, rows)
     } finally {
       if (fsOps.exists(staging)) fsOps.delete(staging)
     }
