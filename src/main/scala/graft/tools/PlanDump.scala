@@ -20,6 +20,14 @@ object PlanDump {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
+    // optional runtime-conf overrides (k=v,k=v) — lets a "before" dump
+    // flip an operator's A/B knob (e.g. graft.bpe.roundCheckpoint)
+    sys.env.get("SPARK_GRAFT_PLANDUMP_CONF").foreach {
+      _.split(",").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     Files.createDirectories(Paths.get(outDir))
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val fn = graft.SparkEntry.queries(name)
